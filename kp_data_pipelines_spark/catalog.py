@@ -1,0 +1,682 @@
+"""Query catalog: one entry per implemented operator (SURVEY.md §2),
+each with a DuckDB-oracle SQL twin.
+
+Determinism contract with the oracle (driver hashes values after sorting):
+- Money/double SUMs aggregate in DECIMAL(18,2) and cast back to double —
+  bitwise order-independent on both engines (``exact_sum``).
+- Per-row double arithmetic (x*(1-d), ratios) is IEEE-identical on both.
+- Timestamp outputs are emitted as formatted strings or DATEs to be
+  timezone-representation independent.
+- Every computed column is aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kp_data_pipelines_spark.functions.cleaning import coerce_long, conditional_update
+from kp_data_pipelines_spark.functions.dates import (
+    cascading_to_timestamp,
+    month_name,
+    month_start,
+    months_ago,
+)
+from kp_data_pipelines_spark.operators.aggregates import (
+    collect_set_joined,
+    exact_sum,
+    pivot_sum,
+)
+from kp_data_pipelines_spark.operators.dedup import (
+    dedup_keep_first,
+    duplicate_rows,
+    row_fingerprint,
+    with_duplicate_count,
+)
+from kp_data_pipelines_spark.operators.joins import anti_join, lookup_join, semi_join
+from kp_data_pipelines_spark.operators.reconcile import reconcile, reconcile_summary
+from kp_data_pipelines_spark.operators.similarity import cosine_topk
+from kp_data_pipelines_spark.operators.textops import (
+    TOKEN_REGEX,
+    avg_token_length,
+    distinct_word_count,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    regex_token_count,
+    whitespace_token_count,
+)
+from kp_data_pipelines_spark.sources.readers import read_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Relational core (reference surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_filter_project",
+    """
+    SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice, l_discount,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND l_discount > 0.02
+    """,
+)
+def q01_filter_project(spark: SparkSession, sf: str) -> DataFrame:
+    """F1/F6/P1/C17: pushdown-able range filter + projection + derived col."""
+    li = read_table(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_discount") > 0.02)
+    ).select(
+        "l_orderkey",
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+@register(
+    "q02_group_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q02_group_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """A1/A3 (TPC-H Q1 shape): partial-aggregatable group-by with exact
+    (order-independent) decimal sums."""
+    li = read_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        exact_sum("l_quantity").alias("sum_qty"),
+        exact_sum("l_extendedprice").alias("sum_base_price"),
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias(
+            "sum_disc_price"
+        ),
+        (exact_sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "q03_join_enrich_agg",
+    """
+    SELECT r_name, n_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q03_join_enrich_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """J1: star-join enrichment with broadcast dims, then group-agg."""
+    orders = read_table(spark, sf, "orders")
+    customer = read_table(spark, sf, "customer")
+    nation = read_table(spark, sf, "nation")
+    region = read_table(spark, sf, "region")
+    enriched = lookup_join(
+        lookup_join(
+            lookup_join(
+                orders,
+                customer.select("c_custkey", "c_nationkey"),
+                on=orders.o_custkey == F.col("c_custkey"),
+            ),
+            nation.select("n_nationkey", "n_name", "n_regionkey"),
+            on=F.col("c_nationkey") == F.col("n_nationkey"),
+        ),
+        region,
+        on=F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    return enriched.groupBy("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_sum("o_totalprice").alias("total_price"),
+    )
+
+
+@register(
+    "q04_reconcile_summary",
+    """
+    WITH l AS (
+      SELECT o_custkey AS custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_orders
+      FROM orders GROUP BY o_custkey
+    ), r AS (
+      SELECT c_custkey AS custkey, c_acctbal AS acctbal FROM customer
+    ), m AS (
+      SELECT CASE WHEN l.custkey IS NULL THEN 'right_only'
+                  WHEN r.custkey IS NULL THEN 'left_only'
+                  ELSE 'both' END AS merge_class,
+             COALESCE(l.total_orders, 0.0) AS total_orders,
+             COALESCE(r.acctbal, 0.0) AS acctbal
+      FROM l FULL OUTER JOIN r ON l.custkey = r.custkey
+    )
+    SELECT merge_class, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(total_orders AS DECIMAL(18,2))) AS DOUBLE) AS orders_total,
+           CAST(SUM(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_total
+    FROM m GROUP BY merge_class
+    """,
+)
+def q04_reconcile_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """J2/F8/A4 — the reference's reconciliation core (DOP VP Compare.py):
+    pre-agg one side, full-outer+indicator join, per-class control sums."""
+    orders = read_table(spark, sf, "orders")
+    customer = read_table(spark, sf, "customer")
+    left = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        exact_sum("o_totalprice").alias("total_orders")
+    )
+    right = customer.select(F.col("c_custkey").alias("custkey"), F.col("c_acctbal").alias("acctbal"))
+    rec = reconcile(left, right, ["custkey"], "total_orders", "acctbal")
+    summary = reconcile_summary(rec, "total_orders", "acctbal")
+    return summary.select(
+        F.col("_merge").alias("merge_class"),
+        "n_rows",
+        F.col("total_total_orders").alias("orders_total"),
+        F.col("total_acctbal").alias("acctbal_total"),
+    )
+
+
+@register(
+    "q05_semi_join",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_customers_with_orders
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def q05_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J4: left-semi join (pandas isin pattern)."""
+    customer = read_table(spark, sf, "customer")
+    orders = read_table(spark, sf, "orders")
+    hits = semi_join(customer, orders, on=customer.c_custkey == orders.o_custkey)
+    return hits.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_customers_with_orders"))
+
+
+@register(
+    "q06_anti_join",
+    """
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q06_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J5: anti-join (``~isin`` / left_only diff lists)."""
+    customer = read_table(spark, sf, "customer")
+    orders = read_table(spark, sf, "orders")
+    return anti_join(customer, orders, on=customer.c_custkey == orders.o_custkey).select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+
+
+@register(
+    "q07_dedup_keep_first",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
+    """,
+)
+def q07_dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
+    """W2/D2: deterministic keep-first dedup — top order per customer."""
+    orders = read_table(spark, sf, "orders")
+    out = dedup_keep_first(
+        orders, ["o_custkey"], [F.desc("o_totalprice"), F.col("o_orderkey")]
+    )
+    return out.select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "q08_duplicate_detect",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, duplicate_count
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             COUNT(*) OVER (PARTITION BY l_partkey, l_suppkey) AS duplicate_count
+      FROM lineitem
+    ) WHERE duplicate_count > 1
+    """,
+)
+def q08_duplicate_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """W1/D3: duplicate detection keeping all copies + group-size column
+    (Transaction Duplicates.ipynb pattern)."""
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    withc = with_duplicate_count(li, ["l_partkey", "l_suppkey"])
+    return withc.filter(F.col("duplicate_count") > 1)
+
+
+@register(
+    "q09_distinct_pairs",
+    "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem",
+)
+def q09_distinct_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """D1/A6: distinct pair extraction (lookup-table maintenance seed)."""
+    return read_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
+
+
+@register(
+    "q10_fingerprint",
+    """
+    SELECT doc_id,
+           sha256(concat_ws('|', CAST(doc_id AS VARCHAR), text, lang, source,
+                            CAST(n_chars AS VARCHAR))) AS row_hash
+    FROM documents
+    """,
+)
+def q10_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """D4: sha256 row fingerprint — the scalable exact-dup key."""
+    docs = read_table(spark, sf, "documents")
+    return row_fingerprint(docs, ["doc_id", "text", "lang", "source", "n_chars"]).select(
+        "doc_id", "row_hash"
+    )
+
+
+@register(
+    "q11_collect_set",
+    """
+    SELECT o_custkey,
+           string_agg(DISTINCT o_orderstatus, '; ' ORDER BY o_orderstatus) AS statuses,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q11_collect_set(spark: SparkSession, sf: str) -> DataFrame:
+    """A2: sorted-distinct string collect (pandas ``"; ".join(sorted(set))``)."""
+    orders = read_table(spark, sf, "orders")
+    return orders.groupBy("o_custkey").agg(
+        collect_set_joined("o_orderstatus").alias("statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "q12_pivot",
+    """
+    SELECT c_mktsegment,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "P"
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q12_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """A7: dynamic SUM-PIVOT with explicit value list (two-phase at scale)."""
+    orders = read_table(spark, sf, "orders")
+    customer = read_table(spark, sf, "customer")
+    joined = lookup_join(
+        orders, customer.select("c_custkey", "c_mktsegment"),
+        on=orders.o_custkey == F.col("c_custkey"),
+    )
+    return pivot_sum(joined, "c_mktsegment", "o_orderstatus", "o_totalprice", ["F", "O", "P"])
+
+
+@register(
+    "q13_date_kit",
+    """
+    SELECT o_orderkey,
+           strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d') AS order_month,
+           strftime(CAST(CAST(o_orderdate AS DATE) - INTERVAL 1 MONTH AS DATE), '%Y-%m-%d') AS prev_month_day,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           monthname(o_orderdate) AS order_month_name,
+           strftime(COALESCE(
+             try_strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%dT%H:%M:%S'),
+             try_strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')
+           ), '%Y-%m-%d %H:%M:%S') AS reparsed
+    FROM orders
+    """,
+)
+def q13_date_kit(spark: SparkSession, sf: str) -> DataFrame:
+    """C2-C6: month truncation/offset/end, month names, cascading parse.
+
+    The cascade re-parses a formatted copy of the timestamp (first format
+    intentionally failing) and re-emits a string — exercising the
+    try-format coalesce without timezone-representation hazards."""
+    orders = read_table(spark, sf, "orders")
+    date_str = F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+    parsed = cascading_to_timestamp(
+        date_str, ["yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd HH:mm:ss"]
+    )
+    return orders.select(
+        "o_orderkey",
+        F.date_format(month_start(F.col("o_orderdate").cast("date")), "yyyy-MM-dd").alias(
+            "order_month"
+        ),
+        F.date_format(months_ago(F.col("o_orderdate").cast("date"), 1), "yyyy-MM-dd").alias(
+            "prev_month_day"
+        ),
+        F.date_format(F.last_day(F.col("o_orderdate").cast("date")), "yyyy-MM-dd").alias(
+            "month_end"
+        ),
+        month_name("o_orderdate").alias("order_month_name"),
+        F.date_format(parsed, "yyyy-MM-dd HH:mm:ss").alias("reparsed"),
+    )
+
+
+@register(
+    "q14_conditional_update",
+    """
+    SELECT event_id, event_type,
+           CASE WHEN event_type = 'purchase' THEN value * 1.3 ELSE value END AS adj_value,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def q14_conditional_update(spark: SparkSession, sf: str) -> DataFrame:
+    """C10/C11/C1: masked update (the reference's IDC gross-up) + regex
+    extract + coerce-cast."""
+    ev = read_table(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        conditional_update(
+            "value", F.col("event_type") == "purchase", F.col("value") * 1.3
+        ).alias("adj_value"),
+        coerce_long(F.regexp_extract("props", r'"k": (\d+)', 1)).alias("k_value"),
+    )
+
+
+@register(
+    "q15_union_align",
+    """
+    SELECT 'customer' AS src, c_custkey AS entity_id, c_name AS name, c_acctbal AS acctbal
+    FROM customer
+    UNION ALL
+    SELECT 'supplier' AS src, s_suppkey AS entity_id, s_name AS name, s_acctbal AS acctbal
+    FROM supplier
+    """,
+)
+def q15_union_align(spark: SparkSession, sf: str) -> DataFrame:
+    """U1/U2: schema-aligned union of two differently-shaped tables."""
+    customer = read_table(spark, sf, "customer")
+    supplier = read_table(spark, sf, "supplier")
+    c = customer.select(
+        F.lit("customer").alias("src"),
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    s = supplier.select(
+        F.lit("supplier").alias("src"),
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "q16_topk",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q16_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """O1/O2: deterministic top-k (TakeOrdered — no full sort at scale)."""
+    orders = read_table(spark, sf, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@register(
+    "q17_regex_filter",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE regexp_matches(text, 'batch batch') AND lang <> 'en'
+    """,
+)
+def q17_regex_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """F5/F3: regex predicate + inequality filter."""
+    docs = read_table(spark, sf, "documents")
+    return docs.filter(
+        F.col("text").rlike("batch batch") & (F.col("lang") != "en")
+    ).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "q18_containment_join",
+    """
+    SELECT d.doc_id, min(k.kw) AS matched_kw
+    FROM documents d
+    LEFT JOIN (VALUES ('spark'), ('window'), ('stream'), ('vector')) k(kw)
+      ON contains(d.text, k.kw)
+    GROUP BY d.doc_id
+    """,
+)
+def q18_containment_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J6: substring-containment (theta) join against a broadcast keyword
+    lookup — BroadcastNestedLoopJoin, first match by deterministic order."""
+    docs = read_table(spark, sf, "documents")
+    kw = spark.createDataFrame(
+        [("spark",), ("window",), ("stream",), ("vector",)], ["kw"]
+    )
+    joined = docs.join(F.broadcast(kw), F.col("text").contains(F.col("kw")), "left")
+    return joined.groupBy("doc_id").agg(F.min("kw").alias("matched_kw"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (north star)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q19_text_stats",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars_c,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct_words,
+           CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+             / len(string_split_regex(trim(text), '\\s+')) AS avg_token_len
+    FROM documents
+    """,
+)
+def q19_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Text quality stats: counts + ratios, all JVM expressions."""
+    docs = read_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_c"),
+        whitespace_token_count("text").alias("n_tokens"),
+        distinct_word_count("text").alias("n_distinct_words"),
+        avg_token_length("text").alias("avg_token_len"),
+    )
+
+
+@register(
+    "q20_lang_id",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+             (CASE WHEN contains(' '||lower(text)||' ', ' the ') THEN 1 ELSE 0 END +
+              CASE WHEN contains(' '||lower(text)||' ', ' and ') THEN 1 ELSE 0 END +
+              CASE WHEN contains(' '||lower(text)||' ', ' of ') THEN 1 ELSE 0 END) AS s_en,
+             (CASE WHEN contains(' '||lower(text)||' ', ' der ') THEN 1 ELSE 0 END +
+              CASE WHEN contains(' '||lower(text)||' ', ' die ') THEN 1 ELSE 0 END +
+              CASE WHEN contains(' '||lower(text)||' ', ' und ') THEN 1 ELSE 0 END) AS s_de,
+             (CASE WHEN contains(' '||lower(text)||' ', ' le ') THEN 1 ELSE 0 END +
+              CASE WHEN contains(' '||lower(text)||' ', ' la ') THEN 1 ELSE 0 END +
+              CASE WHEN contains(' '||lower(text)||' ', ' et ') THEN 1 ELSE 0 END) AS s_fr,
+             (CASE WHEN contains(' '||lower(text)||' ', ' el ') THEN 1 ELSE 0 END +
+              CASE WHEN contains(' '||lower(text)||' ', ' los ') THEN 1 ELSE 0 END +
+              CASE WHEN contains(' '||lower(text)||' ', ' que ') THEN 1 ELSE 0 END) AS s_es
+      FROM documents
+    )
+    SELECT lang_guess, COUNT(*) AS n_docs FROM (
+      SELECT doc_id,
+             CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+             END AS lang_guess
+      FROM scored
+    ) GROUP BY lang_guess
+    """,
+)
+def q20_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID heuristic: stopword-marker argmax (tie-break by code)."""
+    docs = read_table(spark, sf, "documents")
+    return (
+        docs.select(lang_id("text").alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "q21_token_count",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q21_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish regex token counting (letter runs / digit runs / punct)."""
+    docs = read_table(spark, sf, "documents")
+    return docs.select("doc_id", regex_token_count("text").alias("n_bpe_tokens"))
+
+
+@register(
+    "q22_quality_score",
+    """
+    SELECT doc_id,
+           round(0.4 * (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.5 END)
+               + 0.4 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                        / greatest(CAST(length(text) AS DOUBLE), 1.0))
+               + 0.2 * (CASE WHEN (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                                   / len(string_split_regex(trim(text), '\\s+'))) BETWEEN 2.0 AND 12.0
+                        THEN 1.0 ELSE 0.5 END), 6) AS quality
+    FROM documents
+    """,
+)
+def q22_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Cheap pretraining quality score (length band + alpha ratio + token band)."""
+    docs = read_table(spark, sf, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+@register(
+    "q23_doc_dedup_fingerprint",
+    """
+    SELECT fp, COUNT(*) AS n_docs, min(doc_id) AS canonical_doc_id
+    FROM (
+      SELECT doc_id,
+             sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ) GROUP BY fp
+    """,
+)
+def q23_doc_dedup_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-dedup grouping on normalized content fingerprint — the
+    canonical-representative pick for corpus dedup."""
+    docs = read_table(spark, sf, "documents")
+    return (
+        docs.select("doc_id", doc_fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (north star)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q24_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def q24_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-10 vs vec_id=0 (ANN correctness baseline).
+    Returns ids+labels only: similarity values are engine-precision
+    dependent; the ranking is the contract."""
+    emb = read_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    out = cosine_topk(emb.filter(F.col("vec_id") != 0), "embedding", "vec_id", list(query), 10)
+    return out.select("vec_id", "label")
+
+
+# ---------------------------------------------------------------------------
+# Events (streaming batch-equivalent)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q25_window_events",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q25_window_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregation — the batch twin of the
+    Structured Streaming pipeline in streaming/events.py."""
+    ev = read_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,139 @@
+"""Join suite (SURVEY.md §2.4, J1-J9).
+
+Scale notes (100 TB design):
+- ``lookup_join`` broadcasts the dimension side explicitly — the reference's
+  dims (lookup tables, project lists) are thousands of rows; at cluster
+  scale an explicit ``broadcast()`` hint avoids a sort-merge shuffle of the
+  fact table when stats are missing/stale.
+- ``merge_indicator`` is a single full-outer sort-merge join on the key —
+  one shuffle each side, AQE handles skew.
+- ``containment_join`` (the reference's substring fallback join,
+  Saoirse Automation.ipynb:1034-1049) is two-phase: an equi pass first
+  (cheap, shuffled), then a BroadcastNestedLoopJoin ONLY on the unmatched
+  remainder against a broadcast lookup — the O(n*m) part is bounded by
+  |unmatched| * |lookup| with the lookup in memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERGE_COL = "_merge"
+
+
+def lookup_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str] | Column,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """J1: enrich a fact table from a small dimension (pandas ``merge(how="left")``,
+    Saoirse Automation.ipynb:701-707)."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(d, on=on, how=how)
+
+
+def merge_indicator(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    suffixes: tuple[str, str] = ("_left", "_right"),
+) -> DataFrame:
+    """J2: full-outer equi-join with a pandas-style ``_merge`` indicator
+    column (``both`` / ``left_only`` / ``right_only``).
+
+    Reference: ``merge(how="outer", indicator=True)`` — the reconciliation
+    core (DOP VP Compare.py:141-149, DOR VP Compare.ipynb:348-356).
+
+    Join keys are coalesced into single output columns; colliding non-key
+    column names get ``suffixes``.
+    """
+    lkeys = [f"__lk_{k}" for k in on]
+    rkeys = [f"__rk_{k}" for k in on]
+    lprobe, rprobe = "__present_l", "__present_r"
+
+    lren = left.withColumns({nk: F.col(k) for k, nk in zip(on, lkeys)}).drop(*on)
+    rren = right.withColumns({nk: F.col(k) for k, nk in zip(on, rkeys)}).drop(*on)
+    lren = lren.withColumn(lprobe, F.lit(1))
+    rren = rren.withColumn(rprobe, F.lit(1))
+
+    overlap = (set(left.columns) & set(right.columns)) - set(on)
+    for c in overlap:
+        lren = lren.withColumnRenamed(c, c + suffixes[0])
+        rren = rren.withColumnRenamed(c, c + suffixes[1])
+
+    cond = None
+    for lk, rk in zip(lkeys, rkeys):
+        eq = lren[lk].eqNullSafe(rren[rk])
+        cond = eq if cond is None else (cond & eq)
+
+    joined = lren.join(rren, cond, "full_outer")
+    merge = (
+        F.when(F.col(lprobe).isNull(), F.lit("right_only"))
+        .when(F.col(rprobe).isNull(), F.lit("left_only"))
+        .otherwise(F.lit("both"))
+    )
+    out = joined.withColumn(MERGE_COL, merge)
+    for k, lk, rk in zip(on, lkeys, rkeys):
+        out = out.withColumn(k, F.coalesce(F.col(lk), F.col(rk)))
+    return out.drop(*lkeys, *rkeys, lprobe, rprobe)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | Sequence[str] | Column) -> DataFrame:
+    """J4: keep left rows with a match in right (pandas ``isin`` pattern,
+    Saoirse Automation.ipynb:993-995)."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str] | Column) -> DataFrame:
+    """J5: keep left rows with NO match in right (``~isin`` /
+    ``_merge == "left_only"``, DOP VP Compare.py:183-190)."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def containment_join(
+    fact: DataFrame,
+    lookup: DataFrame,
+    fact_key: str,
+    lookup_key: str,
+    haystack: str,
+    needle: str,
+    payload: Sequence[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """J6: two-phase fuzzy enrichment (Saoirse Automation.ipynb:1030-1049).
+
+    Phase 1: exact equi-join ``fact[fact_key] == lookup[lookup_key]``.
+    Phase 2: for rows still unmatched, substring containment
+    ``fact[haystack] LIKE '%' || lookup[needle] || '%'`` against a
+    *broadcast* lookup; first match by ``tiebreak`` ordering wins
+    (reference keeps the first row-iteration hit; we make that
+    deterministic with row_number over an explicit ordering).
+
+    ``payload`` = lookup columns to attach. Returns fact columns + payload.
+    """
+    lk = lookup.select(lookup_key, needle, *[p for p in payload if p not in (lookup_key, needle)])
+
+    exact = fact.join(
+        F.broadcast(lk.withColumnRenamed(lookup_key, fact_key)), on=fact_key, how="left"
+    )
+    matched = exact.filter(F.col(payload[0]).isNotNull())
+    unmatched = exact.filter(F.col(payload[0]).isNull()).select(*fact.columns)
+
+    from pyspark.sql import Window
+
+    fuzzy_cond = F.col(haystack).contains(F.col(needle))
+    order = F.col(tiebreak) if tiebreak else F.col(needle)
+    w = Window.partitionBy(*fact.columns).orderBy(order)
+    fuzzy = (
+        unmatched.join(F.broadcast(lk.drop(lookup_key)), fuzzy_cond, "left")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    cols = [*fact.columns, *[p for p in payload if p not in fact.columns]]
+    return matched.select(*cols).unionByName(fuzzy.select(*cols))

@@ -1,0 +1,54 @@
+"""Two-source reconciliation kit (SURVEY.md §3.2 — the reference's core
+analytical pattern).
+
+``DOP VP Compare.py`` / ``DOR VP Compare.ipynb``: clean both sides ->
+pre-aggregate one side -> full-outer join with indicator -> difference ->
+classify (both / left_only / right_only) -> control sums per class.
+
+Spark shape: two shuffles (one per pre-agg) + one sort-merge outer join on
+the reconciliation key; summary is a tiny collect. At 100 TB each side
+pre-aggregates map-side first, so the join carries one row per key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kp_data_pipelines_spark.operators.aggregates import exact_sum
+from kp_data_pipelines_spark.operators.joins import MERGE_COL, merge_indicator
+
+
+def reconcile(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_amount: str,
+    right_amount: str,
+    diff_col: str = "difference",
+) -> DataFrame:
+    """Full reconciliation frame: one row per key with amounts from both
+    sides (0-filled, as DOP VP Compare.py:145-147), the difference, and the
+    ``_merge`` classification."""
+    merged = merge_indicator(left, right, on)
+    la = F.coalesce(F.col(left_amount), F.lit(0.0))
+    ra = F.coalesce(F.col(right_amount), F.lit(0.0))
+    return (
+        merged.withColumn(left_amount, la)
+        .withColumn(right_amount, ra)
+        .withColumn(diff_col, F.round(la - ra, 2))
+    )
+
+
+def reconcile_summary(
+    reconciled: DataFrame, left_amount: str, right_amount: str
+) -> DataFrame:
+    """Per-class control sums (DOP VP Compare.py:199-229): row counts and
+    exact (order-independent) amount totals by match class."""
+    return reconciled.groupBy(MERGE_COL).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        exact_sum(left_amount).alias(f"total_{left_amount}"),
+        exact_sum(right_amount).alias(f"total_{right_amount}"),
+    )

@@ -1,0 +1,108 @@
+"""Text-analysis operators for training-data pipelines (north star).
+
+All pure JVM-side expressions (no UDFs) so they run inside whole-stage
+codegen over 100 TB of documents. Seeded by the reference's only text
+operator — regex answer parsing around LLM inference (LLM Testing.ipynb:
+315-371) — generalized to the standard pretraining-corpus toolkit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker lists for the n-gram/stopword heuristic.
+# Deliberately small + deterministic: language ID at corpus scale is a
+# scoring pass, not a model inference.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "que"),
+}
+
+# BPE-ish tokenizer regex: letter runs, digit runs, single punctuation.
+TOKEN_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def whitespace_token_count(col: Column | str) -> Column:
+    """Whitespace tokenization count."""
+    return F.size(F.split(F.trim(_c(col)), r"\s+"))
+
+
+def regex_token_count(col: Column | str, pattern: str = TOKEN_REGEX) -> Column:
+    """BPE-ish token count via regexp_count (JVM-side, vectorized)."""
+    return F.regexp_count(_c(col), F.lit(pattern))
+
+
+def distinct_word_count(col: Column | str) -> Column:
+    return F.size(F.array_distinct(F.split(F.trim(_c(col)), r"\s+")))
+
+
+def avg_token_length(col: Column | str) -> Column:
+    """Mean token length = non-space chars / token count (double)."""
+    c = _c(col)
+    nonspace = F.length(F.regexp_replace(c, r"\s+", ""))
+    return nonspace.cast("double") / whitespace_token_count(c)
+
+
+def stopword_hits(col: Column | str, words: Sequence[str]) -> Column:
+    """Number of marker words present (word-boundary contains)."""
+    padded = F.concat(F.lit(" "), F.lower(_c(col)), F.lit(" "))
+    hits = [padded.contains(f" {w} ").cast("int") for w in words]
+    out = hits[0]
+    for h in hits[1:]:
+        out = out + h
+    return out
+
+
+def lang_id(col: Column | str, markers: dict[str, Sequence[str]] | None = None) -> Column:
+    """Language-ID heuristic: argmax of stopword-marker hits; 'und' when no
+    marker hits at all. Deterministic tie-break = language-code order."""
+    markers = markers or LANG_MARKERS
+    c = _c(col)
+    scores = {lang: stopword_hits(c, ws) for lang, ws in markers.items()}
+    langs = sorted(scores)  # deterministic tie-break
+    best = F.greatest(*[scores[lang] for lang in langs])
+    expr = F.lit("und")
+    for lang in reversed(langs):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best == 0, F.lit("und")).otherwise(expr)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Document quality score in [0,1]: blend of length band, alpha ratio,
+    and mean-token-length band — the standard cheap pretraining filters."""
+    c = _c(col)
+    n = F.length(c).cast("double")
+    alpha_ratio = (
+        F.length(F.regexp_replace(c, r"[^a-zA-Z]", "")).cast("double")
+        / F.greatest(n, F.lit(1.0))
+    )
+    atl = avg_token_length(c)
+    len_band = F.when((n >= 100) & (n <= 20000), 1.0).otherwise(0.5)
+    tok_band = F.when((atl >= 2.0) & (atl <= 12.0), 1.0).otherwise(0.5)
+    return F.round((0.4 * len_band + 0.4 * alpha_ratio + 0.2 * tok_band), 6)
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: sha256 of whitespace-normalized lowercase text —
+    the exact-dedup key for document corpora (scales: 32 bytes/doc shuffle)."""
+    c = _c(col)
+    return F.sha2(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")), 256)
+
+
+def shingles(col: Column | str, k: int = 5) -> Column:
+    """Word k-shingles as an array column — input to MinHash/Jaccard."""
+    toks = F.split(F.trim(F.lower(_c(col))), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    )

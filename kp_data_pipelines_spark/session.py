@@ -1,0 +1,65 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference executes everything in one eager pandas process; here the
+equivalent "runtime" is a SparkSession configured so the same logical
+pipelines survive a 1000-executor / 100 TB deployment:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+  dynamic broadcast selection),
+- Arrow-backed pandas conversion for the few report-layer collects,
+- UTC session timezone so timestamp semantics are deployment-independent,
+- shuffle partitions sized by env (32 locally; a cluster deployment
+  overrides via ``spark.sql.shuffle.partitions`` — AQE coalesces down).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for determinism + scale. Each is overridable by the caller.
+_DEFAULTS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # 10 MB default is conservative; dims in this workload are small.
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # Parquet scans: vectorized reader + pushdown are on by default; keep
+    # explicit so a misconfigured deployment can't silently disable them.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.enableVectorizedReader": "true",
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def get_spark(
+    app_name: str = "kp_data_pipelines_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when the env var is
+    set, else whatever the deployment provides (spark-submit / existing
+    session). On a real cluster, pass ``master=None`` and configure through
+    spark-submit; these conf defaults still apply unless overridden.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and not _has_active_session():
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def _has_active_session() -> bool:
+    return SparkSession.getActiveSession() is not None

@@ -1,0 +1,42 @@
+"""Sinks (SURVEY.md K1-K4).
+
+``write_table`` is the scale path (partitioned parquet, versioned
+overwrite). ``write_report_csv`` reproduces the reference's single-file CSV
+contract (coalesce(1) — report outputs only, never the 100 TB path).
+Excel report emission (K2/K3) collects small results to pandas by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """K1-scale: parquet sink; partition by date/snapshot columns so the S9
+    latest-snapshot pattern becomes partition pruning."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_versioned(df: DataFrame, base_path: str, version: str) -> str:
+    """K4: backup-before-overwrite becomes versioned immutable writes."""
+    path = f"{base_path}/version={version}"
+    df.write.mode("error").parquet(path)
+    return path
+
+
+def write_report_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """K1: single-file CSV contract for report consumers (small outputs)."""
+    df.coalesce(1).write.mode("overwrite").option("header", header).csv(path)
+
+
+def write_report_excel(df: DataFrame, path: str, sheet_name: str = "Sheet1") -> None:
+    """K2: Excel sink — collect-to-pandas, small report outputs only."""
+    df.toPandas().to_excel(path, sheet_name=sheet_name, index=False)

@@ -1,0 +1,68 @@
+"""Oracle-parity smoke: run a representative subset of the catalog against
+DuckDB at sf0.001 — the same comparison the driver does at sf0.01.
+(Full sweep: ``python tools/parity.py``.)"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+SUBSET = [
+    "q02_group_agg",
+    "q04_reconcile_summary",
+    "q07_dedup_keep_first",
+    "q12_pivot",
+    "q20_lang_id",
+    "q24_cosine_topk",
+    "q25_window_events",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _canon_hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)].sort_values(by=sorted(df.columns), ignore_index=True)
+    h = hashlib.sha256()
+    for col in df.columns:
+        for v in df[col]:
+            h.update(b"\x00" if v is None or (isinstance(v, float) and pd.isna(v)) else repr(v).encode())
+    return h.hexdigest()
+
+
+def test_entry_smoke(spark):
+    out = entry_mod.entry(spark)
+    assert out.count() >= 0
+    assert len(out.schema) > 0
+
+
+def test_catalog_is_consistent():
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 25
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_oracle_parity(spark, oracle_con, name):
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    sdf = qs[name](spark, SF_DIR).toPandas()
+    odf = oracle_con.sql(oracles[name]).df()
+    assert len(sdf) == len(odf)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert _canon_hash(sdf) == _canon_hash(odf)

@@ -1,0 +1,138 @@
+"""Unit tests for DataFrame-level operators (SURVEY.md §2.4-§2.8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kp_data_pipelines_spark.operators import (
+    anti_join,
+    collect_set_joined,
+    dedup_exact,
+    dedup_keep_first,
+    duplicate_rows,
+    lookup_join,
+    merge_indicator,
+    pivot_sum,
+    row_fingerprint,
+    semi_join,
+    with_duplicate_count,
+)
+from kp_data_pipelines_spark.operators.joins import containment_join
+from kp_data_pipelines_spark.operators.reconcile import reconcile, reconcile_summary
+
+
+def _left(spark):
+    return spark.createDataFrame(
+        [("a", 10.0), ("b", 20.0), ("c", 30.0)], ["k", "amt_l"]
+    )
+
+
+def _right(spark):
+    return spark.createDataFrame([("b", 5.0), ("c", 30.0), ("d", 7.0)], ["k", "amt_r"])
+
+
+def test_merge_indicator_partition_property(spark):
+    """Outer-join partition property: every input row appears exactly once
+    across both/left_only/right_only."""
+    m = merge_indicator(_left(spark), _right(spark), ["k"])
+    classes = {r["k"]: r["_merge"] for r in m.collect()}
+    assert classes == {"a": "left_only", "b": "both", "c": "both", "d": "right_only"}
+    assert m.count() == 4
+
+
+def test_merge_indicator_null_keys(spark):
+    left = spark.createDataFrame([(None, 1.0)], "k string, v_l double")
+    right = spark.createDataFrame([(None, 2.0)], "k string, v_r double")
+    m = merge_indicator(left, right, ["k"])
+    # eqNullSafe: null keys match each other (pandas merges NaN=NaN as no
+    # match, but reconciliation wants the null bucket compared once)
+    assert m.collect()[0]["_merge"] == "both"
+
+
+def test_reconcile_difference_and_summary(spark):
+    rec = reconcile(_left(spark), _right(spark), ["k"], "amt_l", "amt_r")
+    rows = {r["k"]: r for r in rec.collect()}
+    assert rows["a"]["difference"] == 10.0
+    assert rows["b"]["difference"] == 15.0
+    assert rows["c"]["difference"] == 0.0
+    assert rows["d"]["difference"] == -7.0
+    summ = {r["_merge"]: r for r in reconcile_summary(rec, "amt_l", "amt_r").collect()}
+    # balance check from the reference (DOP VP Compare.py:199-229)
+    assert summ["both"]["total_amt_l"] + summ["left_only"]["total_amt_l"] == 60.0
+    assert summ["both"]["total_amt_r"] + summ["right_only"]["total_amt_r"] == 42.0
+
+
+def test_semi_anti(spark):
+    left, right = _left(spark), _right(spark)
+    assert {r["k"] for r in semi_join(left, right, "k").collect()} == {"b", "c"}
+    assert {r["k"] for r in anti_join(left, right, "k").collect()} == {"a"}
+
+
+def test_lookup_join_broadcast(spark):
+    fact = _left(spark)
+    dim = spark.createDataFrame([("a", "A"), ("b", "B")], ["k", "label"])
+    out = lookup_join(fact, dim, "k")
+    assert {r["k"]: r["label"] for r in out.collect()} == {"a": "A", "b": "B", "c": None}
+    assert "Broadcast" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dedup_exact_and_keep_first(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "y"), ("b", 1, "z"), ("a", 1, "x")], ["k", "p", "v"]
+    )
+    assert dedup_exact(df).count() == 3
+    first = dedup_keep_first(df, ["k"], [F.col("p"), F.col("v")])
+    assert {(r["k"], r["p"]) for r in first.collect()} == {("a", 1), ("b", 1)}
+
+
+def test_duplicate_detection(spark):
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], ["k"])
+    dups = duplicate_rows(df, ["k"])
+    assert dups.count() == 2
+    wc = with_duplicate_count(df, ["k"])
+    assert {r["k"]: r["duplicate_count"] for r in wc.collect()} == {"a": 2, "b": 1}
+
+
+def test_row_fingerprint_stable(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 1), ("b", 2)], ["x", "y"])
+    fp = row_fingerprint(df)
+    vals = [r["row_hash"] for r in fp.collect()]
+    assert vals[0] == vals[1] != vals[2]
+    assert len(vals[0]) == 64
+
+
+def test_collect_set_joined(spark):
+    df = spark.createDataFrame([("k", "b"), ("k", "a"), ("k", "b")], ["g", "v"])
+    out = df.groupBy("g").agg(collect_set_joined("v").alias("s")).collect()
+    assert out[0]["s"] == "a; b"
+
+
+def test_pivot_sum_explicit_values(spark):
+    df = spark.createDataFrame(
+        [("g1", "x", 1.0), ("g1", "y", 2.0), ("g2", "x", 3.0)], ["k", "p", "v"]
+    )
+    out = pivot_sum(df, "k", "p", "v", ["x", "y", "z"])
+    rows = {r["k"]: r for r in out.collect()}
+    assert rows["g1"]["x"] == 1.0 and rows["g1"]["y"] == 2.0 and rows["g1"]["z"] is None
+    assert rows["g2"]["x"] == 3.0
+    assert set(out.columns) == {"k", "x", "y", "z"}
+
+
+def test_containment_join_two_phase(spark):
+    fact = spark.createDataFrame(
+        [("f1", "code RNG111222 here"), ("f2", "exact"), ("f3", "nothing")],
+        ["fid", "haystack"],
+    )
+    fact = fact.withColumn("key", F.lit(None).cast("string"))
+    fact = fact.withColumn(
+        "key", F.when(F.col("fid") == "f2", "exact").otherwise(F.col("key"))
+    )
+    lookup = spark.createDataFrame(
+        [("exact", "exact", "L1"), ("RNG111222", "RNG111222", "L2")],
+        ["lk", "needle", "label"],
+    )
+    out = containment_join(
+        fact, lookup, "key", "lk", "haystack", "needle", ["label"], tiebreak="needle"
+    )
+    got = {r["fid"]: r["label"] for r in out.collect()}
+    assert got == {"f1": "L2", "f2": "L1", "f3": None}

@@ -1,0 +1,85 @@
+"""Tests for sources (registry/conform/drift, resolver, readers) and the
+pipeline graph."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from kp_data_pipelines_spark.plans import Pipeline
+from kp_data_pipelines_spark.sources import SchemaRegistry, latest_snapshot, read_table
+from kp_data_pipelines_spark.sources.registry import SchemaDriftError
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_read_table_nanos_timestamps(spark):
+    ev = read_table(spark, SF_DIR, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert ev.count() > 0
+
+
+def test_registry_conform_and_drift(spark):
+    reg = SchemaRegistry()
+    reg.register(
+        "t",
+        StructType(
+            [
+                StructField("a", LongType()),
+                StructField("b", StringType()),
+                StructField("c", DoubleType()),
+            ]
+        ),
+    )
+    df = spark.createDataFrame([(1, "x", "extra")], ["a", "b", "z"])
+    out = reg.conform(df, "t")
+    assert out.columns == ["a", "b", "c"]
+    row = out.collect()[0]
+    assert row["c"] is None
+    with pytest.raises(SchemaDriftError):
+        reg.check_drift(df, "t")
+    reg.check_drift(out, "t")
+
+
+def test_latest_snapshot(tmp_path):
+    for name in ["report_0124.csv", "report_0324.csv", "report_0224.csv"]:
+        (tmp_path / name).write_text("x")
+    got = latest_snapshot(
+        str(tmp_path / "report_*.csv"), date_regex=r"report_(\d{4})\.csv", date_parse="%m%y"
+    )
+    assert got.endswith("report_0324.csv")
+    assert latest_snapshot(str(tmp_path / "nope_*.csv")) is None
+
+
+def test_pipeline_graph(spark):
+    p = Pipeline(spark)
+    p.source("orders", lambda s: read_table(s, SF_DIR, "orders"))
+    p.stage("big", lambda o: o.filter(F.col("o_totalprice") > 100000), "orders")
+    p.stage(
+        "by_status",
+        lambda big: big.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")),
+        "big",
+    )
+    out = p.resolve("by_status")
+    assert out.count() > 0
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    from kp_data_pipelines_spark.sources import read_csv, write_report_csv
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    path = str(tmp_path / "out")
+    write_report_csv(df, path)
+    files = [f for f in os.listdir(path) if f.endswith(".csv")]
+    assert len(files) == 1  # single-file contract
+    back = read_csv(spark, path)
+    assert back.count() == 2
