@@ -680,3 +680,377 @@ def q25_window_events(spark: SparkSession, sf: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: remaining reference surface + pipeline combos
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q26_null_aware_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_shipdate, nullif(l_discount, 0.0) AS disc_or_null
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1994-01-01' OR nullif(l_discount, 0.0) IS NULL
+    """,
+)
+def q26_null_aware_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """F2/C7: null-aware disjunction — (date < cutoff) OR col IS NULL, with
+    the null produced by sentinel cleaning (0 -> NULL)."""
+    li = read_table(spark, sf, "lineitem")
+    disc = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.withColumn("disc_or_null", disc).filter(
+        (F.col("l_shipdate") < F.lit("1994-01-01").cast("timestamp"))
+        | F.col("disc_or_null").isNull()
+    ).select("l_orderkey", "l_linenumber", "l_shipdate", "disc_or_null")
+
+
+@register(
+    "q27_masked_sums",
+    """
+    SELECT
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_f,
+      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_o,
+      CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+               THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_urgent,
+      COUNT(*) AS n_rows
+    FROM orders
+    """,
+)
+def q27_masked_sums(spark: SparkSession, sf: str) -> DataFrame:
+    """A4: conditional masked control sums (DOP VP Compare.py:203-209)."""
+    orders = read_table(spark, sf, "orders")
+
+    def masked(cond):
+        return F.sum(F.when(cond, F.col("o_totalprice").cast("decimal(18,2)"))).cast("double")
+
+    return orders.agg(
+        masked(F.col("o_orderstatus") == "F").alias("total_f"),
+        masked(F.col("o_orderstatus") == "O").alias("total_o"),
+        masked(
+            F.col("o_orderpriority").startswith("1")
+            | F.col("o_orderpriority").startswith("2")
+        ).alias("total_urgent"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q28_self_join_enrich",
+    """
+    WITH latest AS (
+      SELECT o_custkey, max(o_orderdate) AS last_order_ts
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_name,
+           strftime(l.last_order_ts, '%Y-%m-%d') AS last_order_date
+    FROM customer c LEFT JOIN latest l ON c.c_custkey = l.o_custkey
+    """,
+)
+def q28_self_join_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """J9: enrich a table by joining back an aggregate of a related view
+    (the reference's RowID re-join pattern)."""
+    orders = read_table(spark, sf, "orders")
+    customer = read_table(spark, sf, "customer")
+    latest = orders.groupBy("o_custkey").agg(F.max("o_orderdate").alias("last_order_ts"))
+    return lookup_join(
+        customer, latest, on=customer.c_custkey == latest.o_custkey
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.date_format("last_order_ts", "yyyy-MM-dd").alias("last_order_date"),
+    )
+
+
+@register(
+    "q29_global_rownum",
+    """
+    SELECT ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS row_id, c_custkey, c_name
+    FROM customer
+    """,
+)
+def q29_global_rownum(spark: SparkSession, sf: str) -> DataFrame:
+    """P6/W3: global surrogate row-id over an explicit total order.
+
+    Scale note: a single-partition window is a bottleneck at 100 TB — for
+    cluster use prefer zipWithIndex-style (partition offsets) or
+    monotonically_increasing_id when gaps are acceptable; kept here for
+    reference parity on small dims."""
+    customer = read_table(spark, sf, "customer")
+    w = Window.orderBy("c_name", "c_custkey")
+    return customer.select(
+        F.row_number().over(w).alias("row_id"), "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q30_offset_slice",
+    """
+    SELECT row_id, o_orderkey, o_totalprice FROM (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS row_id, o_orderkey, o_totalprice
+      FROM orders
+    ) WHERE row_id BETWEEN 101 AND 110
+    """,
+)
+def q30_offset_slice(spark: SparkSession, sf: str) -> DataFrame:
+    """O4: deterministic offset slice (pandas iloc[a:b]) via row_number."""
+    orders = read_table(spark, sf, "orders")
+    w = Window.orderBy("o_orderkey")
+    return (
+        orders.select(
+            F.row_number().over(w).alias("row_id"), "o_orderkey", "o_totalprice"
+        )
+        .filter(F.col("row_id").between(101, 110))
+    )
+
+
+@register(
+    "q31_set_ops",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q31_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """U4: value-set difference — nations with customers but no suppliers."""
+    customer = read_table(spark, sf, "customer")
+    supplier = read_table(spark, sf, "supplier")
+    return customer.select(F.col("c_nationkey").alias("nationkey")).subtract(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@register(
+    "q32_schema_conform",
+    """
+    SELECT event_id, user_id, event_type, value,
+           CAST(NULL AS VARCHAR) AS quality_flag
+    FROM events
+    """,
+)
+def q32_schema_conform(spark: SparkSession, sf: str) -> DataFrame:
+    """P4/U3: conform-to-registered-schema — project/reorder/cast with
+    missing columns created as typed NULLs (SchemaRegistry.conform)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from kp_data_pipelines_spark.sources.registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.register(
+        "events_conformed",
+        StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("user_id", LongType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+                StructField("quality_flag", StringType()),
+            ]
+        ),
+    )
+    ev = read_table(spark, sf, "events")
+    return reg.conform(ev, "events_conformed")
+
+
+@register(
+    "q33_cleaning_pipeline",
+    """
+    SELECT doc_id,
+           lower(regexp_replace(trim(source), '\\s+', ' ', 'g')) AS src_norm,
+           COALESCE(nullif(lang, 'es'), 'unknown') AS lang_clean,
+           COALESCE(nullif(lang, 'es'), source) AS lang_or_source
+    FROM documents
+    """,
+)
+def q33_cleaning_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """C7/C8/C9/C14 composed: normalize keys, sentinel->null, coalesce
+    fallbacks — the reference's standard clean step as one select."""
+    from kp_data_pipelines_spark.functions.cleaning import fill_from, sentinel_to_null
+    from kp_data_pipelines_spark.functions.strings import normalize_key
+
+    docs = read_table(spark, sf, "documents")
+    lang_null = sentinel_to_null("lang", ["es"])
+    return docs.select(
+        "doc_id",
+        normalize_key("source").alias("src_norm"),
+        fill_from(lang_null, F.lit("unknown")).alias("lang_clean"),
+        fill_from(lang_null, F.col("source")).alias("lang_or_source"),
+    )
+
+
+@register(
+    "q34_sliding_window",
+    """
+    WITH w AS (
+      SELECT e.event_type, e.value, t.ws
+      FROM events e, LATERAL (VALUES
+        (time_bucket(INTERVAL 30 MINUTES, e.ts)),
+        (time_bucket(INTERVAL 30 MINUTES, e.ts) - INTERVAL 30 MINUTES)
+      ) t(ws)
+      WHERE e.ts >= t.ws AND e.ts < t.ws + INTERVAL 60 MINUTES
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def q34_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding event-time windows (1h window / 30m slide) — each event in 2
+    windows; streaming twin uses the same expression."""
+    ev = read_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q35_corpus_clean",
+    """
+    WITH scored AS (
+      SELECT doc_id, text, lang, source,
+             sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+             round(0.4 * (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.5 END)
+                 + 0.4 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                          / greatest(CAST(length(text) AS DOUBLE), 1.0))
+                 + 0.2 * (CASE WHEN (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                                     / len(string_split_regex(trim(text), '\\s+'))) BETWEEN 2.0 AND 12.0
+                          THEN 1.0 ELSE 0.5 END), 6) AS quality
+      FROM documents
+    )
+    SELECT doc_id, lang, source, quality FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM scored WHERE quality >= 0.5
+    ) WHERE rn = 1
+    """,
+)
+def q35_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship corpus-cleaning pipeline: quality-filter -> fingerprint
+    dedup keeping the lowest doc_id — filter + dedup_keep_first composed."""
+    docs = read_table(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        doc_fingerprint("text").alias("fp"),
+        quality_score("text").alias("quality"),
+    ).filter(F.col("quality") >= 0.5)
+    return dedup_keep_first(scored, ["fp"], [F.col("doc_id")]).select(
+        "doc_id", "lang", "source", "quality"
+    )
+
+
+@register(
+    "q36_media_features",
+    """
+    SELECT doc_id AS media_id, 'image' AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS content_sha,
+           'image:' || substr(sha256(text), 1, 12) AS feature
+    FROM documents
+    """,
+)
+def q36_media_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing through Arrow/mapInPandas: documents' text bytes
+    stand in for media payloads; the oracle checks byte counts + digests —
+    i.e. the full binary round-trip through the Python workers."""
+    from kp_data_pipelines_spark.operators.multimodal import extract_media_features
+
+    docs = read_table(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit("image/png").alias("mime"),
+        F.lit(-1).alias("width"),
+        F.lit(-1).alias("height"),
+        F.lit(-1).cast("long").alias("duration_ms"),
+    )
+    return extract_media_features(media)
+
+
+@register(
+    "q37_batch_inference",
+    """
+    SELECT doc_id,
+           'tokens=' || len(string_split_regex(trim(text), '\\s+'))
+             || ' uniq=' || len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS analysis,
+           CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 40
+                THEN 'long' ELSE 'short' END AS final
+    FROM documents
+    """,
+)
+def q37_batch_inference(spark: SparkSession, sf: str) -> DataFrame:
+    """X4: iterator pandas_udf batch inference (deterministic fake model)
+    + JVM-side regex channel parsing; oracle recomputes the channels."""
+    from kp_data_pipelines_spark.operators.inference import batch_inference
+
+    docs = read_table(spark, sf, "documents")
+    return batch_inference(docs, "text").select("doc_id", "analysis", "final")
+
+
+# --- weak-check entries (not SQL-expressible: hash functions / LSH) --------
+
+
+@register("q38_minhash_near_dups")
+def q38_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs over documents (banding join; xxhash64 is
+    Spark-specific, so no SQL oracle — rows-only check)."""
+    from kp_data_pipelines_spark.operators.similarity import minhash_near_dups
+
+    docs = read_table(spark, sf, "documents")
+    return minhash_near_dups(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=32, bands=16, jaccard_threshold=0.4
+    )
+
+
+@register("q39_simhash")
+def q39_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash64 fingerprints (Hamming-dedup key). xxhash64-based — no
+    oracle; deterministic output checked rows-only."""
+    from kp_data_pipelines_spark.operators.similarity import simhash64
+
+    docs = read_table(spark, sf, "documents")
+    return docs.select("doc_id", simhash64("text", k=2).alias("simhash"))
+
+
+@register("q40_lsh_ann")
+def q40_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (recall<1 scale path for q24's exact
+    top-k) — bucket pruning then exact rescoring."""
+    from kp_data_pipelines_spark.operators.similarity import lsh_bucket_cosine_topk
+
+    emb = read_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    out = lsh_bucket_cosine_topk(
+        emb.filter(F.col("vec_id") != 0), "embedding", "vec_id", list(query), 10, n_planes=6
+    )
+    return out.select("vec_id", "label")
+
+
+@register("q41_ngram_jaccard")
+def q41_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs within length bands (verification path
+    for minhash candidates)."""
+    from kp_data_pipelines_spark.operators.similarity import ngram_jaccard_pairs
+
+    docs = read_table(spark, sf, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.35)

@@ -1,0 +1,75 @@
+"""Tests for multimodal plumbing and the batch-inference (X4) operator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kp_data_pipelines_spark.operators.inference import batch_inference
+from kp_data_pipelines_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_media_features,
+    frame_sample_plan,
+    repartition_for_media,
+)
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (1, "image", b"\x89PNGfakebytes", "image/png", 64, 64, -1),
+        (2, "audio", b"RIFFfakewav", "audio/wav", -1, -1, 2500),
+        (3, "video", b"\x00\x00ftypfakemp4", "video/mp4", 640, 480, 3500),
+        (4, "image", None, "image/png", -1, -1, -1),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_extract_media_features_fake_decoder(media):
+    out = extract_media_features(media)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1]["feature"].startswith("image:")
+    assert rows[1]["n_bytes"] == 13
+    assert rows[4]["n_bytes"] == 0
+    assert len(rows[2]["content_sha"]) == 64
+    # deterministic: same content -> same feature
+    again = {r["media_id"]: r["feature"] for r in extract_media_features(media).collect()}
+    assert again == {k: v["feature"] for k, v in rows.items()}
+
+
+def test_real_decoder_is_explicit_stub(media):
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        extract_media_features(media, decoder="real").collect()
+
+
+def test_repartition_for_media(media):
+    out = repartition_for_media(media, target_partition_bytes=16)
+    assert out.rdd.getNumPartitions() >= 2
+    assert out.count() == 4
+
+
+def test_frame_sample_plan(media):
+    out = frame_sample_plan(media, every_ms=1000)
+    rows = out.collect()
+    # only the video row, duration 3500ms -> frames at 0,1000,2000
+    assert {r["media_id"] for r in rows} == {3}
+    assert sorted(r["frame_ts_ms"] for r in rows) == [0, 1000, 2000]
+
+
+def test_batch_inference_pipeline(spark):
+    df = spark.createDataFrame(
+        [(1, "short text"), (2, " ".join(["w"] * 50))], ["id", "text"]
+    )
+    out = batch_inference(df, "text")
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["final"] == "short"
+    assert rows[2]["final"] == "long"
+    assert rows[1]["analysis"] == "tokens=2 uniq=2"
+    assert rows[2]["analysis"] == "tokens=50 uniq=1"
+
+
+def test_inference_real_backend_is_explicit_stub(spark):
+    df = spark.createDataFrame([(1, "x")], ["id", "text"])
+    with pytest.raises(Exception):
+        batch_inference(df, "text", model="real").collect()

@@ -1,0 +1,79 @@
+"""Streaming tests: AvailableNow ingestion, watermark dedup, windowed aggs
+— validated against their batch twins on the same data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kp_data_pipelines_spark.sources import read_table
+from kp_data_pipelines_spark.streaming.events import (
+    dedup_within_watermark,
+    ingest_snapshot_folder,
+    run_available_now,
+    stream_files,
+    windowed_event_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _events_dir(spark, tmp_path):
+    """Materialize events as a micro-precision parquet drop-folder."""
+    ev = read_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "events_src")
+    ev.repartition(4).write.parquet(path)
+    return path, ev
+
+
+def test_stream_windowed_counts_match_batch(spark, tmp_path):
+    src_dir, ev = _events_dir(spark, tmp_path)
+    schema = ev.schema
+    stream = stream_files(spark, src_dir, schema)
+    assert stream.isStreaming
+    agg = windowed_event_counts(stream)
+    # complete mode: append would (correctly) hold back windows newer than
+    # the watermark at end-of-backlog; for batch-equivalence we want all.
+    got = run_available_now(agg, str(tmp_path / "ckpt"), output_mode="complete")
+
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    got_rows = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in got.collect()
+    }
+    batch_rows = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in batch.collect()
+    }
+    assert got_rows == batch_rows
+
+
+def test_snapshot_folder_ingest_dedup(spark, tmp_path):
+    src_dir, ev = _events_dir(spark, tmp_path)
+    # duplicate the whole folder contents once (the reference's re-read case)
+    ev.limit(100).write.mode("append").parquet(src_dir)
+
+    target = str(tmp_path / "tbl")
+    ingest_snapshot_folder(
+        spark,
+        src_dir,
+        target,
+        str(tmp_path / "ckpt2"),
+        ev.schema,
+        dedup_keys=["event_id"],
+        ts_col="ts",
+        watermark="240 hours",
+    )
+    out = spark.read.parquet(target)
+    assert out.count() == ev.count()  # dups dropped
+    assert out.select("event_id").distinct().count() == ev.count()
+
+
+def test_dedup_within_watermark_is_streaming_safe(spark, tmp_path):
+    src_dir, ev = _events_dir(spark, tmp_path)
+    stream = stream_files(spark, src_dir, ev.schema)
+    deduped = dedup_within_watermark(stream, ["user_id"], "ts", "1 hour")
+    got = run_available_now(deduped, str(tmp_path / "ckpt3"))
+    # one row per (user, watermark-window slice) at most; definitely <= input
+    assert 0 < got.count() <= ev.count()
