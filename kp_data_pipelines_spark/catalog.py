@@ -1026,10 +1026,10 @@ def q38_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
 def q39_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash64 fingerprints (Hamming-dedup key). xxhash64-based — no
     oracle; deterministic output checked rows-only."""
-    from kp_data_pipelines_spark.operators.similarity import simhash64
+    from kp_data_pipelines_spark.operators.similarity import with_simhash
 
     docs = read_table(spark, sf, "documents")
-    return docs.select("doc_id", simhash64("text", k=2).alias("simhash"))
+    return with_simhash(docs, "text", out="simhash", k=2).select("doc_id", "simhash")
 
 
 @register("q40_lsh_ann")

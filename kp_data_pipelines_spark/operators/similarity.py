@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -94,29 +96,52 @@ def lsh_bucket_cosine_topk(
 _MERSENNE = (1 << 31) - 1  # Mersenne-31: a*h+b stays < 2^62 (no ANSI overflow)
 
 
-def _minhash_col(shingle_col, a: int, b: int):
-    """One MinHash signature slot: min over shingles of a universal hash
-    ``(a*h + b) mod p`` with h = xxhash64 folded into [0, p). All JVM
-    built-ins; arithmetic bounded to avoid int64 overflow under ANSI."""
-    hashed = F.transform(
-        shingle_col,
-        lambda s: (F.lit(a) * F.pmod(F.xxhash64(s), F.lit(_MERSENNE)) + F.lit(b))
-        % _MERSENNE,
-    )
-    return F.array_min(hashed)
-
-
-def minhash_signature(shingle_col, num_hashes: int = 32, seed: int = 11):
-    """Array of ``num_hashes`` MinHash values with LCG-derived (a,b) params."""
+def _hash_params(num_hashes: int, seed: int = 11) -> list[tuple[int, int]]:
+    """LCG-derived (a, b) universal-hash parameters."""
     state = seed
-    cols = []
+    out = []
     for _ in range(num_hashes):
         state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
         a = state % (_MERSENNE - 1) + 1
         state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
         b = state % _MERSENNE
-        cols.append(_minhash_col(shingle_col, a, b))
-    return F.array(*cols)
+        out.append((a, b))
+    return out
+
+
+def minhash_signature(shingle_hashes, num_hashes: int = 32, seed: int = 11):
+    """Array of ``num_hashes`` MinHash values over a *pre-hashed* shingle
+    array (long values in [0, Mersenne-31)).
+
+    Each slot is ``min((a*h + b) mod p)`` — pure int64 arithmetic, bounded
+    to avoid ANSI overflow. The caller must materialize the hashed-shingle
+    array in its OWN projection stage (see ``minhash_near_dups``): Spark's
+    CollapseProject keeps a non-cheap expression referenced N times in a
+    separate stage, so the string hashing runs once per row, not N times.
+    """
+    # Spark's higher-order functions are CodegenFallback (interpreted), so a
+    # per-slot transform pays num_hashes * n_shingles interpreted lambda
+    # calls per row. Instead: Arrow-batch the pre-hashed shingle arrays into
+    # a vectorized numpy kernel — one (num_hashes x n) broadcasted
+    # min-reduction per row. a, h < 2^31 so a*h + b < 2^62 stays in int64.
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    params = _hash_params(num_hashes, seed)
+    A = np.array([p[0] for p in params], dtype=np.int64)[:, None]
+    B = np.array([p[1] for p in params], dtype=np.int64)[:, None]
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sig(batch: pd.Series) -> pd.Series:
+        def one(hs):
+            h = np.asarray(hs, dtype=np.int64)[None, :]
+            if h.size == 0:
+                return np.full(len(A), _MERSENNE - 1, dtype=np.int64)
+            return ((A * h + B) % _MERSENNE).min(axis=1)
+
+        return batch.map(one)
+
+    return _sig(shingle_hashes)
 
 
 def minhash_near_dups(
@@ -141,9 +166,20 @@ def minhash_near_dups(
     from kp_data_pipelines_spark.operators.textops import shingles
 
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    # Stage 1: hash each distinct shingle ONCE (string work happens here, once
+    # per row); stage 2 references the long array num_hashes times — cheap
+    # int64 math only. Separate select()s so CollapseProject can't inline the
+    # expensive expression into every signature slot.
+    hashed = df.select(
         F.col(id_col),
-        minhash_signature(shingles(text_col, shingle_k), num_hashes).alias("sig"),
+        F.transform(
+            F.array_distinct(shingles(text_col, shingle_k)),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
+        ).alias("__sh"),
+    )
+    sig = hashed.select(
+        F.col(id_col),
+        minhash_signature(F.col("__sh"), num_hashes).alias("sig"),
     )
     banded = sig.select(
         id_col,
@@ -151,7 +187,7 @@ def minhash_near_dups(
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(F.concat_ws("_", *[F.element_at("sig", i * rows_per_band + j + 1).cast("string") for j in range(rows_per_band)]))
+                    F.xxhash64(F.slice("sig", i * rows_per_band + 1, rows_per_band))
                     for i in range(bands)
                 ]
             )
@@ -183,51 +219,98 @@ def minhash_near_dups(
     )
 
 
-def simhash64(text_col, k: int = 2):
-    """64-bit SimHash over word k-shingles, as a signed long.
+def simhash64_from_hashes(hashed_col) -> "F.Column":
+    """64-bit SimHash (signed long) from a pre-hashed shingle array.
 
     Per-bit majority vote of shingle hashes, expressed with higher-order
     functions (no UDF): for each bit position, count shingles with that bit
-    set; bit in result = count*2 > n_shingles."""
-    from kp_data_pipelines_spark.operators.textops import shingles
+    set; bit in result = count*2 > n_shingles. The caller materializes the
+    hash array in its own projection so the 64 bit terms reference an
+    attribute instead of recomputing the shingle/hash pipeline 64 times."""
+    def ones_for(mask):
+        return F.size(F.filter(hashed_col, lambda h: h.bitwiseAND(mask) != 0))
 
-    sh = shingles(text_col, k)
-    hashed = F.transform(sh, lambda s: F.xxhash64(s))
-    n = F.size(hashed)
+    n = F.size(hashed_col)
     bit_terms = []
     for bit in range(64):
-        ones = F.size(F.filter(hashed, lambda h: h.bitwiseAND(F.lit(1 << bit) if bit < 63 else F.lit(-(1 << 63))) != 0))
-        bit_val = F.when(ones * 2 > n, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        bit_terms.append(bit_val * F.lit(1 << bit if bit < 63 else -(1 << 63)))
+        mask = F.lit(1 << bit) if bit < 63 else F.lit(-(1 << 63))
+        bit_val = F.when(ones_for(mask) * 2 > n, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        bit_terms.append(bit_val * mask)
     out = bit_terms[0]
     for t in bit_terms[1:]:
         out = out + t
     return out
 
 
+def with_simhash(df: DataFrame, text_col: str, out: str = "simhash", k: int = 2) -> DataFrame:
+    """Attach a 64-bit SimHash fingerprint over word k-shingles.
+
+    Two projection stages (shingle+hash once, then 64 cheap bit votes) so
+    whole-stage codegen sees bounded expressions and the string work runs
+    once per row."""
+    from kp_data_pipelines_spark.operators.textops import shingles
+
+    hashed = df.withColumn(
+        "__sh_hashes", F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))
+    )
+    return hashed.withColumn(out, simhash64_from_hashes(F.col("__sh_hashes"))).drop(
+        "__sh_hashes"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs, LSH-free but bucketed by a cheap
-    length band to avoid the full cross join (exact verification path for
-    small candidate sets; use minhash_near_dups first at scale)."""
+    """EXACT n-gram Jaccard near-dup pairs via prefix filtering (PPJoin-style).
+
+    Scale shape (no cross join, no nested-loop):
+    1. grams -> xxhash64 -> array_sort = a canonical total order over the
+       gram universe (any fixed order makes prefix filtering exact).
+    2. Each doc explodes only its PREFIX — the first
+       ``|g| - ceil(t*|g|) + 1`` ordered grams. Two sets with Jaccard >= t
+       MUST share at least one prefix gram, so the candidate equi-join on
+       the gram value has no false negatives.
+    3. Candidates (id_a < id_b, deduped) are verified exactly with
+       array_intersect / array_union over the full hashed-gram arrays.
+
+    Every join is keyed (gram hash, then id) — at 100 TB these are plain
+    hash-shuffle joins; candidate volume is bounded by shared-prefix pairs,
+    not n^2. Jaccard is computed over xxhash64'd distinct grams (collision
+    probability ~2^-64 — negligible)."""
     from kp_data_pipelines_spark.operators.textops import shingles
 
     g = df.select(
         F.col(id_col),
-        F.array_distinct(shingles(text_col, n)).alias("grams"),
-        (F.length(text_col) / 100).cast("int").alias("len_band"),
+        F.array_sort(
+            F.array_distinct(
+                F.transform(shingles(text_col, n), lambda s: F.xxhash64(s))
+            )
+        ).alias("grams"),
     )
-    a, b = g.alias("a"), g.alias("b")
-    band_match = F.abs(F.col("a.len_band") - F.col("b.len_band")) <= 1
-    cand = a.join(b, band_match & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-    inter = F.size(F.array_intersect("a.grams", "b.grams")).cast("double")
-    union = F.size(F.array_union("a.grams", "b.grams")).cast("double")
-    return (
-        cand.select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            (inter / union).alias("jaccard"),
+    sz = F.size("grams")
+    prefix_len = sz - F.ceil(sz * F.lit(float(threshold))).cast("int") + 1
+    pref = g.select(
+        F.col(id_col), F.explode(F.slice("grams", F.lit(1), prefix_len)).alias("gram")
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ga = g.select(F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = g.select(F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+    union = F.size(F.array_union("grams_a", "grams_b")).cast("double")
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

@@ -11,7 +11,7 @@ from kp_data_pipelines_spark.operators.similarity import (
     lsh_bucket_cosine_topk,
     minhash_near_dups,
     ngram_jaccard_pairs,
-    simhash64,
+    with_simhash,
 )
 from kp_data_pipelines_spark.operators.textops import (
     doc_fingerprint,
@@ -121,7 +121,7 @@ def test_simhash_similar_texts_close(spark):
     near = base.replace("home", "now")
     other = "entirely unrelated content about database engines and shuffle partitions"
     df = spark.createDataFrame([(1, base), (2, near), (3, other)], ["doc_id", "text"])
-    out = df.select("doc_id", simhash64("text", k=2).alias("sh")).collect()
+    out = with_simhash(df, "text", out="sh", k=2).select("doc_id", "sh").collect()
     sh = {r["doc_id"]: r["sh"] for r in out}
 
     def hamming(a, b):
