@@ -1048,9 +1048,109 @@ def q40_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
 
 @register("q41_ngram_jaccard")
 def q41_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs within length bands (verification path
-    for minhash candidates)."""
+    """EXACT n-gram Jaccard pairs via prefix filtering (PPJoin-style):
+    hash-ordered gram arrays, prefix-only explode, keyed candidate join,
+    exact verification — no cross join at any scale."""
     from kp_data_pipelines_spark.operators.similarity import ngram_jaccard_pairs
 
     docs = read_table(spark, sf, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.35)
+
+
+@register(
+    "q42_embedding_near_dups",
+    """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS block,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i])),
+               (acc, x) -> acc + x)
+             / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, len(a.v)+1), i -> a.v[i] * a.v[i])),
+                  (acc, x) -> acc + x))
+                * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i])),
+                    (acc, x) -> acc + x))) AS cos
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, block, round(cos, 6) AS cosine
+    FROM p WHERE cos >= 0.3
+    """,
+)
+def q42_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, EXACT within a blocking key (the
+    cluster label): keyed equi-join + sequential-fold dot product, so the
+    doubles are bit-identical to the DuckDB oracle's list_reduce fold.
+    The LSH-bucketed variant (embedding_near_dup_pairs) is the no-label
+    scale path; blocked-exact is the verification half."""
+    from kp_data_pipelines_spark.operators.similarity import cosine_pairs_blocked
+
+    emb = read_table(spark, sf, "embeddings")
+    return cosine_pairs_blocked(emb, "vec_id", "embedding", "label", threshold=0.3)
+
+
+@register("q43_simhash_hamming_pairs")
+def q43_simhash_hamming_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash Hamming-radius pairs via pigeonhole chunk banding (exact
+    given the fingerprints; d<=3 -> 4 banded 16-bit chunks)."""
+    from kp_data_pipelines_spark.operators.similarity import simhash_hamming_pairs
+
+    docs = read_table(spark, sf, "documents")
+    return simhash_hamming_pairs(docs, "doc_id", "text", max_hamming=3, k=2)
+
+
+@register(
+    "q44_rolling_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(text)+1),
+                              i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 2147483647) AS content_hash,
+           count(*) OVER (PARTITION BY
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, length(text)+1),
+                                i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 2147483647)) AS copies
+    FROM documents
+    """,
+)
+def q44_rolling_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-hash document fingerprint + per-fingerprint copy count —
+    the chunk-level content-dedup key, oracle-checked against the same
+    polynomial fold in DuckDB (north star: document fingerprinting)."""
+    from kp_data_pipelines_spark.operators.dedup import with_duplicate_count
+    from kp_data_pipelines_spark.operators.textops import rolling_hash
+
+    docs = read_table(spark, sf, "documents")
+    fp = docs.select("doc_id", rolling_hash("text").alias("content_hash"))
+    return with_duplicate_count(fp, ["content_hash"], "copies").select(
+        "doc_id", "content_hash", F.col("copies").cast("long").alias("copies")
+    )
+
+
+@register("q45_ivf_ann")
+def q45_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-Flat ANN: one-scan centroid assignment, nprobe-cell pruning,
+    exact cosine top-k within probed cells (the partition-column scale
+    path; q24 is the exact oracle)."""
+    from kp_data_pipelines_spark.operators.similarity import ivf_topk
+
+    emb = read_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    out = ivf_topk(
+        emb.filter(F.col("vec_id") != 0),
+        "embedding",
+        "vec_id",
+        [float(x) for x in query],
+        k=10,
+        n_centroids=16,
+        nprobe=4,
+    )
+    return out.select("vec_id", "label")

@@ -258,6 +258,201 @@ def with_simhash(df: DataFrame, text_col: str, out: str = "simhash", k: int = 2)
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked.
+
+    Candidate generation: random-hyperplane bucket equality (vectors with
+    cosine ~1 almost always share all sign bits); verification: exact
+    cosine >= threshold inside the bucket. The only shuffle key is the
+    bucket string — at 100 TB no pairwise work happens across buckets.
+    Recall < 1 by construction (a near-dup pair straddling a hyperplane is
+    missed); raise recall by lowering n_planes or probing bit-flip
+    neighbors. Returns (id_a, id_b, cosine), id_a < id_b.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    planes = simhash_planes(dim, n_planes, seed)
+    b = with_hyperplane_bucket(df.select(id_col, vec_col), vec_col, planes, "bucket")
+    v = F.transform(F.col(f"a.{vec_col}"), lambda x: x.cast("double"))
+    w = F.transform(F.col(f"b.{vec_col}"), lambda x: x.cast("double"))
+    cos = _dot(v, w) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(w, w)))
+    return (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """EXACT cosine pairs within a blocking key (cluster label, IVF cell,
+    LSH bucket, ...): equi-join on the block, exact cosine >= threshold.
+
+    This is the verification half of every ANN/near-dup pipeline — the
+    shuffle is keyed on the block column, so at 100 TB pairwise work stays
+    inside blocks. The dot product is a SEQUENTIAL left fold so the result
+    is bit-reproducible (and oracle-matchable) across engines.
+    Returns (id_a, id_b, block, cosine), id_a < id_b."""
+    e = df.select(
+        F.col(id_col),
+        F.col(block_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = _dot(F.col("a.__v"), F.col("b.__v"))
+    na = F.sqrt(_dot(F.col("a.__v"), F.col("a.__v")))
+    nb = F.sqrt(_dot(F.col("b.__v"), F.col("b.__v")))
+    cos = dot / (na * nb)
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(cos >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{block_col}").alias("block"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, k: int = 2
+) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius — EXACT given the
+    fingerprints, via the pigeonhole banding trick.
+
+    Split the 64-bit fingerprint into ``max_hamming + 1`` chunks: two
+    fingerprints within Hamming distance d must agree exactly on at least
+    one chunk, so candidates = equi-join on (chunk_idx, chunk_value) and
+    verification = bit_count(xor) <= d. All JVM bit ops, shuffle keyed on
+    16-bit chunk values. Returns (id_a, id_b, hamming), id_a < id_b."""
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+    fp = with_simhash(df.select(id_col, text_col), text_col, "fp", k).select(id_col, "fp")
+    chunks = fp.select(
+        id_col,
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("fp", i * chunk_bits).bitwiseAND(
+                        F.lit((1 << chunk_bits) - 1)
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    cand = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ivf_centroids(df: DataFrame, vec_col: str, n_centroids: int = 16, sample_ids=None):
+    """Deterministic IVF 'training': take the first ``n_centroids`` vectors
+    in id order as centroids (a k-means seed without the iterations — at
+    100 TB you'd run ``pyspark.ml`` KMeans on a sample; the assignment and
+    probe machinery below is identical either way). Returns a driver-side
+    list of (centroid_id, vector)."""
+    rows = df.orderBy(df.columns[0]).limit(n_centroids).select(vec_col).collect()
+    return [(i, [float(x) for x in r[0]]) for i, r in enumerate(rows)]
+
+
+def _nearest_centroids_expr(vec_col: str, centroids, nprobe: int):
+    """Array of the ``nprobe`` nearest centroid ids (by cosine) as a literal
+    fold — centroids are tiny driver constants, broadcast in the plan."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vn = F.sqrt(_dot(v, v))
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    _dot(v, F.array(*[F.lit(x) for x in cvec]))
+                    / (vn * F.lit(math.sqrt(sum(x * x for x in cvec)) or 1.0))
+                ).alias("cos"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
+    return F.transform(top, lambda s: s["cid"])
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-Flat ANN: assign every vector to its nearest centroid (one scan),
+    probe the query's ``nprobe`` nearest centroid cells, exact cosine top-k
+    within the probed cells. At scale the assignment is written once as a
+    partition column, so a query prunes to nprobe/n_centroids of the data."""
+    centroids = ivf_centroids(df, vec_col, n_centroids)
+    assigned = df.withColumn(
+        "__cell", _nearest_centroids_expr(vec_col, centroids, 1)[0]
+    )
+    probe_cells = [
+        cid
+        for cid, _ in sorted(
+            centroids,
+            key=lambda c: -(
+                sum(a * b for a, b in zip(query, c[1]))
+                / (math.sqrt(sum(x * x for x in c[1])) or 1.0)
+            ),
+        )[:nprobe]
+    ]
+    candidates = assigned.filter(F.col("__cell").isin(probe_cells)).drop("__cell")
+    return cosine_topk(candidates, vec_col, id_col, query, k)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:

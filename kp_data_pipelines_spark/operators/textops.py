@@ -98,6 +98,19 @@ def doc_fingerprint(col: Column | str) -> Column:
     return F.sha2(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")), 256)
 
 
+def rolling_hash(col: Column | str, mod: int = 2147483647, base: int = 31) -> Column:
+    """Polynomial rolling hash over characters: fold ``acc*base + ord(c)``
+    mod a Mersenne prime. Oracle-reproducible (same fold in ANSI SQL via
+    list_reduce) unlike xxhash64; the classic content-fingerprint for
+    incremental / chunked dedup. Empty string hashes to 0."""
+    chars = F.filter(F.split(_c(col), ""), lambda c: c != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % mod,
+    )
+
+
 def shingles(col: Column | str, k: int = 5) -> Column:
     """Word k-shingles as an array column — input to MinHash/Jaccard."""
     toks = F.split(F.trim(F.lower(_c(col))), r"\s+")

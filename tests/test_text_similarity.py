@@ -128,3 +128,87 @@ def test_simhash_similar_texts_close(spark):
         return bin((a & (2**64 - 1)) ^ (b & (2**64 - 1))).count("1")
 
     assert hamming(sh[1], sh[2]) < hamming(sh[1], sh[3])
+
+
+# ---------------------------------------------------------------------------
+# Round-1 batch 3: embedding near-dups, hamming pairs, rolling hash, IVF
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_near_dup_pairs_lsh(spark):
+    from kp_data_pipelines_spark.operators.similarity import embedding_near_dup_pairs
+
+    base = [1.0, 0.2, -0.5, 0.8]
+    near = [1.01, 0.19, -0.52, 0.81]
+    far = [-1.0, 0.9, 0.5, -0.7]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["vec_id", "embedding"]
+    )
+    pairs = embedding_near_dup_pairs(df, "vec_id", "embedding", threshold=0.99).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found
+    assert all(p == (1, 2) for p in found)
+
+
+def test_cosine_pairs_blocked_exact(spark):
+    from kp_data_pipelines_spark.operators.similarity import cosine_pairs_blocked
+
+    df = spark.createDataFrame(
+        [
+            (1, "x", [1.0, 0.0]),
+            (2, "x", [1.0, 0.01]),
+            (3, "y", [1.0, 0.0]),  # same vector, different block -> no pair
+            (4, "x", [0.0, 1.0]),  # orthogonal -> below threshold
+        ],
+        ["vec_id", "label", "embedding"],
+    )
+    rows = cosine_pairs_blocked(df, "vec_id", "embedding", "label", 0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(1, 2)}
+    assert abs(rows[0]["cosine"] - 0.99995) < 1e-4
+
+
+def test_simhash_hamming_pairs(spark):
+    from kp_data_pipelines_spark.operators.similarity import simhash_hamming_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    near = base.replace("home", "now")
+    other = "entirely unrelated content about database engines and shuffle partitions"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], ["doc_id", "text"]
+    )
+    rows = simhash_hamming_pairs(df, "doc_id", "text", max_hamming=8, k=2).collect()
+    found = {(r["id_a"], r["id_b"]) for r in rows}
+    assert (1, 2) in found
+    assert (1, 3) not in found and (2, 3) not in found
+
+
+def test_rolling_hash_deterministic(spark):
+    from kp_data_pipelines_spark.operators.textops import rolling_hash
+
+    df = spark.createDataFrame([("hello world",), ("hello world",), ("",)], ["text"])
+    vals = [r["h"] for r in df.select(rolling_hash("text").alias("h")).collect()]
+    # reference value cross-checked against DuckDB's list_reduce fold
+    assert vals[0] == vals[1] == 1835087470
+    assert vals[2] == 0
+
+
+def test_ivf_topk_finds_exact_neighbors(spark):
+    from kp_data_pipelines_spark.operators.similarity import cosine_topk, ivf_topk
+
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 4) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    query = rows[0][1]
+    exact = [r["vec_id"] for r in cosine_topk(df, "embedding", "vec_id", query, 5).collect()]
+    approx = [
+        r["vec_id"]
+        for r in ivf_topk(
+            df, "embedding", "vec_id", query, k=5, n_centroids=8, nprobe=8
+        ).collect()
+    ]
+    # nprobe == n_centroids probes every cell -> must equal exact top-k
+    assert approx == exact
