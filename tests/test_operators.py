@@ -136,3 +136,18 @@ def test_containment_join_two_phase(spark):
     )
     got = {r["fid"]: r["label"] for r in out.collect()}
     assert got == {"f1": "L2", "f2": "L1", "f3": None}
+
+
+def test_discover_join_keys(spark):
+    from kp_data_pipelines_spark.operators.profiling import discover_join_keys
+
+    left = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["cust_id", "code", "amt"]
+    )
+    right = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (9, "z")], ["customer_key", "name"]
+    )
+    cands = discover_join_keys(left, right, min_overlap=0.5)
+    best = cands[0]
+    assert (best.left_col, best.right_col) == ("cust_id", "customer_key")
+    assert best.match_count == 2  # cust_ids 1 and 2 exist in right
