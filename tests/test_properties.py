@@ -1,0 +1,105 @@
+"""Property-based tests (SURVEY.md §5.3) over generated micro-tables.
+
+Each property is one the reference implicitly relied on (and checked by
+hand with printed control totals):
+- outer-join partition: every key appears exactly once across
+  both/left_only/right_only;
+- dedup idempotence;
+- sum preservation under projection/rename/union;
+- pivot row-totals equal pre-pivot group sums.
+
+Hypothesis drives the key/value generation; examples are kept small and
+few because each example is a Spark job.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kp_data_pipelines_spark.operators.aggregates import pivot_sum
+from kp_data_pipelines_spark.operators.dedup import dedup_exact
+from kp_data_pipelines_spark.operators.joins import MERGE_COL, merge_indicator
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+keys = st.lists(st.integers(min_value=0, max_value=20), min_size=0, max_size=15)
+amounts = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(lk=keys, rk=keys)
+@_settings
+def test_outer_join_partition_property(spark, lk, rk):
+    left = spark.createDataFrame([(k, 1.0) for k in set(lk)] or [(None, None)], "k long, a double")
+    right = spark.createDataFrame([(k, 2.0) for k in set(rk)] or [(None, None)], "k long, b double")
+    left = left.filter(F.col("k").isNotNull())
+    right = right.filter(F.col("k").isNotNull())
+    merged = merge_indicator(left, right, ["k"])
+    got = {r["k"]: r[MERGE_COL] for r in merged.collect()}
+    ls, rs = set(lk), set(rk)
+    assert set(got) == ls | rs
+    for k, cls in got.items():
+        expected = "both" if k in ls and k in rs else ("left_only" if k in ls else "right_only")
+        assert cls == expected
+
+
+@given(vals=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 3)), max_size=20))
+@_settings
+def test_dedup_idempotent(spark, vals):
+    df = spark.createDataFrame(vals or [(0, 0)], "a long, b long")
+    once = dedup_exact(df)
+    twice = dedup_exact(once)
+    assert once.count() == twice.count() == len(set(vals or [(0, 0)]))
+
+
+@given(vals=amounts)
+@_settings
+def test_sum_preserved_under_projection_rename_union(spark, vals):
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, amt double")
+    total = df.agg(F.sum(F.col("amt").cast("decimal(28,6)")).alias("s")).collect()[0]["s"]
+
+    renamed = df.withColumnsRenamed({"amt": "amount"}).select("amount")
+    t2 = renamed.agg(F.sum(F.col("amount").cast("decimal(28,6)")).alias("s")).collect()[0]["s"]
+    assert total == t2
+
+    h1 = df.filter(F.col("id") % 2 == 0)
+    h2 = df.filter(F.col("id") % 2 != 0)
+    t3 = (
+        h1.unionByName(h2)
+        .agg(F.sum(F.col("amt").cast("decimal(28,6)")).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert total == t3
+
+
+@given(
+    cells=st.lists(
+        st.tuples(st.integers(0, 3), st.sampled_from(["x", "y", "z"]), st.integers(0, 100)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_settings
+def test_pivot_row_totals_match_group_sums(spark, cells):
+    df = spark.createDataFrame([(g, c, float(v)) for g, c, v in cells], "g long, c string, v double")
+    pivoted = pivot_sum(df, "g", "c", "v")
+    val_cols = [c for c in pivoted.columns if c != "g"]
+    row_totals = {
+        r["g"]: sum(r[c] for c in val_cols if r[c] is not None) for r in pivoted.collect()
+    }
+    group_sums = {
+        r["g"]: r["s"] for r in df.groupBy("g").agg(F.sum("v").alias("s")).collect()
+    }
+    assert set(row_totals) == set(group_sums)
+    for g in group_sums:
+        assert abs(row_totals[g] - group_sums[g]) < 1e-6
