@@ -4,7 +4,11 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB at the given sf dir, compares row count, column names, and an
 order-insensitive value hash (columns sorted by name, rows sorted).
 
-Usage: python tools/parity.py [sf_dir] [query ...]
+Usage: python tools/parity.py [--vanilla] [sf_dir] [query ...]
+
+``--vanilla`` runs the queries on a bare ``SparkSession.builder`` session
+(no tuned confs) — the driver uses its OWN session, so this catches any
+silent dependence on our session defaults.
 """
 
 from __future__ import annotations
@@ -43,14 +47,23 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args.remove("--vanilla")
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     from kp_data_pipelines_spark.session import get_spark
 
     import __spark_entry__ as entry_mod
 
-    spark = get_spark("parity")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("parity-vanilla").getOrCreate()
+    else:
+        spark = get_spark("parity")
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
 
