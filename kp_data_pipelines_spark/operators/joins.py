@@ -137,3 +137,31 @@ def containment_join(
     )
     cols = [*fact.columns, *[p for p in payload if p not in fact.columns]]
     return matched.select(*cols).unionByName(fuzzy.select(*cols))
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (skewed) fact side into
+    ``salt_buckets`` sub-keys and replicate the dim side once per bucket,
+    so one hot key spreads over ``salt_buckets`` reducers instead of
+    melting a single one.
+
+    AQE's skew-join split handles most cases at runtime; explicit salting
+    is for the pathological key (one value = 30% of 100 TB) where even a
+    split partition of a single key exceeds an executor. Only sensible for
+    fact-to-small-dim joins — dim rows are replicated ``salt_buckets``
+    times (a deliberate, bounded blow-up on the small side).
+    """
+    salted_fact = fact.withColumn(
+        "__salt", (F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted_fact.join(salted_dim, on=[key, "__salt"], how=how)
+    return out.drop("__salt")

@@ -40,3 +40,34 @@ def write_report_csv(df: DataFrame, path: str, header: bool = True) -> None:
 def write_report_excel(df: DataFrame, path: str, sheet_name: str = "Sheet1") -> None:
     """K2: Excel sink — collect-to-pandas, small report outputs only."""
     df.toPandas().to_excel(path, sheet_name=sheet_name, index=False)
+
+
+def write_report_excel_multi(
+    sheets: "dict[str, DataFrame]", path: str
+) -> None:
+    """K3: multi-sheet Excel reconciliation report (Summary / Matched /
+    Detail — DOR VP Compare.ipynb:552-634). Collects each (small) sheet to
+    pandas; requires an Excel engine (openpyxl/xlsxwriter) at runtime."""
+    import pandas as pd
+
+    with pd.ExcelWriter(path) as writer:
+        for name, df in sheets.items():
+            df.toPandas().to_excel(writer, sheet_name=name[:31], index=False)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: "list[str]",
+    num_buckets: int = 32,
+    sort_cols: "list[str] | None" = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink: co-locates join/agg keys at WRITE time
+    so repeated joins on ``bucket_cols`` skip the shuffle entirely (both
+    sides bucketed the same way -> SortMergeJoin with zero Exchange).
+    The 100 TB pattern for fact-to-fact joins that broadcast can't cover."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)

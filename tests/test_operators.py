@@ -151,3 +151,43 @@ def test_discover_join_keys(spark):
     best = cands[0]
     assert (best.left_col, best.right_col) == ("cust_id", "customer_key")
     assert best.match_count == 2  # cust_ids 1 and 2 exist in right
+
+
+def test_salted_join_matches_plain_join(spark):
+    from kp_data_pipelines_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(50)] + [(2, i) for i in range(5)], ["k", "v"]
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unused")], ["k", "name"])
+    plain = fact.join(dim, "k").groupBy("k", "name").count()
+    salted = salted_join(fact, dim, "k").groupBy("k", "name").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    import uuid
+
+    from kp_data_pipelines_spark.sources.sinks import write_bucketed
+
+    suffix = uuid.uuid4().hex[:8]
+    ta, tb = f"bk_a_{suffix}", f"bk_b_{suffix}"
+    a = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn("va", F.col("k") * 2)
+    b = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn("vb", F.col("k") * 3)
+    write_bucketed(a, ta, ["k"], num_buckets=4, sort_cols=["k"])
+    write_bucketed(b, tb, ["k"], num_buckets=4, sort_cols=["k"])
+    # force the non-broadcast path: the point of bucketing is fact-to-fact
+    # joins where broadcast is impossible; on these tiny tables the planner
+    # would otherwise broadcast (which is itself an Exchange)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(ta).join(spark.table(tb), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # co-located buckets -> shuffle-free join
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE {ta}")
+        spark.sql(f"DROP TABLE {tb}")

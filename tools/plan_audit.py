@@ -1,0 +1,60 @@
+"""Physical-plan audit over the whole query catalog.
+
+For every ``queries()`` entry, builds the plan at the given sf dir and
+flags scale anti-patterns:
+
+- CartesianProduct            (always a bug)
+- BroadcastNestedLoopJoin     (allowed only where declared intentional)
+- missing PushedFilters on a filtered parquet scan is visible by eye --
+  the audit prints the scan lines for any flagged query.
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# q18 runs the reference's substring-containment fallback join (J6):
+# equi-pass first, nested-loop only on the unmatched remainder, with the
+# lookup side broadcast -- the BNLJ there is the declared design.
+INTENTIONAL_BNLJ = {"q18_containment_join"}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from kp_data_pipelines_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("plan-audit")
+    qs = entry_mod.queries()
+
+    n_bad = 0
+    for name, fn in sorted(qs.items()):
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # noqa: BLE001
+            print(f"ERROR {name}: {ex}")
+            n_bad += 1
+            continue
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in INTENTIONAL_BNLJ:
+            flags.append("BroadcastNestedLoopJoin")
+        if flags:
+            print(f"FLAG {name}: {', '.join(flags)}")
+            for line in plan.splitlines():
+                if "Scan" in line or "Join" in line:
+                    print(f"    {line.strip()[:160]}")
+            n_bad += 1
+    print(f"\n{len(qs)} queries audited, {n_bad} flagged")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
