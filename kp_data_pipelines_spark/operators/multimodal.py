@@ -74,7 +74,12 @@ def extract_media_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
     """Decode/feature-extract media content via Arrow-batched mapInPandas.
 
     One Python worker call per Arrow batch (not per row); binary payloads
-    stay in Arrow buffers end-to-end."""
+    stay in Arrow buffers end-to-end. A single-file scan is spread to at
+    least 8 partitions first so decode work parallelizes (no-op at scale,
+    where media tables arrive with many partitions)."""
+    from kp_data_pipelines_spark.operators.similarity import ensure_parallelism
+
+    df = ensure_parallelism(df)
     decode = DECODERS[decoder]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -27,6 +27,18 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int = 8) -> DataFrame:
+    """Guarantee a minimum partition count before CPU-heavy per-row stages.
+
+    A small single-file scan arrives as ONE partition, serializing all
+    signature/verification work onto one core; at real scale inputs carry
+    hundreds of partitions and this is a no-op. The repartition shuffles
+    only the projected columns (id + text), not the full table."""
+    if df.rdd.getNumPartitions() < min_partitions:
+        return df.repartition(min_partitions)
+    return df
+
+
 def with_cosine(df: DataFrame, vec_col: str, query: list[float], out: str = "cosine") -> DataFrame:
     """Attach cosine similarity vs a constant query vector (double math)."""
     q = F.array(*[F.lit(float(x)) for x in query])
@@ -163,18 +175,17 @@ def minhash_near_dups(
     banding trick: no pairwise comparison outside shared buckets. Returns
     (id_a, id_b, est_jaccard) with id_a < id_b.
     """
-    from kp_data_pipelines_spark.operators.textops import shingles
+    from kp_data_pipelines_spark.operators.textops import with_hashed_shingles
 
     rows_per_band = num_hashes // bands
-    # Stage 1: hash each distinct shingle ONCE (string work happens here, once
-    # per row); stage 2 references the long array num_hashes times — cheap
-    # int64 math only. Separate select()s so CollapseProject can't inline the
-    # expensive expression into every signature slot.
-    hashed = df.select(
+    # Stage 1: gram hashes once per row (token-hash slices, no shingle
+    # strings); stage 2 folds them into [0, p) for the universal hashes.
+    hashed = with_hashed_shingles(
+        ensure_parallelism(df.select(id_col, text_col)), text_col, "__g", shingle_k
+    ).select(
         F.col(id_col),
         F.transform(
-            F.array_distinct(shingles(text_col, shingle_k)),
-            lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
+            F.array_distinct("__g"), lambda g: F.pmod(g, F.lit(_MERSENNE))
         ).alias("__sh"),
     )
     sig = hashed.select(
@@ -250,14 +261,11 @@ def simhash64_from_hashes(hashed_col) -> "F.Column":
 def with_simhash(df: DataFrame, text_col: str, out: str = "simhash", k: int = 2) -> DataFrame:
     """Attach a 64-bit SimHash fingerprint over word k-shingles.
 
-    Two projection stages (shingle+hash once, then 64 cheap bit votes) so
-    whole-stage codegen sees bounded expressions and the string work runs
-    once per row."""
-    from kp_data_pipelines_spark.operators.textops import shingles
+    Two projection stages (gram hashes once, then the vectorized bit vote)
+    so the expensive array work runs once per row."""
+    from kp_data_pipelines_spark.operators.textops import with_hashed_shingles
 
-    hashed = df.withColumn(
-        "__sh_hashes", F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))
-    )
+    hashed = with_hashed_shingles(df, text_col, "__sh_hashes", k)
     return hashed.withColumn(out, simhash64_from_hashes(F.col("__sh_hashes"))).drop(
         "__sh_hashes"
     )
@@ -318,16 +326,22 @@ def cosine_pairs_blocked(
     inside blocks. The dot product is a SEQUENTIAL left fold so the result
     is bit-reproducible (and oracle-matchable) across engines.
     Returns (id_a, id_b, block, cosine), id_a < id_b."""
-    e = df.select(
-        F.col(id_col),
-        F.col(block_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    # Norms are per-ROW quantities: compute them once in the projection
+    # stage (N folds), not per pair (N^2 folds). The arithmetic stays the
+    # same sequential fold, so results remain bit-identical to computing
+    # them pairwise — and to the oracle.
+    proj = ensure_parallelism(
+        df.select(
+            F.col(id_col),
+            F.col(block_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        ),
+        min_partitions=32,
     )
+    e = proj.withColumn("__n", F.sqrt(_dot(F.col("__v"), F.col("__v"))))
     a, b = e.alias("a"), e.alias("b")
     dot = _dot(F.col("a.__v"), F.col("b.__v"))
-    na = F.sqrt(_dot(F.col("a.__v"), F.col("a.__v")))
-    nb = F.sqrt(_dot(F.col("b.__v"), F.col("b.__v")))
-    cos = dot / (na * nb)
+    cos = dot / (F.col("a.__n") * F.col("b.__n"))
     return (
         a.join(
             b,
@@ -357,7 +371,9 @@ def simhash_hamming_pairs(
     16-bit chunk values. Returns (id_a, id_b, hamming), id_a < id_b."""
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
-    fp = with_simhash(df.select(id_col, text_col), text_col, "fp", k).select(id_col, "fp")
+    fp = with_simhash(
+        ensure_parallelism(df.select(id_col, text_col)), text_col, "fp", k
+    ).select(id_col, "fp")
     chunks = fp.select(
         id_col,
         "fp",
@@ -477,15 +493,13 @@ def ngram_jaccard_pairs(
     hash-shuffle joins; candidate volume is bounded by shared-prefix pairs,
     not n^2. Jaccard is computed over xxhash64'd distinct grams (collision
     probability ~2^-64 — negligible)."""
-    from kp_data_pipelines_spark.operators.textops import shingles
+    from kp_data_pipelines_spark.operators.textops import with_hashed_shingles
 
-    g = df.select(
+    g = with_hashed_shingles(
+        ensure_parallelism(df.select(id_col, text_col)), text_col, "__g", n
+    ).select(
         F.col(id_col),
-        F.array_sort(
-            F.array_distinct(
-                F.transform(shingles(text_col, n), lambda s: F.xxhash64(s))
-            )
-        ).alias("grams"),
+        F.array_sort(F.array_distinct("__g")).alias("grams"),
     )
     sz = F.size("grams")
     prefix_len = sz - F.ceil(sz * F.lit(float(threshold))).cast("int") + 1

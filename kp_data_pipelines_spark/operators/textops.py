@@ -112,10 +112,37 @@ def rolling_hash(col: Column | str, mod: int = 2147483647, base: int = 31) -> Co
 
 
 def shingles(col: Column | str, k: int = 5) -> Column:
-    """Word k-shingles as an array column — input to MinHash/Jaccard."""
+    """Word k-shingles as an array of STRINGS — readable/debuggable form.
+
+    For hashing pipelines use ``with_hashed_shingles``: building the
+    shingle strings (slice + array_join per gram) costs ~10x more than
+    hashing token-hash slices directly, and MinHash/Jaccard only ever need
+    the hash."""
     toks = F.split(F.trim(F.lower(_c(col))), r"\s+")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(n < k, F.array(F.array_join(toks, " "))).otherwise(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
     )
+
+
+def with_hashed_shingles(df, text_col: str, out: str = "gram_hashes", k: int = 5):
+    """Attach word k-shingle HASHES (array<long>) without materializing the
+    shingle strings: hash each token once, then each gram hash is
+    ``xxhash64`` of a k-slice of the token-hash array — pure long-array
+    work, ~10x cheaper than slice+array_join+hash per gram.
+
+    Two projection stages so the token-hash array computes once per row
+    (CollapseProject keeps non-cheap exprs referenced twice apart). Gram
+    identity differs from ``xxhash64(shingles(...))`` but is equally
+    injective — set semantics (Jaccard, MinHash) are unaffected.
+    Short docs (< k tokens) produce one gram over all tokens."""
+    th = F.transform(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: F.xxhash64(t)
+    )
+    step = df.withColumn("__tok_hashes", th)
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size("__tok_hashes") - (k - 1), F.lit(1))
+    )
+    grams = F.transform(idx, lambda i: F.xxhash64(F.slice("__tok_hashes", i, k)))
+    return step.withColumn(out, grams).drop("__tok_hashes")
