@@ -1154,3 +1154,69 @@ def q45_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
         nprobe=4,
     )
     return out.select("vec_id", "label")
+
+
+@register(
+    "q46_regional_revenue",
+    """
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+                    AND s.s_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1994-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1995-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC
+    """,
+)
+def q46_regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join with local-supplier predicate.
+
+    The plan the engine must produce at 100 TB: lineitem/orders shuffle on
+    orderkey (the two fact tables), every dimension broadcasts, the date
+    filter pushes into the orders scan and the region filter prunes nation
+    keys before they reach the fact side. Revenue aggregates via decimal
+    for order-independent totals."""
+    li = read_table(spark, sf, "lineitem")
+    orders = read_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+    )
+    customer = read_table(spark, sf, "customer")
+    supplier = read_table(spark, sf, "supplier")
+    nation = read_table(spark, sf, "nation")
+    region = read_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+
+    dim = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(
+            dim,
+            (customer.c_nationkey == dim.n_nationkey)
+            & (supplier.s_nationkey == dim.n_nationkey),
+        )
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"))
+    )
