@@ -1220,3 +1220,56 @@ def q46_regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"))
     )
+
+
+@register(
+    "q47_streaming_window_events",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q47_streaming_window_events(spark: SparkSession, sf: str) -> DataFrame:
+    """The REAL Structured Streaming path, oracle-checked: file-source
+    readStream over events.parquet -> event-time tumbling window agg ->
+    AvailableNow trigger -> memory sink, hash-compared against the same
+    aggregation in batch SQL. Complete output mode so every window is
+    emitted (append would hold back windows newer than the watermark).
+    Proves the streaming and batch engines agree on event-time semantics."""
+    import tempfile
+
+    from kp_data_pipelines_spark.sources.readers import _nanos_timestamp_cols
+    from kp_data_pipelines_spark.streaming.events import run_available_now
+
+    path = f"{sf}/events.parquet"
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # the streaming file source wants a directory: watch the sf dir with a
+    # glob filter selecting just the events table
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    for c in ns_cols:
+        stream = stream.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_available_now(agg, tempfile.mkdtemp(prefix="q47_ckpt_"), "complete")
