@@ -20,6 +20,11 @@ from pyspark.sql import SparkSession
 
 # Defaults chosen for determinism + scale. Each is overridable by the caller.
 _DEFAULTS: dict[str, str] = {
+    # local-mode driver == executor: the 1g JVM default OOMs with 32
+    # concurrent tasks on corpus-scale shuffles. Only effective when this
+    # factory launches the JVM; a cluster deployment sizes executors via
+    # spark-submit instead.
+    "spark.driver.memory": "16g",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
