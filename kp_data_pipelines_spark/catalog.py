@@ -1273,3 +1273,109 @@ def q47_streaming_window_events(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return run_available_now(agg, tempfile.mkdtemp(prefix="q47_ckpt_"), "complete")
+
+
+@register(
+    "q48_rollup_totals",
+    """
+    SELECT COALESCE(r_name, 'ALL') AS region,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, o_orderstatus)
+    """,
+)
+def q48_rollup_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP — the reference built its grand
+    totals (A3) as separate passes; rollup computes every level in ONE
+    shuffle (partial-aggregatable, same cost class as the flat group-by)."""
+    orders = read_table(spark, sf, "orders")
+    customer = read_table(spark, sf, "customer")
+    nation = read_table(spark, sf, "nation")
+    region = read_table(spark, sf, "region")
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("total_price"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "q49_orders_with_late_items",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 80 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q49_orders_with_late_items(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join with a
+    non-equi residual (shipdate > orderdate + 80 days). One shuffle on
+    orderkey; the semi join deduplicates before the aggregate."""
+    orders = read_table(spark, sf, "orders")
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (orders.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > F.date_add(orders.o_orderdate, 80)
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "q50_topk_per_group",
+    """
+    SELECT mktsegment, c_custkey, c_name, acctbal, rnk
+    FROM (
+      SELECT c_mktsegment AS mktsegment, c_custkey, c_name, c_acctbal AS acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer
+    )
+    WHERE rnk <= 3
+    """,
+)
+def q50_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k per group via ranked window + filter — Spark pushes a per-
+    partition top-k (WindowGroupLimit) below the shuffle, so only k rows
+    per group per mapper move; the scalable form of the reference's
+    sort-then-head pattern (O2)."""
+    cust = read_table(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    return (
+        cust.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("c_mktsegment").alias("mktsegment"),
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").alias("acctbal"),
+            "rnk",
+        )
+    )
