@@ -1379,3 +1379,83 @@ def q50_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+@register(
+    "q51_asof_join",
+    """
+    SELECT c.event_id,
+           c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts_asof,
+           v.value AS view_value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def q51_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Backward as-of join (point-in-time attribution): each click joins
+    the user's most recent prior-or-simultaneous view. Implemented as
+    union + keyed window (one shuffle, no range nested loop); oracle is
+    DuckDB's native ASOF JOIN."""
+    from kp_data_pipelines_spark.operators.joins import asof_join
+
+    ev = read_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("ts").alias("view_ts"), "value"
+    )
+    out = asof_join(
+        clicks, views, "user_id", "ts", "ts", payload=["view_ts", "value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("view_ts_asof", "yyyy-MM-dd HH:mm:ss").alias("view_ts_asof"),
+        F.col("value_asof").alias("view_value_asof"),
+    )
+
+
+@register(
+    "q52_interval_join",
+    """
+    SELECT c.event_id AS click_id,
+           e.event_id AS error_id,
+           c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT event_id, user_id,
+                 ts - INTERVAL 30 MINUTE AS w_start,
+                 ts + INTERVAL 30 MINUTE AS w_end
+          FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id
+     AND c.ts BETWEEN e.w_start AND e.w_end
+    """,
+)
+def q52_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Range join (interval containment): clicks within ±30 min of an
+    error by the same user. Bucketed on an hour grain so the planner gets
+    a keyed equi-join with a BETWEEN residual instead of a nested loop."""
+    from kp_data_pipelines_spark.operators.joins import interval_join
+
+    ev = read_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    out = interval_join(clicks, errors, "ts", "w_start", "w_end", keys=["user_id"])
+    return out.select(
+        "click_id",
+        "error_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )

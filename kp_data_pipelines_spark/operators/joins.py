@@ -165,3 +165,95 @@ def salted_join(
     )
     out = salted_fact.join(salted_dim, on=[key, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: each left row picks the LATEST right row with
+    ``right_ts <= left_ts`` for the same key (point-in-time lookup).
+
+    Spark has no native as-of join; the scalable shape is NOT a range join
+    (which planners execute as a nested loop) but union + window:
+
+    1. tag both sides, union on (key, ts) with right rows sorting BEFORE
+       left rows at equal timestamps (gives <= semantics);
+    2. one window pass per key ordered by (ts, side): ``last(payload,
+       ignorenulls=True)`` carries the most recent right values forward;
+    3. keep only left rows.
+
+    Cost: ONE shuffle on the key + a sort within partitions — same cost
+    class as a group-by, no matter how wide the time ranges are. Payload
+    columns come back as ``<name><suffix>``, NULL when no prior right row.
+    """
+    from pyspark.sql import Window
+
+    l = left.withColumn("__side", F.lit(1))
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias(left_ts),
+        *[F.col(p).alias(f"__r_{p}") for p in payload],
+    ).withColumn("__side", F.lit(0))
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(left_ts), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for p in payload:
+        unioned = unioned.withColumn(
+            f"{p}{suffix}", F.last(F.col(f"__r_{p}"), ignorenulls=True).over(w)
+        )
+    return unioned.filter(F.col("__side") == 1).drop(
+        "__side", *[f"__r_{p}" for p in payload]
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    keys: Sequence[str] = (),
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Range (interval-containment) join: point rows match interval rows
+    with ``start_ts <= point_ts <= end_ts`` (plus optional equi-keys).
+
+    A raw BETWEEN theta-join plans as a nested loop; here both sides are
+    bucketed on a time grain, so the planner gets an EQUI-join on
+    (keys, bucket) with the BETWEEN as a residual filter:
+
+    - each point lands in exactly ONE bucket;
+    - each interval explodes into the buckets it covers (bound the blow-up
+      by choosing ``bucket_seconds`` near the typical interval length).
+
+    Because a point has a single bucket, every (point, interval) pair is
+    produced at most once — no dedup needed. One shuffle on (keys, bucket).
+    """
+    keys = list(keys)
+    pb = points.withColumn(
+        "__bucket", F.floor(F.unix_timestamp(F.col(point_ts)) / bucket_seconds)
+    )
+    ib = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_ts)) / bucket_seconds),
+                F.floor(F.unix_timestamp(F.col(end_ts)) / bucket_seconds),
+            )
+        ),
+    )
+    joined = pb.join(ib, on=keys + ["__bucket"], how=how)
+    residual = (F.col(point_ts) >= F.col(start_ts)) & (
+        F.col(point_ts) <= F.col(end_ts)
+    )
+    return joined.filter(residual).drop("__bucket")

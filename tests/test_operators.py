@@ -191,3 +191,36 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE {ta}")
         spark.sql(f"DROP TABLE {tb}")
+
+
+def test_asof_join_backward(spark):
+    from kp_data_pipelines_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 205), (3, "u", 50), (4, "v", 100)],
+        "event_id long, k string, t long",
+    ).withColumn("t", F.timestamp_seconds("t"))
+    right = spark.createDataFrame(
+        [("u", 100, 1.0), ("u", 200, 2.0), ("v", 150, 3.0)], "k string, rt long, val double"
+    ).withColumn("rt", F.timestamp_seconds("rt"))
+    out = asof_join(left, right, "k", "t", "rt", payload=["val"]).collect()
+    got = {r["event_id"]: r["val_asof"] for r in out}
+    # event 1 at t=100 matches right at rt=100 (<= semantics);
+    # event 2 at t=205 matches rt=200; event 3 at t=50 has no prior row;
+    # event 4 at t=100 (key v) precedes v's only right row at 150 -> null
+    assert got == {1: 1.0, 2: 2.0, 3: None, 4: None}
+
+
+def test_interval_join_containment(spark):
+    from kp_data_pipelines_spark.operators.joins import interval_join
+
+    points = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 5000), (3, "v", 100)], "pid long, k string, t long"
+    ).withColumn("t", F.timestamp_seconds("t"))
+    ivals = spark.createDataFrame(
+        [(10, "u", 50, 150), (11, "u", 4000, 8000), (12, "v", 200, 300)],
+        "iid long, k string, s long, e long",
+    ).withColumns({"s": F.timestamp_seconds("s"), "e": F.timestamp_seconds("e")})
+    out = interval_join(points, ivals, "t", "s", "e", keys=["k"], bucket_seconds=60)
+    pairs = {(r["pid"], r["iid"]) for r in out.collect()}
+    assert pairs == {(1, 10), (2, 11)}  # (3,12): point before interval
