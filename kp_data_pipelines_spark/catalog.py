@@ -1459,3 +1459,61 @@ def q52_interval_join(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
     )
+
+
+@register(
+    "q53_sessionization",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def q53_sessionization(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization (gaps-and-islands): a 30-minute inactivity gap opens
+    a new session. lag -> boundary flag -> running sum = session id ->
+    per-session rollup. Two window passes + one aggregate, all partitioned
+    by user — shuffles once on user_id. Streaming twin:
+    streaming/events.sessionize_stateful (applyInPandasWithState)."""
+    ev = read_table(spark, sf, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # microsecond-precision gap: cast('long') truncates to seconds and
+    # misclassifies gaps like 1800.5s vs the oracle's exact INTERVAL
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            > 1800 * 1_000_000,
+            1,
+        ).otherwise(0),
+    )
+    numbered = marked.withColumn("session_id", F.sum("new_session").over(wrun))
+    return (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("total_value"),
+        )
+    )

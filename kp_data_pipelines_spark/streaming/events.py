@@ -120,3 +120,78 @@ def ingest_snapshot_folder(
         .start()
     )
     q.awaitTermination()
+
+
+SESSION_OUTPUT_SCHEMA = "user_id long, session_start timestamp, session_end timestamp, n_events long, total_value double"
+_SESSION_STATE_SCHEMA = "start_us long, last_us long, n long, total double"
+
+
+def sessionize_stateful(
+    stream_df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user sessionization with an inactivity gap, the streaming twin of
+    the batch gaps-and-islands query (catalog q53).
+
+    State per user = the open session (start, last-seen, count, sum).
+    A batch's events are processed in event-time order; a gap larger than
+    ``gap_minutes`` CLOSES the current session (emitted downstream) and
+    opens a new one. Open sessions stay in the state store — bounded at
+    one row per active user, the textbook bounded-state design. Sessions
+    still open when the stream ends are intentionally unemitted (they are
+    not finished); production deployments add a timeout to flush idle
+    users (GroupStateTimeout), omitted here for determinism in tests.
+    """
+    import pandas as pd
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdf_iter, state):
+        user = key[0]
+        if state.exists:
+            start_us, last_us, n, total = state.get
+        else:
+            start_us = last_us = None
+            n, total = 0, 0.0
+        closed = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts_col)
+            for ts, val in zip(pdf[ts_col], pdf[value_col]):
+                us = int(pd.Timestamp(ts).value // 1000)
+                if last_us is not None and us - last_us > gap_us:
+                    closed.append((user, start_us, last_us, n, total))
+                    start_us, n, total = us, 0, 0.0
+                if start_us is None:
+                    start_us = us
+                last_us = us
+                n += 1
+                total += float(val) if val == val else 0.0
+        state.update((start_us, last_us, n, total))
+        if closed:
+            out = pd.DataFrame(
+                closed,
+                columns=["user_id", "start_us", "end_us", "n_events", "total_value"],
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": out["user_id"],
+                    "session_start": pd.to_datetime(out["start_us"], unit="us"),
+                    "session_end": pd.to_datetime(out["end_us"], unit="us"),
+                    "n_events": out["n_events"],
+                    "total_value": out["total_value"].round(2),
+                }
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream_df.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

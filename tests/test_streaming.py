@@ -77,3 +77,38 @@ def test_dedup_within_watermark_is_streaming_safe(spark, tmp_path):
     got = run_available_now(deduped, str(tmp_path / "ckpt3"))
     # one row per (user, watermark-window slice) at most; definitely <= input
     assert 0 < got.count() <= ev.count()
+
+
+def test_stateful_sessionization_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer vs the batch gaps-and-islands
+    definition: closed sessions agree (the stream's still-open final
+    session per user is intentionally unemitted)."""
+    import pandas as pd
+
+    from kp_data_pipelines_spark.streaming.events import (
+        run_available_now,
+        sessionize_stateful,
+    )
+
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for user in (1, 2):
+        t = base
+        for session in range(3):
+            for i in range(4):
+                rows.append((user, t, 1.0))
+                t += pd.Timedelta(minutes=5)
+            t += pd.Timedelta(minutes=60)  # gap closes the session
+    src = tmp_path / "events_src"
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src))
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    sessions = sessionize_stateful(stream)
+    out = run_available_now(sessions, str(tmp_path / "ckpt"), "append").collect()
+
+    got = {(r["user_id"], r["session_start"], r["n_events"], r["total_value"]) for r in out}
+    # 3 sessions per user; the 3rd stays open at end-of-stream -> 2 emitted
+    assert len(got) == 4
+    assert all(n == 4 and v == 4.0 for (_, _, n, v) in got)
