@@ -1517,3 +1517,60 @@ def q53_sessionization(spark: SparkSession, sf: str) -> DataFrame:
             exact_sum("value").alias("total_value"),
         )
     )
+
+
+@register(
+    "q54_tfidf_top_terms",
+    """
+    WITH terms AS (
+      SELECT doc_id, lower(t.term) AS term
+      FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(term)
+      WHERE t.term <> ''
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rnk,
+             round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 4) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf FROM scored WHERE rnk = 1
+    """,
+)
+def q54_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF: top term per document. Pure relational shape — explode
+    terms, two aggregates (term-freq per doc, doc-freq per term), corpus
+    size broadcast as a 1-row cross join, ranked window. Ranking uses only
+    INTEGER keys (tf desc, df asc, term) so a cross-engine ulp difference
+    in ln() can never flip the winner; the tfidf score itself is rounded
+    output. One shuffle each for tf, df, and the rank window."""
+    docs = read_table(spark, sf, "documents")
+    terms = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .select("doc_id", F.lower("term").alias("term"))
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    scored = (
+        tf.join(df_, "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 4
+            ),
+        )
+    )
+    return scored.filter(F.col("rnk") == 1).select("doc_id", "term", "tf", "df", "tfidf")
