@@ -1574,3 +1574,38 @@ def q54_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return scored.filter(F.col("rnk") == 1).select("doc_id", "term", "tf", "df", "tfidf")
+
+
+@register(
+    "q55_rolling_window",
+    """
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                  OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS value_1h,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_1h
+    FROM events
+    """,
+)
+def q55_rolling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 1-hour rolling aggregate per user — a RANGE frame over
+    event-time (microsecond epoch ordering so both engines bound the frame
+    identically). The event-level analogue of q34's sliding windows: frame
+    per row instead of per bucket. One shuffle on user_id."""
+    ev = read_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("value_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
