@@ -116,19 +116,25 @@ def containment_join(
 
     ``payload`` = lookup columns to attach. Returns fact columns + payload.
     """
-    lk = lookup.select(lookup_key, needle, *[p for p in payload if p not in (lookup_key, needle)])
+    from pyspark.sql import Window
 
-    exact = fact.join(
+    lk = lookup.select(
+        lookup_key, needle, *[p for p in payload if p not in (lookup_key, needle)]
+    ).withColumn("__hit", F.lit(1))
+
+    # unique row id: match/unmatch routing and the phase-2 first-match
+    # window must distinguish identical fact rows (and must not rely on a
+    # payload column being non-null — NULL payload values are legitimate)
+    tagged = fact.withColumn("__uid", F.monotonically_increasing_id())
+    exact = tagged.join(
         F.broadcast(lk.withColumnRenamed(lookup_key, fact_key)), on=fact_key, how="left"
     )
-    matched = exact.filter(F.col(payload[0]).isNotNull())
-    unmatched = exact.filter(F.col(payload[0]).isNull()).select(*fact.columns)
-
-    from pyspark.sql import Window
+    matched = exact.filter(F.col("__hit").isNotNull())
+    unmatched = exact.filter(F.col("__hit").isNull()).select(*tagged.columns)
 
     fuzzy_cond = F.col(haystack).contains(F.col(needle))
     order = F.col(tiebreak) if tiebreak else F.col(needle)
-    w = Window.partitionBy(*fact.columns).orderBy(order)
+    w = Window.partitionBy("__uid").orderBy(order)
     fuzzy = (
         unmatched.join(F.broadcast(lk.drop(lookup_key)), fuzzy_cond, "left")
         .withColumn("__rn", F.row_number().over(w))
@@ -156,7 +162,16 @@ def salted_join(
     split partition of a single key exceeds an executor. Only sensible for
     fact-to-small-dim joins — dim rows are replicated ``salt_buckets``
     times (a deliberate, bounded blow-up on the small side).
+
+    Only ``inner`` and ``left`` are supported: with the dim side exploded,
+    an outer join would emit every unmatched dim row once per salt bucket.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' (got {how!r}): the dim "
+            "side is replicated per salt bucket, so right/full-outer would "
+            "duplicate unmatched dim rows"
+        )
     salted_fact = fact.withColumn(
         "__salt", (F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))).cast("int")
     )
@@ -184,8 +199,11 @@ def asof_join(
 
     1. tag both sides, union on (key, ts) with right rows sorting BEFORE
        left rows at equal timestamps (gives <= semantics);
-    2. one window pass per key ordered by (ts, side): ``last(payload,
-       ignorenulls=True)`` carries the most recent right values forward;
+    2. one window pass per key ordered by (ts, side): ``last(payload_struct,
+       ignorenulls=True)`` carries the most recent right ROW forward —
+       payload travels as ONE struct, so a NULL field inside the matched
+       row stays NULL instead of being back-filled from an older row
+       (per-column carry-forward would produce torn composite rows);
     3. keep only left rows.
 
     Cost: ONE shuffle on the key + a sort within partitions — same cost
@@ -198,7 +216,7 @@ def asof_join(
     r = right.select(
         F.col(key),
         F.col(right_ts).alias(left_ts),
-        *[F.col(p).alias(f"__r_{p}") for p in payload],
+        F.struct(*[F.col(p) for p in payload]).alias("__r_payload"),
     ).withColumn("__side", F.lit(0))
     unioned = l.unionByName(r, allowMissingColumns=True)
     w = (
@@ -206,13 +224,13 @@ def asof_join(
         .orderBy(F.col(left_ts), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for p in payload:
-        unioned = unioned.withColumn(
-            f"{p}{suffix}", F.last(F.col(f"__r_{p}"), ignorenulls=True).over(w)
-        )
-    return unioned.filter(F.col("__side") == 1).drop(
-        "__side", *[f"__r_{p}" for p in payload]
+    carried = unioned.withColumn(
+        "__asof", F.last(F.col("__r_payload"), ignorenulls=True).over(w)
     )
+    out = carried.filter(F.col("__side") == 1)
+    for p in payload:
+        out = out.withColumn(f"{p}{suffix}", F.col("__asof")[p])
+    return out.drop("__side", "__r_payload", "__asof")
 
 
 def interval_join(
@@ -238,7 +256,14 @@ def interval_join(
 
     Because a point has a single bucket, every (point, interval) pair is
     produced at most once — no dedup needed. One shuffle on (keys, bucket).
+
+    ``how``: 'inner', or 'left' (points with no containing interval survive
+    null-padded). The residual can't simply be a post-join filter for
+    'left' — null-extended rows would evaluate NULL and be dropped — so the
+    left variant anti-joins the matched point set back in.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"interval_join supports how='inner'/'left' (got {how!r})")
     keys = list(keys)
     pb = points.withColumn(
         "__bucket", F.floor(F.unix_timestamp(F.col(point_ts)) / bucket_seconds)
@@ -252,8 +277,13 @@ def interval_join(
             )
         ),
     )
-    joined = pb.join(ib, on=keys + ["__bucket"], how=how)
     residual = (F.col(point_ts) >= F.col(start_ts)) & (
         F.col(point_ts) <= F.col(end_ts)
     )
-    return joined.filter(residual).drop("__bucket")
+    inner = pb.join(ib, on=keys + ["__bucket"], how="inner").filter(residual).drop("__bucket")
+    if how == "inner":
+        return inner
+    unmatched = points.join(
+        inner.select(*points.columns), on=list(points.columns), how="left_anti"
+    )
+    return inner.unionByName(unmatched, allowMissingColumns=True)

@@ -177,6 +177,13 @@ def minhash_near_dups(
     """
     from kp_data_pipelines_spark.operators.textops import with_hashed_shingles
 
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must evenly divide num_hashes (got bands={bands}, "
+            f"num_hashes={num_hashes}): a remainder silently drops signature "
+            "slots from banding; bands > num_hashes would hash empty slices "
+            "and put every row in one bucket"
+        )
     rows_per_band = num_hashes // bands
     # Stage 1: gram hashes once per row (token-hash slices, no shingle
     # strings); stage 2 folds them into [0, p) for the universal hashes.
@@ -289,9 +296,16 @@ def embedding_near_dup_pairs(
     missed); raise recall by lowering n_planes or probing bit-flip
     neighbors. Returns (id_a, id_b, cosine), id_a < id_b.
     """
-    dim = len(df.select(vec_col).first()[0])
+    first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if first is None:  # empty input: no pairs, keep the output schema
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    dim = len(first[0])
     planes = simhash_planes(dim, n_planes, seed)
-    b = with_hyperplane_bucket(df.select(id_col, vec_col), vec_col, planes, "bucket")
+    b = with_hyperplane_bucket(
+        ensure_parallelism(df.select(id_col, vec_col)), vec_col, planes, "bucket"
+    )
     v = F.transform(F.col(f"a.{vec_col}"), lambda x: x.cast("double"))
     w = F.transform(F.col(f"b.{vec_col}"), lambda x: x.cast("double"))
     cos = _dot(v, w) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(w, w)))
@@ -302,12 +316,12 @@ def embedding_near_dup_pairs(
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        .filter(cos >= threshold)  # exact threshold, not the rounded display value
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.round(cos, 6).alias("cosine"),
         )
-        .filter(F.col("cosine") >= threshold)
     )
 
 
@@ -412,13 +426,17 @@ def simhash_hamming_pairs(
     )
 
 
-def ivf_centroids(df: DataFrame, vec_col: str, n_centroids: int = 16, sample_ids=None):
+def ivf_centroids(
+    df: DataFrame, vec_col: str, n_centroids: int = 16, id_col: str | None = None
+):
     """Deterministic IVF 'training': take the first ``n_centroids`` vectors
-    in id order as centroids (a k-means seed without the iterations — at
-    100 TB you'd run ``pyspark.ml`` KMeans on a sample; the assignment and
-    probe machinery below is identical either way). Returns a driver-side
-    list of (centroid_id, vector)."""
-    rows = df.orderBy(df.columns[0]).limit(n_centroids).select(vec_col).collect()
+    ordered by ``id_col`` (default: the DataFrame's first column) as
+    centroids (a k-means seed without the iterations — at 100 TB you'd run
+    ``pyspark.ml`` KMeans on a sample; the assignment and probe machinery
+    below is identical either way). Returns a driver-side list of
+    (centroid_id, vector)."""
+    order_col = id_col if id_col is not None else df.columns[0]
+    rows = df.orderBy(order_col).limit(n_centroids).select(vec_col).collect()
     return [(i, [float(x) for x in r[0]]) for i, r in enumerate(rows)]
 
 
@@ -456,7 +474,7 @@ def ivf_topk(
     probe the query's ``nprobe`` nearest centroid cells, exact cosine top-k
     within the probed cells. At scale the assignment is written once as a
     partition column, so a query prunes to nprobe/n_centroids of the data."""
-    centroids = ivf_centroids(df, vec_col, n_centroids)
+    centroids = ivf_centroids(df, vec_col, n_centroids, id_col=id_col)
     assigned = df.withColumn(
         "__cell", _nearest_centroids_expr(vec_col, centroids, 1)[0]
     )
@@ -502,7 +520,13 @@ def ngram_jaccard_pairs(
         F.array_sort(F.array_distinct("__g")).alias("grams"),
     )
     sz = F.size("grams")
-    prefix_len = sz - F.ceil(sz * F.lit(float(threshold))).cast("int") + 1
+    # epsilon guards double overshoot when t*sz is mathematically integral
+    # (e.g. 0.55*20 -> 11.000000000000002, ceil 12 would SHORTEN the prefix
+    # and lose exactness); under-shoot only ever lengthens the prefix,
+    # which adds candidates but never drops a true pair
+    prefix_len = (
+        sz - F.ceil(sz * F.lit(float(threshold)) - F.lit(1e-9)).cast("int") + 1
+    )
     pref = g.select(
         F.col(id_col), F.explode(F.slice("grams", F.lit(1), prefix_len)).alias("gram")
     )

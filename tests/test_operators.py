@@ -224,3 +224,79 @@ def test_interval_join_containment(spark):
     out = interval_join(points, ivals, "t", "s", "e", keys=["k"], bucket_seconds=60)
     pairs = {(r["pid"], r["iid"]) for r in out.collect()}
     assert pairs == {(1, 10), (2, 11)}  # (3,12): point before interval
+
+
+def test_asof_join_null_payload_not_torn(spark):
+    """A NULL field inside the matched right row must stay NULL — not be
+    back-filled from an older right row (torn-row regression)."""
+    from kp_data_pipelines_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, "u", 300)], "event_id long, k string, t long").withColumn(
+        "t", F.timestamp_seconds("t")
+    )
+    right = spark.createDataFrame(
+        [("u", 100, "v1", 5.0), ("u", 200, "v2", None)],
+        "k string, rt long, tag string, val double",
+    ).withColumn("rt", F.timestamp_seconds("rt"))
+    out = asof_join(left, right, "k", "t", "rt", payload=["tag", "val"]).collect()[0]
+    assert out["tag_asof"] == "v2"
+    assert out["val_asof"] is None  # NOT 5.0 from the older row
+
+
+def test_containment_join_duplicate_facts_and_null_payload(spark):
+    from kp_data_pipelines_spark.operators.joins import containment_join
+
+    fact = spark.createDataFrame(
+        [("f", "has RNG1 inside"), ("f", "has RNG1 inside")],  # identical rows
+        ["fid", "haystack"],
+    ).withColumn("key", F.lit(None).cast("string"))
+    lookup = spark.createDataFrame(
+        [("RNG1", "RNG1", None, "keep")], "lk string, needle string, p1 string, p2 string"
+    )
+    out = containment_join(
+        fact, lookup, "key", "lk", "haystack", "needle", ["p1", "p2"], tiebreak="needle"
+    ).collect()
+    # both duplicate fact rows survive, each with the fuzzy match attached
+    assert len(out) == 2
+    assert all(r["p2"] == "keep" and r["p1"] is None for r in out)
+
+    # null-payload exact match is still treated as matched (no fuzzy misroute)
+    fact2 = spark.createDataFrame([("g", "no needle here", "K1")], ["fid", "haystack", "key"])
+    lookup2 = spark.createDataFrame(
+        [("K1", "ZZZ", None, "exact-hit")], "lk string, needle string, p1 string, p2 string"
+    )
+    out2 = containment_join(
+        fact2, lookup2, "key", "lk", "haystack", "needle", ["p1", "p2"]
+    ).collect()
+    assert len(out2) == 1 and out2[0]["p2"] == "exact-hit"
+
+
+def test_interval_join_left_keeps_unmatched_points(spark):
+    from kp_data_pipelines_spark.operators.joins import interval_join
+
+    points = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 9999)], "pid long, k string, t long"
+    ).withColumn("t", F.timestamp_seconds("t"))
+    ivals = spark.createDataFrame(
+        [(10, "u", 50, 150)], "iid long, k string, s long, e long"
+    ).withColumns({"s": F.timestamp_seconds("s"), "e": F.timestamp_seconds("e")})
+    out = interval_join(points, ivals, "t", "s", "e", keys=["k"], how="left").collect()
+    got = {r["pid"]: r["iid"] for r in out}
+    assert got == {1: 10, 2: None}  # unmatched point survives null-padded
+
+
+def test_minhash_rejects_bad_band_config(spark):
+    import pytest
+
+    from kp_data_pipelines_spark.operators.similarity import minhash_near_dups
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="bands"):
+        minhash_near_dups(df, "doc_id", "text", num_hashes=32, bands=5)
+
+
+def test_embedding_near_dups_empty_input(spark):
+    from kp_data_pipelines_spark.operators.similarity import embedding_near_dup_pairs
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert embedding_near_dup_pairs(df, "vec_id", "embedding").count() == 0
