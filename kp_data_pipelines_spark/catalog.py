@@ -295,8 +295,13 @@ def q09_distinct_pairs(spark: SparkSession, sf: str) -> DataFrame:
     "q10_fingerprint",
     """
     SELECT doc_id,
-           sha256(concat_ws('|', CAST(doc_id AS VARCHAR), text, lang, source,
-                            CAST(n_chars AS VARCHAR))) AS row_hash
+           sha256(concat_ws('|',
+             COALESCE(CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR), '<N>'),
+             COALESCE(CAST(length(text) AS VARCHAR) || ':' || text, '<N>'),
+             COALESCE(CAST(length(lang) AS VARCHAR) || ':' || lang, '<N>'),
+             COALESCE(CAST(length(source) AS VARCHAR) || ':' || source, '<N>'),
+             COALESCE(CAST(length(CAST(n_chars AS VARCHAR)) AS VARCHAR) || ':' || CAST(n_chars AS VARCHAR), '<N>')
+           )) AS row_hash
     FROM documents
     """,
 )
@@ -506,10 +511,13 @@ def q18_containment_join(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT doc_id,
            length(text) AS n_chars_c,
-           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-           len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct_words,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(list_distinct(string_split_regex(trim(text), '\\s+'))) END AS n_distinct_words,
            CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-             / len(string_split_regex(trim(text), '\\s+')) AS avg_token_len
+             / greatest(CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(string_split_regex(trim(text), '\\s+')) END, 1) AS avg_token_len
     FROM documents
     """,
 )
@@ -588,7 +596,9 @@ def q21_token_count(spark: SparkSession, sf: str) -> DataFrame:
                + 0.4 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
                         / greatest(CAST(length(text) AS DOUBLE), 1.0))
                + 0.2 * (CASE WHEN (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-                                   / len(string_split_regex(trim(text), '\\s+'))) BETWEEN 2.0 AND 12.0
+                                   / greatest(CASE WHEN trim(text) = '' THEN 0
+                                                   ELSE len(string_split_regex(trim(text), '\\s+')) END, 1))
+                             BETWEEN 2.0 AND 12.0
                         THEN 1.0 ELSE 0.5 END), 6) AS quality
     FROM documents
     """,

@@ -29,21 +29,28 @@ def coerce_numeric(col: Column | str) -> Column:
 
 
 def coerce_long(col: Column | str) -> Column:
-    """C18: cast to long, invalid -> NULL. Cast via double first so strings
-    like ``"47205.0"`` (pandas float-formatted ints) land as 47205."""
+    """C18: cast to long, invalid -> NULL. Direct long cast first so big
+    integers (> 2^53) keep exact values; the double fallback only handles
+    pandas float-formatted ints like ``"47205.0"`` that the direct cast
+    rejects."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.try_cast("double").try_cast("long")
+    return F.coalesce(c.try_cast("long"), c.try_cast("double").try_cast("long"))
 
 
 def sentinel_to_null(col: Column | str, sentinels: Sequence = ("", "0", 0)) -> Column:
     """C7: map sentinel values (empty string, "0", 0, ...) to NULL.
 
-    Comparison happens in string domain (ANSI-safe for mixed-type sentinel
-    lists — the reference's ``replace(["", "0", 0], pd.NA)`` mixes types the
-    same way)."""
+    String sentinels compare in string domain (ANSI-safe for mixed-type
+    lists); NUMERIC sentinels additionally compare numerically, because a
+    double 0.0 casts to the string "0.0" and would never match "0" — the
+    reference's ``replace(["", "0", 0], pd.NA)`` nulls numeric zeros too."""
     c = F.col(col) if isinstance(col, str) else col
     wanted = {str(s) for s in sentinels}
-    return F.when(c.cast("string").isin(*wanted), F.lit(None)).otherwise(c)
+    cond = c.cast("string").isin(*wanted)
+    numeric = [s for s in sentinels if isinstance(s, (int, float)) and not isinstance(s, bool)]
+    for s in numeric:
+        cond = cond | (c.try_cast("double") == F.lit(float(s)))
+    return F.when(cond, F.lit(None)).otherwise(c)
 
 
 def fill_from(primary: Column | str, *fallbacks: Column | str) -> Column:

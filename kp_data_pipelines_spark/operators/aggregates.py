@@ -22,7 +22,14 @@ def exact_sum(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
 
     Reference sums float64 then rounds (DOR VP Compare.ipynb:655); decimal
     aggregation gives the same value deterministically under any partition
-    order."""
+    order.
+
+    Contract: values are money at ``scale`` decimal places — each value is
+    HALF_UP-rounded to ``scale`` BEFORE summing (the paired SQL oracles do
+    the same per-value CAST, so both engines agree bit-for-bit). For
+    sub-scale quantities (micropayments, rates) raise ``scale``; values at
+    or beyond 10^(precision-scale) overflow and raise under ANSI — raise
+    ``precision`` for such columns."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
 
@@ -66,7 +73,9 @@ def pivot_sum(
     vc = F.col(value_col).cast("decimal(18,2)") if exact else F.col(value_col)
     out = df.groupBy(key).pivot(pivot_col, list(values)).agg(F.sum(vc))
     if exact:
-        out = out.withColumns({str(v): F.col(str(v)).cast("double") for v in values})
+        # Spark names a NULL pivot value's column "null" (not str(None))
+        names = ["null" if v is None else str(v) for v in values]
+        out = out.withColumns({n: F.col(f"`{n}`").cast("double") for n in names})
     return out
 
 

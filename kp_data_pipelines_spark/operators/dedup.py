@@ -62,9 +62,23 @@ def row_fingerprint(df: DataFrame, cols: Sequence[str] | None = None, out: str =
 
     The scalable seed of exact-dup detection: the reference builds
     ``astype(str).agg("|".join)`` keys (Transaction Duplicates.ipynb:36-38);
-    sha256 of the same separator-joined string shuffles 32 bytes/row at
-    100 TB instead of the full row. NULL is encoded as empty string by
-    concat_ws (pandas str(NaN) differs; semantics fixed here as '')."""
+    sha256 of a separator-joined string shuffles 32 bytes/row at 100 TB
+    instead of the full row.
+
+    Injection-safe encoding: each value is length-prefixed (``len:value``)
+    before joining, so ('a|b','c') and ('a','b|c') cannot collide — a raw
+    '|' join would fingerprint both as 'a|b|c'. NULL encodes as the fixed
+    marker '<N>' (can't collide with a real value: those start 'digits:')."""
     cols = list(cols) if cols else list(df.columns)
-    parts = [F.col(c).cast("string") for c in cols]
+    parts = [
+        F.coalesce(
+            F.concat(
+                F.length(F.col(c).cast("string")).cast("string"),
+                F.lit(":"),
+                F.col(c).cast("string"),
+            ),
+            F.lit("<N>"),
+        )
+        for c in cols
+    ]
     return df.withColumn(out, F.sha2(F.concat_ws("|", *parts), 256))

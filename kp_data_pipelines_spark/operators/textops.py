@@ -32,8 +32,12 @@ def _c(col: Column | str) -> Column:
 
 
 def whitespace_token_count(col: Column | str) -> Column:
-    """Whitespace tokenization count."""
-    return F.size(F.split(F.trim(_c(col)), r"\s+"))
+    """Whitespace tokenization count; empty/whitespace-only text counts 0
+    (split('') yields [''] — size 1 — without the guard)."""
+    c = _c(col)
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), r"\s+"))
+    )
 
 
 def regex_token_count(col: Column | str, pattern: str = TOKEN_REGEX) -> Column:
@@ -42,14 +46,20 @@ def regex_token_count(col: Column | str, pattern: str = TOKEN_REGEX) -> Column:
 
 
 def distinct_word_count(col: Column | str) -> Column:
-    return F.size(F.array_distinct(F.split(F.trim(_c(col)), r"\s+")))
+    c = _c(col)
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(
+        F.size(F.array_distinct(F.split(F.trim(c), r"\s+")))
+    )
 
 
 def avg_token_length(col: Column | str) -> Column:
-    """Mean token length = non-space chars / token count (double)."""
+    """Mean token length = non-space chars / token count (double);
+    empty text yields 0.0 (guarded denominator, no div-by-zero)."""
     c = _c(col)
     nonspace = F.length(F.regexp_replace(c, r"\s+", ""))
-    return nonspace.cast("double") / whitespace_token_count(c)
+    return nonspace.cast("double") / F.greatest(
+        whitespace_token_count(c), F.lit(1)
+    )
 
 
 def stopword_hits(col: Column | str, words: Sequence[str]) -> Column:

@@ -56,7 +56,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        # integer division: `/ 1000` is DOUBLE division, and 2024-era nano
+        # values (~1.7e18) exceed double's 2^53 exact range — ~12% of true
+        # nano-precision stamps would come back 1us off
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

@@ -32,13 +32,18 @@ class SchemaRegistry:
 
     def conform(self, df: DataFrame, name: str) -> DataFrame:
         """Project + reorder to the registered schema; missing columns become
-        typed NULLs; extra columns are dropped; types are cast."""
+        typed NULLs; extra columns are dropped; types are cast defensively —
+        try_cast, so an unparseable value lands as NULL instead of the
+        ANSI-mode (Spark 4 default) cast exception killing the pipeline
+        (matching the reference's coerce-style patching)."""
         schema = self.get(name)
         cols = []
         have = set(df.columns)
         for field in schema.fields:
             if field.name in have:
-                cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+                cols.append(
+                    F.col(field.name).try_cast(field.dataType).alias(field.name)
+                )
             else:
                 cols.append(F.lit(None).cast(field.dataType).alias(field.name))
         return df.select(*cols)

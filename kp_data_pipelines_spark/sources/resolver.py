@@ -35,6 +35,10 @@ def latest_snapshot(
             m = re.search(date_regex, os.path.basename(p))
             if not m:
                 return (0, "")
+            if not m.groups():
+                raise ValueError(
+                    f"date_regex {date_regex!r} needs one capture group for the date token"
+                )
             tok = m.group(1)
             if date_parse:
                 try:
@@ -48,9 +52,20 @@ def latest_snapshot(
 
 
 def max_partition(spark, table_path: str, partition_col: str):
-    """Partitioned-table variant: prune to the max partition value without
-    scanning data (partition listing only)."""
+    """Partitioned-table variant: newest partition value.
+
+    Hive-style layouts (``.../{col}=value/``) resolve from the DRIVER-SIDE
+    directory listing — zero Spark jobs, zero data read. Non-partitioned
+    fallback runs a column-pruned max() aggregate (Spark reads no data
+    pages for a pure partition column, but it is still a distributed job —
+    OptimizeMetadataOnlyQuery is disabled by default in modern Spark).
+    """
     from pyspark.sql import functions as F
 
+    prefix = f"{partition_col}="
+    dirs = glob(os.path.join(table_path, prefix + "*"))
+    values = [os.path.basename(d)[len(prefix):] for d in dirs if os.path.isdir(d)]
+    if values:
+        return max(values)
     df = spark.read.parquet(table_path)
     return df.select(F.max(partition_col).alias("p")).collect()[0]["p"]

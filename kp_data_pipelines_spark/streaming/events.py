@@ -52,6 +52,7 @@ def windowed_event_counts(
     window: str = "1 hour",
     slide: str | None = None,
     watermark: str = "2 hours",
+    value_col: str = "value",
 ) -> DataFrame:
     """Tumbling (or sliding) event-time window counts + value sums with
     late-data tolerance. Batch twin: catalog q25_window_events."""
@@ -61,7 +62,7 @@ def windowed_event_counts(
         .groupBy(w.alias("w"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -158,8 +159,12 @@ def sessionize_stateful(
             start_us = last_us = None
             n, total = 0, 0.0
         closed = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(ts_col)
+        # one group's rows can arrive as MULTIPLE Arrow chunks that are not
+        # globally time-ordered; sorting per chunk would let last_us move
+        # backwards — concatenate first, sort once
+        chunks = [pdf for pdf in pdf_iter]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
             for ts, val in zip(pdf[ts_col], pdf[value_col]):
                 us = int(pd.Timestamp(ts).value // 1000)
                 if last_us is not None and us - last_us > gap_us:

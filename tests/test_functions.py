@@ -107,3 +107,69 @@ def test_scrub_and_total_suffix(spark):
     ).collect()[0]
     assert row["a"] == "RNG123456"
     assert row["b"] == "badchars"
+
+
+def test_coerce_long_preserves_big_integers(spark):
+    from kp_data_pipelines_spark.functions.cleaning import coerce_long
+
+    df = spark.createDataFrame(
+        [("9007199254740993",), ("47205.0",), ("junk",)], ["s"]
+    )
+    vals = [r["v"] for r in df.select(coerce_long("s").alias("v")).collect()]
+    assert vals == [9007199254740993, 47205, None]  # no double round-trip loss
+
+
+def test_sentinel_to_null_numeric_zero(spark):
+    from kp_data_pipelines_spark.functions.cleaning import sentinel_to_null
+
+    df = spark.createDataFrame([(0.0,), (1.5,)], ["v"])
+    vals = [r["o"] for r in df.select(sentinel_to_null("v").alias("o")).collect()]
+    assert vals == [None, 1.5]  # double 0.0 (string "0.0") still nulls
+
+
+def test_token_counts_empty_text(spark):
+    from kp_data_pipelines_spark.operators.textops import (
+        avg_token_length,
+        distinct_word_count,
+        whitespace_token_count,
+    )
+
+    df = spark.createDataFrame([("",), ("   ",), ("a b",)], ["text"])
+    rows = df.select(
+        whitespace_token_count("text").alias("n"),
+        distinct_word_count("text").alias("d"),
+        avg_token_length("text").alias("avg"),
+    ).collect()
+    assert [(r["n"], r["d"]) for r in rows] == [(0, 0), (0, 0), (2, 2)]
+    assert rows[0]["avg"] == 0.0
+
+
+def test_row_fingerprint_no_separator_injection(spark):
+    from kp_data_pipelines_spark.operators.dedup import row_fingerprint
+
+    df = spark.createDataFrame([("a|b", "c"), ("a", "b|c")], ["x", "y"])
+    vals = [r["row_hash"] for r in row_fingerprint(df).collect()]
+    assert vals[0] != vals[1]
+
+
+def test_registry_conform_try_cast(spark):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from kp_data_pipelines_spark.sources.registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.register("t", StructType([StructField("amount", LongType())]))
+    df = spark.createDataFrame([("12",), ("N/A",)], ["amount"])
+    vals = [r["amount"] for r in reg.conform(df, "t").collect()]
+    assert vals == [12, None]  # ANSI cast would have thrown on 'N/A'
+
+
+def test_pivot_sum_null_pivot_value(spark):
+    from kp_data_pipelines_spark.operators.aggregates import pivot_sum
+
+    df = spark.createDataFrame(
+        [("g1", "x", 1.0), ("g1", None, 2.0)], "k string, p string, v double"
+    )
+    out = pivot_sum(df, "k", "p", "v")
+    row = out.collect()[0]
+    assert row["x"] == 1.0 and row["null"] == 2.0
