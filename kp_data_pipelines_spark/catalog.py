@@ -1619,3 +1619,229 @@ def q55_rolling_window(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("value_1h"),
         F.count(F.lit(1)).over(w).alias("n_1h"),
     )
+
+@register(
+    "q56_cube_totals",
+    """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def q56_cube_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE cross-tab totals (complements q48's ROLLUP): all four grouping
+    combinations in one pass. Spark expands grouping sets before the shuffle
+    but keeps map-side partial aggregation — cost stays one wide shuffle of
+    (priority x status x 4) partial rows, independent of input size."""
+    orders = read_table(spark, sf, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "q57_lag_lead",
+    """
+    SELECT event_id, user_id,
+           epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q57_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
+    """lag/lead inter-arrival analysis per user: time since previous event
+    (microseconds — sub-second timestamps, so epoch_us on both engines) and
+    the next event's type. One shuffle on user_id serves both window
+    functions (same partitioning + ordering -> single Window physical op).
+    event_id tiebreak makes lag/lead deterministic under equal timestamps."""
+    ev = read_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "q58_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def q58_running_total(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative spend per customer — ROWS-frame running sum in DECIMAL so
+    the prefix sums are order-independent bit-identical (a double running
+    sum would accumulate differently than the oracle's). Explicit ROWS
+    frame: the (o_orderdate, o_orderkey) ordering is unique, and ROWS lets
+    the engine keep one accumulator instead of RANGE's tie-group scan."""
+    orders = read_table(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@register(
+    "q59_group_quantiles",
+    """
+    WITH ranked AS (
+      SELECT c_mktsegment, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM customer
+    )
+    SELECT c_mktsegment AS mktsegment,
+           MAX(n) AS n_customers,
+           MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN c_acctbal END) AS p50_acctbal,
+           MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN c_acctbal END) AS p90_acctbal
+    FROM ranked
+    GROUP BY c_mktsegment
+    """,
+)
+def q59_group_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact discrete per-group quantiles via rank-pick (rn == ceil(p*n)).
+    Interpolating percentile_cont is float-hazardous on 2-decimal money
+    (x.xx5 midpoints round differently across engines); picking an actual
+    data value is bit-exact. At 100 TB swap in approx_percentile (t-digest,
+    no global sort) — this exact form is the correctness oracle for it."""
+    cust = read_table(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wn = Window.partitionBy("c_mktsegment")
+    ranked = cust.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"),
+            F.col("c_acctbal"),
+        )
+    )
+    return ranked.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.max("n").alias("n_customers"),
+        pick(0.5).alias("p50_acctbal"),
+        pick(0.9).alias("p90_acctbal"),
+    )
+
+
+@register(
+    "q60_big_orders",
+    """
+    SELECT c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_totalprice, total_qty
+    FROM (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    ) lq
+    JOIN orders   ON o_orderkey = lq.l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q60_big_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): aggregate lineitem FIRST and
+    apply the HAVING filter before any join — the >250 threshold keeps ~1%%
+    of orders, so the joins move 1%% of the data. Aggregating after the join
+    would shuffle the full 6x-wider joined table. Customer is a dimension:
+    broadcast."""
+    li = read_table(spark, sf, "lineitem")
+    orders = read_table(spark, sf, "orders")
+    customer = read_table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(exact_sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "q61_small_qty_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#12'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def q61_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated into an aggregate + self-join. The brand filter
+    is applied BEFORE computing averages (the correlation key is l_partkey,
+    and brand is a part property — restricting to Brand#12 parts leaves
+    each part's average unchanged), so both passes scan only the ~1/25
+    brand slice. Quantities are integral, so the double AVG is bit-exact
+    on both engines."""
+    part = (
+        read_table(spark, sf, "part")
+        .filter(F.col("p_brand") == "Brand#12")
+        .select("p_partkey")
+    )
+    li = read_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_b = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).drop(
+        "p_partkey"
+    )
+    avg_q = li_b.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li_b.join(avg_q, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((exact_sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
