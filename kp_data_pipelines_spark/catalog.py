@@ -1845,3 +1845,172 @@ def q61_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg((exact_sum("l_extendedprice") / 7.0).alias("avg_yearly"))
     )
+
+@register(
+    "q62_stratified_sample",
+    """
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE ((doc_id % 1000003) * 1103515245 + 12345) % 1000
+          < (CASE WHEN lang = 'en' THEN 100 ELSE 300 END)
+    """,
+)
+def q62_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling: a pure-arithmetic LCG hash of the
+    key picks a per-mille bucket, compared against a per-stratum rate
+    (downsample dominant 'en', keep more of the rest) — the standard
+    training-data rebalance before tokenization. Unlike ``df.sample`` this
+    is reproducible across engines/runs/partitionings, is a pushdown-able
+    scan predicate (no shuffle at any scale), and the inner ``% 1000003``
+    keeps the product far from BIGINT overflow (ANSI-safe)."""
+    docs = read_table(spark, sf, "documents")
+    bucket = ((F.col("doc_id") % 1000003) * 1103515245 + 12345) % 1000
+    rate = F.when(F.col("lang") == "en", 100).otherwise(300)
+    return docs.filter(bucket < rate).select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "q63_top_bigrams",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(t) AS tok,
+             generate_subscripts(t, 1) AS pos
+      FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+            FROM documents)
+    )
+    SELECT a.tok || ' ' || b.tok AS bigram, COUNT(*) AS cnt
+    FROM toks a
+    JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY 1
+    ORDER BY cnt DESC, bigram
+    LIMIT 20
+    """,
+)
+def q63_top_bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level top-k bigrams, fully relational: posexplode tokens,
+    self-equi-join on (doc_id, pos+1) to form bigrams, count, global top-20.
+    orderBy+limit compiles to TakeOrderedAndProject — each partition keeps
+    only its local top-20 partial-aggregated counts, so no global sort
+    materializes even over a 100 TB vocabulary. The position join is an
+    equi-join (plan_audit-clean), not a lambda over arrays (Spark HOFs are
+    interpreted per element — see verify SKILL.md)."""
+    docs = read_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "tok"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .select(F.concat_ws(" ", F.col("a.tok"), F.col("b.tok")).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "bigram")
+        .limit(20)
+    )
+
+
+@register(
+    "q64_decile_stats",
+    """
+    WITH t AS (
+      SELECT n_chars,
+             NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM documents
+    )
+    SELECT decile,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM t
+    GROUP BY decile
+    """,
+)
+def q64_decile_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Document-length decile profile (corpus curation: where to truncate /
+    drop). NTILE over a unique (n_chars, doc_id) order is deterministic on
+    both engines. The single-partition global window is the known cost —
+    at 100 TB replace with approx_percentile boundaries + a broadcast
+    range lookup; this exact form is that path's oracle."""
+    docs = read_table(spark, sf, "documents")
+    t = docs.select(
+        "n_chars",
+        F.ntile(10).over(Window.orderBy("n_chars", "doc_id")).alias("decile"),
+    )
+    return t.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+@register(
+    "q65_event_funnel",
+    """
+    WITH u AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
+             min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS first_click,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(first_view) AS n_view,
+           CAST(SUM(CASE WHEN first_click > first_view THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view_then_click,
+           CAST(SUM(CASE WHEN first_purchase > first_click AND first_click > first_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM u
+    """,
+)
+def q65_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """view -> click -> purchase conversion funnel as two aggregates: a
+    per-user conditional-min collapse (one shuffle on user_id, map-side
+    partials), then a single-row reduce. NULL-propagating comparisons make
+    'never did X' fall out of the CASE without explicit null handling.
+    Timestamps compare as unix micros: the parquet stamps are nanos and
+    the two engines truncate at different stages otherwise."""
+    ev = read_table(spark, sf, "events")
+    first = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.unix_micros(F.col("ts")))
+    )
+    u = ev.groupBy("user_id").agg(
+        first("view").alias("first_view"),
+        first("click").alias("first_click"),
+        first("purchase").alias("first_purchase"),
+    )
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_view").alias("n_view"),
+        flag(F.col("first_click") > F.col("first_view")).alias("n_view_then_click"),
+        flag(
+            (F.col("first_purchase") > F.col("first_click"))
+            & (F.col("first_click") > F.col("first_view"))
+        ).alias("n_full_funnel"),
+    )
+
+
+@register("q66_dedup_components")
+def q66_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive closure of MinHash near-dup pairs into dedup clusters
+    (connected components, min-label propagation — see operators/graph.py).
+    The canonical-representative step of fuzzy dedup: keep component ==
+    doc_id, drop the rest. Iterative + xxhash64-based, so rows-only check."""
+    from kp_data_pipelines_spark.operators.graph import connected_components
+    from kp_data_pipelines_spark.operators.similarity import minhash_near_dups
+
+    docs = read_table(spark, sf, "documents")
+    pairs = minhash_near_dups(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=32, bands=16,
+        jaccard_threshold=0.4,
+    )
+    return connected_components(pairs, "id_a", "id_b")

@@ -300,3 +300,23 @@ def test_embedding_near_dups_empty_input(spark):
 
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert embedding_near_dup_pairs(df, "vec_id", "embedding").count() == 0
+
+
+def test_connected_components_chain_and_clique(spark):
+    from kp_data_pipelines_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4 (diameter > 1 forces multiple rounds), clique {10,11,12},
+    # duplicate + reversed + self edges must not matter
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (4, 3), (5, 5)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_connected_components_empty(spark):
+    from kp_data_pipelines_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(edges).count() == 0
