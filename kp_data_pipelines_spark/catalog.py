@@ -1056,11 +1056,40 @@ def q40_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("vec_id", "label")
 
 
-@register("q41_ngram_jaccard")
+@register(
+    "q41_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    gd AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+            FROM toks)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM gd GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS o
+      FROM gd a JOIN gd b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.35
+    """,
+)
 def q41_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """EXACT n-gram Jaccard pairs via prefix filtering (PPJoin-style):
-    hash-ordered gram arrays, prefix-only explode, keyed candidate join,
-    exact verification — no cross join at any scale."""
+    hash-ordered gram arrays, prefix-only explode, keyed candidate join
+    pruned by length + positional filters, exact verification — no cross
+    join at any scale. Oracle-checkable because the hashed-gram Jaccard
+    equals the string-gram Jaccard (xxhash64 is injective in practice),
+    and the final value is a single IEEE division of two exact small ints
+    — bit-identical across engines, no rounding needed."""
     from kp_data_pipelines_spark.operators.similarity import ngram_jaccard_pairs
 
     docs = read_table(spark, sf, "documents")

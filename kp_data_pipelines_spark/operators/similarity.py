@@ -504,7 +504,14 @@ def ngram_jaccard_pairs(
        ``|g| - ceil(t*|g|) + 1`` ordered grams. Two sets with Jaccard >= t
        MUST share at least one prefix gram, so the candidate equi-join on
        the gram value has no false negatives.
-    3. Candidates (id_a < id_b, deduped) are verified exactly with
+    3. Candidate pairs are pruned inside the join with PPJoin's length
+       filter (J >= t forces min(|a|,|b|) >= t*max(|a|,|b|)) and positional
+       filter (at the pair's first shared prefix gram, the remaining-suffix
+       overlap bound min(|a|-pa, |b|-pb) must reach the required overlap
+       ceil(t/(1+t)*(|a|+|b|))) — both are safe for ANY shared occurrence,
+       because the first occurrence always satisfies them for a true pair
+       and pairs survive if any occurrence passes.
+    4. Survivors (id_a < id_b, deduped) are verified exactly with
        array_intersect / array_union over the full hashed-gram arrays.
 
     Every join is keyed (gram hash, then id) — at 100 TB these are plain
@@ -528,14 +535,27 @@ def ngram_jaccard_pairs(
         sz - F.ceil(sz * F.lit(float(threshold)) - F.lit(1e-9)).cast("int") + 1
     )
     pref = g.select(
-        F.col(id_col), F.explode(F.slice("grams", F.lit(1), prefix_len)).alias("gram")
+        F.col(id_col),
+        sz.alias("sz"),
+        F.posexplode(F.slice("grams", F.lit(1), prefix_len)).alias("pos", "gram"),
+    )
+    t = F.lit(float(threshold))
+    sa, sb = F.col("a.sz"), F.col("b.sz")
+    length_ok = F.least(sa, sb) >= t * F.greatest(sa, sb) - F.lit(1e-9)
+    # required overlap o >= t/(1+t)*(sa+sb); suffix bound from this
+    # occurrence (pos is 0-based, so sa - pos grams remain incl. the match)
+    pos_ok = (
+        F.least(sa - F.col("a.pos"), sb - F.col("b.pos")).cast("double")
+        >= t / (F.lit(1.0) + t) * (sa + sb) - F.lit(1e-9)
     )
     cand = (
         pref.alias("a")
         .join(
             pref.alias("b"),
             (F.col("a.gram") == F.col("b.gram"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & length_ok
+            & pos_ok,
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
