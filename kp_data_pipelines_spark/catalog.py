@@ -2028,6 +2028,177 @@ def q65_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q67_session_components",
+    """
+    WITH ordered AS (
+      SELECT event_id, user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), numbered AS (
+      SELECT event_id, user_id, ts,
+             SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sess
+      FROM ordered
+    )
+    SELECT event_id AS node,
+           MIN(event_id) OVER (PARTITION BY user_id, sess) AS component
+    FROM numbered
+    """,
+)
+def q67_session_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Oracle-checked connected components: nodes are events, edges link
+    consecutive same-user events <= 30 min apart, so components ARE the
+    gaps-and-islands sessions — an independent SQL derivation DuckDB can
+    hash-check, closing the loop on the iterative min-label+pointer-jump
+    algorithm in operators/graph.py (which a recursive oracle can't reach
+    through seeded-hash edge sets like q66's). Gap compares unix MICROS on
+    both engines (nanos parquet stamps truncate differently otherwise).
+    Singleton events (no edge) re-enter via left join + coalesce."""
+    from kp_data_pipelines_spark.operators.graph import connected_components
+
+    ev = read_table(spark, sf, "events").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    edges = (
+        ev.select(
+            F.lag("event_id").over(w).alias("src"),
+            F.col("event_id").alias("dst"),
+            (us - F.lag(us).over(w)).alias("gap_us"),
+        )
+        .filter(F.col("gap_us") <= 30 * 60 * 1_000_000)
+        .select("src", "dst")
+    )
+    labels = connected_components(edges)
+    nodes = ev.select(F.col("event_id").alias("node"))
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
+    )
+
+
+@register(
+    "q68_decontamination",
+    """
+    WITH gd AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS gram
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 3, 1))) AS i
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+                  FROM documents))
+    ),
+    ev AS (SELECT doc_id AS eval_id, gram FROM gd WHERE doc_id % 50 = 0),
+    tr AS (SELECT doc_id, gram FROM gd WHERE doc_id % 50 <> 0)
+    SELECT tr.doc_id,
+           COUNT(DISTINCT tr.gram) AS n_shared_grams,
+           COUNT(DISTINCT ev.eval_id) AS n_eval_docs
+    FROM tr JOIN ev ON tr.gram = ev.gram
+    GROUP BY tr.doc_id
+    """,
+)
+def q68_decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/PaLM style): flag training docs
+    sharing any word 4-gram with the eval split (here doc_id % 50 == 0).
+    Eval-side grams are BROADCAST — a benchmark set is small by
+    construction, so at 100 TB the train scan never shuffles; the report
+    is one map-side join + one groupBy on the contaminated sliver."""
+    from kp_data_pipelines_spark.operators.similarity import ensure_parallelism
+    from kp_data_pipelines_spark.operators.textops import with_hashed_shingles
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text")
+    grams = with_hashed_shingles(
+        ensure_parallelism(docs), "text", "__g", 4
+    ).select("doc_id", F.explode(F.array_distinct("__g")).alias("gram"))
+    ev = grams.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_id"), "gram"
+    )
+    tr = grams.filter(F.col("doc_id") % 50 != 0)
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+@register(
+    "q69_sequence_packing",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS prior
+      FROM t
+    )
+    SELECT source, CAST(floor(prior / 2048) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tot_tok,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c
+    GROUP BY source, bin
+    """,
+)
+def q69_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (LLM pretraining): per source
+    shard, docs in doc_id order fill 2048-token bins by exclusive running
+    token count. Per-source windows keep the cumsum distributed (one
+    shuffle on source); a global pack at 100 TB would use the two-pass
+    range-partition + broadcast-offsets form instead of one window."""
+    docs = read_table(spark, sf, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("prior", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return c.groupBy(
+        "source", F.floor(F.col("prior") / 2048).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("tot_tok"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register(
+    "q70_pattern_redaction",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\\b(spark|hash)\\b')) AS n_masked,
+           regexp_replace(text, '\\b(spark|hash)\\b', '[MASK]', 'g') AS redacted
+    FROM documents
+    WHERE regexp_matches(text, '\\b(spark|hash)\\b')
+    """,
+)
+def q70_pattern_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """PII-style pattern redaction with audit counts: mask every match of
+    a word-boundary regex and report how many were masked per doc (the
+    corpus has no synthetic emails/phones, so the pattern targets tokens
+    that actually occur; the machinery — global regexp_replace +
+    regexp_count + match filter, all JVM-side codegen — is exactly the
+    email/SSN scrub path). Narrow scan: only doc_id and text are read."""
+    docs = read_table(spark, sf, "documents")
+    pat = r"\b(spark|hash)\b"
+    return docs.filter(F.col("text").rlike(pat)).select(
+        "doc_id",
+        F.regexp_count("text", F.lit(pat)).alias("n_masked"),
+        F.regexp_replace("text", pat, "[MASK]").alias("redacted"),
+    )
+
+
 @register("q66_dedup_components")
 def q66_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     """Transitive closure of MinHash near-dup pairs into dedup clusters

@@ -6,18 +6,19 @@ canonical representative per connected component. The reference has no
 graph surface (its dedup is exact `drop_duplicates`, SURVEY.md §2.8
 D1-D3); this is the scale path for the fuzzy variants.
 
-Algorithm: min-label propagation to fixpoint — each node repeatedly
-adopts the smallest component id among itself and its neighbors.
-Converges in O(graph diameter) rounds; near-dup graphs are overwhelmingly
-tiny cliques/chains, so 3-5 rounds in practice. Each round is one
-equi-join + one groupBy (two shuffles) on the edge list — no driver-side
-data beyond the convergence counter. Lineage is truncated every round
-with ``localCheckpoint`` so plan size stays O(1) across iterations.
+Algorithm: min-label propagation with pointer jumping — each round every
+node (1) adopts the smallest label among itself and its neighbors, then
+(2) adopts its label's label (path compression). Step 2 makes label
+trees halve in height every round, so convergence is O(log diameter)
+rounds rather than O(diameter) — a 1000-event session chain resolves in
+~10 rounds, not ~1000. Each round is two equi-joins + one groupBy (three
+keyed shuffles) on the edge list — no driver-side data beyond the
+convergence counter. Lineage is truncated every round with
+``localCheckpoint`` so plan size stays O(1) across iterations.
 
-For adversarial long-chain graphs at 100 TB, swap the body for the
-alternating large-star/small-star rounds of Kiveris et al., "Connected
-Components in MapReduce and Beyond" (SOCC'14) — same join/agg primitive,
-fewer rounds on high-diameter graphs.
+Same primitive family as the alternating large-star/small-star rounds of
+Kiveris et al., "Connected Components in MapReduce and Beyond"
+(SOCC'14); this formulation keeps every shuffle keyed on node/label ids.
 """
 
 from __future__ import annotations
@@ -69,7 +70,17 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = updated.filter(F.col("_changed")).count()
-        labels = updated.drop("_changed")
+        # pointer jumping: adopt the label of our label (labels only ever
+        # shrink toward the component min, so this is always sound); every
+        # label value is itself a node, so the inner self-join is total
+        parents = updated.select(
+            F.col("node").alias("p_node"), F.col("component").alias("p_comp")
+        )
+        labels = (
+            updated.join(parents, updated.component == parents.p_node)
+            .select("node", F.col("p_comp").alias("component"))
+            .localCheckpoint(eager=True)
+        )
         if changed == 0:
             break
     return labels

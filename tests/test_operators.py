@@ -315,6 +315,18 @@ def test_connected_components_chain_and_clique(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
 
 
+def test_connected_components_long_chain_converges_fast(spark):
+    from kp_data_pipelines_spark.operators.graph import connected_components
+
+    # 64-node path: O(diameter) propagation would need ~63 rounds; pointer
+    # jumping must finish well inside max_iter=10
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src long, dst long"
+    )
+    got = connected_components(edges, max_iter=10).collect()
+    assert {r["component"] for r in got} == {0} and len(got) == 64
+
+
 def test_connected_components_empty(spark):
     from kp_data_pipelines_spark.operators.graph import connected_components
 
