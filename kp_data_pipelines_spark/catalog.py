@@ -2199,6 +2199,76 @@ def q70_pattern_redaction(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q71_snapshot_upsert",
+    """
+    WITH upd AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+             'updated' AS c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM upd
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+    """,
+)
+def q71_snapshot_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC snapshot refresh: an update batch (here every 10th customer
+    with a shifted balance) replaces same-key rows, everything else passes
+    through. Single-shuffle priority-dedup upsert — see
+    reconcile.snapshot_upsert. The +100.0 is exact in binary, so doubles
+    hash-match without decimal staging."""
+    from kp_data_pipelines_spark.operators.reconcile import snapshot_upsert
+
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    cust = read_table(spark, sf, "customer").select(cols)
+    upd = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit("updated").alias("c_mktsegment"),
+    )
+    return snapshot_upsert(cust, upd, ["c_custkey"])
+
+
+@register(
+    "q72_mixture_rebalance",
+    """
+    WITH counts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    r AS (
+      SELECT lang,
+             (1000000 * (SELECT MIN(cnt) FROM counts)) // cnt AS rate_ppm
+      FROM counts
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE ((d.doc_id % 1000003) * 1103515245 + 12345) % 1000000 < r.rate_ppm
+    """,
+)
+def q72_mixture_rebalance(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mixture rebalancing: downsample every language stratum to
+    the size of the smallest via a deterministic LCG-hash gate, the
+    two-pass form (count strata -> broadcast per-stratum ppm rates ->
+    pushdown-able scan filter). Rates use exact integer division (`div` /
+    `//`) — floor of a float quotient can disagree between engines near
+    integral quotients. The rates side is |langs| rows, so its global-min
+    window and the broadcast are O(1) at any corpus size."""
+    docs = read_table(spark, sf, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    rates = counts.withColumn(
+        "min_cnt", F.min("cnt").over(Window.partitionBy(F.lit(1)))
+    ).select("lang", F.expr("(1000000 * min_cnt) div cnt").alias("rate_ppm"))
+    gate = ((F.col("doc_id") % 1000003) * 1103515245 + 12345) % 1000000
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(gate < F.col("rate_ppm"))
+        .select("doc_id", "lang", "source")
+    )
+
+
 @register("q66_dedup_components")
 def q66_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     """Transitive closure of MinHash near-dup pairs into dedup clusters

@@ -70,6 +70,9 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = updated.filter(F.col("_changed")).count()
+        if changed == 0:
+            labels = updated.drop("_changed")
+            break
         # pointer jumping: adopt the label of our label (labels only ever
         # shrink toward the component min, so this is always sound); every
         # label value is itself a node, so the inner self-join is total
@@ -81,6 +84,4 @@ def connected_components(
             .select("node", F.col("p_comp").alias("component"))
             .localCheckpoint(eager=True)
         )
-        if changed == 0:
-            break
     return labels

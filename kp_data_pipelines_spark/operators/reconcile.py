@@ -52,3 +52,28 @@ def reconcile_summary(
         exact_sum(left_amount).alias(f"total_{left_amount}"),
         exact_sum(right_amount).alias(f"total_{right_amount}"),
     )
+
+
+def snapshot_upsert(
+    current: DataFrame, updates: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """CDC upsert: rows from ``updates`` replace same-key rows in
+    ``current``; unmatched rows pass through (the monthly snapshot refresh
+    the reference rebuilds by hand each cycle, e.g. `Saoirse
+    Automation.ipynb`'s replace-then-append blocks).
+
+    One shuffle total: union both sides with a priority tag and keep the
+    highest-priority row per key (W2 keep-first machinery) — cheaper at
+    100 TB than the anti-join + union form, which shuffles each side
+    separately. Schemas must align by name."""
+    from pyspark.sql import Window
+
+    tagged = updates.withColumn("__prio", F.lit(0)).unionByName(
+        current.withColumn("__prio", F.lit(1))
+    )
+    w = Window.partitionBy(*keys).orderBy("__prio")
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__prio", "__rn")
+    )

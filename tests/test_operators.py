@@ -332,3 +332,16 @@ def test_connected_components_empty(spark):
 
     edges = spark.createDataFrame([], "src long, dst long")
     assert connected_components(edges).count() == 0
+
+
+def test_snapshot_upsert(spark):
+    from kp_data_pipelines_spark.operators.reconcile import snapshot_upsert
+
+    current = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, name string, amt double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], "k long, name string, amt double"
+    )
+    got = {r["k"]: (r["name"], r["amt"]) for r in snapshot_upsert(current, updates, ["k"]).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
