@@ -2269,6 +2269,219 @@ def q72_mixture_rebalance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q73_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_name <> n2.n_name
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q73_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume by year. The two fact
+    tables shuffle once on orderkey; both nation lookups broadcast (the
+    same tiny dim joined twice under different aliases). Revenue via
+    decimal staging for order-independent totals."""
+    li = read_table(spark, sf, "lineitem")
+    orders = read_table(spark, sf, "orders")
+    supplier = read_table(spark, sf, "supplier")
+    customer = read_table(spark, sf, "customer")
+    nation = read_table(spark, sf, "nation")
+    n1 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ))
+    n2 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    ))
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q74_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, nation
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q74_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue. The
+    returnflag filter pushes into the lineitem scan; orderBy+limit
+    compiles to TakeOrderedAndProject (per-partition top-20, no global
+    sort). Tiebreak on c_custkey keeps the limit deterministic."""
+    li = read_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = read_table(spark, sf, "orders")
+    customer = read_table(spark, sf, "customer")
+    nation = read_table(spark, sf, "nation")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q75_supplier_diversity",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size IN (1, 2, 3, 4, 5)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q75_supplier_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp stands in via lineitem): distinct
+    suppliers per part attribute group. Catalyst expands the distinct
+    aggregate into a two-stage partial dedup, so the shuffle carries
+    (group, suppkey) pairs — never raw rows. Size filter pushes to the
+    part scan and prunes before the broadcast."""
+    li = read_table(spark, sf, "lineitem")
+    part = read_table(spark, sf, "part").filter(
+        F.col("p_size").isin(1, 2, 3, 4, 5)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q76_disjunctive_predicates",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30
+           AND p.p_type = 'PROMO')
+    """,
+)
+def q76_disjunctive_predicates(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs spanning both join sides. Catalyst
+    factors the common p_partkey equi-key out of the disjunction, so this
+    stays a broadcast hash join with a post-join residual — the naive
+    reading (three separate joins unioned) would scan lineitem thrice."""
+    li = read_table(spark, sf, "lineitem")
+    part = read_table(spark, sf, "part")
+    q, b, s, t = (
+        F.col("l_quantity"), F.col("p_brand"), F.col("p_size"), F.col("p_type")
+    )
+    cond = (
+        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#2") & s.between(1, 25) & q.between(10, 20))
+        | (s.between(1, 35) & q.between(20, 30) & (t == "PROMO"))
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q77_idle_rich_customers",
+    """
+    WITH thr AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS a
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c, thr
+    WHERE c.c_acctbal > thr.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q77_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no urgent
+    orders (every customer in this dataset has SOME order, so plain Q22's
+    no-order test would be vacuous). The global threshold is a true SCALAR
+    SUBQUERY (spark.sql): Spark executes it as a separate stage and
+    inlines the result as a literal into the customer scan filter — no
+    join of any kind, which beats both the constant-key hash join (which
+    Catalyst folds into a BroadcastNestedLoopJoin) and a crossJoin.
+    Threshold = exact decimal sum / count, a deterministic division both
+    engines agree on bit-for-bit. The anti join pushes its priority
+    filter into the orders scan; broadcast here, a keyed shuffle at
+    100 TB."""
+    read_table(spark, sf, "customer").createOrReplaceTempView("q77_customer")
+    read_table(spark, sf, "orders").createOrReplaceTempView("q77_orders")
+    return spark.sql(
+        """
+        SELECT c.c_nationkey, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS totacctbal
+        FROM q77_customer c
+        LEFT ANTI JOIN (SELECT o_custkey FROM q77_orders
+                        WHERE o_orderpriority = '1-URGENT') o
+          ON o.o_custkey = c.c_custkey
+        WHERE c.c_acctbal >
+              (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                        / COUNT(*)
+               FROM q77_customer WHERE c_acctbal > 0)
+        GROUP BY c.c_nationkey
+        """
+    )
+
+
 @register("q66_dedup_components")
 def q66_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     """Transitive closure of MinHash near-dup pairs into dedup clusters
