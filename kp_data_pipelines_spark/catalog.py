@@ -2482,6 +2482,42 @@ def q77_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q78_column_profile",
+    """
+    SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(doc_id) AS n_nulls,
+           COUNT(DISTINCT doc_id) AS n_distinct,
+           CAST(MIN(doc_id) AS DOUBLE) AS min_val,
+           CAST(MAX(doc_id) AS DOUBLE) AS max_val
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+           COUNT(DISTINCT n_chars),
+           CAST(MIN(n_chars) AS DOUBLE), CAST(MAX(n_chars) AS DOUBLE)
+    FROM documents
+    UNION ALL
+    SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM documents
+    UNION ALL
+    SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+           COUNT(DISTINCT source),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM documents
+    """,
+)
+def q78_column_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality profile of the documents table in ONE scan: all
+    null/distinct/min/max stats in a single global agg, unpivoted with
+    ``stack`` (the oracle's UNION-ALL-per-column form scans four times —
+    exactly the naive shape this operator avoids at 100 TB)."""
+    from kp_data_pipelines_spark.operators.profiling import profile_table
+
+    docs = read_table(spark, sf, "documents")
+    return profile_table(docs, ["doc_id", "n_chars"], ["lang", "source"])
+
+
 @register("q66_dedup_components")
 def q66_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     """Transitive closure of MinHash near-dup pairs into dedup clusters

@@ -91,3 +91,41 @@ def discover_join_keys(
 
 def _complex(field) -> bool:
     return field.dataType.typeName() in ("array", "map", "struct", "binary")
+
+
+def profile_table(
+    df: DataFrame, numeric_cols: list[str], other_cols: list[str] = []
+) -> DataFrame:
+    """One-row-per-column profiling summary (n_rows, nulls, distincts,
+    numeric min/max) — the data-quality report the reference prints by
+    hand per notebook cell (`df.info()` / value_counts blocks).
+
+    SINGLE pass over the data: every stat is one aggregate in one global
+    agg (Catalyst plans the distinct counts as expand+two-stage agg), then
+    the 1-row result unpivots driver-free via ``stack``. A naive
+    per-column loop would scan the table once per column."""
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    for c in [*numeric_cols, *other_cols]:
+        aggs.append(F.count(c).alias(f"__cnt_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"__dst_{c}"))
+    for c in numeric_cols:
+        aggs.append(F.min(c).cast("double").alias(f"__min_{c}"))
+        aggs.append(F.max(c).cast("double").alias(f"__max_{c}"))
+    row = df.agg(*aggs)
+    parts = []
+    for c in numeric_cols:
+        parts.append(
+            f"'{c}', __n, __n - __cnt_{c}, __dst_{c}, __min_{c}, __max_{c}"
+        )
+    for c in other_cols:
+        parts.append(
+            f"'{c}', __n, __n - __cnt_{c}, __dst_{c}, "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+        )
+    n = len(parts)
+    return row.select(
+        F.expr(
+            f"stack({n}, {', '.join(parts)}) AS "
+            "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
+        )
+    )

@@ -123,6 +123,57 @@ def ingest_snapshot_folder(
     q.awaitTermination()
 
 
+def upsert_stream(
+    stream_df: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    order_col: str,
+) -> None:
+    """Streaming CDC merge: each micro-batch upserts into a parquet
+    snapshot via ``foreachBatch`` + ``reconcile.snapshot_upsert`` — the
+    continuous form of the reference's monthly replace-then-append cycle.
+
+    Within a batch, the newest row per key wins (order_col descending);
+    across batches, the batch replaces same-key snapshot rows. The target
+    is rewritten atomically (write new -> swap) because plain parquet has
+    no MERGE; on Delta/Iceberg the body becomes a metadata-only MERGE
+    INTO. Exactly-once per batch via the streaming checkpoint; the
+    rewrite is idempotent on replay because upsert is."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from kp_data_pipelines_spark.operators.reconcile import snapshot_upsert
+
+    spark = stream_df.sparkSession
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        try:
+            current = spark.read.schema(batch_df.schema).parquet(target_dir)
+            merged = snapshot_upsert(current, latest, keys)
+        except Exception:  # first batch: no snapshot yet
+            merged = latest
+        tmp = f"{target_dir}__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(target_dir, ignore_errors=True)
+        shutil.move(tmp, target_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 SESSION_OUTPUT_SCHEMA = "user_id long, session_start timestamp, session_end timestamp, n_events long, total_value double"
 _SESSION_STATE_SCHEMA = "start_us long, last_us long, n long, total double"
 

@@ -83,3 +83,30 @@ def test_csv_roundtrip(spark, tmp_path):
     assert len(files) == 1  # single-file contract
     back = read_csv(spark, path)
     assert back.count() == 2
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    from kp_data_pipelines_spark.sources.sinks import write_table
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 4}", float(i)) for i in range(100)],
+        "id long, source string, v double",
+    )
+    path = str(tmp_path / "part_tbl")
+    write_table(df, path, partition_by=["source"])
+    back = spark.read.parquet(path).filter(F.col("source") == "src1")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # hive-partitioned layout: the filter must prune directories at plan
+    # time, never scan-and-discard
+    assert "PartitionFilters: [isnotnull(source" in plan
+    assert back.count() == 25
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, v double"
+    )
+    path = str(tmp_path / "t.orc")
+    df.write.orc(path)
+    back = spark.read.orc(path)
+    assert sorted(map(tuple, back.collect())) == [(1, "a", 1.5), (2, "b", 2.5)]

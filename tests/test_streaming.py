@@ -112,3 +112,31 @@ def test_stateful_sessionization_matches_batch(spark, tmp_path):
     # 3 sessions per user; the 3rd stays open at end-of-stream -> 2 emitted
     assert len(got) == 4
     assert all(n == 4 and v == 4.0 for (_, _, n, v) in got)
+
+
+def test_upsert_stream_matches_batch_upsert(spark, tmp_path):
+    from kp_data_pipelines_spark.streaming.events import upsert_stream
+
+    # two waves of per-user records dropped as files: the stream must end
+    # with the newest row per user, same as a batch upsert of wave2 over wave1
+    src = str(tmp_path / "upsert_src")
+    wave1 = spark.createDataFrame(
+        [(1, 10.0, 1), (2, 20.0, 1), (3, 30.0, 1)], "user_id long, bal double, seq long"
+    )
+    wave2 = spark.createDataFrame(
+        [(2, 99.0, 2), (4, 40.0, 2)], "user_id long, bal double, seq long"
+    )
+    wave1.coalesce(1).write.mode("append").parquet(src)
+    wave2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, bal double, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    target = str(tmp_path / "upsert_target")
+    upsert_stream(
+        stream, target, str(tmp_path / "ckpt"), keys=["user_id"], order_col="seq"
+    )
+    got = {r["user_id"]: (r["bal"], r["seq"]) for r in spark.read.parquet(target).collect()}
+    assert got == {1: (10.0, 1), 2: (99.0, 2), 3: (30.0, 1), 4: (40.0, 2)}
