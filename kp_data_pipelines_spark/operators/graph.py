@@ -52,6 +52,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    retired: list[DataFrame] = []
     for _ in range(max_iter):
         neighbor_min = (
             e.join(labels, e.b == labels.node)
@@ -70,6 +71,7 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = updated.filter(F.col("_changed")).count()
+        retired.append(labels)
         if changed == 0:
             labels = updated.drop("_changed")
             break
@@ -84,4 +86,14 @@ def connected_components(
             .select("node", F.col("p_comp").alias("component"))
             .localCheckpoint(eager=True)
         )
+        retired.append(updated)
+    # release superseded checkpoint RDDs — otherwise every round's labels
+    # stay pinned in executor memory for the life of the session
+    # (df.rdd.unpersist() is a no-op on a checkpointed frame: it targets a
+    # fresh wrapper RDD, not the pinned one inside the LogicalRDD plan)
+    for df in [*retired, e]:
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass  # internal API drift: leak rather than fail
     return labels

@@ -140,3 +140,22 @@ def test_upsert_stream_matches_batch_upsert(spark, tmp_path):
     )
     got = {r["user_id"]: (r["bal"], r["seq"]) for r in spark.read.parquet(target).collect()}
     assert got == {1: (10.0, 1), 2: (99.0, 2), 3: (30.0, 1), 4: (40.0, 2)}
+
+
+def test_stream_static_enrich_matches_batch(spark, tmp_path):
+    """Stream-static join: enrich a stream with a dimension table — the
+    dim is re-read per micro-batch (broadcast), no state store needed."""
+    path, ev = _events_dir(spark, tmp_path)
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"), ("purchase", "revenue"),
+         ("error", "ops")],
+        "event_type string, category string",
+    )
+    stream = stream_files(spark, path, ev.schema)
+    enriched = stream.join(F.broadcast(dim), "event_type")
+    got = run_available_now(enriched, str(tmp_path / "ck_enrich"))
+    want = ev.join(dim, "event_type")
+    assert got.count() == want.count()
+    g = {r["category"]: r["n"] for r in got.groupBy("category").agg(F.count("*").alias("n")).collect()}
+    w = {r["category"]: r["n"] for r in want.groupBy("category").agg(F.count("*").alias("n")).collect()}
+    assert g == w
