@@ -2518,6 +2518,38 @@ def q78_column_profile(spark: SparkSession, sf: str) -> DataFrame:
     return profile_table(docs, ["doc_id", "n_chars"], ["lang", "source"])
 
 
+@register(
+    "q79_json_extract_agg",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q79_json_extract_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-on-read over a JSON payload column (the reference's
+    json_normalize surface, S7): ``from_json`` with an explicit schema
+    parses each props blob ONCE into a typed struct JVM-side — versus
+    one get_json_object walk per extracted field — then aggregates
+    natively. Malformed blobs become nulls, not failures."""
+    ev = read_table(spark, sf, "events")
+    k = F.from_json("props", "k BIGINT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 @register("q66_dedup_components")
 def q66_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     """Transitive closure of MinHash near-dup pairs into dedup clusters

@@ -103,3 +103,63 @@ def test_pivot_row_totals_match_group_sums(spark, cells):
     assert set(row_totals) == set(group_sums)
     for g in group_sums:
         assert abs(row_totals[g] - group_sums[g]) < 1e-6
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12), st.integers(min_value=0, max_value=12)
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(edges=edges_strategy)
+@_settings
+def test_connected_components_matches_union_find(spark, edges):
+    """CC via distributed label propagation == driver-side union-find."""
+    from kp_data_pipelines_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "src long, dst long") if edges else (
+        spark.createDataFrame([], "src long, dst long")
+    )
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for a, b in edges if a != b for n in (a, b)}
+    want = {n: find(n) for n in nodes}
+    # min-label invariant: find() roots are the component minimum because
+    # unions always attach the larger root under the smaller
+    assert got == want
+
+
+@given(
+    cur=st.lists(st.tuples(st.integers(0, 8), st.floats(-100, 100, allow_nan=False)),
+                 max_size=10),
+    upd=st.lists(st.tuples(st.integers(0, 8), st.floats(-100, 100, allow_nan=False)),
+                 max_size=10),
+)
+@_settings
+def test_snapshot_upsert_partition_property(spark, cur, upd):
+    """Upsert output keys == union of input keys; updated keys carry the
+    update value, untouched keys the current value."""
+    from kp_data_pipelines_spark.operators.reconcile import snapshot_upsert
+
+    cur_d = {k: v for k, v in cur}
+    upd_d = {k: v for k, v in upd}
+    cur_df = spark.createDataFrame(list(cur_d.items()) or [], "k int, v double") if cur_d else spark.createDataFrame([], "k int, v double")
+    upd_df = spark.createDataFrame(list(upd_d.items()) or [], "k int, v double") if upd_d else spark.createDataFrame([], "k int, v double")
+    got = {r["k"]: r["v"] for r in snapshot_upsert(cur_df, upd_df, ["k"]).collect()}
+    assert got == {**cur_d, **upd_d}
