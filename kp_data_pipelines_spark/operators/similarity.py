@@ -431,13 +431,66 @@ def ivf_centroids(
 ):
     """Deterministic IVF 'training': take the first ``n_centroids`` vectors
     ordered by ``id_col`` (default: the DataFrame's first column) as
-    centroids (a k-means seed without the iterations — at 100 TB you'd run
-    ``pyspark.ml`` KMeans on a sample; the assignment and probe machinery
-    below is identical either way). Returns a driver-side list of
+    centroids. Pass the result through ``kmeans_refine`` for true Lloyd
+    rounds when cell balance matters; the assignment and probe machinery
+    below is identical either way. Returns a driver-side list of
     (centroid_id, vector)."""
     order_col = id_col if id_col is not None else df.columns[0]
     rows = df.orderBy(order_col).limit(n_centroids).select(vec_col).collect()
     return [(i, [float(x) for x in r[0]]) for i, r in enumerate(rows)]
+
+
+def kmeans_refine(
+    df: DataFrame,
+    vec_col: str,
+    centroids,
+    n_iter: int = 5,
+) -> list:
+    """Distributed Lloyd iterations over seed ``centroids`` (the missing
+    half of ``ivf_centroids``' deterministic seed). Per round: assign
+    every vector to its nearest centroid JVM-side (literal fold over the
+    k tiny centroids — no shuffle), then recompute each centroid as the
+    per-dimension mean via posexplode + groupBy(cell, dim). The shuffle
+    carries k*dim partial sums, not vectors; centroids live on the driver
+    between rounds (k*dim floats — the standard k-means split at any
+    scale).
+
+    Means aggregate via DECIMAL(28,12) then cast back — order-independent,
+    so the refined centroids (and every assignment derived from them) are
+    bit-identical across partitionings/reruns, which keeps downstream
+    rows-only checks stable. Empty cells keep their previous centroid."""
+    cents = [(cid, list(vec)) for cid, vec in centroids]
+    for _ in range(n_iter):
+        cell = _nearest_centroids_expr(vec_col, cents, 1)[0]
+        # assignment in its own projection: a generator (posexplode) in the
+        # same select makes the analyzer strip the struct-field aliases
+        # inside the nearest-centroid sort expression
+        means = (
+            df.withColumn("__cell", cell)
+            .select("__cell", F.posexplode(vec_col))
+            .groupBy("__cell", "pos")
+            .agg(
+                (
+                    F.sum(F.col("col").cast("decimal(28,12)")) / F.count(F.lit(1))
+                )
+                .cast("double")
+                .alias("m")
+            )
+            .collect()
+        )
+        by_cell: dict = {}
+        for r in means:
+            by_cell.setdefault(r["__cell"], {})[r["pos"]] = r["m"]
+        cents = [
+            (
+                cid,
+                [by_cell[cid][i] for i in range(len(old))]
+                if cid in by_cell
+                else old,
+            )
+            for cid, old in cents
+        ]
+    return cents
 
 
 def _nearest_centroids_expr(vec_col: str, centroids, nprobe: int):

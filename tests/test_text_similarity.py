@@ -212,3 +212,29 @@ def test_ivf_topk_finds_exact_neighbors(spark):
     ]
     # nprobe == n_centroids probes every cell -> must equal exact top-k
     assert approx == exact
+
+
+def test_kmeans_refine_separates_blobs(spark):
+    from kp_data_pipelines_spark.operators.similarity import (
+        ivf_centroids,
+        kmeans_refine,
+        _nearest_centroids_expr,
+    )
+
+    # two tight blobs on orthogonal axes; seed takes the first 2 vectors
+    # (both from blob A) — only the Lloyd rounds can separate the blobs
+    rows = [(i, [10.0 + (i % 3) * 0.1, 0.0]) for i in range(20)] + [
+        (100 + i, [0.0, 5.0 + (i % 3) * 0.1]) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vid long, vec array<double>")
+    seed = ivf_centroids(df, "vec", 2, id_col="vid")
+    refined = kmeans_refine(df, "vec", seed, n_iter=4)
+    assigned = df.select(
+        "vid", _nearest_centroids_expr("vec", refined, 1)[0].alias("cell")
+    ).collect()
+    cells_a = {r["cell"] for r in assigned if r["vid"] < 100}
+    cells_b = {r["cell"] for r in assigned if r["vid"] >= 100}
+    assert len(cells_a) == 1 and len(cells_b) == 1 and cells_a != cells_b
+    # deterministic across reruns/partitionings (decimal means)
+    again = kmeans_refine(df.repartition(7), "vec", seed, n_iter=4)
+    assert again == refined
