@@ -2550,6 +2550,73 @@ def q79_json_extract_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q80_training_pipeline",
+    """
+    WITH filtered AS (
+      SELECT doc_id, source, text,
+             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tok
+      FROM documents
+      WHERE lang = 'en'
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_tok,
+             ROW_NUMBER() OVER (PARTITION BY md5(trim(lower(text)))
+                                ORDER BY doc_id) AS rn
+      FROM filtered
+      WHERE n_tok >= 20
+    ),
+    kept AS (
+      SELECT doc_id, source, n_tok FROM ranked
+      WHERE rn = 1
+        AND ((doc_id % 1000003) * 1103515245 + 12345) % 1000 < 800
+    ),
+    packed AS (
+      SELECT source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS prior
+      FROM kept
+    )
+    SELECT source, CAST(floor(prior / 1024) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tot_tok
+    FROM packed
+    GROUP BY source, bin
+    """,
+)
+def q80_training_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """END-TO-END training-data pipeline in one lazy plan: language
+    filter -> token-count quality gate -> exact dedup (keep-first per
+    md5 fingerprint, W2 machinery) -> deterministic hash downsample ->
+    concat-then-chunk packing into 1024-token bins per source shard.
+    Five conceptual stages, but Catalyst compiles them to two shuffles
+    (fingerprint window, source window) over one scan — the composition
+    cost a hand-staged pipeline pays five materializations for."""
+    docs = read_table(spark, sf, "documents").filter(F.col("lang") == "en")
+    toks = F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+    filtered = docs.select(
+        "doc_id", "source", "text", toks.alias("n_tok")
+    ).filter(F.col("n_tok") >= 20)
+    w_fp = Window.partitionBy(F.md5(F.trim(F.lower("text")))).orderBy("doc_id")
+    gate = ((F.col("doc_id") % 1000003) * 1103515245 + 12345) % 1000
+    kept = (
+        filtered.withColumn("rn", F.row_number().over(w_fp))
+        .filter((F.col("rn") == 1) & (gate < 800))
+        .select("doc_id", "source", "n_tok")
+    )
+    w_pack = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = kept.withColumn("prior", F.sum("n_tok").over(w_pack) - F.col("n_tok"))
+    return packed.groupBy(
+        "source", F.floor(F.col("prior") / 1024).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("tot_tok"),
+    )
+
+
 @register("q66_dedup_components")
 def q66_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     """Transitive closure of MinHash near-dup pairs into dedup clusters
