@@ -37,7 +37,10 @@ from kp_data_pipelines_spark.operators.dedup import (
 )
 from kp_data_pipelines_spark.operators.joins import anti_join, lookup_join, semi_join
 from kp_data_pipelines_spark.operators.reconcile import reconcile, reconcile_summary
-from kp_data_pipelines_spark.operators.similarity import cosine_topk
+from kp_data_pipelines_spark.operators.similarity import (
+    cosine_topk,
+    ensure_parallelism,
+)
 from kp_data_pipelines_spark.operators.textops import (
     TOKEN_REGEX,
     avg_token_length,
@@ -2614,6 +2617,142 @@ def q80_training_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("tot_tok"),
+    )
+
+
+@register(
+    "q81_gap_fill",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    lastv AS (SELECT user_id, h, value FROM hourly WHERE rn = 1),
+    bounds AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    )
+    SELECT g.user_id, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           last_value(l.value IGNORE NULLS)
+             OVER (PARTITION BY g.user_id ORDER BY g.h
+                   ROWS UNBOUNDED PRECEDING) AS value_ffill
+    FROM grid g LEFT JOIN lastv l ON l.user_id = g.user_id AND l.h = g.h
+    """,
+)
+def q81_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series regularization (pandas ``resample('1H').ffill()``):
+    per-user hourly grid between first and last event, forward-filling
+    the last observed value across empty hours. The grid generates
+    distributed (sequence + explode per user — no driver loop), the
+    gap-fill is one ``last(ignorenulls)`` running window per user.
+    Hours emit as formatted strings so the nanos-parquet timestamps
+    compare representation-free across engines."""
+    ev = read_table(spark, sf, "events").select("event_id", "user_id", "ts", "value")
+    h = F.date_trunc("hour", F.col("ts"))
+    w_last = Window.partitionBy("user_id", "h").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    lastv = (
+        ev.withColumn("h", h)
+        .withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "h", "value")
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("h0"),
+            F.date_trunc("hour", F.max("ts")).alias("h1"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(lastv, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.last("value", ignorenulls=True).over(w_fill).alias("value_ffill"),
+        )
+    )
+
+
+@register(
+    "q82_typo_pairs",
+    """
+    WITH pats AS (
+      SELECT c_custkey, c_name, i,
+             substr(c_name, 1, i - 1) || chr(183) || substr(c_name, i + 1)
+               AS pat,
+             len(c_name) AS l
+      FROM (SELECT c_custkey, c_name,
+                   unnest(generate_series(1, len(c_name))) AS i
+            FROM customer)
+    )
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           a.c_name AS name_a, b.c_name AS name_b
+    FROM pats a
+    JOIN pats b ON a.pat = b.pat AND a.i = b.i AND a.l = b.l
+               AND a.c_custkey < b.c_custkey
+    """,
+)
+def q82_typo_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy-identifier matching (the reference's by-hand typo
+    reconciliation): all same-length name pairs exactly one substitution
+    apart, via a FastSS-style wildcard-neighborhood index — each name
+    explodes into len(name) patterns with one position masked; a pair at
+    substitution distance 1 shares EXACTLY one (position, pattern), so
+    the equi-join is both exact and duplicate-free with no verification
+    step and no cartesian anywhere. Index size is O(rows * len): linear
+    scale-out, unlike length-blocking which degenerates on low-entropy
+    prefixes."""
+    cust = read_table(spark, sf, "customer")
+    pats = (
+        ensure_parallelism(cust.select("c_custkey", "c_name"))
+        .withColumn("i", F.explode(F.sequence(F.lit(1), F.length("c_name"))))
+        .select(
+            "c_custkey",
+            "c_name",
+            "i",
+            F.concat(
+                F.expr("substring(c_name, 1, i - 1)"),
+                F.lit("·"),
+                F.expr("substring(c_name, i + 1)"),
+            ).alias("pat"),
+            F.length("c_name").alias("l"),
+        )
+    )
+    a, b = pats.alias("a"), pats.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.pat") == F.col("b.pat"))
+            & (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.l") == F.col("b.l"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+        )
     )
 
 
