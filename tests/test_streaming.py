@@ -159,3 +159,42 @@ def test_stream_static_enrich_matches_batch(spark, tmp_path):
     g = {r["category"]: r["n"] for r in got.groupBy("category").agg(F.count("*").alias("n")).collect()}
     w = {r["category"]: r["n"] for r in want.groupBy("category").agg(F.count("*").alias("n")).collect()}
     assert g == w
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner join with watermarks + time-range condition:
+    clicks joined to same-user errors within the following 30 minutes.
+    Both sides buffer bounded state (the watermark ages rows out); the
+    time-range predicate bounds how long a click waits for errors."""
+    path, ev = _events_dir(spark, tmp_path)
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"),
+            F.col("ts").alias("click_ts"),
+        )
+        errors = df.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("error_id"), F.col("user_id").alias("eu"),
+            F.col("ts").alias("error_ts"),
+        )
+        return clicks, errors
+
+    sc_, se = split(stream_files(spark, path, ev.schema))
+    joined = sc_.withWatermark("click_ts", "1 hour").join(
+        se.withWatermark("error_ts", "1 hour"),
+        (F.col("cu") == F.col("eu"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (F.col("error_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    got = run_available_now(joined, str(tmp_path / "ck_ss"))
+    bc, be = split(ev)
+    want = bc.join(
+        be,
+        (F.col("cu") == F.col("eu"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (F.col("error_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    assert got.count() == want.count() > 0
+    g = sorted((r["click_id"], r["error_id"]) for r in got.collect())
+    w = sorted((r["click_id"], r["error_id"]) for r in want.collect())
+    assert g == w
