@@ -65,7 +65,10 @@ def snapshot_upsert(
     One shuffle total: union both sides with a priority tag and keep the
     highest-priority row per key (W2 keep-first machinery) — cheaper at
     100 TB than the anti-join + union form, which shuffles each side
-    separately. Schemas must align by name."""
+    separately. Schemas must align by name. Keys must be unique WITHIN
+    each input: ties inside ``updates`` (or inside ``current``) are broken
+    arbitrarily — pre-dedupe with an order column first, as
+    ``streaming.upsert_stream`` does per micro-batch."""
     from pyspark.sql import Window
 
     tagged = updates.withColumn("__prio", F.lit(0)).unionByName(

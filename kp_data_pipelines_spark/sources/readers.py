@@ -63,6 +63,23 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+TESTDATA_TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: list[str] | None = None
+) -> None:
+    """Register every testdata table as a temp view so users can drive the
+    engine with plain ``spark.sql(...)`` — the SQL face of the same
+    nanos-safe readers (each view goes through ``read_table``, so foreign
+    sessions inherit the timestamp handling)."""
+    for name in tables or TESTDATA_TABLES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

@@ -110,3 +110,14 @@ def test_orc_roundtrip(spark, tmp_path):
     df.write.orc(path)
     back = spark.read.orc(path)
     assert sorted(map(tuple, back.collect())) == [(1, "a", 1.5), (2, "b", 2.5)]
+
+
+def test_register_views_sql_interface(spark):
+    from kp_data_pipelines_spark.sources.readers import register_views
+
+    register_views(spark, "/root/testdata/sf0.001", ["nation", "events"])
+    n = spark.sql("SELECT count(*) AS c FROM nation").collect()[0]["c"]
+    assert n == 25
+    # events goes through the nanos-safe reader: ts must be a timestamp
+    dt = dict(spark.sql("SELECT * FROM events").dtypes)
+    assert dt["ts"] == "timestamp"
