@@ -2756,6 +2756,145 @@ def q82_typo_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q83_throttle_dedup",
+    """
+    WITH lagged AS (
+      SELECT event_id, user_id, event_type, ts,
+             LAG(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT event_id, user_id, event_type
+    FROM lagged
+    WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 5 MINUTE
+    """,
+)
+def q83_throttle_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-window dedup (event throttling): keep an event only if the
+    previous same-(user, type) event is more than 5 minutes older — the
+    retry/double-fire cleanup every event pipeline needs. One lag window
+    per (user, type); gap compares unix micros on both engines."""
+    ev = read_table(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    return (
+        ev.withColumn("gap_us", gap)
+        .filter(F.col("gap_us").isNull() | (F.col("gap_us") > 5 * 60 * 1_000_000))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@register(
+    "q84_value_histogram",
+    """
+    SELECT event_type,
+           CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type, bucket
+    """,
+)
+def q84_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width value histogram per event type — one groupBy with
+    map-side partial aggregation; bucket count is bounded by the value
+    domain, so the shuffle is tiny at any scale. floor(x/5) on doubles is
+    engine-agnostic away from exact bucket edges; the testdata values are
+    2-decimal currency, never landing on a representability boundary."""
+    ev = read_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    return ev.groupBy(
+        "event_type", F.floor(F.col("value") / 5.0).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q85_revenue_share",
+    """
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(18,4))) AS rev_dec
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT nation, CAST(rev_dec AS DOUBLE) AS revenue,
+           CAST(rev_dec AS DOUBLE) / CAST(SUM(rev_dec) OVER () AS DOUBLE)
+             AS share
+    FROM rev
+    """,
+)
+def q85_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of global revenue. The
+    unpartitioned window runs over the 25-row AGGREGATE, not the fact
+    table — the single-partition window everyone warns about is O(|dims|)
+    here. The grand total window-sums the DECIMAL revenue (a double
+    window sum is partition-order-dependent even over 25 rows — observed
+    2-ulp drift); the final division is then bit-identical on both
+    engines."""
+    li = read_table(spark, sf, "lineitem")
+    orders = read_table(spark, sf, "orders")
+    customer = read_table(spark, sf, "customer")
+    nation = read_table(spark, sf, "nation")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(revenue).alias("rev_dec"))
+    )
+    w = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    total = F.sum("rev_dec").over(w).cast("double")
+    return rev.select(
+        "nation",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (F.col("rev_dec").cast("double") / total).alias("share"),
+    )
+
+
+@register(
+    "q86_first_last_value",
+    """
+    WITH o AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rl
+      FROM events
+    )
+    SELECT user_id,
+           MAX(CASE WHEN rf = 1 THEN value END) AS first_value,
+           MAX(CASE WHEN rl = 1 THEN value END) AS last_value,
+           COUNT(*) AS n_events
+    FROM o
+    GROUP BY user_id
+    """,
+)
+def q86_first_last_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user first/last observed value in ONE aggregate pass
+    (min_by/max_by a.k.a. arg_min/arg_max) — no sort, no window, no
+    self-join; the composite (ts, event_id) ordering key makes ties
+    deterministic. The window-function version shuffles every row into
+    per-user sorted runs; this shape keeps map-side partials."""
+    ev = read_table(spark, sf, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.min_by("value", key).alias("first_value"),
+        F.max_by("value", key).alias("last_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 @register("q66_dedup_components")
 def q66_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     """Transitive closure of MinHash near-dup pairs into dedup clusters
