@@ -2910,3 +2910,346 @@ def q66_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
         jaccard_threshold=0.4,
     )
     return connected_components(pairs, "id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classic shapes, batch 2 (Q1/Q3/Q6/Q8/Q12/Q13/Q14 adapted to the
+# synthetic star schema — no partsupp / shipmode / commitdate columns, so
+# predicates use the columns the testdata has)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q87_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q87_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1: the pricing summary report. One scan, one shuffle into
+    4-6 groups; every aggregate is a map-side partial so the shuffle
+    carries a handful of rows per partition. Averages are decimal-sum /
+    count in DOUBLE (AVG() itself is partition-order-dependent on
+    doubles). Ref seed: control sums, Saoirse Automation.ipynb:860."""
+    li = read_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(qty).cast("double") / n).alias("avg_qty"),
+        (F.sum(price).cast("double") / n).alias("avg_price"),
+        (F.sum(disc).cast("double") / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@register(
+    "q88_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q88_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3: unshipped-order revenue, top 10. Both date filters push
+    into their scans BEFORE the join; the filtered customer side
+    broadcasts. ORDER BY+LIMIT compiles to TakeOrderedAndProject —
+    per-partition top-10, no global sort at any scale."""
+    customer = read_table(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = read_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q89_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q89_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6: the pure scan-filter-aggregate. All four predicates push
+    to the parquet reader (PushedFilters on shipdate/discount/quantity);
+    the single global aggregate is two stages: per-partition partials,
+    one-row final. The shape AQE can't improve — it is already minimal."""
+    li = read_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    revenue = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")
+    return li.agg(
+        F.sum(revenue).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q90_market_share",
+    """
+    WITH rev AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+               AS vol,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN vol END)
+                AS DOUBLE)
+             / CAST(SUM(vol) AS DOUBLE) AS mkt_share,
+           CAST(SUM(vol) AS DOUBLE) AS total_volume
+    FROM rev
+    GROUP BY o_year
+    """,
+)
+def q90_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of PROMO-part revenue into ASIA, by
+    year. Eight-table join; the only shuffle is lineitem⋈orders on
+    orderkey — part/supplier/customer/nation/region all broadcast (at
+    100 TB part stops being broadcastable and becomes a second shuffle
+    keyed on partkey; the dims stay broadcast). NULL share (a year with
+    no NATION_7 sales) is NULL on both engines."""
+    li = read_table(spark, sf, "lineitem")
+    part = read_table(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    supplier = read_table(spark, sf, "supplier")
+    orders = read_table(spark, sf, "orders")
+    customer = read_table(spark, sf, "customer")
+    nation = read_table(spark, sf, "nation")
+    region = read_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    joined = (
+        li.join(F.broadcast(part.select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region.select("r_regionkey")),
+              F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    return (
+        joined.select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("vol"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", F.col("vol")))
+                .cast("double")
+                / F.sum("vol").cast("double")
+            ).alias("mkt_share"),
+            F.sum("vol").cast("double").alias("total_volume"),
+        )
+    )
+
+
+@register(
+    "q91_late_line_priority",
+    """
+    SELECT l.l_returnflag,
+           COUNT(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q91_late_line_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (no shipmode column → returnflag): count
+    late-shipped lines (>60 days after order date) split by order
+    priority class. The lateness predicate compares two columns, so it
+    evaluates as a post-join filter; the shipdate range still pushes to
+    the scan. Conditional COUNT (not SUM of 0/1) keeps both engines in
+    BIGINT."""
+    orders = read_table(spark, sf, "orders")
+    li = read_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q92_customer_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    """,
+)
+def q92_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13: distribution of orders-per-customer including the
+    zero-order customers (the reason it's a LEFT join — COUNT(col) skips
+    the null-extended rows). The priority predicate filters the right
+    side BEFORE the join (same semantics as the ON-clause form). Second
+    aggregate runs over |customers| rows → trivial."""
+    customer = read_table(spark, sf, "customer")
+    orders = read_table(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q93_promo_revenue",
+    """
+    SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(18,4)) END) AS DOUBLE)
+             * 100.0
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS promo_share,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-02-01'
+    """,
+)
+def q93_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14: PROMO parts' percentage of one month's revenue. The
+    month filter cuts lineitem ~98% at the scan, so the part join
+    broadcasts the dim against a small probe. Numerator and denominator
+    both sum in DECIMAL; the *100/den arithmetic happens in DOUBLE in
+    the same association order on both engines."""
+    li = read_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-02-01").cast("timestamp"))
+    )
+    part = read_table(spark, sf, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_type")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double")
+                * F.lit(100.0)
+                / F.sum(rev).cast("double")
+            ).alias("promo_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
