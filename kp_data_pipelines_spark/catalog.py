@@ -3253,3 +3253,221 @@ def q93_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "q94_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS total_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-10-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_dec AS DOUBLE) AS total_revenue
+    FROM rev r
+    JOIN supplier s ON s.s_suppkey = r.supplier_no
+    WHERE r.total_dec = (SELECT MAX(total_dec) FROM rev)
+    """,
+)
+def q94_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with max revenue in a quarter. The scalar
+    MAX subquery decorrelates to an unpartitioned window over the
+    per-supplier AGGREGATE (|suppliers| rows, not the fact table). The
+    equality test runs on DECIMAL, where it is exact — the same
+    comparison on doubles would be summation-order roulette."""
+    li = read_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    supplier = read_table(spark, sf, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("total_dec")
+    )
+    w = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        rev.withColumn("max_dec", F.max("total_dec").over(w))
+        .filter(F.col("total_dec") == F.col("max_dec"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q95_waiting_suppliers",
+    """
+    WITH pairs AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY l.l_orderkey, l.l_suppkey
+    ),
+    stats AS (
+      SELECT l_orderkey, COUNT(*) AS n_supps, SUM(is_late) AS n_late
+      FROM pairs GROUP BY l_orderkey
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM pairs p
+    JOIN stats t ON p.l_orderkey = t.l_orderkey
+    JOIN supplier s ON p.l_suppkey = s.s_suppkey
+    WHERE p.is_late = 1 AND t.n_supps > 1 AND t.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q95_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (lateness = shipped >30 days after order date):
+    suppliers who were the SOLE late supplier on a multi-supplier order.
+    The classic EXISTS + NOT-EXISTS double self-join decorrelates into
+    ONE per-order aggregate (n_supps, n_late) joined back to the pairs —
+    two shuffles on orderkey total, and AQE reuses the exchange of the
+    pairs aggregate for both sides of the rejoin."""
+    orders = read_table(spark, sf, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = read_table(spark, sf, "lineitem")
+    supplier = read_table(spark, sf, "supplier")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), 1
+    ).otherwise(0)
+    pairs = (
+        li.join(orders.select("o_orderkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    stats = pairs.groupBy(F.col("l_orderkey").alias("st_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_supps"), F.sum("is_late").alias("n_late")
+    )
+    return (
+        pairs.join(stats, F.col("l_orderkey") == F.col("st_orderkey"))
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supps") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "q96_min_cost_supplier",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    ranked AS (
+      SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY p.p_partkey
+                                ORDER BY s.s_acctbal, s.s_suppkey) AS rn
+      FROM ps
+      JOIN part p     ON ps.l_partkey = p.p_partkey
+      JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+    )
+    SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q96_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp table → observed part-supplier pairs
+    from lineitem; cost → account balance): for every part, the
+    cheapest supplier that ships it. The correlated MIN subquery becomes
+    a single min_by aggregate over a composite (acctbal, suppkey) key —
+    one shuffle, map-side partials, no window sort; ties on acctbal are
+    broken by suppkey so the pick is deterministic on both engines."""
+    li = read_table(spark, sf, "lineitem")
+    part = read_table(spark, sf, "part")
+    supplier = read_table(spark, sf, "supplier")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    j = ps.join(
+        F.broadcast(part.select("p_partkey", "p_name")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).join(
+        F.broadcast(supplier.select("s_suppkey", "s_name", "s_acctbal")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    )
+    best = F.min_by(
+        F.struct("s_suppkey", "s_name", "s_acctbal"),
+        F.struct("s_acctbal", "s_suppkey"),
+    )
+    return (
+        j.groupBy("p_partkey", "p_name")
+        .agg(best.alias("b"))
+        .select(
+            "p_partkey", "p_name",
+            F.col("b.s_suppkey").alias("s_suppkey"),
+            F.col("b.s_name").alias("s_name"),
+            F.col("b.s_acctbal").alias("s_acctbal"),
+        )
+    )
+
+
+@register(
+    "q97_nation_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.5 * p.p_retailprice * l.l_quantity
+                         AS DECIMAL(18,4))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY nation, o_year
+    """,
+)
+def q97_nation_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape (no ps_supplycost → cost modeled as half retail
+    price): per-nation per-year profit on 'widget' parts. The p_name
+    substring filter broadcasts a shrunken part dim that prunes lineitem
+    in the join; orders is the one remaining shuffle. Per-row profit is
+    IEEE-identical double arithmetic on both engines; only the SUM is
+    decimal-staged."""
+    li = read_table(spark, sf, "lineitem")
+    part = read_table(spark, sf, "part").filter(
+        F.col("p_name").contains("widget")
+    )
+    supplier = read_table(spark, sf, "supplier")
+    orders = read_table(spark, sf, "orders")
+    nation = read_table(spark, sf, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_retailprice")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
