@@ -3471,3 +3471,138 @@ def q97_nation_profit(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.sum(profit).cast("double").alias("profit"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data batch 3: embedding centroids, analytic ranks, corpus Zipf,
+# sketch cardinality
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q98_label_centroids",
+    """
+    WITH flat AS (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    )
+    SELECT label, dim,
+           CAST(SUM(CAST(round(v * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000000000.0 / COUNT(*) AS centroid,
+           COUNT(*) AS n_vecs
+    FROM flat
+    GROUP BY label, dim
+    """,
+)
+def q98_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding centroid in LONG form (label, dim, mean) — the
+    k-means/class-prototype primitive. posexplode turns the array into
+    |rows|*64 narrow rows that aggregate with map-side partials into
+    |labels|*64 outputs; no collect, no UDF, no array reassembly (the
+    wide-form array rebuild is a presentation step, not a shuffle
+    concern). Elements quantize to 1e-12 BIGINTs before summing: integer
+    sums are order-independent, and the quantization (double multiply +
+    round-half-away) is the same float op on both engines — a decimal
+    stage is NOT cross-engine-safe here because DuckDB's double→DECIMAL
+    cast itself rounds through double arithmetic."""
+    emb = read_table(spark, sf, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    quantized = F.round(F.col("v") * F.lit(1e12)).cast("long")
+    return flat.groupBy("label", "dim").agg(
+        (
+            F.sum(quantized).cast("double") / F.lit(1e12) / F.count(F.lit(1))
+        ).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+@register(
+    "q99_acctbal_rank",
+    """
+    SELECT c_custkey, c_mktsegment,
+           percent_rank() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS pr,
+           cume_dist() OVER (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal, c_custkey) AS cd
+    FROM customer
+    """,
+)
+def q99_acctbal_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Relative-standing analytics: percent_rank + cume_dist of account
+    balance within market segment. Both are rank arithmetic over ints —
+    (rank-1)/(n-1) and n_le/n — so the doubles are bit-identical across
+    engines; the composite order key removes tie nondeterminism. One
+    shuffle on the 5-value segment key (salt-by-subrange if a segment
+    skews at scale)."""
+    customer = read_table(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@register(
+    "q100_word_zipf",
+    """
+    WITH words AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    ),
+    counts AS (SELECT word, COUNT(*) AS freq FROM words GROUP BY word),
+    top AS (SELECT word, freq FROM counts
+            ORDER BY freq DESC, word LIMIT 50)
+    SELECT word, freq,
+           ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rank
+    FROM top
+    """,
+)
+def q100_word_zipf(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus Zipf head: top-50 word frequencies with rank. The word
+    count shuffles once on the token; the top-50 compiles to
+    TakeOrderedAndProject (per-partition heads, no vocab-wide sort), and
+    the rank window then runs on 50 rows — NOT a single-partition window
+    over the whole vocabulary."""
+    docs = read_table(spark, sf, "documents")
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("word")
+    )
+    top = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(50)
+    )
+    return top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("freq"), "word")),
+    )
+
+
+@register("q101_source_cardinality")
+def q101_source_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-based cardinality profile per document source: HLL++
+    approx distinct texts vs exact rows, plus average length. At 100 TB
+    the exact distinct needs a full shuffle of the text column; the HLL
+    sketch is a constant-size map-side accumulator — this query is the
+    template for 'how many unique docs per crawl' at scale. HLL
+    estimates have no SQL twin → rows-only check (the unit test bounds
+    the estimate against the exact count)."""
+    docs = read_table(spark, sf, "documents")
+    return docs.groupBy("source").agg(
+        F.approx_count_distinct("text", 0.02).alias("approx_unique_texts"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.length("text")).alias("avg_len"),
+    )

@@ -345,3 +345,22 @@ def test_snapshot_upsert(spark):
     )
     got = {r["k"]: (r["name"], r["amt"]) for r in snapshot_upsert(current, updates, ["k"]).collect()}
     assert got == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_hll_cardinality_close_to_exact(spark):
+    from kp_data_pipelines_spark.catalog import QUERIES
+
+    out = QUERIES["q101_source_cardinality"](spark, "/root/testdata/sf0.001")
+    from pyspark.sql import functions as F
+    from kp_data_pipelines_spark.sources.readers import read_table
+
+    exact = (
+        read_table(spark, "/root/testdata/sf0.001", "documents")
+        .groupBy("source")
+        .agg(F.countDistinct("text").alias("exact_unique"))
+    )
+    rows = out.join(exact, "source").collect()
+    assert rows
+    for r in rows:
+        rel = abs(r["approx_unique_texts"] - r["exact_unique"]) / max(r["exact_unique"], 1)
+        assert rel < 0.10, (r["source"], r["approx_unique_texts"], r["exact_unique"])
