@@ -3606,3 +3606,100 @@ def q101_source_cardinality(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.length("text")).alias("avg_len"),
     )
+
+
+@register(
+    "q102_grouping_sets",
+    """
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) * 2
+             + CAST(GROUPING(o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def q102_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of q48's ROLLUP / q56's
+    CUBE) with a grouping_id disambiguator — (status,priority) detail,
+    status subtotals, grand total in ONE pass. Spark expands the sets
+    map-side (Expand) so the fact table is still scanned once; the
+    shuffle carries one row per set per mapper-group."""
+    orders = read_table(spark, sf, "orders")
+    gid = (
+        F.grouping("o_orderstatus").cast("long") * 2
+        + F.grouping("o_orderpriority").cast("long")
+    )
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            gid.alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .withColumnsRenamed(
+            {"o_orderstatus": "status", "o_orderpriority": "priority"}
+        )
+    )
+
+
+@register(
+    "q103_native_session_window",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS w_start,
+           strftime(max(ts) + INTERVAL 10 MINUTE,
+                    '%Y-%m-%d %H:%M:%S.%f') AS w_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def q103_native_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark's NATIVE session_window (10-min gap) in batch mode, oracled
+    against the equivalent gaps-and-islands SQL — proving the built-in
+    merge semantics (new session when gap >= g; window end = last event
+    + g) match the relational formulation. Unlike q53's two window
+    passes, session_window is a single groupBy — one shuffle, and the
+    same operator runs unchanged under readStream with a watermark."""
+    ev = read_table(spark, sf, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "10 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("w_start"),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("w_end"),
+            "n_events",
+            "total_value",
+        )
+    )
