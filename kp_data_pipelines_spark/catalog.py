@@ -3703,3 +3703,115 @@ def q103_native_session_window(spark: SparkSession, sf: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "q104_template_prefixes",
+    """
+    SELECT array_to_string(string_split(text, ' ')[1:10], ' ') AS prefix,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS example_doc
+    FROM documents
+    GROUP BY prefix
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q104_template_prefixes(spark: SparkSession, sf: str) -> DataFrame:
+    """Boilerplate/template detection: documents sharing their first 10
+    tokens (crawl templates, licence headers, near-dup seeds). A pure
+    hash aggregate on a computed prefix key — one shuffle, no pairwise
+    comparison; the cheap first-pass filter before MinHash (q38) in a
+    dedup cascade. HAVING prunes singleton groups engine-side."""
+    docs = read_table(spark, sf, "documents")
+    prefix = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 10))
+    return (
+        docs.groupBy(prefix.alias("prefix"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "q105_centroid_assign",
+    """
+    WITH flat AS (
+      SELECT vec_id, label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS clabel, dim,
+             CAST(SUM(CAST(round(v * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000000000.0 / COUNT(*) AS c
+      FROM flat GROUP BY clabel, dim
+    ),
+    scores AS (
+      SELECT f.vec_id, f.label, c.clabel,
+             SUM(CAST(round(f.v * c.c * 1000000000000.0) AS BIGINT)) AS dot_q
+      FROM flat f JOIN cent c ON f.dim = c.dim
+      GROUP BY f.vec_id, f.label, c.clabel
+    ),
+    ranked AS (
+      SELECT vec_id, label, clabel AS pred_label, dot_q,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dot_q DESC, clabel) AS rn
+      FROM scores
+    )
+    SELECT vec_id, label, pred_label,
+           CAST(CASE WHEN label = pred_label THEN 1 ELSE 0 END AS BIGINT)
+             AS correct
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q105_centroid_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-centroid assignment (the classify/eval step after q98):
+    every vector scored against every label centroid by dot product,
+    argmax with a deterministic tiebreak. Fully relational — posexplode,
+    broadcast join on dim (the 640-row centroid table), hash aggregate,
+    min_by — no UDF. Per-dim products quantize to 1e-12 BIGINTs so the
+    score sums are order-independent AND cross-engine exact; the argmax
+    then has no float-tie ambiguity. At scale the same plan holds with
+    k·d centroid rows broadcast; IVF (q45) is the path when k explodes."""
+    emb = read_table(spark, sf, "embeddings")
+    flat = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    cent = flat.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        (
+            F.sum(F.round(F.col("v") * F.lit(1e12)).cast("long")).cast("double")
+            / F.lit(1e12)
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    scores = (
+        flat.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum(
+                F.round(F.col("v") * F.col("c") * F.lit(1e12)).cast("long")
+            ).alias("dot_q")
+        )
+    )
+    best = scores.groupBy("vec_id", "label").agg(
+        F.max_by(
+            F.col("clabel"), F.struct(F.col("dot_q"), (-F.col("clabel")).cast("long"))
+        ).alias("pred_label")
+    )
+    return best.select(
+        "vec_id",
+        "label",
+        "pred_label",
+        F.when(F.col("label") == F.col("pred_label"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("correct"),
+    )
