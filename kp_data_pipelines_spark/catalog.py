@@ -3815,3 +3815,65 @@ def q105_centroid_assign(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("correct"),
     )
+
+
+@register(
+    "q106_moment_stats",
+    """
+    WITH q AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_quantity * 100.0) AS BIGINT) AS qx,
+             CAST(round(l_extendedprice * 100.0) AS BIGINT) AS qy
+      FROM lineitem
+    ),
+    m AS (
+      SELECT flag, COUNT(*) AS n,
+             CAST(SUM(CAST(qx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(qy AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(qx * qx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(qy * qy AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(qx * qy AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+      FROM q GROUP BY flag
+    )
+    SELECT flag, n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS corr_qty_price,
+           (sxy - sx * sy / n) / (n - 1) / 10000.0 AS covar_samp
+    FROM m
+    """,
+)
+def q106_moment_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlation + sample covariance of quantity vs price per return
+    flag, assembled from exact integer moments. Built-in corr()/covar()
+    accumulate doubles partition-by-partition (order-dependent, oracle-
+    hostile); quantizing to cent-scale BIGINTs and summing the five
+    moments in DECIMAL(38,0) keeps every partial exact, then the closed
+    forms run in identical double arithmetic on both engines. Same
+    single-shuffle map-side-partial profile as a plain groupBy-sum."""
+    li = read_table(spark, sf, "lineitem")
+    q = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_quantity") * F.lit(100.0)).cast("long").alias("qx"),
+        F.round(F.col("l_extendedprice") * F.lit(100.0)).cast("long").alias("qy"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    m = q.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(F.col("qx")).alias("sx"),
+        dec(F.col("qy")).alias("sy"),
+        dec(F.col("qx") * F.col("qx")).alias("sxx"),
+        dec(F.col("qy") * F.col("qy")).alias("syy"),
+        dec(F.col("qx") * F.col("qy")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "flag",
+        "n",
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_qty_price"),
+        ((sxy - sx * sy / n) / (n - 1) / F.lit(10000.0)).alias("covar_samp"),
+    )

@@ -198,3 +198,31 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     g = sorted((r["click_id"], r["error_id"]) for r in got.collect())
     w = sorted((r["click_id"], r["error_id"]) for r in want.collect())
     assert g == w
+
+
+def test_native_session_window_stream_matches_batch(spark, tmp_path):
+    """q103's session_window operator, run under readStream AvailableNow in
+    complete mode, produces the same sessions as the batch plan."""
+    from kp_data_pipelines_spark.streaming.events import run_available_now, stream_files
+
+    src_dir, ev = _events_dir(spark, tmp_path)
+
+    def sessions(df):
+        return (
+            df.groupBy("user_id", F.session_window("ts", "10 minutes"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("w_start"),
+                F.col("session_window.end").alias("w_end"),
+                "n_events",
+            )
+        )
+
+    stream = stream_files(spark, src_dir, ev.schema).withWatermark("ts", "1 hour")
+    got = run_available_now(
+        sessions(stream), str(tmp_path / "ckpt_sess"), output_mode="complete"
+    )
+    got_rows = {tuple(r) for r in got.collect()}
+    batch_rows = {tuple(r) for r in sessions(ev).collect()}
+    assert got_rows == batch_rows
