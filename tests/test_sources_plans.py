@@ -121,3 +121,37 @@ def test_register_views_sql_interface(spark):
     # events goes through the nanos-safe reader: ts must be a timestamp
     dt = dict(spark.sql("SELECT * FROM events").dtypes)
     assert dt["ts"] == "timestamp"
+
+
+def test_synthetic_corpus_datasource(spark):
+    """Custom Python DataSource: partition-parallel, deterministic, and
+    consumable by the text operators without changes."""
+    from kp_data_pipelines_spark.sources.corpus_source import (
+        SyntheticCorpusDataSource,
+    )
+
+    spark.dataSource.register(SyntheticCorpusDataSource)
+    read = (
+        spark.read.format("synthetic_corpus")
+        .option("partitions", 4)
+        .option("rows_per_partition", 50)
+        .option("seed", 7)
+    )
+    df = read.load()
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 200
+    assert [f.name for f in df.schema] == [
+        "doc_id", "text", "lang", "source", "n_chars",
+    ]
+    # deterministic across reads
+    a = sorted(r["text"] for r in df.collect())
+    b = sorted(r["text"] for r in read.load().collect())
+    assert a == b
+    # unique ids across partitions; text ops run on it
+    assert df.select("doc_id").distinct().count() == 200
+    from kp_data_pipelines_spark.operators.textops import whitespace_token_count
+
+    toks = df.select(whitespace_token_count("text").alias("n")).agg(
+        {"n": "min"}
+    ).head()[0]
+    assert toks >= 20
