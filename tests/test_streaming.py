@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from kp_data_pipelines_spark.sources import read_table
@@ -226,3 +227,61 @@ def test_native_session_window_stream_matches_batch(spark, tmp_path):
     got_rows = {tuple(r) for r in got.collect()}
     batch_rows = {tuple(r) for r in sessions(ev).collect()}
     assert got_rows == batch_rows
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """v2 stateful API (transformWithStateInPandas): per-user running
+    totals accumulated across MULTIPLE micro-batches equal the batch
+    groupBy; state survives between triggers."""
+    # the v2 state protocol needs protobuf, which this container lacks
+    pytest.importorskip("google.protobuf.descriptor")
+    from kp_data_pipelines_spark.streaming.stateful import running_totals_stream
+
+    # the v2 state API requires the RocksDB state store
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    ev = read_table(spark, SF_DIR, "events").limit(2000).cache()
+    src_dir = str(tmp_path / "ev_files")
+    ev.repartition(4).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)  # force >1 micro-batch
+        .parquet(src_dir)
+    )
+    out = running_totals_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY n_events DESC) rn
+          FROM running_totals
+        ) WHERE rn = 1
+        """
+    ).collect()
+    batch = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .collect()
+    }
+    assert len(got) == len(batch)
+    for r in got:
+        n, total = batch[r["user_id"]]
+        assert r["n_events"] == n
+        assert abs(r["total_value"] - total) < 1e-6
+    ev.unpersist()
