@@ -3877,3 +3877,217 @@ def q106_moment_stats(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("corr_qty_price"),
         ((sxy - sx * sy / n) / (n - 1) / F.lit(10000.0)).alias("covar_samp"),
     )
+
+
+@register(
+    "q107_chi_square",
+    """
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source
+    ),
+    ann AS (
+      SELECT lang, source, o,
+             SUM(o) OVER (PARTITION BY lang) AS rt,
+             SUM(o) OVER (PARTITION BY source) AS ct,
+             SUM(o) OVER () AS n
+      FROM cells
+    )
+    SELECT CAST(SUM(CAST(round(
+             power(CAST(o AS DOUBLE)
+                   - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                     / CAST(n AS DOUBLE), 2)
+             / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+             * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS chi2,
+           CAST((COUNT(DISTINCT lang) - 1)
+                * (COUNT(DISTINCT source) - 1) AS BIGINT) AS dof,
+           CAST(SUM(o) AS BIGINT) AS n_docs
+    FROM ann
+    """,
+)
+def q107_chi_square(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square independence of lang × source — corpus-balance QA for
+    a training mix. ONE pass over the fact table builds the contingency
+    cells; row/column/grand totals come from windows over that tiny
+    aggregate (no scalar-subquery cross joins, so no nested-loop join
+    anywhere). Expected counts assemble in identical double arithmetic
+    and per-cell terms quantize to 1e-9 BIGINTs, making the final sum
+    order-independent across engines."""
+    docs = read_table(spark, sf, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    whole = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ann = cells.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("source")).alias("ct"),
+        F.sum("o").over(whole).alias("n"),
+    )
+    e = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double")
+    )
+    term_q = F.round(
+        F.pow(F.col("o").cast("double") - e, 2) / e * F.lit(1e9)
+    ).cast("long")
+    return ann.agg(
+        (F.sum(term_q).cast("double") / F.lit(1e9)).alias("chi2"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        ).cast("long").alias("dof"),
+        F.sum("o").cast("long").alias("n_docs"),
+    )
+
+
+@register(
+    "q108_moving_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS rev
+      FROM lineitem GROUP BY d
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+                                         DATE '2001-12-31',
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+    ),
+    filled AS (
+      SELECT s.d, COALESCE(dd.rev, CAST(0 AS DECIMAL(18,4))) AS rev
+      FROM spine s LEFT JOIN daily dd ON s.d = dd.d
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(SUM(rev) OVER (ORDER BY d
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 7.0 AS ma7
+    FROM filled
+    """,
+)
+def q108_moving_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """7-day moving average of daily revenue over a COMPLETE date spine —
+    zero-revenue days count in the denominator (the resample+rolling
+    pattern; q81's gap fill + q55's frame, composed). The ROWS frame and
+    the unpartitioned window run over the ~2.5k-row DAILY aggregate, not
+    the fact table; the frame sums DECIMAL so partial order can't skew
+    the average."""
+    li = read_table(spark, sf, "lineitem")
+    daily = (
+        li.groupBy(F.col("l_shipdate").cast("date").alias("d"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("rev")
+        )
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("2001-12-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    filled = spine.join(daily, "d", "left").select(
+        "d",
+        F.coalesce(F.col("rev"), F.lit(0).cast("decimal(18,4)")).alias("rev"),
+    )
+    w = Window.orderBy("d").rowsBetween(-6, Window.currentRow)
+    return filled.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("rev").cast("double").alias("revenue"),
+        (F.sum("rev").over(w).cast("double") / F.lit(7.0)).alias("ma7"),
+    )
+
+
+@register(
+    "q109_share_of_parent",
+    """
+    WITH nrev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(18,4))) AS rev
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      GROUP BY region, nation
+    )
+    SELECT region, nation, CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY region)
+                                      AS DOUBLE) AS region_share
+    FROM nrev
+    """,
+)
+def q109_share_of_parent(spark: SparkSession, sf: str) -> DataFrame:
+    """Percent-of-parent in a dimension hierarchy: each nation's share of
+    its region's supplier revenue. The partitioned window runs over the
+    25-row aggregate (5 rows per region), grand totals stay DECIMAL
+    until the final double division — same discipline as q85."""
+    li = read_table(spark, sf, "lineitem")
+    supplier = read_table(spark, sf, "supplier")
+    nation = read_table(spark, sf, "nation")
+    region = read_table(spark, sf, "region")
+    nrev = (
+        li.join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("rev")
+        )
+    )
+    w = Window.partitionBy("region").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return nrev.select(
+        "region",
+        "nation",
+        F.col("rev").cast("double").alias("revenue"),
+        (
+            F.col("rev").cast("double") / F.sum("rev").over(w).cast("double")
+        ).alias("region_share"),
+    )
+
+
+@register(
+    "q110_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def q110_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order event transition matrix (behavioral Markov counts):
+    lag each user's event stream, count (prev → next) pairs. One shuffle
+    on user_id for the lag, then a tiny |types|² aggregate; composite
+    (ts, event_id) ordering pins ties."""
+    ev = read_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
