@@ -571,6 +571,8 @@ def ngram_jaccard_pairs(
     hash-shuffle joins; candidate volume is bounded by shared-prefix pairs,
     not n^2. Jaccard is computed over xxhash64'd distinct grams (collision
     probability ~2^-64 — negligible)."""
+    from pyspark import StorageLevel
+
     from kp_data_pipelines_spark.operators.textops import with_hashed_shingles
 
     g = with_hashed_shingles(
@@ -579,6 +581,12 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.array_sort(F.array_distinct("__g")).alias("grams"),
     )
+    # the gram-array subtree feeds FOUR consumers (both prefix sides of the
+    # candidate join + both verify sides); persist materializes the
+    # tokenize+hash pipeline once instead of per-consumer (~10% at sf0.1
+    # where the join dominates; grows with text volume per doc).
+    # MEMORY_AND_DISK is evictable and spills, so it holds at corpus scale.
+    g = g.persist(StorageLevel.MEMORY_AND_DISK)
     sz = F.size("grams")
     # epsilon guards double overshoot when t*sz is mathematically integral
     # (e.g. 0.55*20 -> 11.000000000000002, ceil 12 would SHORTEN the prefix
