@@ -4091,3 +4091,49 @@ def q110_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@register(
+    "q111_nation_hierarchy",
+    """
+    WITH RECURSIVE h(n_nationkey, n_name, depth, path) AS (
+      SELECT n_nationkey, n_name, CAST(0 AS BIGINT),
+             CAST(n_name AS VARCHAR)
+      FROM nation WHERE n_nationkey = 0
+      UNION ALL
+      SELECT c.n_nationkey, c.n_name, h.depth + 1,
+             h.path || '>' || c.n_name
+      FROM nation c
+      JOIN h ON CAST(floor((c.n_nationkey - 1) / 2.0) AS INTEGER)
+                  = h.n_nationkey
+      WHERE c.n_nationkey > 0
+    )
+    SELECT n_nationkey, n_name, depth, path FROM h
+    """,
+)
+def q111_nation_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk a derived binary-tree
+    hierarchy over nation (parent = floor((k-1)/2)), carrying depth and
+    the materialized path. Each recursion step is an equi-join of the
+    frontier against the child table — Spark executes it as iterated
+    joins with the frontier as build side; termination is structural
+    (leaves produce no children). The engine-native answer to the
+    reference's imperative traversal loops (Protocol Data Gathering)."""
+    nation = read_table(spark, sf, "nation")
+    nation.createOrReplaceTempView("nation_q111")
+    return spark.sql(
+        """
+        WITH RECURSIVE h(n_nationkey, n_name, depth, path) AS (
+          SELECT n_nationkey, n_name, CAST(0 AS BIGINT), n_name
+          FROM nation_q111 WHERE n_nationkey = 0
+          UNION ALL
+          SELECT c.n_nationkey, c.n_name, h.depth + 1,
+                 concat(h.path, '>', c.n_name)
+          FROM nation_q111 c
+          JOIN h ON CAST(floor((c.n_nationkey - 1) / 2.0) AS INT)
+                      = h.n_nationkey
+          WHERE c.n_nationkey > 0
+        )
+        SELECT n_nationkey, n_name, depth, path FROM h
+        """
+    )
