@@ -73,3 +73,31 @@ def test_inference_real_backend_is_explicit_stub(spark):
     df = spark.createDataFrame([(1, "x")], ["id", "text"])
     with pytest.raises(Exception):
         batch_inference(df, "text", model="real").collect()
+
+
+def test_chunk_media_roundtrip(spark):
+    """Chunking is lossless: concatenating a blob's chunks in order
+    reconstructs the original bytes; sizes and offsets line up."""
+    from kp_data_pipelines_spark.operators.multimodal import chunk_media
+
+    rows = [
+        (1, b"a" * 2500),
+        (2, b"xyz"),
+        (3, b""),
+        (4, bytes(range(256)) * 10),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = chunk_media(df, chunk_bytes=1000).collect()
+    by_id = {}
+    for r in sorted(out, key=lambda r: (r["media_id"], r["chunk_idx"])):
+        by_id.setdefault(r["media_id"], bytearray()).extend(r["chunk"] or b"")
+        assert r["offset"] == r["chunk_idx"] * 1000
+    for mid, content in rows:
+        assert bytes(by_id[mid]) == content, mid
+    # each blob yields ceil(len/1000) chunks (min 1)
+    import math
+    counts = {}
+    for r in out:
+        counts[r["media_id"]] = counts.get(r["media_id"], 0) + 1
+    for mid, content in rows:
+        assert counts[mid] == max(1, math.ceil(len(content) / 1000))
