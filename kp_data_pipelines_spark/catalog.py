@@ -4137,3 +4137,96 @@ def q111_nation_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
         SELECT n_nationkey, n_name, depth, path FROM h
         """
     )
+
+
+@register(
+    "q112_interpolated_quantiles",
+    """
+    WITH r AS (
+      SELECT c_mktsegment AS seg, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM customer
+    ),
+    px AS (
+      SELECT seg, n,
+             MAX(CASE WHEN rn = CAST(floor((n-1) * 0.25) AS BIGINT)
+                      THEN c_acctbal END) AS q1_lo,
+             MAX(CASE WHEN rn = CAST(ceil((n-1) * 0.25) AS BIGINT)
+                      THEN c_acctbal END) AS q1_hi,
+             MAX(CASE WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT)
+                      THEN c_acctbal END) AS q2_lo,
+             MAX(CASE WHEN rn = CAST(ceil((n-1) * 0.5) AS BIGINT)
+                      THEN c_acctbal END) AS q2_hi,
+             MAX(CASE WHEN rn = CAST(floor((n-1) * 0.75) AS BIGINT)
+                      THEN c_acctbal END) AS q3_lo,
+             MAX(CASE WHEN rn = CAST(ceil((n-1) * 0.75) AS BIGINT)
+                      THEN c_acctbal END) AS q3_hi
+      FROM r GROUP BY seg, n
+    )
+    SELECT seg, CAST(n AS BIGINT) AS n_customers,
+           q1_lo + ((n-1) * 0.25 - floor((n-1) * 0.25)) * (q1_hi - q1_lo)
+             AS p25,
+           q2_lo + ((n-1) * 0.5 - floor((n-1) * 0.5)) * (q2_hi - q2_lo)
+             AS p50,
+           q3_lo + ((n-1) * 0.75 - floor((n-1) * 0.75)) * (q3_hi - q3_lo)
+             AS p75
+    FROM px
+    """,
+)
+def q112_interpolated_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """percentile_cont-style interpolated quartiles per segment, without
+    the built-in (whose interpolation arithmetic differs per engine):
+    rank-pick the two bracketing order statistics, interpolate in
+    identical double arithmetic. One fact shuffle for the rank window;
+    the pick is a conditional aggregate (map-side partials), so no
+    second sort and no per-group collect — q59's rank-pick generalized
+    to continuous percentiles."""
+    cust = read_table(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    r = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        "c_acctbal",
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("c_mktsegment"))
+        .alias("n"),
+    )
+
+    def pick(h):
+        lo = F.max(
+            F.when(
+                F.col("rn") == F.floor(h).cast("long"), F.col("c_acctbal")
+            )
+        )
+        hi = F.max(
+            F.when(
+                F.col("rn") == F.ceil(h).cast("long"), F.col("c_acctbal")
+            )
+        )
+        return lo, hi
+
+    h1 = (F.col("n") - 1) * F.lit(0.25)
+    h2 = (F.col("n") - 1) * F.lit(0.5)
+    h3 = (F.col("n") - 1) * F.lit(0.75)
+    q1_lo, q1_hi = pick(h1)
+    q2_lo, q2_hi = pick(h2)
+    q3_lo, q3_hi = pick(h3)
+    px = r.groupBy("seg", "n").agg(
+        q1_lo.alias("q1_lo"), q1_hi.alias("q1_hi"),
+        q2_lo.alias("q2_lo"), q2_hi.alias("q2_hi"),
+        q3_lo.alias("q3_lo"), q3_hi.alias("q3_hi"),
+    )
+
+    def interp(p, lo, hi):
+        h = (F.col("n") - 1) * F.lit(p)
+        return F.col(lo) + (h - F.floor(h)) * (F.col(hi) - F.col(lo))
+
+    return px.select(
+        "seg",
+        F.col("n").cast("long").alias("n_customers"),
+        interp(0.25, "q1_lo", "q1_hi").alias("p25"),
+        interp(0.5, "q2_lo", "q2_hi").alias("p50"),
+        interp(0.75, "q3_lo", "q3_hi").alias("p75"),
+    )
