@@ -1,0 +1,79 @@
+"""Throughput probe: generate a ~1M-doc corpus ON THE EXECUTORS (no
+input files, via the synthetic_corpus DataSource) and push it through
+the text-pipeline hot path — exact dedup, language ID, token counting,
+quality scoring, template-prefix grouping — printing rows/sec per stage.
+
+Usage: python tools/stress.py [n_partitions rows_per_partition]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kp_data_pipelines_spark.operators.dedup import row_fingerprint  # noqa: E402
+from kp_data_pipelines_spark.operators.textops import (  # noqa: E402
+    lang_id,
+    quality_score,
+    regex_token_count,
+)
+from kp_data_pipelines_spark.session import get_spark  # noqa: E402
+from kp_data_pipelines_spark.sources.corpus_source import (  # noqa: E402
+    SyntheticCorpusDataSource,
+)
+
+
+def main() -> int:
+    parts = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    rows = int(sys.argv[2]) if len(sys.argv) > 2 else 32_000
+    spark = get_spark()
+    spark.dataSource.register(SyntheticCorpusDataSource)
+    docs = (
+        spark.read.format("synthetic_corpus")
+        .option("partitions", parts)
+        .option("rows_per_partition", rows)
+        .load()
+    )
+    n = parts * rows
+    out: dict[str, float] = {}
+
+    def stage(name, df):
+        t = time.time()
+        cnt = df.count()
+        dt = time.time() - t
+        out[name] = round(n / dt)
+        print(f"{name}: {cnt} rows out, {dt:.1f}s, {out[name]} docs/sec")
+
+    stage("generate+count", docs)
+    stage(
+        "exact_dedup",
+        row_fingerprint(docs.select("doc_id", "text"), ["text"]).dropDuplicates(
+            ["row_hash"]
+        ),
+    )
+    stage(
+        "lang_id+tokens+quality",
+        docs.select(
+            "doc_id",
+            lang_id("text").alias("lang"),
+            regex_token_count("text").alias("toks"),
+            quality_score("text").alias("q"),
+        ).filter(F.col("q") > 0.5),
+    )
+    stage(
+        "template_prefix_groups",
+        docs.groupBy(
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, 10)).alias("p")
+        ).count().filter(F.col("count") >= 2),
+    )
+    print(json.dumps({"metric": "stress_docs_per_sec", "n_docs": n, **out}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
