@@ -4230,3 +4230,182 @@ def q112_interpolated_quantiles(spark: SparkSession, sf: str) -> DataFrame:
         interp(0.5, "q2_lo", "q2_hi").alias("p50"),
         interp(0.75, "q3_lo", "q3_hi").alias("p75"),
     )
+
+
+@register(
+    "q113_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(min(date_trunc('week', ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+      FROM events
+    )
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(datediff('day', f.cohort_week, a.act_week) / 7 AS BIGINT)
+             AS week_offset,
+           COUNT(*) AS n_active_users
+    FROM activity a
+    JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q113_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week,
+    counted per weeks-since-cohort offset. Two aggregates over one scan
+    lineage (first-seen min + distinct activity weeks, both keyed on
+    user_id) joined on user — the join and both aggregates share the
+    user_id shuffle partitioning, so AQE plans one exchange per side and
+    the final matrix is |weeks|² rows."""
+    ev = read_table(spark, sf, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    firsts = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = ev.select("user_id", week.alias("act_week")).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("act_week", F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+@register(
+    "q114_dedup_waterfall",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact,
+           CAST(COUNT(DISTINCT lower(regexp_replace(text, '\\s+', ' ', 'g')))
+                AS BIGINT) AS n_normalized,
+           CAST(COUNT(DISTINCT array_to_string(string_split(text, ' ')[1:10],
+                                               ' ')) AS BIGINT) AS n_prefix
+    FROM documents
+    """,
+)
+def q114_dedup_waterfall(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-cascade sizing report: surviving-document counts under
+    successively coarser keys (exact text, whitespace-normalized,
+    10-token prefix) in ONE statement. Spark plans multi-distinct
+    aggregates with Expand (one pass over the scan, one shuffle per
+    distinct key set); the waterfall tells you what each dedup stage
+    would remove BEFORE you run it — the planning query for q23/q35/q104
+    at 100 TB."""
+    docs = read_table(spark, sf, "documents")
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    prefix = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 10))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_exact"),
+        F.countDistinct(norm).alias("n_normalized"),
+        F.countDistinct(prefix).alias("n_prefix"),
+    )
+
+
+@register(
+    "q115_outlier_orders",
+    """
+    WITH m AS (
+      SELECT o_orderpriority AS prio, COUNT(*) AS n,
+             CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT))
+                  AS DOUBLE) AS sx,
+             CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)
+                      * CAST(round(o_totalprice * 100.0) AS BIGINT))
+                  AS DOUBLE) AS sxx
+      FROM orders GROUP BY prio
+    ),
+    stats AS (
+      SELECT prio, n, sx / n / 100.0 AS mean,
+             sqrt(sxx / n - (sx / n) * (sx / n)) / 100.0 AS std
+      FROM m
+    )
+    SELECT o.o_orderkey, s.prio, o.o_totalprice,
+           (o.o_totalprice - s.mean) / s.std AS z
+    FROM orders o
+    JOIN stats s ON o.o_orderpriority = s.prio
+    WHERE abs((o.o_totalprice - s.mean) / s.std) > 1.6
+    """,
+)
+def q115_outlier_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-score outlier detection per priority class: exact cent-quantized
+    moments (q106's trick) give a cross-engine-identical mean/std; the
+    5-row stats table broadcasts back onto the fact scan for the flag.
+    Two passes over orders, zero windows — the shape that survives any
+    fact-table size. (Threshold 1.6 sigma: the synthetic prices are
+    near-uniform, max |z| ~ 1.78 -- a 3 sigma rule on real data is the
+    same plan.)"""
+    orders = read_table(spark, sf, "orders")
+    q = F.round(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    m = orders.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(q * q).cast("double").alias("sxx"),
+    )
+    stats = m.select(
+        "prio",
+        (F.col("sx") / F.col("n") / F.lit(100.0)).alias("mean"),
+        (
+            F.sqrt(
+                F.col("sxx") / F.col("n")
+                - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))
+            )
+            / F.lit(100.0)
+        ).alias("std"),
+    )
+    z = (F.col("o_totalprice") - F.col("mean")) / F.col("std")
+    return (
+        orders.join(F.broadcast(stats), F.col("o_orderpriority") == F.col("prio"))
+        .select("o_orderkey", "prio", "o_totalprice", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 1.6)
+    )
+
+
+@register(
+    "q116_calendar_dim",
+    """
+    WITH days AS (
+      SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+                                         DATE '1996-12-31',
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(year(d) AS BIGINT) AS year,
+           CAST(quarter(d) AS BIGINT) AS quarter,
+           CAST(month(d) AS BIGINT) AS month,
+           CAST(dayofweek(d) AS BIGINT) AS dow,
+           CAST(CASE WHEN d = last_day(d) THEN 1 ELSE 0 END AS BIGINT)
+             AS is_month_end
+    FROM days
+    """,
+)
+def q116_calendar_dim(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar dimension generated engine-side (sequence + explode) —
+    the standard star-schema date dim the reference derives ad hoc with
+    pandas date arithmetic (C4-C6). Generated, not stored: at any scale
+    it's a few thousand rows built in one task and broadcast wherever
+    joined. DuckDB's dayofweek is 0=Sunday; Spark's dayofweek is
+    1=Sunday, so the Spark side subtracts 1 to the same convention."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1996-12-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    return spine.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.year("d").cast("long").alias("year"),
+        F.quarter("d").cast("long").alias("quarter"),
+        F.month("d").cast("long").alias("month"),
+        (F.dayofweek("d") - 1).cast("long").alias("dow"),
+        F.when(F.col("d") == F.last_day("d"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_month_end"),
+    )
