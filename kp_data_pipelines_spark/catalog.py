@@ -4409,3 +4409,75 @@ def q116_calendar_dim(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("is_month_end"),
     )
+
+
+@register(
+    "q117_topk_with_ties",
+    """
+    SELECT seg, c_custkey, c_name, acctbal, rnk
+    FROM (
+      SELECT c_mktsegment AS seg, c_custkey, c_name,
+             round(c_acctbal, 0) AS acctbal,
+             RANK() OVER (PARTITION BY c_mktsegment
+                          ORDER BY round(c_acctbal, 0) DESC) AS rnk
+      FROM customer
+    )
+    WHERE rnk <= 3
+    """,
+)
+def q117_topk_with_ties(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3-with-ties per segment: RANK over a coarsened key (rounded
+    balance) can return MORE than 3 rows when values tie — the WITH TIES
+    semantics q50's row_number cannot express. Same WindowGroupLimit
+    pushdown applies (rank filters prune below the shuffle); the rounded
+    key makes tie groups real in uniform synthetic data and is
+    deterministic because RANK depends only on the ORDER key, not row
+    order."""
+    cust = read_table(spark, sf, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal"), 0).alias("acctbal"),
+    )
+    w = Window.partitionBy("seg").orderBy(F.desc("acctbal"))
+    return (
+        cust.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("seg", "c_custkey", "c_name", "acctbal", "rnk")
+    )
+
+
+@register(
+    "q118_unpivot_metrics",
+    """
+    WITH wide AS (
+      SELECT l_returnflag AS flag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS price,
+             CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tax
+      FROM lineitem GROUP BY flag
+    )
+    SELECT flag, metric, value
+    FROM wide
+    UNPIVOT (value FOR metric IN (qty, price, tax))
+    """,
+)
+def q118_unpivot_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit wide→long UNPIVOT (the inverse of q12's pivot): per-flag
+    metric columns melt into (flag, metric, value) rows via Spark's
+    native unpivot/melt (an Expand node — each input row fans out to one
+    row per metric, no shuffle). The unpivot runs on the 3-row AGGREGATE;
+    at any scale melting post-aggregation beats melting the fact table
+    then aggregating (3 shuffles → 1)."""
+    li = read_table(spark, sf, "lineitem")
+    wide = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("price"),
+        F.sum(F.col("l_tax").cast("decimal(18,2)")).cast("double").alias("tax"),
+    )
+    return wide.unpivot("flag", ["qty", "price", "tax"], "metric", "value")

@@ -163,3 +163,62 @@ def test_snapshot_upsert_partition_property(spark, cur, upd):
     upd_df = spark.createDataFrame(list(upd_d.items()) or [], "k int, v double") if upd_d else spark.createDataFrame([], "k int, v double")
     got = {r["k"]: r["v"] for r in snapshot_upsert(cur_df, upd_df, ["k"]).collect()}
     assert got == {**cur_d, **upd_d}
+
+
+def test_q95_decorrelation_matches_naive_exists(spark):
+    """The per-order aggregate decorrelation in q95 equals the textbook
+    EXISTS / NOT EXISTS formulation run as Spark SQL."""
+    from kp_data_pipelines_spark.catalog import QUERIES
+    from kp_data_pipelines_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    read_table(spark, sf, "lineitem").createOrReplaceTempView("li_p")
+    read_table(spark, sf, "orders").createOrReplaceTempView("o_p")
+    read_table(spark, sf, "supplier").createOrReplaceTempView("s_p")
+    naive = spark.sql(
+        """
+        WITH pairs AS (
+          SELECT l.l_orderkey, l.l_suppkey,
+                 MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 30 DAYS
+                          THEN 1 ELSE 0 END) AS is_late
+          FROM li_p l JOIN o_p o ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderstatus = 'F'
+          GROUP BY l.l_orderkey, l.l_suppkey
+        )
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM pairs p JOIN s_p s ON p.l_suppkey = s.s_suppkey
+        WHERE p.is_late = 1
+          AND EXISTS (SELECT 1 FROM pairs x
+                      WHERE x.l_orderkey = p.l_orderkey
+                        AND x.l_suppkey <> p.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM pairs x
+                          WHERE x.l_orderkey = p.l_orderkey
+                            AND x.l_suppkey <> p.l_suppkey
+                            AND x.is_late = 1)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+        """
+    ).collect()
+    ours = QUERIES["q95_waiting_suppliers"](spark, sf).collect()
+    assert [tuple(r) for r in ours] == [tuple(r) for r in naive]
+
+
+def test_q112_matches_numpy_percentile(spark):
+    """Interpolated quartiles equal numpy's linear-interpolation
+    percentile per segment."""
+    import numpy as np
+
+    from kp_data_pipelines_spark.catalog import QUERIES
+    from kp_data_pipelines_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["seg"]: r for r in QUERIES["q112_interpolated_quantiles"](spark, sf).collect()}
+    rows = read_table(spark, sf, "customer").select("c_mktsegment", "c_acctbal").collect()
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r["c_mktsegment"], []).append(r["c_acctbal"])
+    for seg, vals in by_seg.items():
+        for p, col in ((25, "p25"), (50, "p50"), (75, "p75")):
+            expect = np.percentile(np.array(vals), p, method="linear")
+            assert abs(got[seg][col] - expect) < 1e-9, (seg, p)
