@@ -3518,7 +3518,9 @@ def q98_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     quantized = F.round(F.col("v") * F.lit(1e12)).cast("long")
     return flat.groupBy("label", "dim").agg(
         (
-            F.sum(quantized).cast("double") / F.lit(1e12) / F.count(F.lit(1))
+            F.sum(quantized.cast("decimal(38,0)")).cast("double")
+            / F.lit(1e12)
+            / F.count(F.lit(1))
         ).alias("centroid"),
         F.count(F.lit(1)).alias("n_vecs"),
     )
@@ -4342,8 +4344,8 @@ def q115_outlier_orders(spark: SparkSession, sf: str) -> DataFrame:
     q = F.round(F.col("o_totalprice") * F.lit(100.0)).cast("long")
     m = orders.groupBy(F.col("o_orderpriority").alias("prio")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(q).cast("double").alias("sx"),
-        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(q.cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum((q * q).cast("decimal(38,0)")).cast("double").alias("sxx"),
     )
     stats = m.select(
         "prio",
