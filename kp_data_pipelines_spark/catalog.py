@@ -3828,14 +3828,23 @@ def q105_centroid_assign(spark: SparkSession, sf: str) -> DataFrame:
              CAST(round(l_extendedprice * 100.0) AS BIGINT) AS qy
       FROM lineitem
     ),
+    q2 AS (
+      SELECT flag, qx, qy, qx * qx AS xx, qy * qy AS yy, qx * qy AS xy
+      FROM q
+    ),
     m AS (
       SELECT flag, COUNT(*) AS n,
-             CAST(SUM(CAST(qx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(qy AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(qx * qx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(qy * qy AS DECIMAL(38,0))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(qx * qy AS DECIMAL(38,0))) AS DOUBLE) AS sxy
-      FROM q GROUP BY flag
+             CAST(SUM(qx // 67108864) AS DOUBLE) * 67108864.0
+               + CAST(SUM(qx % 67108864) AS DOUBLE) AS sx,
+             CAST(SUM(qy // 67108864) AS DOUBLE) * 67108864.0
+               + CAST(SUM(qy % 67108864) AS DOUBLE) AS sy,
+             CAST(SUM(xx // 67108864) AS DOUBLE) * 67108864.0
+               + CAST(SUM(xx % 67108864) AS DOUBLE) AS sxx,
+             CAST(SUM(yy // 67108864) AS DOUBLE) * 67108864.0
+               + CAST(SUM(yy % 67108864) AS DOUBLE) AS syy,
+             CAST(SUM(xy // 67108864) AS DOUBLE) * 67108864.0
+               + CAST(SUM(xy % 67108864) AS DOUBLE) AS sxy
+      FROM q2 GROUP BY flag
     )
     SELECT flag, n,
            (n * sxy - sx * sy)
@@ -3849,24 +3858,39 @@ def q106_moment_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Correlation + sample covariance of quantity vs price per return
     flag, assembled from exact integer moments. Built-in corr()/covar()
     accumulate doubles partition-by-partition (order-dependent, oracle-
-    hostile); quantizing to cent-scale BIGINTs and summing the five
-    moments in DECIMAL(38,0) keeps every partial exact, then the closed
-    forms run in identical double arithmetic on both engines. Same
+    hostile); quantizing to cent-scale BIGINTs keeps every partial exact,
+    then the closed forms run in identical double arithmetic on both
+    engines. Each moment sums in a hi/lo split (div/mod 2^26) so both
+    halves stay below 2^53 — exact in double on both engines; a single
+    wide sum cast to double trips DuckDB's not-correctly-rounded
+    HUGEINT→double conversion (1 ulp, seen in q115 at sf0.1). Same
     single-shuffle map-side-partial profile as a plain groupBy-sum."""
     li = read_table(spark, sf, "lineitem")
-    q = li.select(
+    B = 67108864  # 2^26
+    qx = F.round(F.col("l_quantity") * F.lit(100.0)).cast("long")
+    qy = F.round(F.col("l_extendedprice") * F.lit(100.0)).cast("long")
+    q2 = li.select(
         F.col("l_returnflag").alias("flag"),
-        F.round(F.col("l_quantity") * F.lit(100.0)).cast("long").alias("qx"),
-        F.round(F.col("l_extendedprice") * F.lit(100.0)).cast("long").alias("qy"),
+        qx.alias("qx"),
+        qy.alias("qy"),
+        (qx * qx).alias("xx"),
+        (qy * qy).alias("yy"),
+        (qx * qy).alias("xy"),
     )
-    dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
-    m = q.groupBy("flag").agg(
+
+    def split_sum(c):
+        return (
+            F.sum(F.expr(f"{c} div {B}")).cast("double") * F.lit(float(B))
+            + F.sum(F.col(c) % B).cast("double")
+        )
+
+    m = q2.groupBy("flag").agg(
         F.count(F.lit(1)).alias("n"),
-        dec(F.col("qx")).alias("sx"),
-        dec(F.col("qy")).alias("sy"),
-        dec(F.col("qx") * F.col("qx")).alias("sxx"),
-        dec(F.col("qy") * F.col("qy")).alias("syy"),
-        dec(F.col("qx") * F.col("qy")).alias("sxy"),
+        split_sum("qx").alias("sx"),
+        split_sum("qy").alias("sy"),
+        split_sum("xx").alias("sxx"),
+        split_sum("yy").alias("syy"),
+        split_sum("xy").alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
@@ -4311,14 +4335,19 @@ def q114_dedup_waterfall(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q115_outlier_orders",
     """
-    WITH m AS (
-      SELECT o_orderpriority AS prio, COUNT(*) AS n,
-             CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT))
-                  AS DOUBLE) AS sx,
-             CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)
-                      * CAST(round(o_totalprice * 100.0) AS BIGINT))
-                  AS DOUBLE) AS sxx
-      FROM orders GROUP BY prio
+    WITH q AS (
+      SELECT o_orderpriority AS prio,
+             CAST(round(o_totalprice * 100.0) AS BIGINT) AS qx
+      FROM orders
+    ),
+    q2 AS (SELECT prio, qx, qx * qx AS qq FROM q),
+    m AS (
+      SELECT prio, COUNT(*) AS n,
+             CAST(SUM(qx // 67108864) AS DOUBLE) * 67108864.0
+               + CAST(SUM(qx % 67108864) AS DOUBLE) AS sx,
+             CAST(SUM(qq // 67108864) AS DOUBLE) * 67108864.0
+               + CAST(SUM(qq % 67108864) AS DOUBLE) AS sxx
+      FROM q2 GROUP BY prio
     ),
     stats AS (
       SELECT prio, n, sx / n / 100.0 AS mean,
@@ -4334,18 +4363,35 @@ def q114_dedup_waterfall(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q115_outlier_orders(spark: SparkSession, sf: str) -> DataFrame:
     """Z-score outlier detection per priority class: exact cent-quantized
-    moments (q106's trick) give a cross-engine-identical mean/std; the
-    5-row stats table broadcasts back onto the fact scan for the flag.
-    Two passes over orders, zero windows — the shape that survives any
-    fact-table size. (Threshold 1.6 sigma: the synthetic prices are
-    near-uniform, max |z| ~ 1.78 -- a 3 sigma rule on real data is the
-    same plan.)"""
+    moments give a cross-engine-identical mean/std; the 5-row stats
+    table broadcasts back onto the fact scan for the flag. Two passes
+    over orders, zero windows — the shape that survives any fact-table
+    size. Moment sums use a hi/lo split (div/mod 2^26): each partial
+    stays below 2^53 so its double conversion is EXACT on both engines —
+    a single big-integer sum cast to double is 1-ulp hazardous because
+    DuckDB's HUGEINT→double conversion is not correctly rounded (found
+    at sf0.1). Threshold 1.6 sigma: the synthetic prices are
+    near-uniform, max |z| ~ 1.78 — a 3 sigma rule on real data is the
+    same plan."""
     orders = read_table(spark, sf, "orders")
-    q = F.round(F.col("o_totalprice") * F.lit(100.0)).cast("long")
-    m = orders.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+    B = 67108864  # 2^26
+    qx = F.round(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    q2 = orders.select(
+        F.col("o_orderpriority").alias("prio"),
+        qx.alias("qx"),
+        (qx * qx).alias("qq"),
+    )
+
+    def split_sum(c):
+        return (
+            F.sum(F.expr(f"{c} div {B}")).cast("double") * F.lit(float(B))
+            + F.sum(F.col(c) % B).cast("double")
+        )
+
+    m = q2.groupBy("prio").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(q.cast("decimal(38,0)")).cast("double").alias("sx"),
-        F.sum((q * q).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        split_sum("qx").alias("sx"),
+        split_sum("qq").alias("sxx"),
     )
     stats = m.select(
         "prio",
