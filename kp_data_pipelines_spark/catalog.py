@@ -4529,3 +4529,44 @@ def q118_unpivot_metrics(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("l_tax").cast("decimal(18,2)")).cast("double").alias("tax"),
     )
     return wide.unpivot("flag", ["qty", "price", "tax"], "metric", "value")
+
+
+@register(
+    "q119_sliding_distinct_users",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    expanded AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                         INTERVAL 1 DAY)) AS DATE) AS win_end
+      FROM days
+    )
+    SELECT strftime(win_end, '%Y-%m-%d') AS window_end,
+           COUNT(DISTINCT user_id) AS active_users_7d
+    FROM expanded
+    GROUP BY window_end
+    """,
+)
+def q119_sliding_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact trailing-7-day active users per day — the sliding COUNT
+    DISTINCT that window frames cannot express (no DISTINCT over a RANGE
+    frame). Each (user, day) pair fans out to the 7 windows it belongs
+    to — a BOUNDED explode (7×|user-days| after dedup), then one
+    distinct-aggregate shuffle; the alternative range self-join is
+    |days|×|events| and unbounded. The fan-out factor is the window
+    length, independent of data size."""
+    ev = read_table(spark, sf, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    expanded = days.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add(F.col("d"), 6), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("win_end"),
+    )
+    return expanded.groupBy(
+        F.date_format("win_end", "yyyy-MM-dd").alias("window_end")
+    ).agg(F.countDistinct("user_id").alias("active_users_7d"))
