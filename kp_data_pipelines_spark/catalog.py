@@ -4570,3 +4570,66 @@ def q119_sliding_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     return expanded.groupBy(
         F.date_format("win_end", "yyyy-MM-dd").alias("window_end")
     ).agg(F.countDistinct("user_id").alias("active_users_7d"))
+
+
+@register(
+    "q120_budget_apportionment",
+    """
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    alloc AS (
+      SELECT source, n,
+             CAST(floor(10000.0 * n / SUM(n) OVER ()) AS BIGINT) AS base,
+             10000.0 * n / SUM(n) OVER ()
+               - floor(10000.0 * n / SUM(n) OVER ()) AS rem
+      FROM counts
+    ),
+    ranked AS (
+      SELECT source, n, base,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+             10000 - SUM(base) OVER () AS leftover
+      FROM alloc
+    )
+    SELECT source, n, CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                           AS BIGINT) AS quota
+    FROM ranked
+    """,
+)
+def q120_budget_apportionment(spark: SparkSession, sf: str) -> DataFrame:
+    """Largest-remainder apportionment of a 10k-doc sampling budget
+    across sources — the deterministic 'how many docs per domain' step
+    before stratified sampling (q62). One fact aggregate, then pure
+    window arithmetic over the |sources| rows; quotas always sum to
+    exactly the budget (floor allocations + ranked remainders), with a
+    source-name tiebreak so the oracle match is exact. Scale cost is the
+    count aggregate; everything after is dimension-sized."""
+    docs = read_table(spark, sf, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    whole = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    share = F.lit(10000.0) * F.col("n") / F.sum("n").over(whole)
+    alloc = counts.select(
+        "source",
+        "n",
+        F.floor(share).cast("long").alias("base"),
+        (share - F.floor(share)).alias("rem"),
+    )
+    ranked = alloc.select(
+        "source",
+        "n",
+        "base",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rem"), "source"))
+        .alias("rk"),
+        (F.lit(10000) - F.sum("base").over(whole)).alias("leftover"),
+    )
+    return ranked.select(
+        "source",
+        "n",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        ).cast("long").alias("quota"),
+    )
