@@ -71,3 +71,32 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(table)
+
+
+def compact_table(
+    spark, path: str, target_file_bytes: int = 128 << 20
+) -> int:
+    """Rewrite a parquet directory into ~target-size files (the
+    small-files remedy: a streaming sink or over-parallel write leaves
+    thousands of KB-scale files whose per-file open/footer cost dominates
+    scans at 100 TB). Sizes from the actual on-disk bytes, rewrites via a
+    temp dir then atomic-ish swap. Returns the new file count."""
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    df.repartition(n).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n

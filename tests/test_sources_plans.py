@@ -155,3 +155,21 @@ def test_synthetic_corpus_datasource(spark):
         {"n": "min"}
     ).head()[0]
     assert toks >= 20
+
+
+def test_compact_table(spark, tmp_path):
+    """Compaction reduces file count without changing data."""
+    from kp_data_pipelines_spark.sources.sinks import compact_table
+
+    p = str(tmp_path / "frag")
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    df.repartition(64).write.parquet(p)
+    import glob
+    before = len(glob.glob(p + "/*.parquet"))
+    assert before >= 32
+    compact_table(spark, p, target_file_bytes=1 << 30)
+    after = len(glob.glob(p + "/*.parquet"))
+    got = spark.read.parquet(p)
+    assert after < before
+    assert got.count() == 10_000
+    assert got.agg({"k": "sum"}).head()[0] == sum(range(10_000))
