@@ -1300,7 +1300,11 @@ def q47_streaming_window_events(spark: SparkSession, sf: str) -> DataFrame:
         .parquet(sf)
     )
     for c in ns_cols:
-        stream = stream.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        # integer division — double division of ~1.7e18 nanos rounds past
+        # 2^53 and lands ~12% of stamps 1us off (see readers.read_table)
+        stream = stream.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+        )
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -4632,4 +4636,80 @@ def q120_budget_apportionment(spark: SparkSession, sf: str) -> DataFrame:
             F.col("base")
             + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
         ).cast("long").alias("quota"),
+    )
+
+
+@register(
+    "q121_streaming_sessions",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS w_start,
+           strftime(max(ts) + INTERVAL 10 MINUTE,
+                    '%Y-%m-%d %H:%M:%S.%f') AS w_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def q121_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows computed BY THE STREAMING ENGINE (readStream →
+    session_window gap merge → AvailableNow → memory sink), hash-checked
+    against the relational gaps-and-islands oracle — the strongest
+    streaming-equivalence statement in the catalog: the stateful
+    session-merge operator agrees with batch SQL to the microsecond.
+    Complete mode emits all sessions at end-of-backlog; state is per
+    (user, open session) and bounded by the watermark in production."""
+    from kp_data_pipelines_spark.sources.readers import _nanos_timestamp_cols
+    from kp_data_pipelines_spark.streaming.events import run_available_now
+
+    path = f"{sf}/events.parquet"
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    for c in ns_cols:
+        stream = stream.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+        )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "10 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("w_start"),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("w_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    import tempfile
+
+    return run_available_now(
+        agg, tempfile.mkdtemp(prefix="q121_ckpt"), output_mode="complete"
     )
