@@ -4713,3 +4713,77 @@ def q121_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
     return run_available_now(
         agg, tempfile.mkdtemp(prefix="q121_ckpt"), output_mode="complete"
     )
+
+
+@register(
+    "q122_trend_by_type",
+    """
+    WITH q AS (
+      SELECT event_type,
+             epoch_us(ts) // 1000000 - 1704067200 AS x,
+             CAST(round(value * 100.0) AS BIGINT) AS y
+      FROM events
+    ),
+    q2 AS (SELECT event_type, x, y, x * x AS xx, x * y AS xy FROM q),
+    m AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(x // 67108864) AS DOUBLE) * 67108864.0
+               + CAST(SUM(x % 67108864) AS DOUBLE) AS sx,
+             CAST(SUM(y // 67108864) AS DOUBLE) * 67108864.0
+               + CAST(SUM(y % 67108864) AS DOUBLE) AS sy,
+             CAST(SUM(xx // 67108864) AS DOUBLE) * 67108864.0
+               + CAST(SUM(xx % 67108864) AS DOUBLE) AS sxx,
+             CAST(SUM(xy // 67108864) AS DOUBLE) * 67108864.0
+               + CAST(SUM(xy % 67108864) AS DOUBLE) AS sxy
+      FROM q2 GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) * 36.0
+             AS slope_per_hour,
+           sy / n / 100.0 AS mean_value
+    FROM m
+    """,
+)
+def q122_trend_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-wise OLS trend: least-squares slope of event value over
+    time per event type, from exact integer moments (seconds offset from
+    the corpus epoch × cent-quantized values; all sums hi/lo-split per
+    the q106/q115 rule so every double is cross-engine exact). The
+    groupBy-moments shape is one shuffle of 5 longs per group per
+    partition — regression over any fact-table size without a single
+    window or collect."""
+    ev = read_table(spark, sf, "events")
+    B = 67108864  # 2^26
+    x = F.expr("unix_micros(ts) div 1000000") - F.lit(1704067200)
+    y = F.round(F.col("value") * F.lit(100.0)).cast("long")
+    q2 = ev.select(
+        "event_type",
+        x.alias("x"),
+        y.alias("y"),
+        (x * x).alias("xx"),
+        (x * y).alias("xy"),
+    )
+
+    def split_sum(c):
+        return (
+            F.sum(F.expr(f"{c} div {B}")).cast("double") * F.lit(float(B))
+            + F.sum(F.col(c) % B).cast("double")
+        )
+
+    m = q2.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        split_sum("x").alias("sx"),
+        split_sum("y").alias("sy"),
+        split_sum("xx").alias("sxx"),
+        split_sum("xy").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    return m.select(
+        "event_type",
+        "n",
+        ((n * sxy - sx * sy) / (n * sxx - sx * sx) * F.lit(36.0)).alias(
+            "slope_per_hour"
+        ),
+        (sy / n / F.lit(100.0)).alias("mean_value"),
+    )
