@@ -121,16 +121,13 @@ def read_json_doc(
     return reader.json(path)
 
 
-def read_excel_via_pandas(spark: SparkSession, path: str, **pandas_kwargs) -> DataFrame:
-    """S4: Excel ingest. Driver-side pandas read + Arrow createDataFrame.
-
-    Supports the reference's sheet_name / skiprows / multi-row header
-    patterns via ``pandas_kwargs``. Multi-row headers (header=[...]) are
-    flattened by joining levels with '_' and dropping Unnamed slots
-    (Financial Snapshot Preprocess.ipynb:199-228 ``tidy``)."""
+def flatten_multiindex_columns(pdf):
+    """The reference's ``tidy`` (Financial Snapshot Preprocess.ipynb:199-228):
+    multi-row Excel headers flatten by joining levels with '_' and dropping
+    pandas' 'Unnamed: …' placeholder slots. Pure pandas — testable without
+    an xlsx engine."""
     import pandas as pd
 
-    pdf = pd.read_excel(path, **pandas_kwargs)
     if isinstance(pdf.columns, pd.MultiIndex):
         pdf.columns = [
             "_".join(
@@ -140,7 +137,19 @@ def read_excel_via_pandas(spark: SparkSession, path: str, **pandas_kwargs) -> Da
             )
             for tup in pdf.columns
         ]
-    return spark.createDataFrame(pdf)
+    return pdf
+
+
+def read_excel_via_pandas(spark: SparkSession, path: str, **pandas_kwargs) -> DataFrame:
+    """S4: Excel ingest. Driver-side pandas read + Arrow createDataFrame.
+
+    Supports the reference's sheet_name / skiprows / multi-row header
+    patterns via ``pandas_kwargs``; multi-row headers go through
+    ``flatten_multiindex_columns``."""
+    import pandas as pd
+
+    pdf = pd.read_excel(path, **pandas_kwargs)
+    return spark.createDataFrame(flatten_multiindex_columns(pdf))
 
 
 def read_jdbc(

@@ -173,3 +173,24 @@ def test_compact_table(spark, tmp_path):
     assert after < before
     assert got.count() == 10_000
     assert got.agg({"k": "sum"}).head()[0] == sum(range(10_000))
+
+
+def test_flatten_multiindex_columns(spark):
+    """The reference's `tidy` header flatten, exercised without an xlsx
+    engine: join header levels with '_', drop Unnamed slots, and the
+    result loads into Spark."""
+    import pandas as pd
+
+    from kp_data_pipelines_spark.sources.readers import flatten_multiindex_columns
+
+    pdf = pd.DataFrame(
+        [[1, 2.0, "x"], [3, 4.0, "y"]],
+        columns=pd.MultiIndex.from_tuples(
+            [("Fiscal", "Year"), ("Fiscal", "Amount"), ("Unnamed: 2_level_0", "Code")]
+        ),
+    )
+    out = flatten_multiindex_columns(pdf)
+    assert list(out.columns) == ["Fiscal_Year", "Fiscal_Amount", "Code"]
+    sdf = spark.createDataFrame(out)
+    assert sdf.count() == 2
+    assert set(sdf.columns) == {"Fiscal_Year", "Fiscal_Amount", "Code"}
