@@ -4787,3 +4787,20 @@ def q122_trend_by_type(spark: SparkSession, sf: str) -> DataFrame:
         ),
         (sy / n / F.lit(100.0)).alias("mean_value"),
     )
+
+
+@register("q123_quantile_sketch")
+def q123_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-based quantiles per return flag (approx_percentile /
+    KLL-style accuracy 10000): the constant-memory map-side path for
+    percentiles over 100 TB, where q59/q112's exact rank-pick needs a
+    full sort shuffle. Sketch estimates have no cross-engine SQL twin →
+    rows-only check; the unit test bounds each estimate against the
+    exact interpolated percentile."""
+    li = read_table(spark, sf, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_percentile("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.approx_percentile("l_extendedprice", 0.9, 10000).alias("p90_approx"),
+        F.approx_percentile("l_extendedprice", 0.99, 10000).alias("p99_approx"),
+    )

@@ -364,3 +364,25 @@ def test_hll_cardinality_close_to_exact(spark):
     for r in rows:
         rel = abs(r["approx_unique_texts"] - r["exact_unique"]) / max(r["exact_unique"], 1)
         assert rel < 0.10, (r["source"], r["approx_unique_texts"], r["exact_unique"])
+
+
+def test_quantile_sketch_close_to_exact(spark):
+    from pyspark.sql import functions as F
+
+    from kp_data_pipelines_spark.catalog import QUERIES
+    from kp_data_pipelines_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["flag"]: r for r in QUERIES["q123_quantile_sketch"](spark, sf).collect()}
+    exact = (
+        read_table(spark, sf, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("px"))
+        .collect()
+    )
+    assert got
+    for r in exact:
+        ps = r["px"]
+        for i, col in enumerate(["p50_approx", "p90_approx", "p99_approx"]):
+            rel = abs(got[r["flag"]][col] - ps[i]) / max(abs(ps[i]), 1e-9)
+            assert rel < 0.05, (r["flag"], col, got[r["flag"]][col], ps[i])
