@@ -51,6 +51,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     path = f"{sf_dir}/{name}.parquet"
+    # Micros-precision parquet timestamps with isAdjustedToUTC=false would
+    # otherwise infer TIMESTAMP_NTZ (Spark 4 default), which watermarks
+    # reject and whose epoch math (unix_micros) is session-tz-dependent.
+    # Read them as classic TIMESTAMP: the stored int64 is taken as
+    # epoch-UTC micros, independent of the session timezone.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     ns_cols = _nanos_timestamp_cols(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
