@@ -4804,3 +4804,252 @@ def q123_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
         F.approx_percentile("l_extendedprice", 0.9, 10000).alias("p90_approx"),
         F.approx_percentile("l_extendedprice", 0.99, 10000).alias("p99_approx"),
     )
+
+
+@register(
+    "q124_skyline_parts",
+    """
+    WITH m AS (
+      SELECT p_retailprice AS price, MIN(p_size) AS size
+      FROM part GROUP BY 1
+    ),
+    r AS (
+      SELECT price, size,
+             MIN(size) OVER (ORDER BY price
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_min
+      FROM m
+    )
+    SELECT price, size FROM r
+    WHERE prev_min IS NULL OR size < prev_min
+    ORDER BY price
+    """,
+)
+def q124_skyline_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D Pareto skyline (cheapest-and-smallest parts, minimize both
+    p_retailprice and p_size). Scale shape: a distributed
+    groupBy(price).min(size) first collapses the fact table to at most
+    one candidate per distinct price (same-price dominated rows never
+    reach the window), then a running-min window over the price-sorted
+    survivors keeps a point only when it improves the best size seen so
+    far. The single-partition window touches only the pre-aggregated
+    2-column candidate set, not the base table — the same
+    local-prune-then-tiny-global pattern as q100's Zipf head."""
+    part = read_table(spark, sf, "part")
+    m = (
+        part.groupBy(F.col("p_retailprice").alias("price"))
+        .agg(F.min("p_size").alias("size"))
+    )
+    w = (
+        Window.orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = m.withColumn("prev_min", F.min("size").over(w))
+    return (
+        r.filter(F.col("prev_min").isNull() | (F.col("size") < F.col("prev_min")))
+        .select("price", "size")
+        .orderBy("price")
+    )
+
+
+@register(
+    "q125_inverted_search",
+    """
+    SELECT doc_id, COUNT(DISTINCT tok) AS n_hit
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    )
+    WHERE tok IN ('filter', 'window', 'merge')
+    GROUP BY doc_id
+    HAVING COUNT(DISTINCT tok) = 3
+    ORDER BY doc_id
+    """,
+)
+def q125_inverted_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Conjunctive (AND-of-terms) inverted-index search: documents
+    containing ALL query terms. The posting-list representation is
+    explode(split) → filter to the query vocabulary → groupBy doc having
+    distinct-term count == |query|. The term filter runs before the
+    shuffle, so only postings for the 3 query terms move — the classic
+    search-engine intersection expressed as a partial-aggregated
+    count-distinct rather than |query|-way self-joins."""
+    docs = read_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok").isin("filter", "window", "merge"))
+    return (
+        toks.groupBy("doc_id")
+        .agg(F.count_distinct("tok").alias("n_hit"))
+        .filter(F.col("n_hit") == 3)
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q126_state_durations",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, ts,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_ts
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_intervals,
+           CAST(SUM((epoch_us(next_ts) - epoch_us(ts)) // 1000000) AS BIGINT)
+             AS total_sec,
+           MAX((epoch_us(next_ts) - epoch_us(ts)) // 1000000) AS max_sec
+    FROM s
+    WHERE next_ts IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q126_state_durations(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2-style state-duration rollup: each event opens a validity
+    interval closed by the user's next event (lead over user_id, ties
+    broken by event_id for cross-engine determinism); total/max seconds
+    spent per state. The per-user window shuffles once on user_id;
+    second-granularity floor division keeps every value an exact BIGINT
+    (no float time math), and the per-type sums stay far below 2^53."""
+    ev = read_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.withColumn("next_ts", F.lead("ts").over(w)).filter(
+        F.col("next_ts").isNotNull()
+    )
+    dur = F.expr("(unix_micros(next_ts) - unix_micros(ts)) div 1000000")
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(dur).alias("total_sec"),
+            F.max(dur).alias("max_sec"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q127_repetition_ratio",
+    """
+    WITH t AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_distinct(string_split(text, ' '))) AS n_uniq
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_uniq) AS BIGINT) AS distinct_tokens,
+           1.0 - CAST(SUM(n_uniq) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE)
+             AS repetition_rate,
+           CAST(SUM(CASE WHEN n_uniq * 2 < n_tok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_highly_repetitive
+    FROM t
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q127_repetition_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Intra-document token repetition per source — the standard
+    boilerplate/spam signal for training-data quality filtering. All
+    aggregates are exact integer sums (micro-averaged rate computed from
+    the two sums in one final IEEE division; the highly-repetitive flag
+    n_uniq*2 < n_tok is pure integer arithmetic), so no float-order
+    hazard at any scale. One narrow shuffle of 3 longs per source."""
+    docs = read_table(spark, sf, "documents")
+    toks = F.split("text", " ")
+    t = docs.select(
+        "source",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_uniq").alias("distinct_tokens"),
+            (
+                F.lit(1.0)
+                - F.sum("n_uniq").cast("double") / F.sum("n_tok").cast("double")
+            ).alias("repetition_rate"),
+            F.sum(
+                F.when(F.col("n_uniq") * 2 < F.col("n_tok"), 1).otherwise(0)
+            ).alias("n_highly_repetitive"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q128_vocab_overlap",
+    """
+    WITH v AS (
+      SELECT DISTINCT source, tok FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+      )
+    ),
+    sz AS (SELECT source, COUNT(*) AS n FROM v GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, i.n_common,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(i.n_common AS DOUBLE)
+             / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.source = i.src_a
+    JOIN sz sb ON sb.source = i.src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def q128_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — corpus-drift /
+    contamination monitoring. Candidate pairs come from an equi-join on
+    the token itself (never a cross join): the distinct (source, token)
+    set is tiny relative to the corpus (vocabulary, not volume), the
+    token self-join emits one row per shared term per source pair, and
+    union sizes come from inclusion-exclusion on exact distinct counts
+    — so the only doubles are two final IEEE divisions per pair."""
+    docs = read_table(spark, sf, "documents")
+    v = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    sz = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = v.alias("a"), v.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
