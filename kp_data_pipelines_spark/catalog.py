@@ -5053,3 +5053,194 @@ def q128_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+@register(
+    "q129_grouped_sample",
+    """
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+      SELECT doc_id, lang, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY ((doc_id % 1000003) * 48271 + 11) % 999983, doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= 5
+    ORDER BY lang, doc_id
+    """,
+)
+def q129_grouped_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic k-per-group sampling (5 docs per language): rank by
+    a pure-arithmetic LCG hash of the key, tie-broken by the key itself,
+    so the sample is reproducible across engines, runs, and
+    partitionings — unlike ``df.sample``. The rank window compiles to
+    WindowGroupLimit: each map task keeps only its local top-5 per lang
+    before the shuffle, so the exchange carries ~5·|langs| rows per
+    partition regardless of corpus size (same physical shape as q50)."""
+    docs = read_table(spark, sf, "documents")
+    key = ((F.col("doc_id") % 1000003) * 48271 + 11) % 999983
+    w = Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@register(
+    "q130_conversion_latency",
+    """
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts
+      FROM events GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      FROM events e JOIN f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= f.signup_ts
+      GROUP BY e.user_id
+    )
+    SELECT
+      CAST((epoch_us(p.purchase_ts) - epoch_us(f.signup_ts))
+           // 86400000000 AS BIGINT) AS days_to_convert,
+      COUNT(*) AS n_users
+    FROM f JOIN p ON f.user_id = p.user_id
+    WHERE f.signup_ts IS NOT NULL
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q130_conversion_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Signup→purchase conversion funnel latency: first signup per user,
+    first purchase at-or-after it, histogram of whole days between.
+    Both "first" reductions are groupBy-min (map-side partial, no
+    window), the purchase pass joins on user_id only (equi-join; the
+    ts >= signup_ts residual filters post-join), and day bucketing is
+    exact integer floor division of the micros delta — no float time
+    math anywhere."""
+    ev = read_table(spark, sf, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "signup_ts"
+        )
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(f, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    joined = f.filter(F.col("signup_ts").isNotNull()).join(p, "user_id")
+    days = F.expr(
+        "(unix_micros(purchase_ts) - unix_micros(signup_ts)) div 86400000000"
+    )
+    return (
+        joined.groupBy(days.alias("days_to_convert"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("days_to_convert")
+    )
+
+
+@register("q131_weekly_user_sketch")
+def q131_weekly_user_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable-sketch re-aggregation: per-day HLL sketches of distinct
+    users built once (hll_sketch_agg), then rolled up to ISO weeks by
+    merging the day sketches (hll_union_agg) — never rescanning the fact
+    table. This is THE pattern for incremental distinct-count marts at
+    100 TB: daily sketch partials are tiny, reusable, and unions are
+    associative. Estimates have no SQL twin (rows-only check); the unit
+    test bounds week estimates against exact distinct counts."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        daily.groupBy(F.weekofyear("day").alias("iso_week"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        )
+        .orderBy("iso_week")
+    )
+
+
+@register(
+    "q132_quantize_error",
+    """
+    WITH m AS (
+      SELECT vec_id, label, embedding,
+             list_reduce(list_transform(embedding, e -> abs(e)),
+                         (a, b) -> CASE WHEN b > a THEN b ELSE a END)
+               AS maxabs
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, label,
+             list_reduce(
+               list_transform(
+                 embedding,
+                 x -> abs(CAST(x AS DOUBLE)
+                          - floor(CAST(x AS DOUBLE) * 127.0
+                                  / CAST(maxabs AS DOUBLE) + 0.5)
+                            * (CAST(maxabs AS DOUBLE) / 127.0))),
+               (a, b) -> a + b) AS abs_err
+      FROM m
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(floor(abs_err * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_err_ppm
+    FROM e
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q132_quantize_error(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of embeddings (the standard
+    4× storage cut before ANN indexing) with exact reconstruction-error
+    accounting: per-vector scale = maxabs/127, dequantized value =
+    round(x/scale)*scale, L1 error folded sequentially (F.aggregate ==
+    DuckDB list_reduce, bit-identical IEEE order), then ppm-quantized
+    before the cross-row SUM so the group totals are integers. maxabs is
+    materialized in its own projection first — Spark HOF lambdas are
+    interpreted, and CollapseProject would otherwise re-evaluate the
+    fold once per reference (verify SKILL.md)."""
+    emb = read_table(spark, sf, "embeddings")
+    m = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.aggregate(
+            F.transform("embedding", lambda x: F.abs(x)),
+            F.lit(0.0).cast("float"),
+            lambda a, b: F.when(b > a, b).otherwise(a),
+        ).alias("maxabs"),
+    )
+    e = m.select(
+        "vec_id",
+        "label",
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda a, x: a
+            + F.abs(
+                x.cast("double")
+                - F.floor(x.cast("double") * 127.0 / F.col("maxabs") + 0.5)
+                * (F.col("maxabs") / 127.0)
+            ),
+        ).alias("abs_err"),
+    )
+    err_ppm = F.floor(F.col("abs_err") * 1000000.0 + 0.5).cast("long")
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(err_ppm).alias("total_err_ppm"),
+        )
+        .orderBy("label")
+    )

@@ -386,3 +386,26 @@ def test_quantile_sketch_close_to_exact(spark):
         for i, col in enumerate(["p50_approx", "p90_approx", "p99_approx"]):
             rel = abs(got[r["flag"]][col] - ps[i]) / max(abs(ps[i]), 1e-9)
             assert rel < 0.05, (r["flag"], col, got[r["flag"]][col], ps[i])
+
+
+def test_weekly_sketch_union_close_to_exact(spark):
+    from pyspark.sql import functions as F
+
+    from kp_data_pipelines_spark.catalog import QUERIES
+    from kp_data_pipelines_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["iso_week"]: r["approx_users"]
+        for r in QUERIES["q131_weekly_user_sketch"](spark, sf).collect()
+    }
+    exact = (
+        read_table(spark, sf, "events")
+        .groupBy(F.weekofyear(F.to_date("ts")).alias("iso_week"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .collect()
+    )
+    assert got and len(exact) == len(got)
+    for r in exact:
+        rel = abs(got[r["iso_week"]] - r["exact_users"]) / max(r["exact_users"], 1)
+        assert rel < 0.10, (r["iso_week"], got[r["iso_week"]], r["exact_users"])
