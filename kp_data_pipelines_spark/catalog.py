@@ -5244,3 +5244,245 @@ def q132_quantize_error(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "q133_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 11 <> 3
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 17 = 2 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 19 = 4 THEN o_totalprice + 1.5
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 13 <> 5
+    ),
+    d AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE
+               WHEN o.o_orderkey IS NULL THEN 'added'
+               WHEN n.o_orderkey IS NULL THEN 'removed'
+               WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                 OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                 OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                 THEN 'changed'
+               ELSE 'unchanged'
+             END AS diff_class,
+             CASE
+               WHEN o.o_orderkey IS NULL OR n.o_orderkey IS NULL THEN ''
+               ELSE COALESCE(array_to_string(list_filter(ARRAY[
+                 CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                      THEN 'o_orderstatus' END,
+                 CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                      THEN 'o_totalprice' END,
+                 CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                      THEN 'o_orderpriority' END], x -> x IS NOT NULL), ','),
+                 '')
+             END AS changed_cols
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT diff_class, changed_cols, COUNT(*) AS n_rows
+    FROM d
+    GROUP BY diff_class, changed_cols
+    ORDER BY diff_class, changed_cols
+    """,
+)
+def q133_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-level snapshot diff (reference §3.3: monthly extract
+    vs extract comparison). Two deterministic snapshot variants of
+    ``orders`` are diffed with ``reconcile.snapshot_diff``: full-outer
+    join on the key, one eqNullSafe per column building the changed_cols
+    list, classes added/removed/changed/unchanged, then a tiny rollup by
+    (class, changed column set). Cites reference `DOP VP Compare.py` /
+    `Financial Snapshot Preprocess.ipynb` cell-diff loops."""
+    from kp_data_pipelines_spark.operators.reconcile import snapshot_diff
+
+    orders = read_table(spark, sf, "orders")
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    old = base.filter(F.col("o_orderkey") % 11 != 3)
+    new = base.filter(F.col("o_orderkey") % 13 != 5).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 17 == 2, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(
+            F.col("o_orderkey") % 19 == 4, F.col("o_totalprice") + 1.5
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    d = snapshot_diff(
+        old,
+        new,
+        keys=["o_orderkey"],
+        compare=["o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+    return (
+        d.groupBy("diff_class", "changed_cols")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("diff_class", "changed_cols")
+    )
+
+
+@register(
+    "q134_partial_reagg",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(date_trunc('day', hour), '%Y-%m-%d') AS day,
+           event_type,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_value,
+           COUNT(*) AS n_hours
+    FROM hourly
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q134_partial_reagg(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical rollup from partials (continuous-aggregate /
+    hypertable pattern): hour-grain partial aggregates are the only scan
+    of the fact table; day totals re-aggregate the partials. Counts and
+    cent-quantized integer sums re-aggregate EXACTLY (associative), which
+    is the property that makes incremental materialized rollups safe at
+    100 TB — the day mart never rescans raw events. The oracle computes
+    the same two-level rollup; equality with a direct day-grain aggregate
+    is what the associativity guarantees."""
+    ev = read_table(spark, sf, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.round(F.col("value") * 100.0).cast("decimal(38,0)")
+        ).cast("long").alias("cents"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", "hour"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            (F.sum("cents").cast("double") / 100.0).alias("total_value"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@register(
+    "q135_price_tier_join",
+    """
+    WITH tiers AS (
+      SELECT * FROM (VALUES
+        (0, 'budget',   0.0,    25000.0),
+        (1, 'standard', 25000.0, 50000.0),
+        (2, 'premium',  50000.0, 100000.0),
+        (3, 'luxury',   100000.0, 1e18)
+      ) AS t(tier_id, tier_name, lo, hi)
+    )
+    SELECT t.tier_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders o
+    JOIN tiers t ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+    GROUP BY t.tier_name
+    ORDER BY t.tier_name
+    """,
+)
+def q135_price_tier_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Range-dimension (banding) join: assign each order to a price tier
+    defined by [lo, hi) ranges. The tier table is broadcast, so the
+    non-equi range condition runs as a BroadcastNestedLoopJoin over a
+    4-row build side — the one case where BNLJ is the right plan (cost =
+    4 comparisons per row, no shuffle; declared intentional in
+    tools/plan_audit.py alongside q18). At larger dim cardinalities the
+    same semantics switch to width_bucket precomputation (equi-join)."""
+    orders = read_table(spark, sf, "orders")
+    tiers = spark.createDataFrame(
+        [
+            (0, "budget", 0.0, 25000.0),
+            (1, "standard", 25000.0, 50000.0),
+            (2, "premium", 50000.0, 100000.0),
+            (3, "luxury", 100000.0, 1e18),
+        ],
+        "tier_id int, tier_name string, lo double, hi double",
+    )
+    j = orders.join(
+        F.broadcast(tiers),
+        (F.col("o_totalprice") >= F.col("lo"))
+        & (F.col("o_totalprice") < F.col("hi")),
+    )
+    return (
+        j.groupBy("tier_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100.0).cast("decimal(38,0)")
+            ).cast("long").alias("cents"),
+        )
+        .orderBy("tier_name")
+    )
+
+
+@register(
+    "q136_mom_growth",
+    """
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT month,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(cents - LAG(cents) OVER (ORDER BY month) AS DOUBLE)
+             / CAST(LAG(cents) OVER (ORDER BY month) AS DOUBLE) AS mom_growth
+    FROM m
+    ORDER BY month
+    """,
+)
+def q136_mom_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Month-over-month revenue growth: cent-quantized exact month sums
+    (one shuffle on ~dozens of month groups), then a lag window over the
+    tiny aggregate — the growth ratio is a single IEEE division of two
+    exact integers, so it hash-matches at any scale. The global window
+    runs on the aggregated months, never the fact table."""
+    orders = read_table(spark, sf, "orders")
+    m = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100.0).cast("decimal(38,0)")
+        ).cast("long").alias("cents")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("cents").over(w)
+    return m.select(
+        "month",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        (
+            (F.col("cents") - prev).cast("double") / prev.cast("double")
+        ).alias("mom_growth"),
+    ).orderBy("month")

@@ -409,3 +409,27 @@ def test_weekly_sketch_union_close_to_exact(spark):
     for r in exact:
         rel = abs(got[r["iso_week"]] - r["exact_users"]) / max(r["exact_users"], 1)
         assert rel < 0.10, (r["iso_week"], got[r["iso_week"]], r["exact_users"])
+
+
+def test_snapshot_diff_classes_and_columns(spark):
+    from kp_data_pipelines_spark.operators.reconcile import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k int, name string, amt double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 21.0), (3, "c", None), (5, "e", 50.0)],
+        "k int, name string, amt double",
+    )
+    got = {
+        r["k"]: (r["diff_class"], r["changed_cols"])
+        for r in snapshot_diff(old, new, ["k"], ["name", "amt"]).collect()
+    }
+    assert got == {
+        1: ("unchanged", ""),
+        2: ("changed", "name,amt"),
+        3: ("unchanged", ""),  # NULL == NULL under eqNullSafe
+        4: ("removed", ""),
+        5: ("added", ""),
+    }

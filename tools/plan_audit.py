@@ -21,7 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # q18 runs the reference's substring-containment fallback join (J6):
 # equi-pass first, nested-loop only on the unmatched remainder, with the
 # lookup side broadcast -- the BNLJ there is the declared design.
-INTENTIONAL_BNLJ = {"q18_containment_join"}
+# q135 is a banding join against a 4-row broadcast tier dimension: the
+# range condition costs 4 comparisons per probe row with no shuffle,
+# which is the correct physical plan for a tiny range dim (the same
+# semantics switch to width_bucket equi-joins as the dim grows).
+INTENTIONAL_BNLJ = {"q18_containment_join", "q135_price_tier_join"}
 
 
 def main() -> int:
