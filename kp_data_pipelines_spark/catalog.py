@@ -5486,3 +5486,189 @@ def q136_mom_growth(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("cents") - prev).cast("double") / prev.cast("double")
         ).alias("mom_growth"),
     ).orderBy("month")
+
+
+@register(
+    "q137_shard_packing",
+    """
+    WITH c AS (
+      SELECT doc_id, n_chars,
+             SUM(n_chars) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_chars
+      FROM documents
+    )
+    SELECT CAST((cum_chars - 1) // 100000 AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM c
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q137_shard_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Byte-budgeted output sharding: docs in doc_id order are packed
+    into ~100 KB shards by cumulative size. The cumulative sum uses
+    ``operators.prefix.prefix_sum`` — the two-phase distributed scan
+    (range-partition by key → per-partition local cumsum → broadcast
+    per-partition offsets) — NOT a global no-PARTITION window, which
+    would serialize the corpus through one WindowExec task at scale. The
+    oracle's single-partition window computes the same values, which is
+    exactly the equivalence the operator guarantees."""
+    from kp_data_pipelines_spark.operators.prefix import prefix_sum
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "n_chars")
+    c = prefix_sum(docs, "doc_id", "n_chars", out_col="cum_chars")
+    return (
+        c.groupBy(
+            F.expr("(cum_chars - 1) div 100000").alias("shard_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("shard_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+@register(
+    "q138_bpe_pair_counts",
+    """
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    pairs AS (
+      SELECT substr(w, i, 2) AS pair
+      FROM words, unnest(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2
+    )
+    SELECT pair, COUNT(*) AS cnt
+    FROM pairs
+    GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT 30
+    """,
+)
+def q138_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """One BPE-induction step: frequency of every adjacent character
+    pair across the corpus (the statistic a byte-pair-encoding tokenizer
+    trainer maximizes each merge round). Pairs come from
+    explode(sequence(1, len-1)) + substring — pure JVM expressions, no
+    per-row Python — and the global top-30 compiles to
+    TakeOrderedAndProject over partial-aggregated counts (each task
+    ships only its local top-30, like q63)."""
+    docs = read_table(spark, sf, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        "w", F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i")
+    ).select(F.expr("substr(w, i, 2)").alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(30)
+    )
+
+
+@register(
+    "q139_ordered_listagg",
+    """
+    SELECT l_orderkey,
+           string_agg(CAST(l_partkey AS VARCHAR), ','
+                      ORDER BY CAST(l_partkey AS VARCHAR)) AS parts,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_orderkey % 997 = 0
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+)
+def q139_ordered_listagg(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic LISTAGG / GROUP_CONCAT: per-order part list in
+    explicit key order. collect_list is partition-order-dependent, so the
+    list is sorted (array_sort) BEFORE joining — the only way a
+    string-aggregation is reproducible under distributed execution. The
+    key-mod filter keeps the demo set small; the shape (groupBy +
+    sort-inside-group) is size-independent because each group's list is
+    bounded by order width, not corpus size."""
+    li = read_table(spark, sf, "lineitem").filter(
+        F.col("l_orderkey") % 997 == 0
+    )
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.col("l_partkey").cast("string"))
+                ),
+                ",",
+            ).alias("parts"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+@register(
+    "q140_last_touch_attribution",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, ts, value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS touch
+      FROM events
+    )
+    SELECT COALESCE(touch, 'none') AS touch,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+             AS attributed_value
+    FROM s
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q140_last_touch_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credits the user's
+    most recent preceding non-purchase event type (last_value IGNORE
+    NULLS over the user timeline, ties broken by event_id). One shuffle
+    on user_id; the running carry-forward is the same
+    gaps-and-islands machinery as q81's forward fill. Purchase values
+    are cent-quantized before summing so the per-touch totals are
+    exact."""
+    ev = read_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = ev.withColumn(
+        "touch",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        s.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("none")).alias("touch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (
+                F.sum(
+                    F.round(F.col("value") * 100.0).cast("decimal(38,0)")
+                ).cast("double")
+                / 100.0
+            ).alias("attributed_value"),
+        )
+        .orderBy("touch")
+    )

@@ -1,0 +1,78 @@
+"""Distributed prefix sums (scan) — the scale-safe global cumulative sum.
+
+A plain ``SUM() OVER (ORDER BY k)`` with no PARTITION BY collapses the
+whole table into ONE WindowExec partition (Spark even warns), which is a
+non-starter at 100 TB. The classic two-phase scan fixes it:
+
+1. Range-partition by the ordering key, so partition *i* holds a
+   contiguous key range and all of partition *i*'s keys precede all of
+   partition *i+1*'s.
+2. Per-partition local cumulative sum (each WindowExec partition is one
+   task's data — bounded memory).
+3. A tiny per-partition total table (one row per partition) is scanned on
+   the driver to form exclusive offsets, broadcast, and added to each
+   local cumsum.
+
+The result is identical to the single-partition window for any unique
+ordering key, but every stage is bounded by one partition's data. The
+driver-side step handles ``num_partitions`` rows — hundreds, not billions.
+
+No reference equivalent (pandas ``cumsum`` is single-process —
+e.g. running balances in `Accruals Report.ipynb`); this is the
+distributed re-expression of that pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_key: str,
+    value: Column | str,
+    out_col: str = "cum_sum",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Inclusive distributed cumulative sum of ``value`` in ``order_key``
+    order. ``order_key`` must be unique (it defines a total order);
+    ``value`` should be integral or decimal for exact reassembly."""
+    val = F.col(value) if isinstance(value, str) else value
+    rp = df.repartitionByRange(num_partitions, F.col(order_key)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    # Local scan within each range partition.
+    w = Window.partitionBy("__pid").orderBy(order_key).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = rp.withColumn("__local", F.sum(val).over(w))
+    # One row per partition: total + min key, tiny by construction.
+    totals = (
+        local.groupBy("__pid")
+        .agg(
+            F.sum(val).alias("__total"),
+            F.min(order_key).alias("__min_key"),
+        )
+        .orderBy("__min_key")
+        .collect()
+    )
+    # Exclusive running offset per partition, keyed by ACTUAL partition id
+    # (range boundaries are sampled, but offsets follow the realized
+    # layout, so the result is boundary-independent).
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["__pid"]] = acc
+        acc += r["__total"]
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(k), v) for k, v in offsets.items()],
+            "__pid int, __offset bigint",
+        )
+    )
+    return (
+        local.join(off_df, "__pid")
+        .withColumn(out_col, F.col("__local") + F.col("__offset"))
+        .drop("__pid", "__local", "__offset")
+    )

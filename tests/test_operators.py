@@ -433,3 +433,25 @@ def test_snapshot_diff_classes_and_columns(spark):
         4: ("removed", ""),
         5: ("added", ""),
     }
+
+
+def test_prefix_sum_matches_global_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kp_data_pipelines_spark.operators.prefix import prefix_sum
+    from kp_data_pipelines_spark.sources.readers import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "n_chars"
+    )
+    got = {
+        r["doc_id"]: r["cum"]
+        for r in prefix_sum(docs, "doc_id", "n_chars", out_col="cum", num_partitions=7).collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["doc_id"]: r["cum"]
+        for r in docs.withColumn("cum", F.sum("n_chars").over(w)).collect()
+    }
+    assert got == want
