@@ -5672,3 +5672,182 @@ def q140_last_touch_attribution(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("touch")
     )
+
+
+@register(
+    "q141_semantic_dedup",
+    """
+    WITH RECURSIVE e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i])),
+               (acc, x) -> acc + x)
+             / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, len(a.v)+1), i -> a.v[i] * a.v[i])),
+                  (acc, x) -> acc + x))
+                * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i])),
+                    (acc, x) -> acc + x))) AS cos
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM p WHERE cos >= 0.5
+    ),
+    sym AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT dst, src FROM edges
+    ),
+    reach AS (
+      SELECT src AS node, dst AS r FROM sym
+      UNION
+      SELECT vec_id AS node, vec_id AS r FROM e
+      UNION
+      SELECT rr.node, s.dst AS r
+      FROM reach rr JOIN sym s ON rr.r = s.src
+    ),
+    comp AS (
+      SELECT node AS vec_id, MIN(r) AS component FROM reach GROUP BY node
+    )
+    SELECT em.label,
+           COUNT(*) AS n_vecs,
+           COUNT(DISTINCT c.component) AS n_clusters,
+           CAST(COUNT(*) - COUNT(DISTINCT c.component) AS BIGINT)
+             AS n_removed
+    FROM e em JOIN comp c ON em.vec_id = c.vec_id
+    GROUP BY em.label
+    ORDER BY em.label
+    """,
+)
+def q141_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end semantic dedup, ORACLE-CHECKED: exact blocked cosine
+    pairs (q42's kernel, threshold 0.5) become an undirected graph;
+    iterative min-label connected components (operators/graph.py) pick
+    one canonical vector per near-dup cluster; the rollup reports
+    vectors / clusters / removed per label. The DuckDB twin rebuilds the
+    same edges and closes them with a recursive CTE — two completely
+    different fixpoint algorithms agreeing on the same partition of the
+    graph. The Spark path is the 100 TB one: banded equi-join pairs,
+    log-diameter pointer-jumping rounds, no transitive closure blowup."""
+    from kp_data_pipelines_spark.operators.graph import connected_components
+    from kp_data_pipelines_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
+
+    emb = read_table(spark, sf, "embeddings")
+    pairs = cosine_pairs_blocked(
+        emb, "vec_id", "embedding", "label", threshold=0.5
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    labels = connected_components(edges)
+    nodes = emb.select("vec_id", "label")
+    comp = nodes.join(
+        labels, nodes["vec_id"] == labels["node"], "left"
+    ).select(
+        "label",
+        nodes["vec_id"].alias("vec_id"),
+        F.coalesce("component", nodes["vec_id"]).alias("component"),
+    )
+    return (
+        comp.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count_distinct("component").alias("n_clusters"),
+            (
+                F.count(F.lit(1)) - F.count_distinct("component")
+            ).alias("n_removed"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "q142_join_skew_report",
+    """
+    WITH f AS (
+      SELECT l_partkey AS key, COUNT(*) AS n
+      FROM lineitem GROUP BY 1
+    ),
+    s AS (
+      SELECT COUNT(*) AS n_keys,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             MAX(n) AS max_n,
+             CAST(SUM(n * n) AS BIGINT) AS sum_sq
+      FROM f
+    ),
+    topk AS (
+      SELECT key, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rk
+      FROM f
+    )
+    SELECT t.rk AS rank, t.key AS hot_key, t.n AS key_rows,
+           s.n_keys, s.n_rows, s.max_n,
+           CAST(t.n AS DOUBLE) * CAST(s.n_keys AS DOUBLE)
+             / CAST(s.n_rows AS DOUBLE) AS skew_vs_uniform,
+           CAST(s.sum_sq AS DOUBLE)
+             / (CAST(s.n_rows AS DOUBLE) * CAST(s.n_rows AS DOUBLE)
+                / CAST(s.n_keys AS DOUBLE)) AS dispersion
+    FROM topk t CROSS JOIN s
+    WHERE t.rk <= 10
+    ORDER BY t.rk
+    """,
+)
+def q142_join_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-key skew profiler — the planning tool that decides between a
+    plain shuffle join, AQE skew split, or salting (joins.salted_join)
+    before running a 100 TB join. One groupBy builds the key histogram;
+    a single-row stats reduce (sum of squares = collision mass) and a
+    top-10 hot-key rank join against it. skew_vs_uniform is the hot
+    key's multiple of the uniform share; dispersion is the normalized
+    second moment (1.0 = perfectly uniform). Exact integer moments, two
+    IEEE divisions at the end; the stats side is a 1-row broadcast."""
+    li = read_table(spark, sf, "lineitem")
+    f = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    s = f.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        F.sum(
+            (F.col("n") * F.col("n")).cast("decimal(38,0)")
+        ).cast("long").alias("sum_sq"),
+    )
+    # TakeOrderedAndProject keeps per-task top-10s; the rank window then
+    # touches only the 10 surviving rows, never the full key histogram.
+    topk = (
+        f.orderBy(F.desc("n"), "key")
+        .limit(10)
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("n"), "key"))
+        )
+    )
+    j = topk.crossJoin(F.broadcast(s))
+    uniform = F.col("n_rows").cast("double") / F.col("n_keys").cast("double")
+    return j.select(
+        F.col("rk").alias("rank"),
+        F.col("key").alias("hot_key"),
+        F.col("n").alias("key_rows"),
+        "n_keys",
+        "n_rows",
+        "max_n",
+        (
+            F.col("n").cast("double")
+            * F.col("n_keys").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("skew_vs_uniform"),
+        (
+            F.col("sum_sq").cast("double")
+            / (
+                F.col("n_rows").cast("double")
+                * F.col("n_rows").cast("double")
+                / F.col("n_keys").cast("double")
+            )
+        ).alias("dispersion"),
+    ).orderBy("rank")
