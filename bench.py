@@ -3,6 +3,11 @@
 JSON line: {"metric", "value" (total sec), "unit", "queries": {name: sec},
 "sf"}.
 
+The printed line keeps only the SLOWEST 20 queries in "queries" (plus
+"n_queries"/"median_sec" summary keys) so it stays small enough for a
+line-capped log capture to parse; the COMPLETE per-query map is written
+to BENCH.json next to this script.
+
 Each query is forced with a noop write (full execution, no driver-side
 result transfer) — what a cluster deployment would measure.
 """
@@ -40,13 +45,31 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
+    ordered = sorted(timings.values())
+    median = round(ordered[len(ordered) // 2], 4) if ordered else 0.0
+    full = {
+        "metric": "catalog_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w"
+    ) as f:
+        json.dump(full, f, indent=1)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:20]
+    )
     print(
         json.dumps(
             {
                 "metric": "catalog_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
+                "n_queries": len(timings),
+                "median_sec": median,
                 "sf": sf,
             }
         )

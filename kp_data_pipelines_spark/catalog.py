@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kp_data_pipelines_spark import oracles
 from kp_data_pipelines_spark.functions.cleaning import coerce_long, conditional_update
 from kp_data_pipelines_spark.functions.dates import (
     cascading_to_timestamp,
@@ -1023,32 +1024,42 @@ def q37_batch_inference(spark: SparkSession, sf: str) -> DataFrame:
 # --- weak-check entries (not SQL-expressible: hash functions / LSH) --------
 
 
-@register("q38_minhash_near_dups")
+@register("q38_minhash_near_dups", oracles.minhash_near_dups_sql())
 def q38_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs over documents (banding join; xxhash64 is
-    Spark-specific, so no SQL oracle — rows-only check)."""
+    """MinHash+LSH near-dup pairs over documents (banding join). Runs with
+    ``portable_hash`` (polynomial gram folds, textops.with_poly_shingles)
+    so the DuckDB twin recomputes the exact signatures; the twin's
+    candidacy is band-slice equality — identical to the Spark side's
+    xxhash64 band-bucket join modulo ~2^-64 collisions."""
     from kp_data_pipelines_spark.operators.similarity import minhash_near_dups
 
     docs = read_table(spark, sf, "documents")
     return minhash_near_dups(
-        docs, "doc_id", "text", shingle_k=3, num_hashes=32, bands=16, jaccard_threshold=0.4
+        docs, "doc_id", "text", shingle_k=3, num_hashes=32, bands=16,
+        jaccard_threshold=0.4, portable_hash=True,
     )
 
 
-@register("q39_simhash")
+@register("q39_simhash", oracles.simhash_sql())
 def q39_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash64 fingerprints (Hamming-dedup key). xxhash64-based — no
-    oracle; deterministic output checked rows-only."""
+    """SimHash fingerprints (Hamming-dedup key), ORACLE-CHECKED: the
+    portable 62-bit polynomial gram hash feeds the same per-bit majority
+    vote in Spark (vectorized numpy kernel) and DuckDB (>>/& fold) —
+    integer arithmetic, bit-identical."""
     from kp_data_pipelines_spark.operators.similarity import with_simhash
 
     docs = read_table(spark, sf, "documents")
-    return with_simhash(docs, "text", out="simhash", k=2).select("doc_id", "simhash")
+    return with_simhash(
+        docs, "text", out="simhash", k=2, portable_hash=True
+    ).select("doc_id", "simhash")
 
 
-@register("q40_lsh_ann")
+@register("q40_lsh_ann", oracles.lsh_ann_sql())
 def q40_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN (recall<1 scale path for q24's exact
-    top-k) — bucket pruning then exact rescoring."""
+    top-k) — bucket pruning then exact rescoring. ORACLE-CHECKED: the
+    LCG hyperplanes and every dot product are sequential double folds,
+    so bucket bits and cosines match DuckDB bit-for-bit."""
     from kp_data_pipelines_spark.operators.similarity import lsh_bucket_cosine_topk
 
     emb = read_table(spark, sf, "embeddings")
@@ -1135,14 +1146,18 @@ def q42_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     return cosine_pairs_blocked(emb, "vec_id", "embedding", "label", threshold=0.3)
 
 
-@register("q43_simhash_hamming_pairs")
+@register("q43_simhash_hamming_pairs", oracles.simhash_hamming_pairs_sql())
 def q43_simhash_hamming_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash Hamming-radius pairs via pigeonhole chunk banding (exact
-    given the fingerprints; d<=3 -> 4 banded 16-bit chunks)."""
+    given the fingerprints; d<=3 -> 4 banded 16-bit chunks).
+    ORACLE-CHECKED with portable fingerprints: banding is pigeonhole-
+    exact, so the twin is simply all pairs with bit_count(xor) <= d."""
     from kp_data_pipelines_spark.operators.similarity import simhash_hamming_pairs
 
     docs = read_table(spark, sf, "documents")
-    return simhash_hamming_pairs(docs, "doc_id", "text", max_hamming=3, k=2)
+    return simhash_hamming_pairs(
+        docs, "doc_id", "text", max_hamming=3, k=2, portable_hash=True
+    )
 
 
 @register(
@@ -1177,11 +1192,13 @@ def q44_rolling_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("q45_ivf_ann")
+@register("q45_ivf_ann", oracles.ivf_ann_sql())
 def q45_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-Flat ANN: one-scan centroid assignment, nprobe-cell pruning,
     exact cosine top-k within probed cells (the partition-column scale
-    path; q24 is the exact oracle)."""
+    path; q24 is the exact oracle). ORACLE-CHECKED: deterministic
+    centroid seed (first 16 by vec_id), sequential-fold cosines, and
+    tie-breaks replicated exactly in the DuckDB twin."""
     from kp_data_pipelines_spark.operators.similarity import ivf_topk
 
     emb = read_table(spark, sf, "embeddings")
@@ -2899,19 +2916,21 @@ def q86_first_last_value(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("q66_dedup_components")
+@register("q66_dedup_components", oracles.dedup_components_sql())
 def q66_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     """Transitive closure of MinHash near-dup pairs into dedup clusters
     (connected components, min-label propagation — see operators/graph.py).
     The canonical-representative step of fuzzy dedup: keep component ==
-    doc_id, drop the rest. Iterative + xxhash64-based, so rows-only check."""
+    doc_id, drop the rest. ORACLE-CHECKED via portable-hash pairs + the
+    q141-style recursive-CTE closure: two different fixpoint algorithms
+    agreeing on the same partition of the graph."""
     from kp_data_pipelines_spark.operators.graph import connected_components
     from kp_data_pipelines_spark.operators.similarity import minhash_near_dups
 
     docs = read_table(spark, sf, "documents")
     pairs = minhash_near_dups(
         docs, "doc_id", "text", shingle_k=3, num_hashes=32, bands=16,
-        jaccard_threshold=0.4,
+        jaccard_threshold=0.4, portable_hash=True,
     )
     return connected_components(pairs, "id_a", "id_b")
 
@@ -5674,73 +5693,37 @@ def q140_last_touch_attribution(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register(
-    "q141_semantic_dedup",
-    """
-    WITH RECURSIVE e AS (
-      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-      FROM embeddings
-    ),
-    p AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i])),
-               (acc, x) -> acc + x)
-             / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                  list_transform(range(1, len(a.v)+1), i -> a.v[i] * a.v[i])),
-                  (acc, x) -> acc + x))
-                * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                    list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i])),
-                    (acc, x) -> acc + x))) AS cos
-      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    ),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM p WHERE cos >= 0.5
-    ),
-    sym AS (
-      SELECT src, dst FROM edges
-      UNION
-      SELECT dst, src FROM edges
-    ),
-    reach AS (
-      SELECT src AS node, dst AS r FROM sym
-      UNION
-      SELECT vec_id AS node, vec_id AS r FROM e
-      UNION
-      SELECT rr.node, s.dst AS r
-      FROM reach rr JOIN sym s ON rr.r = s.src
-    ),
-    comp AS (
-      SELECT node AS vec_id, MIN(r) AS component FROM reach GROUP BY node
-    )
-    SELECT em.label,
-           COUNT(*) AS n_vecs,
-           COUNT(DISTINCT c.component) AS n_clusters,
-           CAST(COUNT(*) - COUNT(DISTINCT c.component) AS BIGINT)
-             AS n_removed
-    FROM e em JOIN comp c ON em.vec_id = c.vec_id
-    GROUP BY em.label
-    ORDER BY em.label
-    """,
-)
+@register("q141_semantic_dedup", oracles.semantic_dedup_sql())
 def q141_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    """End-to-end semantic dedup, ORACLE-CHECKED: exact blocked cosine
-    pairs (q42's kernel, threshold 0.5) become an undirected graph;
+    """End-to-end semantic dedup, ORACLE-CHECKED: exact cosine pairs
+    blocked on (label, hyperplane-LSH bucket) become an undirected graph;
     iterative min-label connected components (operators/graph.py) pick
     one canonical vector per near-dup cluster; the rollup reports
-    vectors / clusters / removed per label. The DuckDB twin rebuilds the
-    same edges and closes them with a recursive CTE — two completely
-    different fixpoint algorithms agreeing on the same partition of the
-    graph. The Spark path is the 100 TB one: banded equi-join pairs,
-    log-diameter pointer-jumping rounds, no transitive closure blowup."""
+    vectors / clusters / removed per label. The DuckDB twin computes the
+    identical bucket (same LCG planes, same sequential fold) and closes
+    the same edges with a recursive CTE — two completely different
+    fixpoint algorithms agreeing on the same partition of the graph.
+
+    The block key composes the label with a volume-bounded LSH bucket:
+    label cardinality is fixed, so label-only blocking grows intra-block
+    pairs O(n^2) with corpus size; bucket count scales with 2^n_planes,
+    keeping per-block candidate volume bounded at 100 TB. Bucket-straddling
+    pairs are missed by construction (recall<1) — the standard LSH trade."""
     from kp_data_pipelines_spark.operators.graph import connected_components
     from kp_data_pipelines_spark.operators.similarity import (
         cosine_pairs_blocked,
+        simhash_planes,
+        with_hyperplane_bucket,
     )
 
     emb = read_table(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    planes = simhash_planes(dim, n_planes=4, seed=7)
+    blocked = with_hyperplane_bucket(emb, "embedding", planes, "bucket").withColumn(
+        "__block", F.concat_ws("|", F.col("label"), F.col("bucket"))
+    )
     pairs = cosine_pairs_blocked(
-        emb, "vec_id", "embedding", "label", threshold=0.5
+        blocked, "vec_id", "embedding", "__block", threshold=0.5
     )
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -5816,7 +5799,7 @@ def q142_join_skew_report(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n").alias("n_rows"),
         F.max("n").alias("max_n"),
         F.sum(
-            (F.col("n") * F.col("n")).cast("decimal(38,0)")
+            F.col("n").cast("decimal(38,0)") * F.col("n")
         ).cast("long").alias("sum_sq"),
     )
     # TakeOrderedAndProject keeps per-task top-10s; the rank window then
@@ -5828,6 +5811,10 @@ def q142_join_skew_report(spark: SparkSession, sf: str) -> DataFrame:
             "rk", F.row_number().over(Window.orderBy(F.desc("n"), "key"))
         )
     )
+    # 10-row top-k × 1-row stats: a literal-key equi-join would constant-
+    # fold back to this same BNLJ, so the crossJoin is the honest spelling
+    # — declared in plan_audit.INTENTIONAL_BNLJ (both sides are bounded
+    # by construction: limit(10) and a global aggregate).
     j = topk.crossJoin(F.broadcast(s))
     uniform = F.col("n_rows").cast("double") / F.col("n_keys").cast("double")
     return j.select(

@@ -52,7 +52,6 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    retired: list[DataFrame] = []
     for _ in range(max_iter):
         neighbor_min = (
             e.join(labels, e.b == labels.node)
@@ -71,7 +70,6 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = updated.filter(F.col("_changed")).count()
-        retired.append(labels)
         if changed == 0:
             labels = updated.drop("_changed")
             break
@@ -86,14 +84,13 @@ def connected_components(
             .select("node", F.col("p_comp").alias("component"))
             .localCheckpoint(eager=True)
         )
-        retired.append(updated)
-    # release superseded checkpoint RDDs — otherwise every round's labels
-    # stay pinned in executor memory for the life of the session
-    # (df.rdd.unpersist() is a no-op on a checkpointed frame: it targets a
-    # fresh wrapper RDD, not the pinned one inside the LogicalRDD plan)
-    for df in [*retired, e]:
-        try:
-            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            pass  # internal API drift: leak rather than fail
+    # Superseded checkpoint RDDs are NOT explicitly unpersisted: there is
+    # no public DataFrame API that reaches the RDD pinned inside the
+    # LogicalRDD plan (df.rdd.unpersist() targets a fresh wrapper). They
+    # are reclaimed by Spark's ContextCleaner instead — once the per-round
+    # DataFrames here go out of scope, the JVM-side RDDs become
+    # unreachable and the cleaner unpersists their blocks (storage is
+    # MEMORY_AND_DISK_DESER and evictable in the meantime). Bounded cost:
+    # O(rounds) small label tables per call, reclaimed at the next driver
+    # GC rather than at loop exit.
     return labels

@@ -46,7 +46,14 @@ def prefix_sum(
     w = Window.partitionBy("__pid").orderBy(order_key).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    local = rp.withColumn("__local", F.sum(val).over(w))
+    # Pin ONE realized layout before touching it from two jobs.
+    # repartitionByRange samples its boundaries per materialization (the
+    # reservoir seed differs per job), so without this the totals collect
+    # and the final join could realize different partitionings and the
+    # pid-keyed offsets would be silently wrong.
+    local = rp.withColumn("__local", F.sum(val).over(w)).localCheckpoint(
+        eager=True
+    )
     # One row per partition: total + min key, tiny by construction.
     totals = (
         local.groupBy("__pid")
@@ -57,18 +64,30 @@ def prefix_sum(
         .orderBy("__min_key")
         .collect()
     )
-    # Exclusive running offset per partition, keyed by ACTUAL partition id
-    # (range boundaries are sampled, but offsets follow the realized
-    # layout, so the result is boundary-independent).
+    # Exclusive running offset per partition, keyed by the (now pinned)
+    # actual partition id. An all-NULL partition contributes 0.
     offsets, acc = {}, 0
     for r in totals:
         offsets[r["__pid"]] = acc
-        acc += r["__total"]
+        if r["__total"] is not None:
+            acc += r["__total"]
     spark = df.sparkSession
+    # Offset column type follows the summed value's type (bigint for
+    # integral input, decimal(p+10,s) for decimal, double for float) so
+    # decimal values neither break nor lose precision.
+    sum_type = dict(local.dtypes)["__local"]
+    if sum_type.startswith("decimal"):
+        from decimal import Decimal
+
+        coerce = lambda v: Decimal(v) if not isinstance(v, Decimal) else v
+    elif sum_type in ("double", "float"):
+        coerce = float
+    else:
+        coerce = int
     off_df = F.broadcast(
         spark.createDataFrame(
-            [(int(k), v) for k, v in offsets.items()],
-            "__pid int, __offset bigint",
+            [(int(k), coerce(v)) for k, v in offsets.items()],
+            f"__pid int, __offset {sum_type}",
         )
     )
     return (

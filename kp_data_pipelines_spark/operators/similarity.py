@@ -164,6 +164,7 @@ def minhash_near_dups(
     num_hashes: int = 32,
     bands: int = 8,
     jaccard_threshold: float = 0.7,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """MinHash/LSH near-duplicate pairs.
 
@@ -174,8 +175,17 @@ def minhash_near_dups(
     The only shuffle keys are band hashes — at 100 TB this is the standard
     banding trick: no pairwise comparison outside shared buckets. Returns
     (id_a, id_b, est_jaccard) with id_a < id_b.
+
+    ``portable_hash`` swaps the xxhash64 gram hash for the polynomial fold
+    (textops.with_poly_shingles) so a DuckDB oracle can recompute the
+    signatures bit-for-bit; the band-bucket key stays xxhash64 (it only
+    gates candidates — a collision adds a candidate that the est_jaccard
+    verify then judges, so the result set is hash-agnostic).
     """
-    from kp_data_pipelines_spark.operators.textops import with_hashed_shingles
+    from kp_data_pipelines_spark.operators.textops import (
+        with_hashed_shingles,
+        with_poly_shingles,
+    )
 
     if bands <= 0 or num_hashes % bands != 0:
         raise ValueError(
@@ -187,7 +197,8 @@ def minhash_near_dups(
     rows_per_band = num_hashes // bands
     # Stage 1: gram hashes once per row (token-hash slices, no shingle
     # strings); stage 2 folds them into [0, p) for the universal hashes.
-    hashed = with_hashed_shingles(
+    shingler = with_poly_shingles if portable_hash else with_hashed_shingles
+    hashed = shingler(
         ensure_parallelism(df.select(id_col, text_col)), text_col, "__g", shingle_k
     ).select(
         F.col(id_col),
@@ -265,14 +276,29 @@ def simhash64_from_hashes(hashed_col) -> "F.Column":
     return _simhash(hashed_col)
 
 
-def with_simhash(df: DataFrame, text_col: str, out: str = "simhash", k: int = 2) -> DataFrame:
+def with_simhash(
+    df: DataFrame,
+    text_col: str,
+    out: str = "simhash",
+    k: int = 2,
+    portable_hash: bool = False,
+) -> DataFrame:
     """Attach a 64-bit SimHash fingerprint over word k-shingles.
 
     Two projection stages (gram hashes once, then the vectorized bit vote)
-    so the expensive array work runs once per row."""
-    from kp_data_pipelines_spark.operators.textops import with_hashed_shingles
+    so the expensive array work runs once per row. ``portable_hash`` uses
+    the 62-bit polynomial gram hash (textops.with_poly_shingles bits64)
+    instead of xxhash64, making the fingerprints oracle-recomputable (the
+    top two bits then vote 0 — still a valid SimHash)."""
+    from kp_data_pipelines_spark.operators.textops import (
+        with_hashed_shingles,
+        with_poly_shingles,
+    )
 
-    hashed = with_hashed_shingles(df, text_col, "__sh_hashes", k)
+    if portable_hash:
+        hashed = with_poly_shingles(df, text_col, "__sh_hashes", k, bits64=True)
+    else:
+        hashed = with_hashed_shingles(df, text_col, "__sh_hashes", k)
     return hashed.withColumn(out, simhash64_from_hashes(F.col("__sh_hashes"))).drop(
         "__sh_hashes"
     )
@@ -373,7 +399,12 @@ def cosine_pairs_blocked(
 
 
 def simhash_hamming_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, k: int = 2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    k: int = 2,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs within a Hamming radius — EXACT given the
     fingerprints, via the pigeonhole banding trick.
@@ -386,7 +417,11 @@ def simhash_hamming_pairs(
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
     fp = with_simhash(
-        ensure_parallelism(df.select(id_col, text_col)), text_col, "fp", k
+        ensure_parallelism(df.select(id_col, text_col)),
+        text_col,
+        "fp",
+        k,
+        portable_hash=portable_hash,
     ).select(id_col, "fp")
     chunks = fp.select(
         id_col,

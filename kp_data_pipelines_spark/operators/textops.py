@@ -136,6 +136,65 @@ def shingles(col: Column | str, k: int = 5) -> Column:
     )
 
 
+_POLY_MOD = 2147483647  # Mersenne-31, matches rolling_hash
+_POLY_BASE_TOKEN = 31
+_POLY_BASE_GRAM = 1000003
+_POLY_BASE_GRAM2 = 998244353  # second fold base for the 62-bit variant
+
+
+def poly_token_hashes(col: Column | str) -> Column:
+    """Per-token polynomial char hashes (array<long> in [0, 2^31-1)) over
+    the trimmed/lowered whitespace split — the portable sibling of the
+    xxhash64 token hash: the identical fold runs in ANSI SQL/DuckDB
+    (``list_reduce`` over ``ord``), so oracle queries can re-derive the
+    values bit-for-bit. acc < 2^31 and base 31 keep the fold < 2^36 —
+    no ANSI overflow."""
+    toks = F.split(F.trim(F.lower(_c(col))), r"\s+")
+    return F.transform(
+        toks,
+        lambda t: F.aggregate(
+            F.filter(F.split(t, ""), lambda ch: ch != ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * _POLY_BASE_TOKEN + F.ascii(ch)) % _POLY_MOD,
+        ),
+    )
+
+
+def with_poly_shingles(
+    df, text_col: str, out: str = "gram_hashes", k: int = 5, bits64: bool = False
+):
+    """Portable word-k-shingle hashes: ``with_hashed_shingles`` with the
+    xxhash64 swapped for nested polynomial folds so a DuckDB oracle can
+    recompute every value exactly (integer mod arithmetic is engine-
+    independent; see q38/q39/q43 twins). Gram hash = fold of the k token
+    hashes, base 1000003 mod Mersenne-31; with ``bits64`` a second fold
+    (base 998244353) fills the low bits — ``g1 * 2^31 + g2`` < 2^62 —
+    for SimHash-style per-bit votes. Prefer the xxhash64 variant when no
+    oracle needs the values (JVM hash, fewer interpreted fold steps);
+    costs here are ~one lambda per char, the q44 rolling-hash budget."""
+    step = df.withColumn("__tok_hashes", poly_token_hashes(text_col))
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size("__tok_hashes") - (k - 1), F.lit(1))
+    )
+
+    def gram(i, base):
+        return F.aggregate(
+            F.slice("__tok_hashes", i, k),
+            F.lit(0).cast("long"),
+            lambda acc, h: (acc * base + h) % _POLY_MOD,
+        )
+
+    if bits64:
+        grams = F.transform(
+            idx,
+            lambda i: gram(i, _POLY_BASE_GRAM) * F.lit(1 << 31)
+            + gram(i, _POLY_BASE_GRAM2),
+        )
+    else:
+        grams = F.transform(idx, lambda i: gram(i, _POLY_BASE_GRAM))
+    return step.withColumn(out, grams).drop("__tok_hashes")
+
+
 def with_hashed_shingles(df, text_col: str, out: str = "gram_hashes", k: int = 5):
     """Attach word k-shingle HASHES (array<long>) without materializing the
     shingle strings: hash each token once, then each gram hash is

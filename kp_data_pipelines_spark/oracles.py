@@ -1,0 +1,355 @@
+"""Generated DuckDB oracle twins for the hash/LSH/ANN catalog queries.
+
+These queries (q38-q45, q66) were rows-only in round 1 because their
+values derive from hash functions. Every hash involved is deterministic
+integer / IEEE-double arithmetic, so the twins recompute it exactly:
+
+- Gram hashes: the portable polynomial folds of
+  ``textops.with_poly_shingles`` — integer mod arithmetic, identical in
+  any engine (the q44 rolling-hash twin proved the pattern).
+- MinHash slots: ``min((a*h + b) mod p)`` with the LCG-derived (a, b)
+  parameters of ``similarity._hash_params`` embedded as literal arrays.
+- SimHash: per-bit majority vote over the 62-bit gram hashes via
+  ``>>``/``&`` on BIGINT.
+- Hyperplane buckets / cosines: sequential left folds over doubles
+  (``list_reduce`` with a 0.0 seed) in exactly the order Spark's
+  ``F.aggregate`` folds — bit-identical IEEE results; the hyperplanes of
+  ``similarity.simhash_planes`` are embedded via ``repr(float)``
+  (shortest round-trip, parses back to the same double).
+
+The SQL is built at import time by plain string composition; everything
+embedded is a deterministic constant of the algorithm, never of the data
+(the one data-shape assumption is the 64-dim embedding column,
+TESTDATA.md).
+"""
+
+from __future__ import annotations
+
+from kp_data_pipelines_spark.operators.similarity import _hash_params, simhash_planes
+
+_MOD = 2147483647  # Mersenne-31 (textops._POLY_MOD)
+_BASE_TOKEN = 31
+_BASE_GRAM = 1000003
+_BASE_GRAM2 = 998244353
+EMBEDDING_DIM = 64  # TESTDATA.md: embeddings.embedding is FLOAT[64]
+
+
+def _dot(v: str, w: str) -> str:
+    """Sequential left-fold dot product — same op order as similarity._dot."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({v})+1), i -> {v}[i] * {w}[i])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _tok_hashes(text: str) -> str:
+    """textops.poly_token_hashes: per-token char fold, base 31 mod M31."""
+    return (
+        f"list_transform(regexp_split_to_array(trim(lower({text})), '\\s+'), "
+        f"t -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, length(t)+1), "
+        f"i -> CAST(ord(substr(t, i, 1)) AS BIGINT))), "
+        f"(acc, c) -> (acc * {_BASE_TOKEN} + c) % {_MOD}))"
+    )
+
+
+def _gram_fold(th: str, base: int, k: int) -> str:
+    """One k-token-window polynomial fold (inside a lambda binding i)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {th}[i:i+{k - 1}]), "
+        f"(acc, h) -> (acc * {base} + h) % {_MOD})"
+    )
+
+
+def _grams(th: str, k: int, bits64: bool) -> str:
+    """textops.with_poly_shingles over a token-hash array column."""
+    idx = f"range(1, greatest(len({th}) - {k - 1}, 1) + 1)"
+    if bits64:
+        body = (
+            f"{_gram_fold(th, _BASE_GRAM, k)} * CAST(2147483648 AS BIGINT) "
+            f"+ {_gram_fold(th, _BASE_GRAM2, k)}"
+        )
+    else:
+        body = _gram_fold(th, _BASE_GRAM, k)
+    return f"list_transform({idx}, i -> {body})"
+
+
+def _lit_list(vals, cast: str) -> str:
+    return "[" + ", ".join(f"CAST({v} AS {cast})" for v in vals) + "]"
+
+
+def _minhash_sig_cte(k: int, num_hashes: int, seed: int = 11) -> str:
+    """CTEs documents -> per-doc MinHash signature (column ``sig``)."""
+    params = _hash_params(num_hashes, seed)
+    a_lit = _lit_list([p[0] for p in params], "BIGINT")
+    b_lit = _lit_list([p[1] for p in params], "BIGINT")
+    return f"""
+    th AS (
+      SELECT doc_id, {_tok_hashes("text")} AS th FROM documents
+    ),
+    g AS (
+      SELECT doc_id, list_distinct({_grams("th", k, False)}) AS grams FROM th
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(1, {num_hashes + 1}),
+               j -> list_min(list_transform(grams,
+                      h -> (({a_lit})[j] * h + ({b_lit})[j]) % {_MOD}))) AS sig
+      FROM g
+    )"""
+
+
+def _minhash_pairs_core(
+    k: int, num_hashes: int, bands: int, threshold: float
+) -> str:
+    """CTE chain ending in ``pairs(id_a, id_b, est_jaccard)``."""
+    rpb = num_hashes // bands
+    band_eq = " OR ".join(
+        f"a.sig[{i * rpb + 1}:{(i + 1) * rpb}] = b.sig[{i * rpb + 1}:{(i + 1) * rpb}]"
+        for i in range(bands)
+    )
+    return f"""{_minhash_sig_cte(k, num_hashes)},
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_filter(range(1, {num_hashes + 1}),
+                        j -> a.sig[j] = b.sig[j])) AS DOUBLE)
+               / {float(num_hashes)} AS est_jaccard
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE {band_eq}
+    )"""
+
+
+def minhash_near_dups_sql(
+    k: int = 3, num_hashes: int = 32, bands: int = 16, threshold: float = 0.4
+) -> str:
+    """Twin of q38: all-pairs with band-slice-equality candidacy (the Spark
+    side's xxhash64 band key collides with prob ~2^-64, i.e. never)."""
+    return f"""
+    WITH {_minhash_pairs_core(k, num_hashes, bands, threshold)}
+    SELECT id_a, id_b, est_jaccard FROM pairs
+    WHERE est_jaccard >= {threshold}
+    """
+
+
+def _simhash_cte(k: int, table: str = "documents") -> str:
+    """CTEs -> ``fp(doc_id, simhash)`` — the per-bit majority vote of
+    similarity.simhash64_from_hashes over portable 62-bit gram hashes."""
+    return f"""
+    th AS (
+      SELECT doc_id, {_tok_hashes("text")} AS th FROM {table}
+    ),
+    hs AS (
+      SELECT doc_id, {_grams("th", k, True)} AS hs FROM th
+    ),
+    fp AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(0, 64),
+                 j -> CASE WHEN 2 * len(list_filter(hs,
+                              h -> ((h >> j) & 1) = 1)) > len(hs)
+                      THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT)
+                      END)),
+               (acc, x) -> acc + x) AS simhash
+      FROM hs
+    )"""
+
+
+def simhash_sql(k: int = 2) -> str:
+    """Twin of q39."""
+    return f"WITH {_simhash_cte(k)} SELECT doc_id, simhash FROM fp"
+
+
+def simhash_hamming_pairs_sql(max_hamming: int = 3, k: int = 2) -> str:
+    """Twin of q43. The Spark side's pigeonhole chunk banding is EXACT
+    (any pair within Hamming d shares one of d+1 chunks), so the twin is
+    simply all pairs within the radius."""
+    return f"""
+    WITH {_simhash_cte(k)}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def dedup_components_sql(
+    k: int = 3, num_hashes: int = 32, bands: int = 16, threshold: float = 0.4
+) -> str:
+    """Twin of q66: MinHash pairs -> recursive-CTE transitive closure ->
+    min reachable id per node (the q141 twin's fixpoint, over edge
+    endpoints only, matching graph.connected_components)."""
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_core(k, num_hashes, bands, threshold)},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      WHERE est_jaccard >= {threshold}
+    ),
+    sym AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ),
+    reach AS (
+      SELECT src AS node, src AS r FROM sym
+      UNION
+      SELECT rr.node, s.dst AS r FROM reach rr JOIN sym s ON rr.r = s.src
+    )
+    SELECT node, MIN(r) AS component FROM reach GROUP BY node
+    """
+
+
+def _bucket_expr(v: str, planes) -> str:
+    bits = []
+    for p in planes:
+        plane_lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        bits.append(
+            f"CASE WHEN {_dot(v, f'({plane_lit})')} >= 0 THEN '1' ELSE '0' END"
+        )
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def lsh_ann_sql(n_planes: int = 6, kk: int = 10, seed: int = 7) -> str:
+    """Twin of q40: hyperplane-LSH bucket match against vec_id 0's bucket,
+    exact cosine top-k inside the bucket. Planes are the LCG constants of
+    similarity.simhash_planes; every fold is sequential, so bucket bits
+    and cosines are bit-identical to the Spark plan's F.aggregate."""
+    planes = simhash_planes(EMBEDDING_DIM, n_planes, seed)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id <> 0
+    ),
+    q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    be AS (
+      SELECT vec_id, label, v, {_bucket_expr("v", planes)} AS bucket FROM e
+    ),
+    bq AS (
+      SELECT qv, {_bucket_expr("qv", planes)} AS bucket FROM q
+    )
+    SELECT vec_id, label
+    FROM (
+      SELECT be.vec_id, be.label,
+             {_dot("be.v", "bq.qv")}
+               / (sqrt({_dot("be.v", "be.v")}) * sqrt({_dot("bq.qv", "bq.qv")}))
+               AS cos
+      FROM be JOIN bq ON be.bucket = bq.bucket
+    )
+    ORDER BY cos DESC, vec_id
+    LIMIT {kk}
+    """
+
+
+def semantic_dedup_sql(
+    threshold: float = 0.5, n_planes: int = 4, seed: int = 7
+) -> str:
+    """Twin of q141: exact cosine pairs blocked on (label, hyperplane
+    bucket), closed into components by a recursive CTE. The bucket is the
+    same LCG-plane sign-bit string the Spark plan computes, so both
+    engines see the identical candidate set; blocking on the bucket (not
+    just the fixed-cardinality label) is what keeps per-block pair counts
+    bounded as the corpus grows."""
+    planes = simhash_planes(EMBEDDING_DIM, n_planes, seed)
+    return f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    be AS (
+      SELECT vec_id, label, v, {_bucket_expr("v", planes)} AS bucket FROM e
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_dot("a.v", "b.v")}
+               / (sqrt({_dot("a.v", "a.v")}) * sqrt({_dot("b.v", "b.v")}))
+               AS cos
+      FROM be a JOIN be b
+        ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM p WHERE cos >= {threshold}
+    ),
+    sym AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT dst, src FROM edges
+    ),
+    reach AS (
+      SELECT src AS node, dst AS r FROM sym
+      UNION
+      SELECT vec_id AS node, vec_id AS r FROM e
+      UNION
+      SELECT rr.node, s.dst AS r
+      FROM reach rr JOIN sym s ON rr.r = s.src
+    ),
+    comp AS (
+      SELECT node AS vec_id, MIN(r) AS component FROM reach GROUP BY node
+    )
+    SELECT em.label,
+           COUNT(*) AS n_vecs,
+           COUNT(DISTINCT c.component) AS n_clusters,
+           CAST(COUNT(*) - COUNT(DISTINCT c.component) AS BIGINT)
+             AS n_removed
+    FROM e em JOIN comp c ON em.vec_id = c.vec_id
+    GROUP BY em.label
+    ORDER BY em.label
+    """
+
+
+def ivf_ann_sql(n_centroids: int = 16, nprobe: int = 4, kk: int = 10) -> str:
+    """Twin of q45. Centroids = first ``n_centroids`` vectors by vec_id of
+    the vec_id<>0 set (similarity.ivf_centroids' deterministic seed);
+    assignment tie-break (cos DESC, cid DESC) mirrors
+    reverse(array_sort(struct(cos, cid))); probe tie-break (cos DESC, cid
+    ASC) mirrors Python's stable sorted(); the probe score is dot/norm_c
+    exactly as ivf_topk computes it driver-side."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id <> 0
+    ),
+    q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    c AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             v AS cv
+      FROM e ORDER BY vec_id LIMIT {n_centroids}
+    ),
+    cn AS (
+      SELECT cid, cv,
+             CASE WHEN sqrt({_dot("cv", "cv")}) = 0 THEN 1.0
+                  ELSE sqrt({_dot("cv", "cv")}) END AS ncv
+      FROM c
+    ),
+    assign AS (
+      SELECT vec_id, label, v, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cid DESC) AS rn
+      FROM (
+        SELECT e.vec_id, e.label, e.v, cn.cid,
+               {_dot("e.v", "cn.cv")} / (sqrt({_dot("e.v", "e.v")}) * cn.ncv)
+                 AS cos
+        FROM e CROSS JOIN cn
+      )
+    ),
+    probe AS (
+      SELECT cid FROM (
+        SELECT cn.cid,
+               row_number() OVER (
+                 ORDER BY {_dot("q.qv", "cn.cv")} / cn.ncv DESC, cn.cid) AS prn
+        FROM cn CROSS JOIN q
+      ) WHERE prn <= {nprobe}
+    )
+    SELECT vec_id, label
+    FROM (
+      SELECT a.vec_id, a.label,
+             {_dot("a.v", "q.qv")}
+               / (sqrt({_dot("a.v", "a.v")}) * sqrt({_dot("q.qv", "q.qv")}))
+               AS cos
+      FROM assign a CROSS JOIN q
+      WHERE a.rn = 1 AND a.cid IN (SELECT cid FROM probe)
+    )
+    ORDER BY cos DESC, vec_id
+    LIMIT {kk}
+    """

@@ -25,7 +25,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # range condition costs 4 comparisons per probe row with no shuffle,
 # which is the correct physical plan for a tiny range dim (the same
 # semantics switch to width_bucket equi-joins as the dim grows).
-INTENTIONAL_BNLJ = {"q18_containment_join", "q135_price_tier_join"}
+# q142 crossJoins its 10-row top-k against a 1-row global-stats
+# aggregate -- both sides are bounded by construction (limit(10) and a
+# scalar reduce), so the 10x1 BNLJ is the correct plan at any scale; a
+# literal-key equi-join would constant-fold back to the same BNLJ.
+INTENTIONAL_BNLJ = {
+    "q18_containment_join",
+    "q135_price_tier_join",
+    "q142_join_skew_report",
+}
 
 
 def main() -> int:
