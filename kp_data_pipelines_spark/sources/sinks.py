@@ -55,6 +55,99 @@ def write_report_excel_multi(
             df.toPandas().to_excel(writer, sheet_name=name[:31], index=False)
 
 
+def excel_col(idx: int) -> str:
+    """0-based column index -> Excel letters (0->A, 25->Z, 26->AA)."""
+    out = ""
+    n = idx + 1
+    while n > 0:
+        n, rem = divmod(n - 1, 26)
+        out = chr(65 + rem) + out
+    return out
+
+
+def dropdown_source_range(sheet: str, col_idx: int, n_rows: int) -> str:
+    """Absolute list-validation source over a sheet's data rows (headers in
+    row 1, data from row 2): the dropdown contract of the reference report
+    (`DOR VP Compare.ipynb:552-586`)."""
+    c = excel_col(col_idx)
+    return f"={sheet}!${c}$2:${c}${n_rows + 1}"
+
+
+def filter_formula(
+    sheet: str, n_cols: int, key_col_idx: int, selector_cell: str = "$B$1"
+) -> str:
+    """Spill FILTER formula pulling every row of ``sheet`` whose key column
+    equals the selector cell — the interactive detail pane of the
+    reference report (`DOR VP Compare.ipynb:588-634`,
+    `DOP VP Compare.py:382-401`). Ranges run to the sheet floor so the
+    formula keeps working as data grows."""
+    last = excel_col(n_cols - 1)
+    key = excel_col(key_col_idx)
+    return (
+        f"=FILTER({sheet}!A2:{last}1048576, "
+        f"{sheet}!{key}2:{key}1048576={selector_cell})"
+    )
+
+
+def write_report_excel_interactive(
+    sheets: "dict[str, DataFrame]",
+    path: str,
+    key_sheet: str,
+    key_col_idx: int = 0,
+    detail_sheets: "list[str] | None" = None,
+    selector_sheet: str = "Detail",
+) -> None:
+    """K3 interactive variant: the multi-sheet report plus a selector
+    sheet with (a) a dropdown (list data-validation) over ``key_sheet``'s
+    key column and (b) one spill FILTER block per detail sheet showing the
+    rows matching the selection — the reference's interactive
+    reconciliation workbook re-expressed. Requires xlsxwriter (the only
+    engine with data_validation/write_formula); import-gated like K2/K3.
+
+    Sheet data is collected to pandas — report outputs only, never the
+    100 TB path (the heavy reconciliation math runs in Spark upstream)."""
+    import pandas as pd
+
+    try:
+        import xlsxwriter  # noqa: F401
+    except ImportError as ex:  # pragma: no cover - environment gate
+        raise ImportError(
+            "write_report_excel_interactive requires xlsxwriter for "
+            "data_validation/write_formula support"
+        ) from ex
+
+    detail_sheets = detail_sheets or [s for s in sheets if s != key_sheet]
+    pdfs = {name[:31]: df.toPandas() for name, df in sheets.items()}
+    with pd.ExcelWriter(path, engine="xlsxwriter") as writer:
+        for name, pdf in pdfs.items():
+            pdf.to_excel(writer, sheet_name=name, index=False)
+        book = writer.book
+        sel = book.add_worksheet(selector_sheet)
+        writer.sheets[selector_sheet] = sel
+        sel.write("A1", "Select key:")
+        sel.write("B1", "")
+        sel.data_validation(
+            "B1",
+            {
+                "validate": "list",
+                "source": dropdown_source_range(
+                    key_sheet[:31], key_col_idx, len(pdfs[key_sheet[:31]])
+                ),
+            },
+        )
+        row = 3
+        for name in detail_sheets:
+            name = name[:31]
+            pdf = pdfs[name]
+            sel.write(row, 0, f"{name} rows for selected key")
+            for c, col_name in enumerate(pdf.columns):
+                sel.write(row + 1, c, str(col_name))
+            sel.write_formula(
+                row + 2, 0, filter_formula(name, len(pdf.columns), key_col_idx)
+            )
+            row += 4 + len(pdf.columns)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -455,3 +455,32 @@ def test_prefix_sum_matches_global_window(spark):
         for r in docs.withColumn("cum", F.sum("n_chars").over(w)).collect()
     }
     assert got == want
+
+
+def test_prefix_sum_null_partitions_and_decimal(spark):
+    """ADVICE round 1: a range partition whose values are all NULL must
+    contribute offset 0 (not TypeError), and decimal values must keep
+    their type/precision instead of being forced through bigint."""
+    from decimal import Decimal
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kp_data_pipelines_spark.operators.prefix import prefix_sum
+
+    # keys 0..59; values NULL for the low third (>= one whole range
+    # partition at num_partitions=6), decimal(10,2) elsewhere
+    rows = [
+        (k, None if k < 20 else Decimal(f"{k}.25")) for k in range(60)
+    ]
+    df = spark.createDataFrame(rows, "k int, v decimal(10,2)")
+    out = prefix_sum(df, "k", "v", out_col="cum", num_partitions=6)
+    got = {r["k"]: r["cum"] for r in out.collect()}
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["k"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+    # decimal in, decimal out (sum widens scale-preserving, not bigint)
+    assert dict(out.dtypes)["cum"].startswith("decimal")

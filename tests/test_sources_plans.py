@@ -194,3 +194,58 @@ def test_flatten_multiindex_columns(spark):
     sdf = spark.createDataFrame(out)
     assert sdf.count() == 2
     assert set(sdf.columns) == {"Fiscal_Year", "Fiscal_Amount", "Code"}
+
+
+def test_interactive_report_formula_helpers():
+    """K3 interactive report: the dropdown source and spill FILTER
+    formulas match the reference workbook's contract
+    (`DOR VP Compare.ipynb:552-634`) — testable without an xlsx engine."""
+    from kp_data_pipelines_spark.sources.sinks import (
+        dropdown_source_range,
+        excel_col,
+        filter_formula,
+    )
+
+    assert [excel_col(i) for i in (0, 25, 26, 27, 701, 702)] == [
+        "A", "Z", "AA", "AB", "ZZ", "AAA",
+    ]
+    assert (
+        dropdown_source_range("Matched", 0, 100) == "=Matched!$A$2:$A$101"
+    )
+    assert filter_formula("Detail", 4, 0) == (
+        "=FILTER(Detail!A2:D1048576, Detail!A2:A1048576=$B$1)"
+    )
+    assert filter_formula("VP", 28, 2, "$C$9") == (
+        "=FILTER(VP!A2:AB1048576, VP!C2:C1048576=$C$9)"
+    )
+
+
+def test_interactive_report_writes_validation(spark, tmp_path):
+    """Full workbook assertion — skipped where no xlsx engine ships
+    (this container); runs wherever xlsxwriter+openpyxl exist."""
+    import pytest
+
+    pytest.importorskip("xlsxwriter")
+    openpyxl = pytest.importorskip("openpyxl")
+
+    from kp_data_pipelines_spark.sources.sinks import (
+        write_report_excel_interactive,
+    )
+
+    matched = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "project_id int, title string"
+    )
+    detail = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "project_id int, amount double"
+    )
+    path = str(tmp_path / "report.xlsx")
+    write_report_excel_interactive(
+        {"Matched": matched, "DOR_Detail": detail},
+        path,
+        key_sheet="Matched",
+    )
+    wb = openpyxl.load_workbook(path)
+    assert set(wb.sheetnames) >= {"Matched", "DOR_Detail", "Detail"}
+    dvs = list(wb["Detail"].data_validations.dataValidation)
+    assert dvs and dvs[0].type == "list"
+    assert "Matched" in (dvs[0].formula1 or "")
