@@ -5816,7 +5816,6 @@ def q142_join_skew_report(spark: SparkSession, sf: str) -> DataFrame:
     # — declared in plan_audit.INTENTIONAL_BNLJ (both sides are bounded
     # by construction: limit(10) and a global aggregate).
     j = topk.crossJoin(F.broadcast(s))
-    uniform = F.col("n_rows").cast("double") / F.col("n_keys").cast("double")
     return j.select(
         F.col("rk").alias("rank"),
         F.col("key").alias("hot_key"),
@@ -5838,3 +5837,31 @@ def q142_join_skew_report(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("dispersion"),
     ).orderBy("rank")
+
+
+@register("q143_ivf_refined_ann", oracles.ivf_refined_ann_sql())
+def q143_ivf_refined_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-Flat ANN over k-means-REFINED centroids, ORACLE-CHECKED: three
+    distributed Lloyd rounds (similarity.kmeans_refine) over the
+    deterministic seed, then the q45 assign/probe/rescore pipeline. The
+    refinement's per-(cell, dim) means are quantized-integer aggregates
+    (round(x*1e6) staged through DECIMAL(38,0), reconstructed in double),
+    so the DuckDB twin's unrolled three-round CTE chain reproduces every
+    centroid — and therefore every assignment and the final top-k —
+    bit-for-bit. Scale shape: each round is one scan + a k*dim-row
+    shuffle; centroids live on the driver between rounds (k*dim floats)."""
+    from kp_data_pipelines_spark.operators.similarity import ivf_topk
+
+    emb = read_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    out = ivf_topk(
+        emb.filter(F.col("vec_id") != 0),
+        "embedding",
+        "vec_id",
+        [float(x) for x in query],
+        k=10,
+        n_centroids=16,
+        nprobe=4,
+        refine_iters=3,
+    )
+    return out.select("vec_id", "label")

@@ -490,10 +490,14 @@ def kmeans_refine(
     between rounds (k*dim floats — the standard k-means split at any
     scale).
 
-    Means aggregate via DECIMAL(28,12) then cast back — order-independent,
-    so the refined centroids (and every assignment derived from them) are
-    bit-identical across partitionings/reruns, which keeps downstream
-    rows-only checks stable. Empty cells keep their previous centroid."""
+    Means aggregate QUANTIZED: round(x*10^6) staged through DECIMAL(38,0)
+    inside the SUM, reconstructed in double as (sum/count)/10^6 — order-
+    independent AND cross-engine-exact (the multiply+round is the same
+    float op in DuckDB; double→DECIMAL casts of arbitrary mantissas are
+    not portable, CLAUDE.md), so the refined centroids (and every
+    assignment derived from them) are bit-identical across partitionings,
+    reruns, and the q143 oracle twin. Empty cells keep their previous
+    centroid."""
     cents = [(cid, list(vec)) for cid, vec in centroids]
     for _ in range(n_iter):
         cell = _nearest_centroids_expr(vec_col, cents, 1)[0]
@@ -506,10 +510,14 @@ def kmeans_refine(
             .groupBy("__cell", "pos")
             .agg(
                 (
-                    F.sum(F.col("col").cast("decimal(28,12)")) / F.count(F.lit(1))
-                )
-                .cast("double")
-                .alias("m")
+                    F.sum(
+                        F.round(F.col("col") * F.lit(1000000.0)).cast(
+                            "decimal(38,0)"
+                        )
+                    ).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                    / F.lit(1000000.0)
+                ).alias("m")
             )
             .collect()
         )
@@ -557,12 +565,18 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     nprobe: int = 4,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-Flat ANN: assign every vector to its nearest centroid (one scan),
     probe the query's ``nprobe`` nearest centroid cells, exact cosine top-k
     within the probed cells. At scale the assignment is written once as a
-    partition column, so a query prunes to nprobe/n_centroids of the data."""
+    partition column, so a query prunes to nprobe/n_centroids of the data.
+    ``refine_iters`` > 0 runs that many distributed Lloyd rounds
+    (``kmeans_refine``) over the deterministic seed before assigning —
+    better-balanced cells at the cost of refine_iters extra scans."""
     centroids = ivf_centroids(df, vec_col, n_centroids, id_col=id_col)
+    if refine_iters:
+        centroids = kmeans_refine(df, vec_col, centroids, n_iter=refine_iters)
     assigned = df.withColumn(
         "__cell", _nearest_centroids_expr(vec_col, centroids, 1)[0]
     )

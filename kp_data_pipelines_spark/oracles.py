@@ -240,6 +240,104 @@ def lsh_ann_sql(n_planes: int = 6, kk: int = 10, seed: int = 7) -> str:
     """
 
 
+def ivf_refined_ann_sql(
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    kk: int = 10,
+    n_iter: int = 3,
+) -> str:
+    """Twin of q143 (IVF + Lloyd refinement): the k-means loop is unrolled
+    into ``n_iter`` CTE rounds — assign (cos DESC, cid DESC tie-break,
+    mirroring reverse(array_sort)), per-(cell, dim) QUANTIZED mean
+    (round(x*1e6) -> BIGINT-exact sum -> (sum/count)/1e6 in double —
+    identical IEEE ops to kmeans_refine's decimal-staged aggregate), and
+    empty cells carrying the previous centroid via a left join."""
+    dim = EMBEDDING_DIM
+
+    def norm_cte(src: str, out: str) -> str:
+        return f"""{out} AS (
+      SELECT cid, cv,
+             CASE WHEN sqrt({_dot("cv", "cv")}) = 0 THEN 1.0
+                  ELSE sqrt({_dot("cv", "cv")}) END AS ncv
+      FROM {src}
+    )"""
+
+    def assign_cte(cents_n: str, out: str) -> str:
+        return f"""{out} AS (
+      SELECT vec_id, label, v, cid FROM (
+        SELECT e.vec_id, e.label, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_dot("e.v", "c.cv")}
+                   / (sqrt({_dot("e.v", "e.v")}) * c.ncv) DESC,
+                 c.cid DESC) AS rn
+        FROM e CROSS JOIN {cents_n} c
+      ) WHERE rn = 1
+    )"""
+
+    parts = [
+        f"""e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id <> 0
+    ),
+    q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    r0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             v AS cv
+      FROM e ORDER BY vec_id LIMIT {n_centroids}
+    )"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(norm_cte(f"r{i - 1}", f"rn{i - 1}"))
+        parts.append(assign_cte(f"rn{i - 1}", f"a{i}"))
+        parts.append(
+            f"""m{i} AS (
+      SELECT a.cid, d.i AS pos,
+             CAST(SUM(CAST(round(a.v[d.i] * 1000000.0) AS DECIMAL(38,0)))
+                  AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS m
+      FROM a{i} a, range(1, {dim + 1}) d(i)
+      GROUP BY a.cid, d.i
+    )"""
+        )
+        parts.append(
+            f"""r{i} AS (
+      SELECT p.cid, COALESCE(nc.cv, p.cv) AS cv
+      FROM r{i - 1} p LEFT JOIN (
+        SELECT cid, list(m ORDER BY pos) AS cv FROM m{i} GROUP BY cid
+      ) nc USING (cid)
+    )"""
+        )
+    parts.append(norm_cte(f"r{n_iter}", f"rn{n_iter}"))
+    parts.append(assign_cte(f"rn{n_iter}", "afinal"))
+    parts.append(
+        f"""probe AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               row_number() OVER (
+                 ORDER BY {_dot("q.qv", "c.cv")} / c.ncv DESC, c.cid) AS prn
+        FROM rn{n_iter} c CROSS JOIN q
+      ) WHERE prn <= {nprobe}
+    )"""
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT vec_id, label
+    FROM (
+      SELECT a.vec_id, a.label,
+             {_dot("a.v", "q.qv")}
+               / (sqrt({_dot("a.v", "a.v")}) * sqrt({_dot("q.qv", "q.qv")}))
+               AS cos
+      FROM afinal a CROSS JOIN q
+      WHERE a.cid IN (SELECT cid FROM probe)
+    )
+    ORDER BY cos DESC, vec_id
+    LIMIT {kk}
+    """
+
+
 def semantic_dedup_sql(
     threshold: float = 0.5, n_planes: int = 4, seed: int = 7
 ) -> str:
