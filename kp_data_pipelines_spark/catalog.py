@@ -5865,3 +5865,77 @@ def q143_ivf_refined_ann(spark: SparkSession, sf: str) -> DataFrame:
         refine_iters=3,
     )
     return out.select("vec_id", "label")
+
+
+@register("q144_document_chunks", oracles.chunk_documents_sql())
+def q144_document_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window chunking: split every document into overlapping
+    32-token chunks (8-token overlap) — the packing-prep step of a
+    pretraining pipeline (chunk -> tokenize -> q69/q137 pack). Pure JVM
+    split + posexplode, whole-stage codegen end to end; chunk counts use
+    exact integer arithmetic so the DuckDB twin matches every row."""
+    from kp_data_pipelines_spark.operators.textops import chunk_documents
+
+    docs = read_table(spark, sf, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_size=32, overlap=8)
+
+
+@register("q145_bloom_decontamination", oracles.bloom_contamination_sql())
+def q145_bloom_decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-style benchmark decontamination: src0 documents are the
+    'benchmark'; every other document is scored by the fraction of its
+    3-gram shingles whose 3 Bloom buckets all appear in the benchmark's
+    bucket table (<= 4096 rows — broadcast at any corpus size, the
+    keyed-join re-expression of a shared bitset; false-positive rate is
+    the standard (1-e^{-kn/m})^k). q68 is the exact-overlap reference;
+    this is the probe you can afford against a 100 TB corpus."""
+    from kp_data_pipelines_spark.operators.similarity import bloom_contamination
+
+    docs = read_table(spark, sf, "documents")
+    return bloom_contamination(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        shingle_k=3,
+        n_bits=4096,
+        n_hashes=3,
+        seed=29,
+    )
+
+
+@register("q146_dedup_representative", oracles.dedup_representative_sql())
+def q146_dedup_representative(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy-dedup KEEP policy: MinHash near-dup components (q66) joined
+    with the q22 quality score; each cluster keeps its highest-quality
+    member (quality DESC, doc_id ASC tie-break), singletons keep
+    themselves. This is the decision layer that turns pair lists into an
+    actual deduplicated corpus — per cluster: representative id, its
+    quality, and the member count."""
+    from kp_data_pipelines_spark.operators.graph import connected_components
+    from kp_data_pipelines_spark.operators.similarity import minhash_near_dups
+
+    docs = read_table(spark, sf, "documents")
+    pairs = minhash_near_dups(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=32, bands=16,
+        jaccard_threshold=0.4, portable_hash=True,
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    quality = docs.select("doc_id", quality_score("text").alias("quality"))
+    member = quality.join(
+        comp, quality["doc_id"] == comp["node"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("component"),
+        "quality",
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), "doc_id")
+    ranked = member.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_members", F.count(F.lit(1)).over(Window.partitionBy("component"))
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "component",
+        F.col("doc_id").alias("rep_doc_id"),
+        F.col("quality").alias("rep_quality"),
+        "n_members",
+    )

@@ -461,6 +461,84 @@ def simhash_hamming_pairs(
     )
 
 
+def bloom_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    n_bits: int = 4096,
+    n_hashes: int = 3,
+    seed: int = 29,
+) -> DataFrame:
+    """Bloom-style benchmark decontamination: score each probe document by
+    the fraction of its k-gram shingles whose ``n_hashes`` Bloom buckets
+    ALL appear in the benchmark set's bucket table.
+
+    Scale shape: the 'filter' is materialized as a distinct bucket TABLE
+    (at most ``n_bits`` rows — broadcastable at any corpus size), so the
+    probe is a keyed broadcast join per hash function, never a driver-side
+    bitset. False positives behave exactly like a real Bloom filter
+    (bucket collisions), with rate ~ (1 - e^{-kn/m})^k; exact-overlap
+    decontamination (q68) is the no-collision reference. All arithmetic is
+    integer (portable poly gram hashes + LCG bucket hashes), so a DuckDB
+    twin reproduces every score. Returns
+    (id, n_grams, n_hits, contamination)."""
+    from kp_data_pipelines_spark.operators.textops import with_poly_shingles
+
+    params = _hash_params(n_hashes, seed)
+
+    def buckets(gram_col):
+        return F.array(
+            *[
+                ((F.lit(a) * gram_col + F.lit(b)) % _MERSENNE) % n_bits
+                for a, b in params
+            ]
+        )
+
+    def grams_of(df):
+        return with_poly_shingles(
+            ensure_parallelism(df.select(id_col, text_col)),
+            text_col,
+            "__g",
+            shingle_k,
+        ).select(id_col, F.explode(F.array_distinct("__g")).alias("gram"))
+
+    bench_buckets = (
+        grams_of(bench)
+        .select(F.explode(buckets(F.col("gram"))).alias("bucket"))
+        .distinct()
+    )
+    probe = grams_of(docs).select(
+        id_col,
+        "gram",
+        F.posexplode(buckets(F.col("gram"))).alias("hash_idx", "bucket"),
+    )
+    matched = (
+        probe.join(F.broadcast(bench_buckets), "bucket")
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .filter(F.col("n_set") == n_hashes)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    totals = grams_of(docs).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    return (
+        totals.join(matched, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("contamination"),
+        )
+    )
+
+
 def ivf_centroids(
     df: DataFrame, vec_col: str, n_centroids: int = 16, id_col: str | None = None
 ):

@@ -136,6 +136,62 @@ def shingles(col: Column | str, k: int = 5) -> Column:
     )
 
 
+def chunk_documents(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 32,
+    overlap: int = 8,
+):
+    """Split each document into overlapping fixed-size token chunks — the
+    context-window preparation step of a pretraining pipeline (every chunk
+    carries ``overlap`` tokens of left context; the last chunk may be
+    short). Pure JVM array ops: split once, then posexplode over the
+    chunk-start sequence; no Python in the loop, so this runs inside
+    whole-stage codegen over the corpus.
+
+    Chunk count = 1 for docs of <= chunk_size tokens, else
+    1 + ceil((n - chunk_size) / stride) with stride = chunk_size -
+    overlap, computed as floor((n - size + stride - 1) / stride) + 1 in
+    exact integer arithmetic (cross-engine-stable, no float ceil edge).
+    Returns (id, chunk_id, chunk_tokens, chunk_text)."""
+    if overlap >= chunk_size:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_size ({chunk_size}): "
+            "stride would be <= 0 and chunking would never advance"
+        )
+    stride = chunk_size - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_size, F.lit(1).cast("long")).otherwise(
+        F.floor(
+            (n - chunk_size + stride - 1).cast("double") / F.lit(float(stride))
+        )
+        + 1
+    )
+    step = df.select(
+        F.col(id_col), toks.alias("__toks"), n_chunks.alias("__nc")
+    )
+    chunk = F.slice(
+        "__toks", F.col("chunk_id").cast("int") * stride + 1, chunk_size
+    )
+    return (
+        step.select(
+            id_col,
+            "__toks",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("__nc") - 1)).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size(chunk).alias("chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
 _POLY_MOD = 2147483647  # Mersenne-31, matches rolling_hash
 _POLY_BASE_TOKEN = 31
 _POLY_BASE_GRAM = 1000003

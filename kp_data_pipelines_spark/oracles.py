@@ -197,6 +197,132 @@ def dedup_components_sql(
     """
 
 
+_QUALITY_SQL = """round(0.4 * (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.5 END)
+               + 0.4 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                        / greatest(CAST(length(text) AS DOUBLE), 1.0))
+               + 0.2 * (CASE WHEN (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                                   / greatest(CASE WHEN trim(text) = '' THEN 0
+                                                   ELSE len(string_split_regex(trim(text), '\\s+')) END, 1))
+                             BETWEEN 2.0 AND 12.0
+                        THEN 1.0 ELSE 0.5 END), 6)"""
+
+
+def chunk_documents_sql(chunk_size: int = 32, overlap: int = 8) -> str:
+    """Twin of q144: same exact-integer chunk-count formula and the same
+    clamped slice per chunk; chunk text is a plain string join, so the
+    comparison is exact."""
+    stride = chunk_size - overlap
+    sl = f"toks[chunk_id*{stride}+1 : chunk_id*{stride}+{chunk_size}]"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    nt AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) <= {chunk_size} THEN CAST(1 AS BIGINT)
+                  ELSE CAST(floor(
+                         CAST(len(toks) - {chunk_size} + {stride - 1} AS DOUBLE)
+                           / {float(stride)}) AS BIGINT) + 1
+             END AS nc
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_id FROM nt
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len({sl}) AS INTEGER) AS chunk_tokens,
+           array_to_string({sl}, ' ') AS chunk_text
+    FROM c
+    """
+
+
+def bloom_contamination_sql(
+    shingle_k: int = 3,
+    n_bits: int = 4096,
+    n_hashes: int = 3,
+    seed: int = 29,
+    bench_source: str = "src0",
+) -> str:
+    """Twin of q145: the benchmark bucket set and the all-hashes membership
+    test are pure integer arithmetic over the portable gram hashes."""
+    params = _hash_params(n_hashes, seed)
+    bexprs = [
+        f"(({a} * gram + {b}) % {_MOD}) % {n_bits}" for a, b in params
+    ]
+    bucket_list = "[" + ", ".join(bexprs) + "]"
+    all_in = " AND ".join(
+        f"{e} IN (SELECT bucket FROM bb)" for e in bexprs
+    )
+    return f"""
+    WITH th AS (
+      SELECT doc_id, source, {_tok_hashes("text")} AS th FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source,
+             unnest(list_distinct({_grams("th", shingle_k, False)})) AS gram
+      FROM th
+    ),
+    bb AS (
+      SELECT DISTINCT unnest({bucket_list}) AS bucket
+      FROM g WHERE source = '{bench_source}'
+    ),
+    probe AS (SELECT doc_id, gram FROM g WHERE source <> '{bench_source}'),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_hits FROM probe
+      WHERE {all_in}
+      GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM probe GROUP BY doc_id)
+    SELECT t.doc_id, t.n_grams,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE)
+             AS contamination
+    FROM tot t LEFT JOIN hits h USING (doc_id)
+    """
+
+
+def dedup_representative_sql(
+    k: int = 3, num_hashes: int = 32, bands: int = 16, threshold: float = 0.4
+) -> str:
+    """Twin of q146: MinHash components (q66's closure) + the q22 quality
+    score; the representative is the (quality DESC, doc_id ASC) window
+    head per component, singletons forming their own component."""
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_core(k, num_hashes, bands, threshold)},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      WHERE est_jaccard >= {threshold}
+    ),
+    sym AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ),
+    reach AS (
+      SELECT src AS node, src AS r FROM sym
+      UNION
+      SELECT rr.node, s.dst AS r FROM reach rr JOIN sym s ON rr.r = s.src
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    quality AS (
+      SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents
+    ),
+    member AS (
+      SELECT q.doc_id, COALESCE(c.component, q.doc_id) AS component, q.quality
+      FROM quality q LEFT JOIN comp c ON q.doc_id = c.node
+    ),
+    ranked AS (
+      SELECT component, doc_id, quality,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY quality DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY component) AS n_members
+      FROM member
+    )
+    SELECT component, doc_id AS rep_doc_id, quality AS rep_quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """
+
+
 def _bucket_expr(v: str, planes) -> str:
     bits = []
     for p in planes:

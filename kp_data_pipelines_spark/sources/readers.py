@@ -114,6 +114,17 @@ def read_ndjson(spark: SparkSession, path: str, schema: StructType | None = None
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """ORC scan — Spark-native columnar source with the same predicate
+    pushdown / column pruning / partition discovery as parquet (the
+    interchange format warehouses emit; no reference equivalent, added
+    for source-format parity with the parquet path)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def read_json_doc(
     spark: SparkSession, path: str, encoding: str = "UTF-8", schema: StructType | None = None
 ) -> DataFrame:

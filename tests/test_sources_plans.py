@@ -249,3 +249,19 @@ def test_interactive_report_writes_validation(spark, tmp_path):
     dvs = list(wb["Detail"].data_validations.dataValidation)
     assert dvs and dvs[0].type == "list"
     assert "Matched" in (dvs[0].formula1 or "")
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC source parity: roundtrip plus filter pushdown visible in the
+    scan (same contract the parquet path is held to)."""
+    from kp_data_pipelines_spark.sources.readers import read_orc
+
+    p = str(tmp_path / "orc_tbl")
+    src = spark.range(1000).withColumn("k", (F.col("id") % 10).cast("int"))
+    src.write.mode("overwrite").orc(p)
+    got = read_orc(spark, p)
+    assert got.count() == 1000
+    flt = got.filter(F.col("k") == 3)
+    assert flt.count() == 100
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "k" in plan

@@ -238,3 +238,55 @@ def test_kmeans_refine_separates_blobs(spark):
     # deterministic across reruns/partitionings (decimal means)
     again = kmeans_refine(df.repartition(7), "vec", seed, n_iter=4)
     assert again == refined
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from kp_data_pipelines_spark.operators.textops import chunk_documents
+
+    toks = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, toks), (2, "a b"), (3, "only")], "doc_id long, text string"
+    )
+    rows = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(
+            df, "doc_id", "text", chunk_size=4, overlap=1
+        ).collect()
+    }
+    # doc 1: 10 tokens, size 4, stride 3 -> chunks at 0,3,6,9 -> 1+ceil(6/3)=3? no:
+    # 1 + ceil((10-4)/3) = 1 + 2 = 3 chunks (starts 0,3,6) covers t0..t9
+    assert {k for k in rows if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    assert rows[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert rows[(1, 1)] == (4, "t3 t4 t5 t6")
+    assert rows[(1, 2)] == (4, "t6 t7 t8 t9")
+    # short docs: one chunk, possibly shorter than chunk_size
+    assert rows[(2, 0)] == (2, "a b")
+    assert rows[(3, 0)] == (1, "only")
+    # every consecutive pair shares exactly `overlap` tokens
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_size=4, overlap=4)
+
+
+def test_bloom_contamination_scores(spark):
+    from kp_data_pipelines_spark.operators.similarity import bloom_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # identical
+            (2, "completely different words entirely here now okay then"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bloom_contamination(probe, bench, "doc_id", "text").collect()
+    }
+    assert out[1]["contamination"] == 1.0  # every gram is in the filter
+    assert out[2]["contamination"] < 0.5  # only chance collisions
+    assert out[1]["n_hits"] == out[1]["n_grams"]
