@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -216,8 +218,100 @@ def poly_token_hashes(col: Column | str) -> Column:
     )
 
 
+def _poly_shingles_kernel(k: int, bits64: bool):
+    """Arrow-batched numpy twin of the interpreted JVM folds in
+    ``with_poly_shingles(impl="jvm")``: the identical integer mod
+    arithmetic (token Horner base 31, gram Horner base 1000003 /
+    998244353, all mod Mersenne-31), vectorized over the whole batch —
+    ~4x the interpreted higher-order functions at 1M docs
+    (tools/stress.py). Integer results are EXACT in numpy (CLAUDE.md's
+    float-fold caveat does not apply), so oracle parity is unaffected;
+    a test pins kernel == JVM fold bit-for-bit."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    p = _POLY_MOD
+
+    @pandas_udf(ArrayType(LongType()))
+    def _shingle(tok_batch: pd.Series) -> pd.Series:
+        nulls = [t is None for t in tok_batch]
+        rows = [[] if t is None else list(t) for t in tok_batch]
+        if not rows:
+            return pd.Series([], dtype=object)
+        rn = np.fromiter((len(r) for r in rows), dtype=np.int64, count=len(rows))
+        flat = [tok for row in rows for tok in row]
+        if flat:
+            joined = "".join(flat)
+            # char CODE POINTS, matching JVM F.ascii (fast byte view when
+            # pure ASCII; exact ord() fallback otherwise)
+            if joined.isascii():
+                chars = np.frombuffer(joined.encode(), np.uint8).astype(np.int64)
+            else:
+                chars = np.fromiter(
+                    (ord(c) for c in joined), dtype=np.int64, count=len(joined)
+                )
+            tl = np.fromiter((len(t) for t in flat), dtype=np.int64, count=len(flat))
+            ends = np.cumsum(tl)
+            starts = ends - tl
+            # token hash = sum(c_i * 31^(L-1-i)) mod p == the stepwise
+            # Horner fold (mod linearity). exponent per char position:
+            exp = np.repeat(ends, tl) - 1 - np.arange(chars.size, dtype=np.int64)
+            max_l = int(tl.max()) if tl.size else 0
+            pow31 = np.ones(max_l + 1, dtype=np.int64)
+            for i in range(1, max_l + 1):
+                pow31[i] = (pow31[i - 1] * _POLY_BASE_TOKEN) % p
+            prod = chars * pow31[exp] % p  # < 2^52: no int64 overflow
+            cs = np.concatenate((np.zeros(1, dtype=np.int64), np.cumsum(prod)))
+            th = (cs[ends] - cs[starts]) % p  # empty tokens hash to 0
+        else:
+            th = np.zeros(0, dtype=np.int64)
+        # gram folds over k-windows of each row's token-hash span; rows
+        # with < k tokens fold all their tokens (slice clamp semantics)
+        row_ends = np.cumsum(rn)
+        row_starts = row_ends - rn
+        counts = np.maximum(rn - (k - 1), 1)
+        n_grams = int(counts.sum())
+        grp = np.repeat(np.cumsum(counts) - counts, counts)
+        g_starts = np.repeat(row_starts, counts) + (
+            np.arange(n_grams, dtype=np.int64) - grp
+        )
+        lim = np.repeat(row_ends, counts)
+        safe_max = max(th.size - 1, 0)
+
+        def fold(base):
+            g = np.zeros(n_grams, dtype=np.int64)
+            for j in range(k):
+                idx = g_starts + j
+                valid = idx < lim
+                h = (
+                    th[np.minimum(idx, safe_max)]
+                    if th.size
+                    else np.zeros_like(idx)
+                )
+                g = np.where(valid, (g * base + np.where(valid, h, 0)) % p, g)
+            return g
+
+        flat_g = fold(_POLY_BASE_GRAM)
+        if bits64:
+            flat_g = flat_g * (1 << 31) + fold(_POLY_BASE_GRAM2)
+        parts = np.split(flat_g, np.cumsum(counts)[:-1])
+        # null text -> single-null array [None], matching the JVM fold
+        # (size(null) is null, greatest(null, 1) -> 1, so the expression
+        # path emits one gram whose fold over a null slice is null)
+        return pd.Series(
+            [[None] if is_null else part for is_null, part in zip(nulls, parts)]
+        )
+
+    return _shingle
+
+
 def with_poly_shingles(
-    df, text_col: str, out: str = "gram_hashes", k: int = 5, bits64: bool = False
+    df,
+    text_col: str,
+    out: str = "gram_hashes",
+    k: int = 5,
+    bits64: bool = False,
+    impl: str = "kernel",
 ):
     """Portable word-k-shingle hashes: ``with_hashed_shingles`` with the
     xxhash64 swapped for nested polynomial folds so a DuckDB oracle can
@@ -225,9 +319,16 @@ def with_poly_shingles(
     independent; see q38/q39/q43 twins). Gram hash = fold of the k token
     hashes, base 1000003 mod Mersenne-31; with ``bits64`` a second fold
     (base 998244353) fills the low bits — ``g1 * 2^31 + g2`` < 2^62 —
-    for SimHash-style per-bit votes. Prefer the xxhash64 variant when no
-    oracle needs the values (JVM hash, fewer interpreted fold steps);
-    costs here are ~one lambda per char, the q44 rolling-hash budget."""
+    for SimHash-style per-bit votes.
+
+    ``impl="kernel"`` (default) runs both fold levels as one vectorized
+    Arrow/numpy pass (~4x the interpreted JVM HOFs — tools/stress.py);
+    ``impl="jvm"`` is the pure-expression fold, bit-identical by test —
+    the no-Python reference and the shape the DuckDB twins mirror.
+    Prefer ``with_hashed_shingles`` when no oracle needs the values."""
+    if impl == "kernel":
+        toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        return df.withColumn(out, _poly_shingles_kernel(k, bits64)(toks))
     step = df.withColumn("__tok_hashes", poly_token_hashes(text_col))
     idx = F.sequence(
         F.lit(1), F.greatest(F.size("__tok_hashes") - (k - 1), F.lit(1))

@@ -290,3 +290,44 @@ def test_bloom_contamination_scores(spark):
     assert out[1]["contamination"] == 1.0  # every gram is in the filter
     assert out[2]["contamination"] < 0.5  # only chance collisions
     assert out[1]["n_hits"] == out[1]["n_grams"]
+
+
+def test_poly_shingles_kernel_matches_jvm(spark):
+    """The vectorized numpy kernel and the interpreted JVM fold must
+    produce IDENTICAL arrays (integer mod arithmetic — also what the
+    DuckDB twins recompute), including non-ASCII, repeated whitespace,
+    short docs, empty and NULL text."""
+    from kp_data_pipelines_spark.operators.textops import with_poly_shingles
+    from kp_data_pipelines_spark.sources.readers import read_table
+
+    edge = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "  repeated   whitespace\tand\nnewlines  "),
+            (3, "tiny"),
+            (4, "two words"),
+            (5, ""),
+            (6, None),
+            (7, "naïve café über žluťoučký 北京 emoji 🙂 mix"),
+            (8, "x " * 200),
+        ],
+        "doc_id long, text string",
+    )
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    for df in (edge, docs):
+        for k, bits64 in ((3, False), (2, True), (5, False)):
+            kern = {
+                r["doc_id"]: r["g"]
+                for r in with_poly_shingles(
+                    df, "text", "g", k, bits64=bits64, impl="kernel"
+                ).collect()
+            }
+            jvm = {
+                r["doc_id"]: r["g"]
+                for r in with_poly_shingles(
+                    df, "text", "g", k, bits64=bits64, impl="jvm"
+                ).collect()
+            }
+            assert kern == jvm, (k, bits64)

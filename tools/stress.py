@@ -65,6 +65,26 @@ def main() -> int:
             quality_score("text").alias("q"),
         ).filter(F.col("q") > 0.5),
     )
+    # Shingle hashing: the xxhash64 path is the 100 TB default; the
+    # portable polynomial path exists for oracle-checked queries
+    # (interpreted per-char folds — measure the gap, SCALE.md §11).
+    from kp_data_pipelines_spark.operators.textops import (
+        with_hashed_shingles,
+        with_poly_shingles,
+    )
+
+    stage(
+        "shingles_xxhash64",
+        with_hashed_shingles(
+            docs.select("doc_id", "text"), "text", "__g", 3
+        ).filter(F.size("__g") > 0),
+    )
+    stage(
+        "shingles_portable_poly",
+        with_poly_shingles(
+            docs.select("doc_id", "text"), "text", "__g", 3
+        ).filter(F.size("__g") > 0),
+    )
     stage(
         "template_prefix_groups",
         docs.groupBy(
