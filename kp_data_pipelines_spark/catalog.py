@@ -5939,3 +5939,80 @@ def q146_dedup_representative(spark: SparkSession, sf: str) -> DataFrame:
         F.col("quality").alias("rep_quality"),
         "n_members",
     )
+
+
+@register("q147_incremental_dedup", oracles.minhash_incremental_sql())
+def q147_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental corpus dedup — the daily-ingest shape: the src19 shard
+    is 'new', everything else is the existing corpus, and each new
+    document is scored ONLY against the corpus via the bipartite MinHash
+    banding join (no new×new or old×old pairs). At scale the corpus
+    signatures are computed once and persisted; each shard joins against
+    them by band bucket. Output: per new doc, match count, smallest
+    duplicate-of corpus id, and the keep verdict."""
+    from kp_data_pipelines_spark.operators.similarity import minhash_incremental
+
+    docs = read_table(spark, sf, "documents")
+    return minhash_incremental(
+        docs.filter(F.col("source") == "src19"),
+        docs.filter(F.col("source") != "src19"),
+        "doc_id",
+        "text",
+        shingle_k=3,
+        num_hashes=32,
+        bands=16,
+        jaccard_threshold=0.4,
+        portable_hash=True,
+    )
+
+
+@register("q148_mixture_temperature", oracles.mixture_temperature_sql())
+def q148_mixture_temperature(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled sampling weights per source (tau = 1/2): the
+    standard multilingual/multi-source rebalance — w_s ∝ n_s^tau damps
+    head sources and boosts tails. tau=1/2 is computed as sqrt (correctly
+    rounded IEEE in both engines; pow() is libm-dependent and NOT
+    oracle-safe), and the denominator is an exact integer sum of
+    quantized sqrt values (round(sqrt(n)*1e6) — the q106/q115 pattern),
+    so every weight is bit-reproducible. The unpartitioned window runs
+    over source cardinality only (SCALE.md §5 dimension-window scope)."""
+    docs = read_table(spark, sf, "documents")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    sq = F.round(F.sqrt(F.col("n_docs").cast("double")) * 1000000.0).cast(
+        "long"
+    )
+    w = Window.partitionBy()
+    t = s.withColumn("sq", sq).withColumn(
+        "denom", F.sum("sq").over(w)
+    ).withColumn("total", F.sum("n_docs").over(w))
+    wu = F.col("n_docs").cast("double") / F.col("total").cast("double")
+    wt = F.col("sq").cast("double") / F.col("denom").cast("double")
+    return t.select(
+        "source",
+        "n_docs",
+        wu.alias("weight_uniform"),
+        wt.alias("weight_temp"),
+        (wt / wu).alias("boost"),
+    ).orderBy("source")
+
+
+@register("q149_top_principal_component", oracles.top_pc_sql())
+def q149_top_principal_component(spark: SparkSession, sf: str) -> DataFrame:
+    """Top principal direction of the embedding corpus via distributed
+    power iteration (3 rounds), ORACLE-CHECKED: each round is one scan —
+    per-row scalar v·x (sequential fold) and per-dimension contribution
+    sums as quantized integers staged through DECIMAL(38,0) — so no
+    dim×dim covariance is ever materialized, the shuffle carries dim
+    partial sums, and the driver holds only dim doubles between rounds.
+    The DuckDB twin unrolls the three rounds and reproduces the unit
+    vector bit-for-bit (IEEE divisions + integer sums only; no libm
+    beyond sqrt, which is correctly rounded everywhere)."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        power_iteration_top_pc,
+    )
+
+    emb = read_table(spark, sf, "embeddings")
+    vec = power_iteration_top_pc(emb, "embedding", n_iter=3)
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vec)], "dim int, component double"
+    )

@@ -79,20 +79,23 @@ def _lit_list(vals, cast: str) -> str:
     return "[" + ", ".join(f"CAST({v} AS {cast})" for v in vals) + "]"
 
 
-def _minhash_sig_cte(k: int, num_hashes: int, seed: int = 11) -> str:
+def _minhash_sig_cte(
+    k: int, num_hashes: int, seed: int = 11, extra_cols: str = ""
+) -> str:
     """CTEs documents -> per-doc MinHash signature (column ``sig``)."""
     params = _hash_params(num_hashes, seed)
     a_lit = _lit_list([p[0] for p in params], "BIGINT")
     b_lit = _lit_list([p[1] for p in params], "BIGINT")
     return f"""
     th AS (
-      SELECT doc_id, {_tok_hashes("text")} AS th FROM documents
+      SELECT doc_id{extra_cols}, {_tok_hashes("text")} AS th FROM documents
     ),
     g AS (
-      SELECT doc_id, list_distinct({_grams("th", k, False)}) AS grams FROM th
+      SELECT doc_id{extra_cols}, list_distinct({_grams("th", k, False)}) AS grams
+      FROM th
     ),
     sig AS (
-      SELECT doc_id,
+      SELECT doc_id{extra_cols},
              list_transform(range(1, {num_hashes + 1}),
                j -> list_min(list_transform(grams,
                       h -> (({a_lit})[j] * h + ({b_lit})[j]) % {_MOD}))) AS sig
@@ -320,6 +323,121 @@ def dedup_representative_sql(
     SELECT component, doc_id AS rep_doc_id, quality AS rep_quality,
            CAST(n_members AS BIGINT) AS n_members
     FROM ranked WHERE rn = 1
+    """
+
+
+def top_pc_sql(n_iter: int = 3) -> str:
+    """Twin of q149: power iteration unrolled into ``n_iter`` CTE rounds.
+    Per round: per-row scalar s = v . x (sequential fold), per-dimension
+    quantized-integer contribution sum (round(v_d * s * 1e6) — exact in
+    BIGINT range), list rebuild ordered by dim, and normalization by the
+    sequential-fold norm — every operation IEEE/IEEE-integer identical to
+    the Spark path."""
+    dim = EMBEDDING_DIM
+    x0 = "[" + ", ".join(["CAST(0.125 AS DOUBLE)"] * dim) + "]"
+    parts = [
+        f"""e AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    r0 AS (SELECT {x0} AS xv)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""st{i} AS (
+      SELECT e.v AS v, {_dot("e.v", "x.xv")} AS s FROM e CROSS JOIN r{i - 1} x
+    )"""
+        )
+        parts.append(
+            f"""y{i} AS (
+      SELECT d.i AS pos,
+             CAST(SUM(CAST(round(t.v[d.i] * t.s * 1000000.0)
+                           AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS y
+      FROM st{i} t, range(1, {dim + 1}) d(i)
+      GROUP BY d.i
+    )"""
+        )
+        parts.append(
+            f"""yl{i} AS (SELECT list(y ORDER BY pos) AS yv FROM y{i})"""
+        )
+        parts.append(
+            f"""r{i} AS (
+      SELECT list_transform(yv, t -> t / sqrt({_dot("yv", "yv")})) AS xv
+      FROM yl{i}
+    )"""
+        )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT CAST(d.i - 1 AS INTEGER) AS dim, xv[d.i] AS component
+    FROM r{n_iter}, range(1, {dim + 1}) d(i)
+    """
+
+
+def minhash_incremental_sql(
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.4,
+    new_source: str = "src19",
+) -> str:
+    """Twin of q147: the bipartite (new shard x existing corpus) variant
+    of the q38 twin — band-slice-equality candidacy restricted to
+    cross-side pairs, min matching corpus id per new doc."""
+    rpb = num_hashes // bands
+    band_eq = " OR ".join(
+        f"n.sig[{i * rpb + 1}:{(i + 1) * rpb}] = c.sig[{i * rpb + 1}:{(i + 1) * rpb}]"
+        for i in range(bands)
+    )
+    return f"""
+    WITH {_minhash_sig_cte(k, num_hashes, extra_cols=", source")},
+    matches AS (
+      SELECT n.doc_id AS new_id,
+             COUNT(*) AS n_matches,
+             MIN(c.doc_id) AS dup_of
+      FROM sig n JOIN sig c
+        ON n.source = '{new_source}' AND c.source <> '{new_source}'
+       AND ({band_eq})
+       AND CAST(len(list_filter(range(1, {num_hashes + 1}),
+                     j -> n.sig[j] = c.sig[j])) AS DOUBLE)
+             / {float(num_hashes)} >= {threshold}
+      GROUP BY n.doc_id
+    )
+    SELECT s.doc_id,
+           CAST(COALESCE(m.n_matches, 0) AS BIGINT) AS n_matches,
+           m.dup_of,
+           m.dup_of IS NULL AS keep
+    FROM sig s LEFT JOIN matches m ON s.doc_id = m.new_id
+    WHERE s.source = '{new_source}'
+    """
+
+
+def mixture_temperature_sql(tau_num: int = 1, tau_den: int = 2) -> str:
+    """Twin of q148 (tau = 1/2 hard-wired as sqrt — correctly rounded in
+    both engines, unlike pow()): per-source sampling weights with the
+    denominator as an exact integer sum of quantized sqrt values."""
+    return """
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    q AS (
+      SELECT source, n_docs,
+             CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS sq
+      FROM s
+    ),
+    t AS (
+      SELECT source, n_docs, sq,
+             SUM(sq) OVER () AS denom,
+             SUM(n_docs) OVER () AS total
+      FROM q
+    )
+    SELECT source, n_docs,
+           CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS weight_uniform,
+           CAST(sq AS DOUBLE) / CAST(denom AS DOUBLE) AS weight_temp,
+           (CAST(sq AS DOUBLE) / CAST(denom AS DOUBLE))
+             / (CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)) AS boost
+    FROM t
+    ORDER BY source
     """
 
 

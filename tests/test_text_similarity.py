@@ -331,3 +331,49 @@ def test_poly_shingles_kernel_matches_jvm(spark):
                 ).collect()
             }
             assert kern == jvm, (k, bits64)
+
+
+def test_minhash_incremental_flags_known_dup(spark):
+    from kp_data_pipelines_spark.operators.similarity import minhash_incremental
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (11, "completely unrelated words that match nothing at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in minhash_incremental(
+            new, corpus, "doc_id", "text", shingle_k=2, num_hashes=32,
+            bands=16, jaccard_threshold=0.5,
+        ).collect()
+    }
+    assert out[10]["dup_of"] == 1 and out[10]["keep"] is False
+    assert out[11]["dup_of"] is None and out[11]["keep"] is True
+    assert out[11]["n_matches"] == 0
+
+
+def test_power_iteration_finds_dominant_direction(spark):
+    import math
+
+    from kp_data_pipelines_spark.operators.similarity import (
+        power_iteration_top_pc,
+    )
+
+    # vectors overwhelmingly along axis 1 -> PC must align with axis 1
+    rows = [([0.1, 5.0, 0.05],) for _ in range(50)] + [([0.2, 4.0, 0.1],)] * 30
+    df = spark.createDataFrame(rows, "vec array<float>")
+    pc = power_iteration_top_pc(df, "vec", n_iter=4)
+    assert abs(pc[1]) > 0.99
+    assert abs(math.sqrt(sum(x * x for x in pc)) - 1.0) < 1e-12
+    # deterministic across partitionings (quantized integer aggregation)
+    assert power_iteration_top_pc(df.repartition(7), "vec", n_iter=4) == pc
