@@ -6016,3 +6016,41 @@ def q149_top_principal_component(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         [(i, v) for i, v in enumerate(vec)], "dim int, component double"
     )
+
+
+@register("q150_streaming_incremental_dedup", oracles.minhash_incremental_sql())
+def q150_streaming_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """q147's deploy shape: the new shard (src19) arrives as a STREAM
+    (file source, AvailableNow) and each micro-batch runs the full
+    bipartite MinHash pipeline against the static existing corpus via
+    ``foreachBatch`` — the stream-side batch-job pattern (signature
+    stages, banding joins, pandas_udf kernels all run unchanged inside
+    the trigger). Oracle-checked against the same SQL twin as q147:
+    streaming and batch engines must agree row-for-row."""
+    import tempfile
+
+    from kp_data_pipelines_spark.operators.similarity import minhash_incremental
+    from kp_data_pipelines_spark.streaming.events import (
+        run_available_now_foreach_batch,
+    )
+
+    docs_path = f"{sf}/documents.parquet"
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+        .filter(F.col("source") == "src19")
+    )
+    corpus = read_table(spark, sf, "documents").filter(
+        F.col("source") != "src19"
+    )
+    return run_available_now_foreach_batch(
+        stream,
+        tempfile.mkdtemp(prefix="q150_ckpt_"),
+        lambda batch: minhash_incremental(
+            batch, corpus, "doc_id", "text", shingle_k=3, num_hashes=32,
+            bands=16, jaccard_threshold=0.4, portable_hash=True,
+        ),
+        "doc_id long, n_matches long, dup_of long, keep boolean",
+    )

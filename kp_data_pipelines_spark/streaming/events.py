@@ -96,6 +96,39 @@ def run_available_now(
     return stream_df.sparkSession.table(name)
 
 
+def run_available_now_foreach_batch(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    batch_fn,
+    result_schema,
+) -> DataFrame:
+    """Execute a streaming query with ``foreachBatch`` over the current
+    backlog (AvailableNow) and return the concatenated per-batch results
+    as a batch DataFrame.
+
+    ``foreachBatch`` is the standard deploy shape for pipelines whose
+    per-trigger logic is itself a batch job (multi-stage joins, pandas_udf
+    signature stages, MERGE writes) — each micro-batch runs the full batch
+    plan against static side inputs. The callback runs on the driver, so
+    a closure list collects the (small) per-batch outputs; production
+    sinks would write parquet/Delta instead."""
+    results: list = []
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        results.append(batch_fn(batch_df).collect())
+
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [r for rs in results for r in rs]
+    return stream_df.sparkSession.createDataFrame(rows, result_schema)
+
+
 def ingest_snapshot_folder(
     spark: SparkSession,
     source_dir: str,

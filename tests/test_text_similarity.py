@@ -377,3 +377,33 @@ def test_power_iteration_finds_dominant_direction(spark):
     assert abs(math.sqrt(sum(x * x for x in pc)) - 1.0) < 1e-12
     # deterministic across partitionings (quantized integer aggregation)
     assert power_iteration_top_pc(df.repartition(7), "vec", n_iter=4) == pc
+
+
+def test_nearest_centroid_kernel_matches_expr(spark):
+    """The vectorized assignment must agree with the interpreted
+    expression fold on every vector (same IEEE fold order, same
+    tie-break) — the invariant that keeps q45/q143 oracle parity."""
+    from pyspark.sql import functions as F
+
+    from kp_data_pipelines_spark.operators.similarity import (
+        _nearest_centroid_kernel,
+        _nearest_centroids_expr,
+        ivf_centroids,
+    )
+    from kp_data_pipelines_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = ivf_centroids(emb, "embedding", 8, id_col="vec_id")
+    kern = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id", _nearest_centroid_kernel(cents)(F.col("embedding")).alias("c")
+        ).collect()
+    }
+    expr = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id", _nearest_centroids_expr("embedding", cents, 1)[0].alias("c")
+        ).collect()
+    }
+    assert kern == expr
