@@ -6054,3 +6054,60 @@ def q150_streaming_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
         ),
         "doc_id long, n_matches long, dup_of long, keep boolean",
     )
+
+
+@register("q151_quality_weighted_sample", oracles.quality_weighted_sample_sql())
+def q151_quality_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic importance sampling: keep each document with
+    probability equal to its quality score — u(doc_id) < quality with
+    u = LCG(doc_id)/p, a pure map (no shuffle, no RNG state), identical
+    on every rerun/partitioning and in the DuckDB twin. The id folds
+    through mod p BEFORE the multiply so a*id stays under 2^62 for any
+    64-bit doc_id (ANSI-safe at corpus scale)."""
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    a, b = _hash_params(1, 17)[0]
+    docs = read_table(spark, sf, "documents")
+    u = (
+        (F.lit(a) * F.pmod(F.col("doc_id"), F.lit(_MERSENNE)) + F.lit(b))
+        % _MERSENNE
+    ).cast("double") / F.lit(float(_MERSENNE))
+    return (
+        docs.select(
+            "doc_id",
+            quality_score("text").alias("quality"),
+            u.alias("u"),
+        )
+        .filter(F.col("u") < F.col("quality"))
+    )
+
+
+@register("q152_token_budget_selection", oracles.token_budget_selection_sql())
+def q152_token_budget_selection(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy quality-first corpus selection under a token budget: order
+    by (quality DESC, doc_id), running token total via the DISTRIBUTED
+    prefix sum (operators/prefix.py — no single-partition window), keep
+    while the cumulative count fits. The composite order packs into one
+    BIGINT key (round((1-q)*1e6) * 2^40 + doc_id), which is also what
+    prefix_sum range-partitions on; the twin uses the plain window SUM
+    the two-phase scan must reproduce exactly."""
+    from kp_data_pipelines_spark.operators.prefix import prefix_sum
+    from kp_data_pipelines_spark.operators.textops import whitespace_token_count
+
+    budget = 10000
+    docs = read_table(spark, sf, "documents")
+    q = docs.select(
+        "doc_id",
+        quality_score("text").alias("quality"),
+        whitespace_token_count("text").alias("n_tokens"),
+    )
+    keyed = q.withColumn(
+        "sel_key",
+        F.round((F.lit(1.0) - F.col("quality")) * 1000000.0).cast("long")
+        * F.lit(1099511627776)
+        + F.col("doc_id"),
+    )
+    cum = prefix_sum(keyed, "sel_key", "n_tokens", out_col="cum_tokens")
+    return cum.filter(F.col("cum_tokens") <= budget).select(
+        "doc_id", "quality", "n_tokens", "cum_tokens"
+    )

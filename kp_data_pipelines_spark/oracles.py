@@ -441,6 +441,56 @@ def mixture_temperature_sql(tau_num: int = 1, tau_den: int = 2) -> str:
     """
 
 
+def quality_weighted_sample_sql(seed: int = 17) -> str:
+    """Twin of q151: deterministic Bernoulli thinning — keep a document
+    iff LCG(doc_id)/p < quality. Integer hash + one exact division; the
+    (a, b) constants are similarity._hash_params(1, seed)."""
+    a, b = _hash_params(1, seed)[0]
+    return f"""
+    WITH q AS (
+      SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents
+    )
+    SELECT doc_id, quality,
+           CAST(({a} * (doc_id % {_MOD}) + {b}) % {_MOD} AS DOUBLE)
+             / {float(_MOD)} AS u
+    FROM q
+    WHERE CAST(({a} * (doc_id % {_MOD}) + {b}) % {_MOD} AS DOUBLE)
+            / {float(_MOD)} < quality
+    """
+
+
+def token_budget_selection_sql(budget: int = 10000) -> str:
+    """Twin of q152: greedy quality-first corpus selection under a token
+    budget. The selection key packs (quality DESC, doc_id ASC) into one
+    BIGINT — round((1-quality)*1e6) * 2^40 + doc_id — so the running sum
+    is over a total order both engines agree on; the oracle uses the
+    plain window SUM the distributed prefix_sum reproduces."""
+    key = "CAST(round((1.0 - quality) * 1000000.0) AS BIGINT) * 1099511627776 + doc_id"
+    return f"""
+    WITH q AS (
+      SELECT doc_id, {_QUALITY_SQL} AS quality,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END
+               AS n_tokens
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, quality, CAST(n_tokens AS INTEGER) AS n_tokens,
+             {key} AS sel_key
+      FROM q
+    ),
+    c AS (
+      SELECT doc_id, quality, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY sel_key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM k
+    )
+    SELECT doc_id, quality, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= {budget}
+    """
+
+
 def _bucket_expr(v: str, planes) -> str:
     bits = []
     for p in planes:
