@@ -6111,3 +6111,91 @@ def q152_token_budget_selection(spark: SparkSession, sf: str) -> DataFrame:
     return cum.filter(F.col("cum_tokens") <= budget).select(
         "doc_id", "quality", "n_tokens", "cum_tokens"
     )
+
+
+@register("q153_rank_perplexity", oracles.rank_perplexity_sql())
+def q153_rank_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Log-free perplexity proxy: mean corpus-frequency RANK of each
+    document's tokens (rare-token-heavy docs rank high — the cheap
+    fluency/quality signal; log-prob scoring is libm-dependent and not
+    oracle-safe, ranks are exact integers). The vocabulary ranking is the
+    DISTRIBUTED row_number (prefix_sum of 1 over a range-partitioned
+    composite order) — no single-partition window over the vocabulary,
+    which at web scale has billions of distinct tokens. (n, token) pairs
+    are unique, so dense_rank == row_number and the DuckDB twin's plain
+    window agrees."""
+    from kp_data_pipelines_spark.operators.prefix import prefix_sum
+
+    docs = read_table(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    ranked = prefix_sum(
+        freq.withColumn("neg_n", -F.col("n")),
+        ["neg_n", "token"],
+        F.lit(1).cast("long"),
+        out_col="rnk",
+    ).select("token", "rnk")
+    return (
+        tok.join(ranked, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("rnk").alias("rank_sum"),
+            (F.sum("rnk").cast("double") / F.count(F.lit(1))).alias(
+                "mean_rank"
+            ),
+        )
+    )
+
+
+@register("q154_minhash_calibration", oracles.minhash_calibration_sql())
+def q154_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash estimator calibration — the eval harness for the dedup
+    stack: for every banded candidate pair, compare the signature-
+    agreement estimate against the EXACT gram Jaccard, bucketed by
+    estimate octile. Exact intersection/union are integer set sizes over
+    the same distinct hashed-gram arrays the signatures were built from;
+    the per-bucket mean trues aggregate as quantized integers
+    (order-independent, oracle-exact). At scale this runs on a sampled
+    pair subset; the shapes (band join + two gram lookups) are the q38
+    machinery."""
+    from kp_data_pipelines_spark.operators.similarity import minhash_near_dups
+    from kp_data_pipelines_spark.operators.textops import with_poly_shingles
+
+    docs = read_table(spark, sf, "documents")
+    pairs = minhash_near_dups(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=32, bands=16,
+        jaccard_threshold=0.4, portable_hash=True,
+    )
+    g = with_poly_shingles(
+        docs.select("doc_id", "text"), "text", "__g", 3
+    ).select("doc_id", F.array_distinct("__g").alias("grams"))
+    ga = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    gb = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = (F.size("ga") + F.size("gb")).cast("double") - F.size(
+        F.array_intersect("ga", "gb")
+    ).cast("double")
+    true_j = inter / union
+    return (
+        pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("true_j", true_j)
+        .groupBy(
+            F.floor(F.col("est_jaccard") * 8.0).cast("int").alias("est_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (
+                F.sum(
+                    F.round(F.col("true_j") * 1000000.0).cast("long")
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1000000.0)
+            ).alias("mean_true_jaccard"),
+        )
+        .orderBy("est_bucket")
+    )

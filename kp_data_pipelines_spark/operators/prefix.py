@@ -30,20 +30,23 @@ from pyspark.sql import functions as F
 
 def prefix_sum(
     df: DataFrame,
-    order_key: str,
+    order_key: str | list[str],
     value: Column | str,
     out_col: str = "cum_sum",
     num_partitions: int = 32,
 ) -> DataFrame:
     """Inclusive distributed cumulative sum of ``value`` in ``order_key``
-    order. ``order_key`` must be unique (it defines a total order);
-    ``value`` should be integral or decimal for exact reassembly."""
+    order. ``order_key`` (one column name or a list for a composite
+    order) must define a total order — unique key(s); ``value`` should
+    be integral or decimal for exact reassembly. With ``value=lit(1)``
+    this is a distributed global row_number — the scale-safe rank."""
+    keys = [order_key] if isinstance(order_key, str) else list(order_key)
     val = F.col(value) if isinstance(value, str) else value
-    rp = df.repartitionByRange(num_partitions, F.col(order_key)).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    rp = df.repartitionByRange(
+        num_partitions, *[F.col(k) for k in keys]
+    ).withColumn("__pid", F.spark_partition_id())
     # Local scan within each range partition.
-    w = Window.partitionBy("__pid").orderBy(order_key).rowsBetween(
+    w = Window.partitionBy("__pid").orderBy(*keys).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     # Pin ONE realized layout before touching it from two jobs.
@@ -59,7 +62,7 @@ def prefix_sum(
         local.groupBy("__pid")
         .agg(
             F.sum(val).alias("__total"),
-            F.min(order_key).alias("__min_key"),
+            F.min(F.struct(*keys)).alias("__min_key"),
         )
         .orderBy("__min_key")
         .collect()

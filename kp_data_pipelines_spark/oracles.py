@@ -491,6 +491,75 @@ def token_budget_selection_sql(budget: int = 10000) -> str:
     """
 
 
+def rank_perplexity_sql() -> str:
+    """Twin of q153: log-free perplexity proxy — mean corpus frequency
+    rank of a document's tokens. Ranks are dense over (count DESC, token
+    ASC), sums are integer-exact, one final IEEE division."""
+    return """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+               AS token
+      FROM documents
+    ),
+    freq AS (
+      SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+    ),
+    ranked AS (
+      SELECT token, CAST(dense_rank() OVER (ORDER BY n DESC, token) AS BIGINT)
+               AS rnk
+      FROM freq
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(r.rnk) AS BIGINT) AS rank_sum,
+           CAST(SUM(r.rnk) AS DOUBLE) / COUNT(*) AS mean_rank
+    FROM tok t JOIN ranked r ON t.token = r.token
+    GROUP BY t.doc_id
+    """
+
+
+def minhash_calibration_sql(
+    k: int = 3, num_hashes: int = 32, bands: int = 16, threshold: float = 0.4
+) -> str:
+    """Twin of q154: per estimated-Jaccard bucket, how good is the MinHash
+    estimate? Exact Jaccard over the same distinct gram sets (intersection
+    and union counts are integers), mean-true via quantized-integer sums."""
+    rpb = num_hashes // bands
+    band_eq = " OR ".join(
+        f"a.sig[{i * rpb + 1}:{(i + 1) * rpb}] = b.sig[{i * rpb + 1}:{(i + 1) * rpb}]"
+        for i in range(bands)
+    )
+    return f"""
+    WITH {_minhash_sig_cte(k, num_hashes)},
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_filter(range(1, {num_hashes + 1}),
+                        j -> a.sig[j] = b.sig[j])) AS DOUBLE)
+               / {float(num_hashes)} AS est
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE {band_eq}
+    ),
+    exact AS (
+      SELECT p.id_a, p.id_b, p.est,
+             CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+               / CAST(len(ga.grams) + len(gb.grams)
+                      - len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+               AS true_j
+      FROM pairs p
+      JOIN g ga ON ga.doc_id = p.id_a
+      JOIN g gb ON gb.doc_id = p.id_b
+      WHERE p.est >= {threshold}
+    )
+    SELECT CAST(floor(est * 8.0) AS INTEGER) AS est_bucket,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(round(true_j * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mean_true_jaccard
+    FROM exact
+    GROUP BY est_bucket
+    ORDER BY est_bucket
+    """
+
+
 def _bucket_expr(v: str, planes) -> str:
     bits = []
     for p in planes:
