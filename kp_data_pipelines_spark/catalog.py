@@ -6199,3 +6199,19 @@ def q154_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("est_bucket")
     )
+
+
+@register("q155_product_quantization", oracles.product_quantize_sql())
+def q155_product_quantization(spark: SparkSession, sf: str) -> DataFrame:
+    """Product quantization of the embedding corpus (8 subspaces x 16
+    codes): the FAISS-style ANN compressor — 64 float dims become 8 code
+    bytes per vector (32x), with the exact per-vector reconstruction
+    error reported. One scan, all folds sequential doubles, codebooks are
+    tiny driver literals; the DuckDB twin reruns every subspace
+    assignment (L2, dist ASC / cid ASC tie-break) bit-for-bit."""
+    from kp_data_pipelines_spark.operators.similarity import product_quantize
+
+    emb = read_table(spark, sf, "embeddings")
+    return product_quantize(
+        emb, "embedding", "vec_id", n_subspaces=8, n_codes=16
+    )

@@ -542,6 +542,74 @@ def simhash_hamming_pairs(
     )
 
 
+def product_quantize(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Product quantization (the FAISS-style ANN compressor): split each
+    vector into ``n_subspaces`` contiguous sub-vectors, snap each to its
+    nearest codebook entry (L2), emit the code word and the exact
+    reconstruction error. Codebooks here are the deterministic seed (the
+    first ``n_codes`` vectors' sub-vectors, by id) — at scale they'd pass
+    through kmeans_refine per subspace; the assignment/storage shape is
+    identical either way. Memory win: dim doubles -> n_subspaces bytes
+    per vector. All distance folds are sequential (oracle-exact); the
+    per-row error is a fixed-order sum over subspaces, not a cross-row
+    aggregate. Returns (id, codes 'c0-c1-...', recon_err)."""
+    first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, codes string, recon_err double"
+        )
+    dim = len(first[0])
+    sub_dim = dim // n_subspaces
+    seed_rows = df.orderBy(id_col).limit(n_codes).select(vec_col).collect()
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    code_cols, err_cols = [], []
+    for s in range(n_subspaces):
+        lo = s * sub_dim
+        sub = F.slice(v, lo + 1, sub_dim)
+        scored = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sub,
+                            F.array(
+                                *[
+                                    F.lit(float(r[0][lo + j]))
+                                    for j in range(sub_dim)
+                                ]
+                            ),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, e: acc + e,
+                    ).alias("dist"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, r in enumerate(seed_rows)
+            ]
+        )
+        best = F.array_sort(scored)[0]  # min dist, then min cid
+        code_cols.append(best["cid"].alias(f"__c{s}"))
+        err_cols.append(best["dist"].alias(f"__d{s}"))
+    coded = df.select(F.col(id_col), *code_cols, *err_cols)
+    err = F.col("__d0")
+    for s in range(1, n_subspaces):
+        err = err + F.col(f"__d{s}")
+    return coded.select(
+        id_col,
+        F.concat_ws(
+            "-", *[F.col(f"__c{s}") for s in range(n_subspaces)]
+        ).alias("codes"),
+        err.alias("recon_err"),
+    )
+
+
 def power_iteration_top_pc(
     df: DataFrame,
     vec_col: str,

@@ -491,6 +491,56 @@ def token_budget_selection_sql(budget: int = 10000) -> str:
     """
 
 
+def product_quantize_sql(n_subspaces: int = 8, n_codes: int = 16) -> str:
+    """Twin of q155: per-subspace nearest-codebook assignment (L2,
+    sequential folds; tie-break dist ASC, cid ASC) and the fixed-order
+    per-row error sum."""
+    dim = EMBEDDING_DIM
+    sub = dim // n_subspaces
+
+    def l2(s: int) -> str:
+        lo = s * sub
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {sub + 1}), "
+            f"i -> (e.v[{lo}+i] - c.cv[{lo}+i]) * (e.v[{lo}+i] - c.cv[{lo}+i]))), "
+            f"(acc, x) -> acc + x)"
+        )
+
+    parts = [
+        f"""e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings ORDER BY vec_id LIMIT {n_codes}
+    )"""
+    ]
+    for s in range(n_subspaces):
+        parts.append(
+            f"""a{s} AS (
+      SELECT vec_id, cid AS code{s}, dist AS d{s} FROM (
+        SELECT e.vec_id, c.cid, {l2(s)} AS dist,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {l2(s)}, c.cid) AS rn
+        FROM e CROSS JOIN c
+      ) WHERE rn = 1
+    )"""
+        )
+    joins = " ".join(
+        f"JOIN a{s} USING (vec_id)" for s in range(n_subspaces)
+    )
+    codes = ", ".join(f"code{s}" for s in range(n_subspaces))
+    errs = " + ".join(f"d{s}" for s in range(n_subspaces))
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT vec_id, concat_ws('-', {codes}) AS codes, {errs} AS recon_err
+    FROM e {joins}
+    """
+
+
 def rank_perplexity_sql() -> str:
     """Twin of q153: log-free perplexity proxy — mean corpus frequency
     rank of a document's tokens. Ranks are dense over (count DESC, token
