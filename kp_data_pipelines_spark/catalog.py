@@ -6215,3 +6215,22 @@ def q155_product_quantization(spark: SparkSession, sf: str) -> DataFrame:
     return product_quantize(
         emb, "embedding", "vec_id", n_subspaces=8, n_codes=16
     )
+
+
+@register("q156_winnowing_pairs", oracles.winnow_pairs_sql())
+def q156_winnowing_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-level near-dup pairs via WINNOWING (Schleimer et al. —
+    the MOSS fingerprinting scheme): any shared run of >= k+w-1 chars
+    guarantees a shared selected fingerprint, catching copied passages
+    that whole-doc or shingle-set methods miss after edits/reorders.
+    Kernel-vectorized integer hashing, a doc-frequency filter caps
+    per-fingerprint join fan-out (skew-safe), and the DuckDB twin
+    recomputes every window minimum."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        winnow_fingerprint_pairs,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    return winnow_fingerprint_pairs(
+        docs, "doc_id", "text", k=20, w=8, max_doc_freq=20, min_shared=3
+    )

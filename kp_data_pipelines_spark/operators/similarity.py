@@ -542,6 +542,106 @@ def simhash_hamming_pairs(
     )
 
 
+def _winnow_kernel(k: int, w: int):
+    """Arrow-batched winnowing fingerprinter (Schleimer et al., the MOSS
+    local fingerprinting scheme): char k-gram polynomial hashes (base 31
+    mod Mersenne-31, the q44 rolling-hash family), then per window of
+    ``w`` consecutive gram hashes select the minimum (rightmost on
+    ties); the distinct selected hashes are the document's fingerprints.
+    Guarantees: any shared substring of length >= k + w - 1 yields at
+    least one shared fingerprint — substring-level dedup, robust to
+    insertions/reorders that break whole-doc hashes. All integer
+    arithmetic; the DuckDB twin recomputes every fingerprint."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    p = 2147483647
+    powv = np.ones(k, dtype=np.int64)
+    for i in range(1, k):
+        powv[i] = (powv[i - 1] * 31) % p
+    powv = powv[::-1].copy()  # pow[0] multiplies the leftmost char
+
+    @pandas_udf(ArrayType(LongType()))
+    def _fps(batch: pd.Series) -> pd.Series:
+        out = []
+        for s in batch:
+            if s is None:
+                out.append(None)
+                continue
+            if s.isascii():
+                codes = np.frombuffer(s.encode(), np.uint8).astype(np.int64)
+            else:
+                codes = np.fromiter(
+                    (ord(c) for c in s), dtype=np.int64, count=len(s)
+                )
+            n = codes.size
+            if n < k:
+                acc = 0
+                for c in codes:  # short doc: one fingerprint over it all
+                    acc = (acc * 31 + int(c)) % p
+                out.append([acc])
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(codes, k)
+            h = ((win * powv[None, :]) % p).sum(axis=1) % p
+            m = h.size
+            if m <= w:
+                hw = h[None, :]
+            else:
+                hw = np.lib.stride_tricks.sliding_window_view(h, w)
+            # rightmost minimum per window (the winnowing tie rule)
+            width = hw.shape[1]
+            rel = width - 1 - np.argmin(hw[:, ::-1], axis=1)
+            sel = rel + np.arange(hw.shape[0])
+            out.append(np.unique(h[sel]))
+        return pd.Series(out)
+
+    return _fps
+
+
+def winnow_fingerprint_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    w: int = 8,
+    max_doc_freq: int = 20,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Substring-level near-dup pairs via winnowing fingerprints: docs
+    sharing >= ``min_shared`` selected k-gram hashes. Fingerprints seen
+    in more than ``max_doc_freq`` documents are dropped before pairing
+    (the standard 'common code' filter) — that bound caps per-fingerprint
+    join fan-out at max_doc_freq^2, so the equi-join on the hash value
+    stays skew-safe at corpus scale. Text is whitespace-normalized and
+    lowercased first. Returns (id_a, id_b, n_shared)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    fps = (
+        ensure_parallelism(df.select(id_col, norm.alias("__t")))
+        .select(id_col, F.explode(_winnow_kernel(k, w)(F.col("__t"))).alias("fp"))
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_doc_freq)
+        .select("fp")
+    )
+    kept = fps.join(rare, "fp")
+    return (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def product_quantize(
     df: DataFrame,
     vec_col: str,

@@ -541,6 +541,56 @@ def product_quantize_sql(n_subspaces: int = 8, n_codes: int = 16) -> str:
     """
 
 
+def winnow_pairs_sql(
+    k: int = 20, w: int = 8, max_doc_freq: int = 20, min_shared: int = 3
+) -> str:
+    """Twin of q156: winnowing fingerprints recomputed with list ops —
+    char k-gram Horner hashes, per-window rightmost minimum, distinct
+    selected hashes, doc-frequency filter, pair counts."""
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, length(t) AS n,
+             list_transform(range(1, length(t) + 1),
+               i -> CAST(ord(substr(t, i, 1)) AS BIGINT)) AS c
+      FROM d
+    ),
+    hh AS (
+      SELECT doc_id, greatest(n - {k} + 1, 1) AS m,
+             list_transform(range(1, greatest(n - {k} + 1, 1) + 1),
+               i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(0, least({k}, n - i + 1)),
+                                     dd -> c[i + dd])),
+                    (acc, x) -> (acc * 31 + x) % {_MOD})) AS hs
+      FROM ch
+    ),
+    sel AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               list_distinct(list_transform(
+                 range(1, greatest(m - {w} + 1, 1) + 1),
+                 j -> list_max(list_filter(
+                        range(j, least(j + {w} - 1, m) + 1),
+                        q -> hs[q] = list_min(hs[j:least(j + {w} - 1, m)]))))),
+               q -> hs[q])) AS fps
+      FROM hh
+    ),
+    fpt AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+    rare AS (
+      SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM fpt GROUP BY fp)
+      WHERE df <= {max_doc_freq}
+    ),
+    kept AS (SELECT f.doc_id, f.fp FROM fpt f JOIN rare r ON f.fp = r.fp)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {min_shared}
+    """
+
+
 def rank_perplexity_sql() -> str:
     """Twin of q153: log-free perplexity proxy — mean corpus frequency
     rank of a document's tokens. Ranks are dense over (count DESC, token

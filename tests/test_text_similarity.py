@@ -407,3 +407,30 @@ def test_nearest_centroid_kernel_matches_expr(spark):
         ).collect()
     }
     assert kern == expr
+
+
+def test_winnowing_catches_embedded_passage(spark):
+    """A passage copied into different surrounding text must share
+    fingerprints (guarantee: any shared run >= k+w-1 chars); unrelated
+    docs must not reach min_shared."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        winnow_fingerprint_pairs,
+    )
+
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro text before {passage} and some trailing words"),
+            (2, f"{passage} embedded at the start of a different document"),
+            (3, "totally unrelated content with no overlap whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnow_fingerprint_pairs(
+            df, "doc_id", "text", k=20, w=4, max_doc_freq=10, min_shared=2
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert not any(3 in p for p in pairs)
