@@ -17,8 +17,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 
-def read_parquet(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Parquet scan. ``merge_schema`` reconciles evolved schemas across
+    files/partitions (columns added over time union in as nulls for old
+    files) — the schema-evolution read for long-lived versioned or
+    snapshot tables; off by default because footer merging costs one
+    extra pass over file metadata."""
     reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", True)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.parquet(path)

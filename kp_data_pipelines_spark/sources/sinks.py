@@ -32,6 +32,33 @@ def write_versioned(df: DataFrame, base_path: str, version: str) -> str:
     return path
 
 
+def vacuum_versions(base_path: str, keep: int = 3) -> list[str]:
+    """Retention for ``write_versioned``: drop all but the newest ``keep``
+    `version=` partitions (lexicographic order — use sortable version
+    strings, e.g. ISO dates). The lifecycle half the reference's
+    backup-before-overwrite implies but never implements: without
+    retention, immutable versioned writes grow without bound. Returns the
+    removed paths. Refuses keep < 1 (would delete the current version)."""
+    import os
+    import shutil
+
+    if keep < 1:
+        raise ValueError(f"keep must be >= 1 (got {keep})")
+    if not os.path.isdir(base_path):
+        return []
+    versions = sorted(
+        d for d in os.listdir(base_path)
+        if d.startswith("version=")
+        and os.path.isdir(os.path.join(base_path, d))
+    )
+    removed = []
+    for d in versions[:-keep]:
+        p = os.path.join(base_path, d)
+        shutil.rmtree(p)
+        removed.append(p)
+    return removed
+
+
 def write_report_csv(df: DataFrame, path: str, header: bool = True) -> None:
     """K1: single-file CSV contract for report consumers (small outputs)."""
     df.coalesce(1).write.mode("overwrite").option("header", header).csv(path)

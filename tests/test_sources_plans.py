@@ -265,3 +265,33 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert flt.count() == 100
     plan = flt._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "k" in plan
+
+
+def test_vacuum_versions_and_merge_schema(spark, tmp_path):
+    """K4 lifecycle: versioned writes + retention; schema-evolution read
+    unions columns added in newer versions (old rows null-filled)."""
+    from kp_data_pipelines_spark.sources.readers import read_parquet
+    from kp_data_pipelines_spark.sources.sinks import (
+        vacuum_versions,
+        write_versioned,
+    )
+
+    base = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    v2 = spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    )
+    write_versioned(v1, base, "20240101T000000")
+    write_versioned(v1, base, "20240201T000000")
+    write_versioned(v2, base, "20240301T000000")
+    removed = vacuum_versions(base, keep=2)
+    assert len(removed) == 1 and "20240101T000000" in removed[0]
+    got = read_parquet(spark, base, merge_schema=True)
+    assert set(got.columns) == {"id", "name", "score", "version"}
+    rows = {r["version"]: r for r in got.collect()}
+    assert rows["20240301T000000"]["score"] == 9.5
+    assert rows["20240201T000000"]["score"] is None
+    import pytest
+
+    with pytest.raises(ValueError):
+        vacuum_versions(base, keep=0)
