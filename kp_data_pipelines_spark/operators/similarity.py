@@ -642,12 +642,49 @@ def winnow_fingerprint_pairs(
     )
 
 
+def _pq_kernel(seed_vecs, n_subspaces: int, sub_dim: int):
+    """Vectorized PQ assignment, bit-identical to the expression fold:
+    each subspace distance accumulates dim-sequentially across (row,
+    code) pairs, ties take the lowest code id (np.argmin first-min ==
+    ascending array_sort head), and the error sums subspaces in order."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(seed_vecs, dtype=np.float64)  # (n_codes, dim)
+
+    @pandas_udf("codes string, recon_err double")
+    def _pq(batch: pd.Series) -> pd.DataFrame:
+        if batch.empty:
+            return pd.DataFrame({"codes": [], "recon_err": []})
+        V = np.array([np.asarray(v, dtype=np.float64) for v in batch])
+        n = V.shape[0]
+        codes = np.zeros((n, n_subspaces), dtype=np.int64)
+        err = np.zeros(n)
+        for s in range(n_subspaces):
+            lo = s * sub_dim
+            D = np.zeros((n, C.shape[0]))
+            for j in range(sub_dim):  # sequential over dims == JVM fold
+                diff = V[:, lo + j][:, None] - C[None, :, lo + j]
+                D = D + diff * diff
+            best = np.argmin(D, axis=1)  # first min -> lowest code id
+            codes[:, s] = best
+            err = err + D[np.arange(n), best]  # subspace-order sum
+        return pd.DataFrame(
+            {
+                "codes": ["-".join(str(c) for c in row) for row in codes],
+                "recon_err": err,
+            }
+        )
+
+    return _pq
+
+
 def product_quantize(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     n_subspaces: int = 8,
     n_codes: int = 16,
+    impl: str = "kernel",
 ) -> DataFrame:
     """Product quantization (the FAISS-style ANN compressor): split each
     vector into ``n_subspaces`` contiguous sub-vectors, snap each to its
@@ -667,6 +704,15 @@ def product_quantize(
     dim = len(first[0])
     sub_dim = dim // n_subspaces
     seed_rows = df.orderBy(id_col).limit(n_codes).select(vec_col).collect()
+    if impl == "kernel":
+        q = _pq_kernel(
+            [[float(x) for x in r[0]] for r in seed_rows], n_subspaces, sub_dim
+        )(F.col(vec_col)).alias("__q")
+        return df.select(F.col(id_col), q).select(
+            id_col,
+            F.col("__q.codes").alias("codes"),
+            F.col("__q.recon_err").alias("recon_err"),
+        )
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     code_cols, err_cols = [], []
     for s in range(n_subspaces):

@@ -434,3 +434,21 @@ def test_winnowing_catches_embedded_passage(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 2
     assert not any(3 in p for p in pairs)
+
+
+def test_product_quantize_kernel_matches_expr(spark):
+    from kp_data_pipelines_spark.operators.similarity import product_quantize
+    from kp_data_pipelines_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    kern = {
+        r["vec_id"]: (r["codes"], r["recon_err"])
+        for r in product_quantize(emb, "embedding", "vec_id").collect()
+    }
+    expr = {
+        r["vec_id"]: (r["codes"], r["recon_err"])
+        for r in product_quantize(
+            emb, "embedding", "vec_id", impl="expr"
+        ).collect()
+    }
+    assert kern == expr
