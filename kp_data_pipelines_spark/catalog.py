@@ -6234,3 +6234,59 @@ def q156_winnowing_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return winnow_fingerprint_pairs(
         docs, "doc_id", "text", k=20, w=8, max_doc_freq=20, min_shared=3
     )
+
+
+@register("q157_portable_hll", oracles.portable_hll_sql())
+def q157_portable_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly distinct-user HLL whose SKETCH is oracle-verified: unlike
+    the engine-native approx aggregates (q101/q123/q131, rows-only by
+    necessity), this from-scratch HyperLogLog uses a portable LCG 62-bit
+    hash, rank = 57 - bitlength via bin()-string length (identical in
+    both engines), per-(week, register) MAX — the mergeable, shuffle-
+    light sketch shape — and folds the raw estimate in register order
+    from a shared literal table of exact 2^-i doubles, so DuckDB
+    reproduces registers AND estimate bit-for-bit. true_distinct sits
+    alongside for the accuracy story (raw HLL, no small-range
+    correction: ln() is libm-dependent)."""
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    (a1, b1), (a2, b2) = _hash_params(2, 23)
+    ev = read_table(spark, sf, "events")
+    week = F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+    uid_m = F.pmod(F.col("user_id"), F.lit(_MERSENNE))
+    hv = (
+        (F.lit(a1) * uid_m + F.lit(b1)) % _MERSENNE
+    ) * F.lit(1 << 31) + ((F.lit(a2) * uid_m + F.lit(b2)) % _MERSENNE)
+    rest = F.shiftrightunsigned(hv, 6)
+    rank = F.when(rest > 0, F.lit(57) - F.length(F.bin(rest))).otherwise(
+        F.lit(57)
+    )
+    pow_tbl = F.array(*[F.lit(2.0 ** -i) for i in range(58)])
+    regs = (
+        ev.select(
+            week.alias("week"),
+            hv.bitwiseAND(F.lit(63)).alias("reg"),
+            rank.alias("rank"),
+        )
+        .groupBy("week", "reg")
+        .agg(F.max("rank").alias("mr"))
+    )
+    folded = regs.groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("reg", "mr"))),
+            F.lit(0.0),
+            lambda acc, s: acc + F.element_at(pow_tbl, s["mr"] + 1),
+        ).alias("s"),
+    )
+    truth = ev.groupBy(week.alias("week")).agg(
+        F.count_distinct("user_id").alias("true_distinct")
+    )
+    est = F.lit(float(oracles.HLL_ALPHA_M2)) / (
+        F.col("s") + (F.lit(oracles.HLL_M) - F.col("n_regs")).cast("double")
+    )
+    return (
+        folded.join(truth, "week")
+        .select("week", "n_regs", "true_distinct", est.alias("hll_estimate"))
+        .orderBy("week")
+    )

@@ -541,6 +541,60 @@ def product_quantize_sql(n_subspaces: int = 8, n_codes: int = 16) -> str:
     """
 
 
+HLL_M = 64  # registers
+HLL_ALPHA_M2 = repr((0.7213 / (1 + 1.079 / HLL_M)) * float(HLL_M * HLL_M))
+HLL_POW = "[" + ", ".join(repr(2.0 ** -i) for i in range(58)) + "]"
+
+
+def portable_hll_sql(seed: int = 23) -> str:
+    """Twin of q157: a from-scratch HyperLogLog whose registers BOTH
+    engines compute exactly — LCG 62-bit hash, register = low 6 bits,
+    rank = 57 - bitlength(rest) via bin()-string length (identical in
+    Spark and DuckDB), per-register max, and the raw estimate folded in
+    register order from a shared literal table of exact 2^-i doubles."""
+    a1, b1 = _hash_params(2, seed)[0]
+    a2, b2 = _hash_params(2, seed)[1]
+    return f"""
+    WITH h AS (
+      SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+             user_id,
+             (({a1} * (user_id % {_MOD}) + {b1}) % {_MOD})
+               * CAST(2147483648 AS BIGINT)
+               + (({a2} * (user_id % {_MOD}) + {b2}) % {_MOD}) AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT week, user_id, hv & 63 AS reg,
+             CASE WHEN (hv >> 6) > 0
+                  THEN 57 - length(bin(hv >> 6))
+                  ELSE 57 END AS rank
+      FROM h
+    ),
+    m AS (
+      SELECT week, reg, MAX(rank) AS mr FROM r GROUP BY week, reg
+    ),
+    folded AS (
+      SELECT week,
+             CAST(COUNT(*) AS BIGINT) AS n_regs,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list(mr ORDER BY reg),
+                              x -> ({HLL_POW})[x + 1])),
+               (acc, t) -> acc + t) AS s
+      FROM m GROUP BY week
+    ),
+    truth AS (
+      SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+             COUNT(DISTINCT user_id) AS true_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT f.week, f.n_regs, t.true_distinct,
+           {HLL_ALPHA_M2}
+             / (f.s + CAST({HLL_M} - f.n_regs AS DOUBLE)) AS hll_estimate
+    FROM folded f JOIN truth t ON f.week = t.week
+    ORDER BY f.week
+    """
+
+
 def winnow_pairs_sql(
     k: int = 20, w: int = 8, max_doc_freq: int = 20, min_shared: int = 3
 ) -> str:

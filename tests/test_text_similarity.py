@@ -452,3 +452,19 @@ def test_product_quantize_kernel_matches_expr(spark):
         ).collect()
     }
     assert kern == expr
+
+
+def test_portable_hll_accuracy(spark):
+    """q157's raw HLL must land within the standard error envelope
+    (1.04/sqrt(64) ~ 13%; allow 3 sigma) of the true weekly distincts."""
+    from kp_data_pipelines_spark.catalog import QUERIES
+
+    rows = QUERIES["q157_portable_hll"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    for r in rows:
+        rel = abs(r["hll_estimate"] - r["true_distinct"]) / max(
+            r["true_distinct"], 1
+        )
+        assert rel < 3 * 1.04 / (64 ** 0.5), (r["week"], rel)
