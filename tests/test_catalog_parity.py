@@ -24,6 +24,13 @@ SUBSET = [
     "q20_lang_id",
     "q24_cosine_topk",
     "q25_window_events",
+    # round-2 hash/kernel families — guard the portable-hash + kernel
+    # plumbing inside the pytest suite, not just the external sweep
+    "q38_minhash_near_dups",
+    "q43_simhash_hamming_pairs",
+    "q143_ivf_refined_ann",
+    "q152_token_budget_selection",
+    "q157_portable_hll",
 ]
 
 
