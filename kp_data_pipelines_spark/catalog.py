@@ -1299,12 +1299,15 @@ def q47_streaming_window_events(spark: SparkSession, sf: str) -> DataFrame:
     aggregation in batch SQL. Complete output mode so every window is
     emitted (append would hold back windows newer than the watermark).
     Proves the streaming and batch engines agree on event-time semantics."""
-    import tempfile
-
     from kp_data_pipelines_spark.sources.readers import _nanos_timestamp_cols
     from kp_data_pipelines_spark.streaming.events import run_available_now
 
     path = f"{sf}/events.parquet"
+    # mirror read_table's conf handling: without it, micros-NTZ variants of
+    # the events table would infer TIMESTAMP_NTZ here (watermarks reject it)
+    # whenever this query runs FIRST on a fresh session — no silent
+    # dependence on an earlier query having set the conf (CLAUDE.md rule)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     ns_cols = _nanos_timestamp_cols(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1335,7 +1338,7 @@ def q47_streaming_window_events(spark: SparkSession, sf: str) -> DataFrame:
             "total_value",
         )
     )
-    return run_available_now(agg, tempfile.mkdtemp(prefix="q47_ckpt_"), "complete")
+    return run_available_now(agg, output_mode="complete")
 
 
 @register(
@@ -4695,6 +4698,11 @@ def q121_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
     from kp_data_pipelines_spark.streaming.events import run_available_now
 
     path = f"{sf}/events.parquet"
+    # mirror read_table's conf handling: without it, micros-NTZ variants of
+    # the events table would infer TIMESTAMP_NTZ here (watermarks reject it)
+    # whenever this query runs FIRST on a fresh session — no silent
+    # dependence on an earlier query having set the conf (CLAUDE.md rule)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     ns_cols = _nanos_timestamp_cols(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -4727,11 +4735,7 @@ def q121_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
             "total_value",
         )
     )
-    import tempfile
-
-    return run_available_now(
-        agg, tempfile.mkdtemp(prefix="q121_ckpt"), output_mode="complete"
-    )
+    return run_available_now(agg, output_mode="complete")
 
 
 @register(
@@ -6026,9 +6030,9 @@ def q150_streaming_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     ``foreachBatch`` — the stream-side batch-job pattern (signature
     stages, banding joins, pandas_udf kernels all run unchanged inside
     the trigger). Oracle-checked against the same SQL twin as q147:
-    streaming and batch engines must agree row-for-row."""
-    import tempfile
-
+    streaming and batch engines must agree row-for-row. Each batch's
+    matches are WRITTEN to parquet inside the trigger (no driver-side
+    collect) and read back; checkpoints are ephemeral and reclaimed."""
     from kp_data_pipelines_spark.operators.similarity import minhash_incremental
     from kp_data_pipelines_spark.streaming.events import (
         run_available_now_foreach_batch,
@@ -6047,7 +6051,6 @@ def q150_streaming_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
     return run_available_now_foreach_batch(
         stream,
-        tempfile.mkdtemp(prefix="q150_ckpt_"),
         lambda batch: minhash_incremental(
             batch, corpus, "doc_id", "text", shingle_k=3, num_hashes=32,
             bands=16, jaccard_threshold=0.4, portable_hash=True,

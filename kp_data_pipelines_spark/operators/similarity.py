@@ -772,7 +772,14 @@ def power_iteration_top_pc(
     and the driver normalizes the dim-sized result (the k-means split:
     only k*dim doubles ever leave the cluster). Deterministic start
     x0 = [1/8]*dim (unit for dim=64; exactly representable). Returns the
-    final unit vector as a Python list."""
+    final unit vector as a Python list.
+
+    Cross-engine bound: the decimal->double cast is portable while the
+    per-dimension |sum| < 2^53. With |v_d| <= 1 and |v.x| <= sqrt(dim),
+    that holds up to ~2^53/(1e6*sqrt(dim)) rows (~1.1e9 at dim=64); past
+    that, drop quantization to 1e4 or shard the corpus and merge partial
+    directions — the signed sums rule out the unsigned q106/q115 hi/lo
+    split (see kmeans_refine)."""
     first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
     if first is None:
         return []
@@ -920,7 +927,15 @@ def kmeans_refine(
     not portable, CLAUDE.md), so the refined centroids (and every
     assignment derived from them) are bit-identical across partitionings,
     reruns, and the q143 oracle twin. Empty cells keep their previous
-    centroid."""
+    centroid.
+
+    Cross-engine bound: the final decimal->double cast is only guaranteed
+    portable while |per-(cell,dim) sum| < 2^53 — i.e. while no cell holds
+    more than ~2^53/10^6 ≈ 9.0e9 vectors (|component| <= 1 after
+    normalization). Beyond that DuckDB's HUGEINT->double cast can differ
+    by 1 ulp (CLAUDE.md). At 100 TB keep cells under ~9e9 rows (raise k,
+    or drop quantization to 10^4 for a ~9e11 bound); the q106/q115 hi/lo
+    split does not apply directly because these sums are signed."""
     cents = [(cid, list(vec)) for cid, vec in centroids]
     for _ in range(n_iter):
         cell = _nearest_centroid_kernel(cents)(F.col(vec_col))

@@ -154,8 +154,9 @@ def chunk_documents(
 
     Chunk count = 1 for docs of <= chunk_size tokens, else
     1 + ceil((n - chunk_size) / stride) with stride = chunk_size -
-    overlap, computed as floor((n - size + stride - 1) / stride) + 1 in
-    exact integer arithmetic (cross-engine-stable, no float ceil edge).
+    overlap, computed as ((n - size + stride - 1) div stride) + 1 in
+    true integer division on both engines (Spark ``div`` / DuckDB
+    ``//``) — exact by construction, no float involved.
     Returns (id, chunk_id, chunk_tokens, chunk_text)."""
     if overlap >= chunk_size:
         raise ValueError(
@@ -164,16 +165,15 @@ def chunk_documents(
         )
     stride = chunk_size - overlap
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size(toks)
+    pre = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size(F.col("__toks"))
     n_chunks = F.when(n <= chunk_size, F.lit(1).cast("long")).otherwise(
-        F.floor(
-            (n - chunk_size + stride - 1).cast("double") / F.lit(float(stride))
-        )
+        F.expr(
+            f"(size(__toks) - {chunk_size} + {stride - 1}) div {stride}"
+        ).cast("long")
         + 1
     )
-    step = df.select(
-        F.col(id_col), toks.alias("__toks"), n_chunks.alias("__nc")
-    )
+    step = pre.select(F.col(id_col), F.col("__toks"), n_chunks.alias("__nc"))
     chunk = F.slice(
         "__toks", F.col("chunk_id").cast("int") * stride + 1, chunk_size
     )

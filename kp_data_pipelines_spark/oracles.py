@@ -211,9 +211,10 @@ _QUALITY_SQL = """round(0.4 * (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN
 
 
 def chunk_documents_sql(chunk_size: int = 32, overlap: int = 8) -> str:
-    """Twin of q144: same exact-integer chunk-count formula and the same
-    clamped slice per chunk; chunk text is a plain string join, so the
-    comparison is exact."""
+    """Twin of q144: same true-integer chunk-count formula (DuckDB ``//``
+    mirroring Spark ``div`` — numerator is non-negative in that branch so
+    floor==trunc on both engines) and the same clamped slice per chunk;
+    chunk text is a plain string join, so the comparison is exact."""
     stride = chunk_size - overlap
     sl = f"toks[chunk_id*{stride}+1 : chunk_id*{stride}+{chunk_size}]"
     return f"""
@@ -224,9 +225,9 @@ def chunk_documents_sql(chunk_size: int = 32, overlap: int = 8) -> str:
     nt AS (
       SELECT doc_id, toks,
              CASE WHEN len(toks) <= {chunk_size} THEN CAST(1 AS BIGINT)
-                  ELSE CAST(floor(
-                         CAST(len(toks) - {chunk_size} + {stride - 1} AS DOUBLE)
-                           / {float(stride)}) AS BIGINT) + 1
+                  ELSE CAST(
+                         (len(toks) - {chunk_size} + {stride - 1}) // {stride}
+                         AS BIGINT) + 1
              END AS nc
       FROM t
     ),
@@ -451,10 +452,10 @@ def quality_weighted_sample_sql(seed: int = 17) -> str:
       SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents
     )
     SELECT doc_id, quality,
-           CAST(({a} * (doc_id % {_MOD}) + {b}) % {_MOD} AS DOUBLE)
+           CAST(({a} * (((doc_id % {_MOD}) + {_MOD}) % {_MOD}) + {b}) % {_MOD} AS DOUBLE)
              / {float(_MOD)} AS u
     FROM q
-    WHERE CAST(({a} * (doc_id % {_MOD}) + {b}) % {_MOD} AS DOUBLE)
+    WHERE CAST(({a} * (((doc_id % {_MOD}) + {_MOD}) % {_MOD}) + {b}) % {_MOD} AS DOUBLE)
             / {float(_MOD)} < quality
     """
 
@@ -558,9 +559,9 @@ def portable_hll_sql(seed: int = 23) -> str:
     WITH h AS (
       SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
              user_id,
-             (({a1} * (user_id % {_MOD}) + {b1}) % {_MOD})
+             (({a1} * (((user_id % {_MOD}) + {_MOD}) % {_MOD}) + {b1}) % {_MOD})
                * CAST(2147483648 AS BIGINT)
-               + (({a2} * (user_id % {_MOD}) + {b2}) % {_MOD}) AS hv
+               + (({a2} * (((user_id % {_MOD}) + {_MOD}) % {_MOD}) + {b2}) % {_MOD}) AS hv
       FROM events
     ),
     r AS (

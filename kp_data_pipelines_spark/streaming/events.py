@@ -74,15 +74,35 @@ def windowed_event_counts(
     )
 
 
+def _ephemeral_dir(prefix: str) -> str:
+    """A tempdir removed at interpreter exit — streaming checkpoints and
+    harness outputs are per-invocation scratch, so repeated bench/parity
+    runs must not accumulate directories under /tmp (round-2 ADVICE)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def run_available_now(
-    stream_df: DataFrame, checkpoint_dir: str, output_mode: str = "append"
+    stream_df: DataFrame,
+    checkpoint_dir: str | None = None,
+    output_mode: str = "append",
 ) -> DataFrame:
     """Execute a streaming query over the current backlog (AvailableNow),
     collect results via an in-memory sink, and stop. Returns the sink table
     as a batch DataFrame. For production use write to parquet/Delta with the
-    same checkpoint; memory sink is for tests/smoke."""
+    same checkpoint; memory sink is for tests/smoke. When ``checkpoint_dir``
+    is None an ephemeral one is created and removed at process exit."""
+    import shutil
     import uuid
 
+    own_ckpt = checkpoint_dir is None
+    if own_ckpt:
+        checkpoint_dir = _ephemeral_dir("kp_stream_ckpt_")
     name = f"sink_{uuid.uuid4().hex[:8]}"
     q = (
         stream_df.writeStream.format("memory")
@@ -93,14 +113,18 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+    if own_ckpt:
+        # the memory-sink table is fully materialized; the checkpoint is
+        # single-use scratch — reclaim it now rather than at exit
+        shutil.rmtree(checkpoint_dir, ignore_errors=True)
     return stream_df.sparkSession.table(name)
 
 
 def run_available_now_foreach_batch(
     stream_df: DataFrame,
-    checkpoint_dir: str,
     batch_fn,
     result_schema,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Execute a streaming query with ``foreachBatch`` over the current
     backlog (AvailableNow) and return the concatenated per-batch results
@@ -109,13 +133,23 @@ def run_available_now_foreach_batch(
     ``foreachBatch`` is the standard deploy shape for pipelines whose
     per-trigger logic is itself a batch job (multi-stage joins, pandas_udf
     signature stages, MERGE writes) — each micro-batch runs the full batch
-    plan against static side inputs. The callback runs on the driver, so
-    a closure list collects the (small) per-batch outputs; production
-    sinks would write parquet/Delta instead."""
-    results: list = []
+    plan against static side inputs. Each batch's output is WRITTEN to a
+    per-batch parquet path (the production sink shape — no driver-side
+    ``collect``; at 100 TB the per-batch result never transits the driver)
+    and the union is read back as one batch DataFrame. The parquet scratch
+    lives until process exit (the returned plan reads from it); ephemeral
+    checkpoints are reclaimed as soon as the query stops."""
+    import shutil
 
-    def handle(batch_df: DataFrame, _batch_id: int) -> None:
-        results.append(batch_fn(batch_df).collect())
+    own_ckpt = checkpoint_dir is None
+    if own_ckpt:
+        checkpoint_dir = _ephemeral_dir("kp_stream_ckpt_")
+    out_dir = _ephemeral_dir("kp_stream_out_")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch_fn(batch_df).write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
 
     q = (
         stream_df.writeStream.foreachBatch(handle)
@@ -125,8 +159,16 @@ def run_available_now_foreach_batch(
         .start()
     )
     q.awaitTermination()
-    rows = [r for rs in results for r in rs]
-    return stream_df.sparkSession.createDataFrame(rows, result_schema)
+    if own_ckpt:
+        shutil.rmtree(checkpoint_dir, ignore_errors=True)
+    spark = stream_df.sparkSession
+    cols = spark.createDataFrame([], result_schema).columns
+    return (
+        spark.read.schema(result_schema)
+        .option("recursiveFileLookup", "true")  # flatten batch=N subdirs
+        .parquet(out_dir)
+        .select(*cols)
+    )
 
 
 def ingest_snapshot_folder(
