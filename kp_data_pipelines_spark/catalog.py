@@ -3619,20 +3619,56 @@ def q100_word_zipf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("q101_source_cardinality")
+@register("q101_source_cardinality", oracles.source_cardinality_hll_sql())
 def q101_source_cardinality(spark: SparkSession, sf: str) -> DataFrame:
-    """Sketch-based cardinality profile per document source: HLL++
-    approx distinct texts vs exact rows, plus average length. At 100 TB
-    the exact distinct needs a full shuffle of the text column; the HLL
-    sketch is a constant-size map-side accumulator — this query is the
-    template for 'how many unique docs per crawl' at scale. HLL
-    estimates have no SQL twin → rows-only check (the unit test bounds
-    the estimate against the exact count)."""
+    """Sketch-based cardinality profile per document source, ORACLE-
+    CHECKED: a portable HyperLogLog (operators/sketches.py, the q157
+    template generalized to m=1024 + literal-ln linear counting) over a
+    62-bit two-lane char-fold hash of the text. Same scale shape as the
+    engine-native approx_count_distinct it replaces — constant-size
+    mergeable register maps, one map-side pass (n_docs / avg_len ride
+    the same aggregation) — but every register and estimate digit
+    hash-matches the DuckDB twin. The engine-native HLL++ path stays
+    exercised by tests/test_operators.py's accuracy bound. 31-bit char
+    folds cap the hash entropy per lane; two independent lanes (bases
+    31 / 1000003) give 62 bits — sound past 10^9 distincts."""
+    from kp_data_pipelines_spark.operators import sketches
+    from kp_data_pipelines_spark.operators.textops import rolling_hash
+
+    m = 1024
     docs = read_table(spark, sf, "documents")
-    return docs.groupBy("source").agg(
-        F.approx_count_distinct("text", 0.02).alias("approx_unique_texts"),
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.length("text")).alias("avg_len"),
+    hv = sketches.hll_hash62(
+        rolling_hash("text", base=31), rolling_hash("text", base=1000003),
+        seed=29,
+    )
+    per_reg = (
+        docs.select(
+            "source",
+            sketches.hll_reg(hv, m).alias("reg"),
+            sketches.hll_rank(hv, m).alias("rank"),
+            F.length("text").cast("long").alias("len"),
+        )
+        .groupBy("source", "reg")
+        .agg(
+            F.max("rank").alias("mr"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("len").alias("sl"),
+        )
+    )
+    folded = per_reg.groupBy("source").agg(
+        *sketches.hll_fold_registers(m),
+        F.sum("cnt").alias("n_docs"),
+        F.sum("sl").alias("sum_len"),
+    )
+    return folded.select(
+        "source",
+        sketches.hll_estimate(m, F.col("n_regs"), F.col("s")).alias(
+            "approx_unique_texts"
+        ),
+        "n_docs",
+        (F.col("sum_len").cast("double") / F.col("n_docs").cast("double")).alias(
+            "avg_len"
+        ),
     )
 
 
@@ -4812,20 +4848,84 @@ def q122_trend_by_type(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("q123_quantile_sketch")
+@register("q123_quantile_sketch", oracles.quantile_hist_sql())
 def q123_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
-    """Sketch-based quantiles per return flag (approx_percentile /
-    KLL-style accuracy 10000): the constant-memory map-side path for
-    percentiles over 100 TB, where q59/q112's exact rank-pick needs a
-    full sort shuffle. Sketch estimates have no cross-engine SQL twin →
-    rows-only check; the unit test bounds each estimate against the
-    exact interpolated percentile."""
+    """Portable quantile sketch per return flag, ORACLE-CHECKED: an
+    exact mergeable cents-histogram (groupBy(flag, round(price*100)) —
+    map-side combinable partials whose size is bounded by the PRICE
+    DOMAIN, not the row count, so the shuffle stays constant as the
+    fact table grows to 100 TB) + type-7 rank interpolation over the
+    histogram's running counts, computed with identical IEEE ops in the
+    DuckDB twin. Lossless for two-decimal prices, so this matches the
+    exact percentile to the ulp — while keeping the sketch shape
+    (mergeable partials, no full sort of raw rows) that q59/q112's
+    exact rank-pick lacks. The engine-native approx_percentile path
+    stays exercised by the unit-test accuracy bound. The per-flag
+    running-count window touches only the domain-bounded histogram."""
+    from pyspark.sql import Window
+
     li = read_table(spark, sf, "lineitem")
-    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.approx_percentile("l_extendedprice", 0.5, 10000).alias("p50_approx"),
-        F.approx_percentile("l_extendedprice", 0.9, 10000).alias("p90_approx"),
-        F.approx_percentile("l_extendedprice", 0.99, 10000).alias("p99_approx"),
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    hist = li.groupBy(
+        F.col("l_returnflag").alias("flag"), cents.alias("c")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("flag")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hc = hist.withColumn("cum", F.sum("cnt").over(w))
+    tot = hist.groupBy("flag").agg(F.sum("cnt").alias("n"))
+    names = ["p50_approx", "p90_approx", "p99_approx"]
+    ps = [0.5, 0.9, 0.99]
+    tgt = tot.select(
+        "flag",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("which"), F.lit(p).alias("p")
+                    )
+                    for name, p in zip(names, ps)
+                ]
+            )
+        ).alias("t"),
+    ).select("flag", "n", "t.which", "t.p")
+    r = F.col("p") * (F.col("n") - 1).cast("double")
+    tgt = tgt.select(
+        "flag",
+        "n",
+        "which",
+        F.floor(r).alias("lo"),
+        (r - F.floor(r).cast("double")).alias("frac"),
+    )
+    v = (
+        hc.join(F.broadcast(tgt), "flag")
+        .groupBy("flag", "which", "lo", "frac", "n")
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("lo") + 1, F.col("c"))).alias(
+                "v_lo"
+            ),
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.least(F.col("lo") + 1, F.col("n") - 1) + 1,
+                    F.col("c"),
+                )
+            ).alias("v_hi"),
+        )
+    )
+    lod = F.col("v_lo").cast("double") / F.lit(100).cast("double")
+    hid = F.col("v_hi").cast("double") / F.lit(100).cast("double")
+    res = v.select(
+        "flag", "n", "which", (lod + F.col("frac") * (hid - lod)).alias("v")
+    )
+    return (
+        res.groupBy("flag", "n")
+        .pivot("which", names)
+        .agg(F.first("v"))
+        .select("flag", "n", *names)
     )
 
 
@@ -5169,24 +5269,47 @@ def q130_conversion_latency(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("q131_weekly_user_sketch")
+@register("q131_weekly_user_sketch", oracles.weekly_user_hll_sql())
 def q131_weekly_user_sketch(spark: SparkSession, sf: str) -> DataFrame:
-    """Mergeable-sketch re-aggregation: per-day HLL sketches of distinct
-    users built once (hll_sketch_agg), then rolled up to ISO weeks by
-    merging the day sketches (hll_union_agg) — never rescanning the fact
-    table. This is THE pattern for incremental distinct-count marts at
-    100 TB: daily sketch partials are tiny, reusable, and unions are
-    associative. Estimates have no SQL twin (rows-only check); the unit
-    test bounds week estimates against exact distinct counts."""
+    """Mergeable-sketch re-aggregation, ORACLE-CHECKED: per-(day,
+    register) rank maxes built once from the fact table, then rolled up
+    to ISO weeks by a second MAX — never rescanning events. This is THE
+    pattern for incremental distinct-count marts at 100 TB: daily
+    register partials are tiny (m=1024 rows/day), reusable, and merges
+    are associative — identical in shape to hll_sketch_agg +
+    hll_union_agg (still exercised in the unit-test accuracy bound) but
+    with the portable sketch of operators/sketches.py, so every
+    register and the estimate hash-match the DuckDB twin."""
+    from kp_data_pipelines_spark.operators import sketches
+
+    m = 1024
     ev = read_table(spark, sf, "events")
-    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+    hv = sketches.hll_hash62(F.col("user_id"), seed=41)
+    daily = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            sketches.hll_reg(hv, m).alias("reg"),
+            sketches.hll_rank(hv, m).alias("rank"),
+        )
+        .groupBy("day", "reg")
+        .agg(F.max("rank").alias("dr"))
     )
+    weekly = (
+        daily.groupBy(F.weekofyear("day").alias("iso_week"), "reg")
+        .agg(F.max("dr").alias("mr"))
+    )
+    nd = daily.groupBy(F.weekofyear("day").alias("iso_week")).agg(
+        F.count_distinct("day").alias("n_days")
+    )
+    folded = weekly.groupBy("iso_week").agg(*sketches.hll_fold_registers(m))
     return (
-        daily.groupBy(F.weekofyear("day").alias("iso_week"))
-        .agg(
-            F.count(F.lit(1)).alias("n_days"),
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        folded.join(nd, "iso_week")
+        .select(
+            "iso_week",
+            "n_days",
+            sketches.hll_estimate(m, F.col("n_regs"), F.col("s")).alias(
+                "approx_users"
+            ),
         )
         .orderBy("iso_week")
     )

@@ -969,3 +969,213 @@ def ivf_ann_sql(n_centroids: int = 16, nprobe: int = 4, kk: int = 10) -> str:
     ORDER BY cos DESC, vec_id
     LIMIT {kk}
     """
+
+
+# --- generalized portable-HLL twins (q101/q131; sketches.py is the Spark
+# side — every constant below must mirror it exactly) ---------------------
+
+
+def _hll_consts(m: int):
+    from kp_data_pipelines_spark.operators.sketches import (
+        alpha_m2,
+        ln_table,
+        pow2_table,
+    )
+
+    import math
+
+    p = m.bit_length() - 1
+    assert 1 << p == m
+    sat = 62 - p + 1
+    # every float literal is CAST AS DOUBLE: DuckDB parses decimal-point
+    # literals as DECIMAL, and decimal-domain (-, *) drifts from the
+    # Spark side's double ops by ulps (the q132 lesson)
+    pow_lit = _lit_list([repr(v) for v in pow2_table()], "DOUBLE")
+    ln_lit = _lit_list([repr(v) for v in ln_table(m)], "DOUBLE")
+    return {
+        "m": m,
+        "p": p,
+        "sat": sat,
+        "alpha": f"CAST({alpha_m2(m)!r} AS DOUBLE)",
+        "lnm": f"CAST({math.log(m)!r} AS DOUBLE)",
+        "pow": pow_lit,
+        "ln": ln_lit,
+        "thresh": repr(2.5 * m),
+    }
+
+
+def _pm31(x: str) -> str:
+    """Sign-safe mod Mersenne-31 (matches Spark F.pmod)."""
+    return f"((({x}) % {_MOD} + {_MOD}) % {_MOD})"
+
+
+def _hll_hash62_sql(x1: str, x2: str, seed: int) -> str:
+    (a1, b1), (a2, b2) = _hash_params(2, seed)
+    return (
+        f"(({a1} * {_pm31(x1)} + {b1}) % {_MOD}) * CAST(2147483648 AS BIGINT)"
+        f" + (({a2} * {_pm31(x2)} + {b2}) % {_MOD})"
+    )
+
+
+def _char_fold(text: str, base: int) -> str:
+    """rolling_hash twin: Horner char fold mod Mersenne-31 (q44 pattern)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, length({text})+1), "
+        f"i -> CAST(ord(substr({text}, i, 1)) AS BIGINT))), "
+        f"(acc, c) -> (acc * {base} + c) % {_MOD})"
+    )
+
+
+def _hll_reg_rank(hv: str, c: dict) -> str:
+    return (
+        f"{hv} & {c['m'] - 1} AS reg, "
+        f"CASE WHEN ({hv} >> {c['p']}) > 0 "
+        f"THEN {c['sat']} - length(bin({hv} >> {c['p']})) "
+        f"ELSE {c['sat']} END AS rank"
+    )
+
+
+def _hll_fold(c: dict) -> str:
+    """n_regs + harmonic sum folded in register order (grouped context)."""
+    return (
+        f"CAST(COUNT(*) AS BIGINT) AS n_regs, "
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list(mr ORDER BY reg), x -> ({c['pow']})[x + 1])), "
+        f"(acc, t) -> acc + t) AS s"
+    )
+
+
+def _hll_est(c: dict) -> str:
+    raw = f"{c['alpha']} / (s + CAST({c['m']} - n_regs AS DOUBLE))"
+    return (
+        f"CASE WHEN {raw} <= CAST({c['thresh']} AS DOUBLE) "
+        f"AND ({c['m']} - n_regs) > 0 "
+        f"THEN CAST({c['m']} AS DOUBLE) * ({c['lnm']} - ({c['ln']})[{c['m']} - n_regs]) "
+        f"ELSE {raw} END"
+    )
+
+
+def source_cardinality_hll_sql(m: int = 1024, seed: int = 29) -> str:
+    """Twin of q101: per-source distinct-text cardinality via the portable
+    HLL — 62-bit hash from two char-fold lanes (bases 31 / 1000003, the
+    rolling_hash fold), register max per (source, reg), harmonic fold +
+    literal-ln linear counting. n_docs / avg_len ride the same single
+    aggregation pass."""
+    c = _hll_consts(m)
+    hv = _hll_hash62_sql(_char_fold("text", 31), _char_fold("text", 1000003), seed)
+    return f"""
+    WITH h AS (
+      SELECT source, length(text) AS len, {hv} AS hv FROM documents
+    ),
+    r AS (
+      SELECT source, len, {_hll_reg_rank("hv", c)} FROM h
+    ),
+    pr AS (
+      SELECT source, reg, MAX(rank) AS mr, COUNT(*) AS cnt, SUM(len) AS sl
+      FROM r GROUP BY source, reg
+    ),
+    f AS (
+      SELECT source, {_hll_fold(c)},
+             CAST(SUM(cnt) AS BIGINT) AS n_docs,
+             CAST(SUM(sl) AS BIGINT) AS sum_len
+      FROM pr GROUP BY source
+    )
+    SELECT source, {_hll_est(c)} AS approx_unique_texts, n_docs,
+           CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg_len
+    FROM f
+    """
+
+
+def weekly_user_hll_sql(m: int = 1024, seed: int = 41) -> str:
+    """Twin of q131: two-level mergeable roll-up — per-(day, reg) maxes
+    built once, merged to ISO weeks by a second MAX (never rescanning the
+    fact table), then the same portable fold + estimate as q101."""
+    c = _hll_consts(m)
+    hv = _hll_hash62_sql("user_id", "user_id", seed)
+    return f"""
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS day, {hv} AS hv FROM events
+    ),
+    r AS (
+      SELECT day, {_hll_reg_rank("hv", c)} FROM h
+    ),
+    daily AS (
+      SELECT day, reg, MAX(rank) AS dr FROM r GROUP BY day, reg
+    ),
+    weekly AS (
+      SELECT CAST(weekofyear(day) AS INTEGER) AS iso_week, reg,
+             MAX(dr) AS mr
+      FROM daily GROUP BY 1, 2
+    ),
+    nd AS (
+      SELECT CAST(weekofyear(day) AS INTEGER) AS iso_week,
+             CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1
+    ),
+    f AS (
+      SELECT iso_week, {_hll_fold(c)} FROM weekly GROUP BY iso_week
+    )
+    SELECT f.iso_week, nd.n_days, {_hll_est(c)} AS approx_users
+    FROM f JOIN nd ON f.iso_week = nd.iso_week
+    ORDER BY f.iso_week
+    """
+
+
+def quantile_hist_sql() -> str:
+    """Twin of q123: the portable quantile sketch — an exact mergeable
+    cents-histogram (domain-bounded: lineitem prices have two decimals,
+    so round(x*100) is lossless) + type-7 rank interpolation computed
+    with the identical IEEE ops on both engines."""
+    targets = ", ".join(
+        f"('{name}', CAST({p} AS DOUBLE))"
+        for name, p in [
+            ("p50_approx", 0.5),
+            ("p90_approx", 0.9),
+            ("p99_approx", 0.99),
+        ]
+    )
+    return f"""
+    WITH h AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    hc AS (
+      SELECT flag, c, cnt,
+             SUM(cnt) OVER (PARTITION BY flag ORDER BY c
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM h
+    ),
+    tot AS (
+      SELECT flag, CAST(SUM(cnt) AS BIGINT) AS n FROM h GROUP BY 1
+    ),
+    tgt AS (
+      SELECT flag, n, which, p,
+             CAST(floor(p * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS lo,
+             p * CAST(n - 1 AS DOUBLE)
+               - floor(p * CAST(n - 1 AS DOUBLE)) AS frac
+      FROM tot, (VALUES {targets}) t(which, p)
+    ),
+    v AS (
+      SELECT g.flag, g.which, g.lo, g.frac, g.n,
+             MIN(CASE WHEN hc.cum >= g.lo + 1 THEN hc.c END) AS v_lo,
+             MIN(CASE WHEN hc.cum >= least(g.lo + 1, g.n - 1) + 1
+                      THEN hc.c END) AS v_hi
+      FROM tgt g JOIN hc ON hc.flag = g.flag
+      GROUP BY 1, 2, 3, 4, 5
+    ),
+    res AS (
+      SELECT flag, n, which,
+             CAST(v_lo AS DOUBLE) / CAST(100 AS DOUBLE)
+               + frac * (CAST(v_hi AS DOUBLE) / CAST(100 AS DOUBLE)
+                         - CAST(v_lo AS DOUBLE) / CAST(100 AS DOUBLE)) AS v
+      FROM v
+    )
+    SELECT flag, n,
+           MAX(CASE WHEN which = 'p50_approx' THEN v END) AS p50_approx,
+           MAX(CASE WHEN which = 'p90_approx' THEN v END) AS p90_approx,
+           MAX(CASE WHEN which = 'p99_approx' THEN v END) AS p99_approx
+    FROM res GROUP BY flag, n
+    """

@@ -484,3 +484,37 @@ def test_prefix_sum_null_partitions_and_decimal(spark):
     assert got == want
     # decimal in, decimal out (sum widens scale-preserving, not bigint)
     assert dict(out.dtypes)["cum"].startswith("decimal")
+
+
+def test_engine_native_sketches_close_to_exact(spark):
+    """q101/q123/q131 moved to portable oracle-checked sketches; the
+    engine-native approx aggregates they replaced stay covered here —
+    approx_count_distinct, approx_percentile (KLL accuracy 10000), and
+    hll_sketch_agg -> hll_union_agg re-aggregation all bounded against
+    exact answers on the same tables."""
+    from kp_data_pipelines_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_table(spark, sf, "documents")
+    r = docs.agg(
+        F.approx_count_distinct("text", 0.02).alias("approx"),
+        F.countDistinct("text").alias("exact"),
+    ).first()
+    assert abs(r["approx"] - r["exact"]) / max(r["exact"], 1) < 0.10
+
+    li = read_table(spark, sf, "lineitem")
+    q = li.agg(
+        F.approx_percentile("l_extendedprice", 0.5, 10000).alias("approx"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+    ).first()
+    assert abs(q["approx"] - q["exact"]) / max(abs(q["exact"]), 1e-9) < 0.05
+
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx")
+    ).first()
+    exact_users = ev.select("user_id").distinct().count()
+    assert abs(merged["approx"] - exact_users) / max(exact_users, 1) < 0.10
