@@ -116,6 +116,153 @@ def filter_formula(
     )
 
 
+class _MiniXlsxBook:
+    """Minimal SpreadsheetML writer — pure stdlib (zipfile + escaped XML).
+
+    xlsx is a zip of XML parts; this emits just the parts a workbook
+    needs (content types, rels, workbook, worksheets) with inline-string
+    cells, ``dataValidation`` elements, and formula cells. It exists so
+    the K3 interactive-report contract is producible AND verifiable in
+    environments without an xlsx engine; when xlsxwriter is installed
+    the full-fidelity path is used instead. Not a general Excel writer:
+    no styles/sharedStrings/dates, plain (non-array) formula storage."""
+
+    def __init__(self) -> None:
+        self._sheets: list[tuple[str, str]] = []  # (name, sheet xml)
+
+    @staticmethod
+    def _esc(s: str) -> str:
+        from xml.sax.saxutils import escape
+
+        return escape(s, {'"': "&quot;"})
+
+    @classmethod
+    def _cell(cls, row: int, col: int, value) -> str:
+        """One <c> element; 0-based (row, col)."""
+        ref = f"{excel_col(col)}{row + 1}"
+        if value is None:
+            return ""
+        if isinstance(value, bool):
+            return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
+        if isinstance(value, (int, float)):
+            return f'<c r="{ref}"><v>{value!r}</v></c>'
+        return (
+            f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+            f"{cls._esc(str(value))}</t></is></c>"
+        )
+
+    def add_sheet(
+        self,
+        name: str,
+        rows: "list[list]",
+        validations: "list[tuple[str, str]] | None" = None,
+        formulas: "list[tuple[int, int, str]] | None" = None,
+    ) -> None:
+        """``rows`` are cell values; ``validations`` are (sqref,
+        list-source formula with leading '='); ``formulas`` are 0-based
+        (row, col, formula-with-leading-'=') cells."""
+        cells: dict[tuple[int, int], str] = {}
+        for ri, row in enumerate(rows):
+            for ci, v in enumerate(row):
+                c = self._cell(ri, ci, v)
+                if c:
+                    cells[(ri, ci)] = c
+        for ri, ci, f in formulas or []:
+            ref = f"{excel_col(ci)}{ri + 1}"
+            cells[(ri, ci)] = f'<c r="{ref}"><f>{self._esc(f.lstrip("="))}</f></c>'
+        by_row: dict[int, list[str]] = {}
+        for (ri, ci), c in sorted(cells.items()):
+            by_row.setdefault(ri, []).append(c)
+        rows_xml = "".join(
+            f'<row r="{ri + 1}">{"".join(cs)}</row>'
+            for ri, cs in sorted(by_row.items())
+        )
+        dv_xml = ""
+        if validations:
+            dvs = "".join(
+                f'<dataValidation type="list" allowBlank="1" '
+                f'showDropDown="0" sqref="{sq}">'
+                f"<formula1>{self._esc(src.lstrip('='))}</formula1>"
+                f"</dataValidation>"
+                for sq, src in validations
+            )
+            dv_xml = (
+                f'<dataValidations count="{len(validations)}">{dvs}'
+                f"</dataValidations>"
+            )
+        self._sheets.append(
+            (
+                name,
+                '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                '<worksheet xmlns="http://schemas.openxmlformats.org/'
+                'spreadsheetml/2006/main">'
+                f"<sheetData>{rows_xml}</sheetData>{dv_xml}</worksheet>",
+            )
+        )
+
+    def save(self, path: str) -> None:
+        import zipfile
+
+        ns_ct = "http://schemas.openxmlformats.org/package/2006/content-types"
+        ns_r = "http://schemas.openxmlformats.org/package/2006/relationships"
+        ns_doc = (
+            "http://schemas.openxmlformats.org/officeDocument/2006/"
+            "relationships"
+        )
+        overrides = "".join(
+            f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" '
+            f'ContentType="application/vnd.openxmlformats-officedocument.'
+            f'spreadsheetml.worksheet+xml"/>'
+            for i in range(len(self._sheets))
+        )
+        content_types = (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<Types xmlns="{ns_ct}">'
+            '<Default Extension="rels" ContentType="application/vnd.'
+            'openxmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/'
+            "vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"
+            '"/>'
+            f"{overrides}</Types>"
+        )
+        root_rels = (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<Relationships xmlns="{ns_r}">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+            'officeDocument/2006/relationships/officeDocument" '
+            'Target="xl/workbook.xml"/></Relationships>'
+        )
+        sheet_entries = "".join(
+            f'<sheet name="{self._esc(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            for i, (n, _) in enumerate(self._sheets)
+        )
+        workbook = (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<workbook xmlns="http://schemas.openxmlformats.org/'
+            f'spreadsheetml/2006/main" xmlns:r="{ns_doc}">'
+            f"<sheets>{sheet_entries}</sheets></workbook>"
+        )
+        wb_rels = (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<Relationships xmlns="{ns_r}">'
+            + "".join(
+                f'<Relationship Id="rId{i + 1}" Type="http://schemas.'
+                "openxmlformats.org/officeDocument/2006/relationships/"
+                f'worksheet" Target="worksheets/sheet{i + 1}.xml"/>'
+                for i in range(len(self._sheets))
+            )
+            + "</Relationships>"
+        )
+        with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+            z.writestr("[Content_Types].xml", content_types)
+            z.writestr("_rels/.rels", root_rels)
+            z.writestr("xl/workbook.xml", workbook)
+            z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+            for i, (_, xml) in enumerate(self._sheets):
+                z.writestr(f"xl/worksheets/sheet{i + 1}.xml", xml)
+
+
 def write_report_excel_interactive(
     sheets: "dict[str, DataFrame]",
     path: str,
@@ -128,23 +275,30 @@ def write_report_excel_interactive(
     sheet with (a) a dropdown (list data-validation) over ``key_sheet``'s
     key column and (b) one spill FILTER block per detail sheet showing the
     rows matching the selection — the reference's interactive
-    reconciliation workbook re-expressed. Requires xlsxwriter (the only
-    engine with data_validation/write_formula); import-gated like K2/K3.
+    reconciliation workbook re-expressed. Uses xlsxwriter when available
+    (full fidelity); falls back to the stdlib ``_MiniXlsxBook`` engine
+    otherwise, so the workbook contract stays producible and testable in
+    any environment.
 
     Sheet data is collected to pandas — report outputs only, never the
     100 TB path (the heavy reconciliation math runs in Spark upstream)."""
     import pandas as pd
 
-    try:
-        import xlsxwriter  # noqa: F401
-    except ImportError as ex:  # pragma: no cover - environment gate
-        raise ImportError(
-            "write_report_excel_interactive requires xlsxwriter for "
-            "data_validation/write_formula support"
-        ) from ex
-
     detail_sheets = detail_sheets or [s for s in sheets if s != key_sheet]
     pdfs = {name[:31]: df.toPandas() for name, df in sheets.items()}
+    dropdown_src = dropdown_source_range(
+        key_sheet[:31], key_col_idx, len(pdfs[key_sheet[:31]])
+    )
+
+    try:
+        import xlsxwriter  # noqa: F401
+    except ImportError:
+        _write_interactive_stdlib(
+            pdfs, path, dropdown_src, detail_sheets, selector_sheet,
+            key_col_idx,
+        )
+        return
+
     with pd.ExcelWriter(path, engine="xlsxwriter") as writer:
         for name, pdf in pdfs.items():
             pdf.to_excel(writer, sheet_name=name, index=False)
@@ -154,13 +308,7 @@ def write_report_excel_interactive(
         sel.write("A1", "Select key:")
         sel.write("B1", "")
         sel.data_validation(
-            "B1",
-            {
-                "validate": "list",
-                "source": dropdown_source_range(
-                    key_sheet[:31], key_col_idx, len(pdfs[key_sheet[:31]])
-                ),
-            },
+            "B1", {"validate": "list", "source": dropdown_src}
         )
         row = 3
         for name in detail_sheets:
@@ -173,6 +321,45 @@ def write_report_excel_interactive(
                 row + 2, 0, filter_formula(name, len(pdf.columns), key_col_idx)
             )
             row += 4 + len(pdf.columns)
+
+
+def _write_interactive_stdlib(
+    pdfs,
+    path: str,
+    dropdown_src: str,
+    detail_sheets: "list[str]",
+    selector_sheet: str,
+    key_col_idx: int,
+) -> None:
+    """stdlib-engine body of ``write_report_excel_interactive``: same
+    sheets, dropdown, and FILTER blocks via ``_MiniXlsxBook``."""
+    book = _MiniXlsxBook()
+    for name, pdf in pdfs.items():
+        rows = [list(pdf.columns)] + [
+            [None if v != v else v for v in rec] for rec in pdf.itertuples(index=False)
+        ]
+        book.add_sheet(name, rows)
+    sel_rows: list = [["Select key:", ""]]
+    formulas = []
+    row = 3
+    for name in detail_sheets:
+        name = name[:31]
+        pdf = pdfs[name]
+        while len(sel_rows) < row:
+            sel_rows.append([])
+        sel_rows.append([f"{name} rows for selected key"])
+        sel_rows.append([str(c) for c in pdf.columns])
+        formulas.append(
+            (row + 2, 0, filter_formula(name, len(pdf.columns), key_col_idx))
+        )
+        row += 4 + len(pdf.columns)
+    book.add_sheet(
+        selector_sheet,
+        sel_rows,
+        validations=[("B1", dropdown_src)],
+        formulas=formulas,
+    )
+    book.save(path)
 
 
 def write_bucketed(

@@ -221,12 +221,13 @@ def test_interactive_report_formula_helpers():
 
 
 def test_interactive_report_writes_validation(spark, tmp_path):
-    """Full workbook assertion — skipped where no xlsx engine ships
-    (this container); runs wherever xlsxwriter+openpyxl exist."""
-    import pytest
-
-    pytest.importorskip("xlsxwriter")
-    openpyxl = pytest.importorskip("openpyxl")
+    """Full workbook assertion, engine-agnostic: the xlsx is a zip of
+    SpreadsheetML XML, so the dropdown dataValidation element and the
+    spill FILTER formula are verified with stdlib zipfile/ElementTree —
+    runs with xlsxwriter (full-fidelity engine) or without (stdlib
+    ``_MiniXlsxBook`` fallback)."""
+    import zipfile
+    import xml.etree.ElementTree as ET
 
     from kp_data_pipelines_spark.sources.sinks import (
         write_report_excel_interactive,
@@ -244,11 +245,25 @@ def test_interactive_report_writes_validation(spark, tmp_path):
         path,
         key_sheet="Matched",
     )
-    wb = openpyxl.load_workbook(path)
-    assert set(wb.sheetnames) >= {"Matched", "DOR_Detail", "Detail"}
-    dvs = list(wb["Detail"].data_validations.dataValidation)
-    assert dvs and dvs[0].type == "list"
-    assert "Matched" in (dvs[0].formula1 or "")
+
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as z:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        names = [s.get("name") for s in wb.iter(f"{ns}sheet")]
+        assert set(names) >= {"Matched", "DOR_Detail", "Detail"}
+        sheet_xmls = [
+            ET.fromstring(z.read(n))
+            for n in z.namelist()
+            if n.startswith("xl/worksheets/")
+        ]
+    dvs = [dv for x in sheet_xmls for dv in x.iter(f"{ns}dataValidation")]
+    assert dvs and dvs[0].get("type") == "list"
+    formula1 = dvs[0].find(f"{ns}formula1")
+    assert formula1 is not None and "Matched" in formula1.text
+    formulas = [
+        f.text for x in sheet_xmls for f in x.iter(f"{ns}f") if f.text
+    ]
+    assert any("FILTER(" in f and "DOR_Detail" in f for f in formulas)
 
 
 def test_orc_roundtrip_with_pushdown(spark, tmp_path):
@@ -295,3 +310,53 @@ def test_vacuum_versions_and_merge_schema(spark, tmp_path):
 
     with pytest.raises(ValueError):
         vacuum_versions(base, keep=0)
+
+
+def test_jdbc_read_from_derby(spark):
+    """S8 (Study Startup Data Download.sql): read_jdbc executed against
+    the Derby engine already on Spark's classpath (in-memory DB, no new
+    dependency) — plain read, SQL-subquery dbtable (the reference ships
+    its extraction as a .sql file), and a partitioned parallel read."""
+    url = "jdbc:derby:memory:kp_jdbc_test;create=true"
+    dm = spark._jvm.java.sql.DriverManager
+    conn = dm.getConnection(url)
+    st = conn.createStatement()
+    try:
+        st.execute("DROP TABLE studies")
+    except Exception:
+        pass  # first run: table doesn't exist
+    st.execute(
+        "CREATE TABLE studies (study_id INT, site VARCHAR(20), enrolled INT)"
+    )
+    for i, (s, e) in enumerate([("davis", 10), ("sac", 20), ("fresno", 30)]):
+        st.execute(f"INSERT INTO studies VALUES ({i}, '{s}', {e})")
+    conn.commit()
+
+    from kp_data_pipelines_spark.sources.readers import read_jdbc
+
+    df = read_jdbc(spark, "jdbc:derby:memory:kp_jdbc_test", "studies")
+    rows = {r["STUDY_ID"]: (r["SITE"], r["ENROLLED"]) for r in df.collect()}
+    assert rows == {0: ("davis", 10), 1: ("sac", 20), 2: ("fresno", 30)}
+
+    # dbtable as a pushed-down SQL subquery (the reference's .sql shape)
+    sub = read_jdbc(
+        spark,
+        "jdbc:derby:memory:kp_jdbc_test",
+        "(SELECT site, enrolled FROM studies WHERE enrolled >= 20) t",
+    )
+    assert {r["SITE"] for r in sub.collect()} == {"sac", "fresno"}
+
+    # partitioned parallel read: numPartitions JDBC splits on study_id
+    part = read_jdbc(
+        spark,
+        "jdbc:derby:memory:kp_jdbc_test",
+        "studies",
+        {
+            "partitionColumn": "study_id",
+            "lowerBound": "0",
+            "upperBound": "3",
+            "numPartitions": "2",
+        },
+    )
+    assert part.rdd.getNumPartitions() == 2
+    assert part.count() == 3
