@@ -1992,8 +1992,9 @@ def q64_decile_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Document-length decile profile (corpus curation: where to truncate /
     drop). NTILE over a unique (n_chars, doc_id) order is deterministic on
     both engines. The single-partition global window is the known cost —
-    at 100 TB replace with approx_percentile boundaries + a broadcast
-    range lookup; this exact form is that path's oracle."""
+    q158_decile_stats_scale is the 100 TB form (distributed prefix-sum
+    rank + NTILE tile arithmetic), oracle-checked against this same twin
+    and equivalence-tested against this query."""
     docs = read_table(spark, sf, "documents")
     t = docs.select(
         "n_chars",
@@ -6415,4 +6416,67 @@ def q157_portable_hll(spark: SparkSession, sf: str) -> DataFrame:
         folded.join(truth, "week")
         .select("week", "n_regs", "true_distinct", est.alias("hll_estimate"))
         .orderBy("week")
+    )
+
+
+@register(
+    "q158_decile_stats_scale",
+    """
+    WITH t AS (
+      SELECT n_chars,
+             NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM documents
+    )
+    SELECT decile,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM t
+    GROUP BY decile
+    """,
+)
+def q158_decile_stats_scale(spark: SparkSession, sf: str) -> DataFrame:
+    """q64's stated 100 TB form, ORACLE-CHECKED against the identical
+    NTILE twin: the global single-partition NTILE window is replaced by
+    a distributed global rank (``prefix_sum`` with value 1 — range
+    partition on the unique (n_chars, doc_id) order key, local scan,
+    tiny per-partition offset broadcast) plus NTILE's closed-form tile
+    arithmetic on (rank, n). Every stage is bounded by one partition's
+    data; the only driver-side state is the partition-count offset table
+    and the scalar row count. Exactly equal to q64 on any input (unique
+    order key), proven by the shared oracle and the equivalence test."""
+    from kp_data_pipelines_spark.operators.prefix import prefix_sum
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "n_chars")
+    n = docs.count()
+    ranked = prefix_sum(
+        docs, ["n_chars", "doc_id"], F.lit(1).cast("long"), out_col="r"
+    )
+    k = 10
+    base, rem = divmod(n, k)
+    if base == 0:
+        decile = F.col("r").cast("int")
+    else:
+        r = F.col("r")
+        cut = rem * (base + 1)
+        # integer division via (x - x mod d) / d on exact multiples:
+        # the double division of an exact multiple by its divisor is the
+        # exactly-representable quotient (both branches < 2^53)
+        decile = F.when(
+            r <= cut,
+            ((r - 1 - F.pmod(r - 1, F.lit(base + 1)))
+             / F.lit(base + 1)).cast("long") + 1,
+        ).otherwise(
+            ((r - cut - 1 - F.pmod(r - cut - 1, F.lit(base)))
+             / F.lit(base)).cast("long") + rem + 1
+        )
+    t = ranked.select("n_chars", decile.alias("decile"))
+    return t.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+            "avg_chars"
+        ),
     )

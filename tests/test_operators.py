@@ -518,3 +518,53 @@ def test_engine_native_sketches_close_to_exact(spark):
     ).first()
     exact_users = ev.select("user_id").distinct().count()
     assert abs(merged["approx"] - exact_users) / max(exact_users, 1) < 0.10
+
+
+def test_prefix_rownum_matches_window_rownum(spark):
+    """q29/q30's global row_number (reference P6 semantics, single-
+    partition window) pinned to its 100 TB form: prefix_sum with
+    value=1 over the same unique order key produces the identical
+    ranks."""
+    from pyspark.sql import Window
+
+    from kp_data_pipelines_spark.operators.prefix import prefix_sum
+    from kp_data_pipelines_spark.sources.readers import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "n_chars"
+    )
+    window_rn = {
+        r["doc_id"]: r["rn"]
+        for r in docs.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy("n_chars", "doc_id"))
+            .alias("rn"),
+        ).collect()
+    }
+    prefix_rn = {
+        r["doc_id"]: r["rn"]
+        for r in prefix_sum(
+            docs, ["n_chars", "doc_id"], F.lit(1).cast("long"),
+            out_col="rn", num_partitions=7,
+        ).collect()
+    }
+    assert prefix_rn == window_rn
+
+
+def test_decile_scale_path_matches_exact_ntile(spark):
+    """q158 (distributed rank + NTILE arithmetic) is exactly q64
+    (single-partition NTILE window) on the fixtures — the equivalence
+    that licenses swapping in the scale path at 100 TB."""
+    from kp_data_pipelines_spark.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r["decile"]: (r["n_docs"], r["min_chars"], r["max_chars"], r["avg_chars"])
+        for r in QUERIES["q64_decile_stats"](spark, sf).collect()
+    }
+    scale = {
+        r["decile"]: (r["n_docs"], r["min_chars"], r["max_chars"], r["avg_chars"])
+        for r in QUERIES["q158_decile_stats_scale"](spark, sf).collect()
+    }
+    assert scale == exact
