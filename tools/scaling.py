@@ -1,0 +1,78 @@
+"""Scaling-trend probe: times selected catalog queries across sf dirs
+and prints per-query wall-clock plus the log-log slope between
+successive scale factors (slope ~1 = linear in data volume; <1 =
+fixed-cost dominated at these sizes).
+
+Usage: python tools/scaling.py [query ...]
+Defaults to the five historically slowest join/CC-heavy queries.
+Results go to stdout as a markdown table (paste into SCALE.md §12).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SFS = [
+    ("/root/testdata/sf0.001", 0.001),
+    ("/root/testdata/sf0.01", 0.01),
+    ("/root/testdata/sf0.1", 0.1),
+]
+
+DEFAULT = [
+    "q41_ngram_jaccard",
+    "q02_group_agg",
+    "q47_streaming_window_events",
+    "q146_dedup_representative",
+    "q66_dedup_components",
+]
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT
+
+    from kp_data_pipelines_spark.catalog import QUERIES
+    from kp_data_pipelines_spark.session import get_spark
+
+    spark = get_spark("scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen/file-listing machinery once per sf dir
+    for sf_dir, _ in SFS:
+        next(iter(QUERIES.values()))(spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    rows = []
+    for name in names:
+        fn = QUERIES[name]
+        ts = []
+        for sf_dir, _ in SFS:
+            # first run pays plan codegen + broadcast warmup; measure the
+            # second (warm) run so slopes reflect data volume, not JIT
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            ts.append(time.perf_counter() - t0)
+        slopes = [
+            math.log(ts[i + 1] / ts[i])
+            / math.log(SFS[i + 1][1] / SFS[i][1])
+            for i in range(len(ts) - 1)
+        ]
+        rows.append((name, ts, slopes))
+
+    print("| query | sf0.001 s | sf0.01 s | sf0.1 s | slope 0.001→0.01 | slope 0.01→0.1 |")
+    print("|---|---|---|---|---|---|")
+    for name, ts, slopes in rows:
+        print(
+            f"| {name} | {ts[0]:.2f} | {ts[1]:.2f} | {ts[2]:.2f} "
+            f"| {slopes[0]:.2f} | {slopes[1]:.2f} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
