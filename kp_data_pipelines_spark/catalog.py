@@ -3632,15 +3632,20 @@ def q101_source_cardinality(spark: SparkSession, sf: str) -> DataFrame:
     hash-matches the DuckDB twin. The engine-native HLL++ path stays
     exercised by tests/test_operators.py's accuracy bound. 31-bit char
     folds cap the hash entropy per lane; two independent lanes (bases
-    31 / 1000003) give 62 bits — sound past 10^9 distincts."""
+    31 / 1000003) give 62 bits — sound past 10^9 distincts. Both lanes
+    come from ONE vectorized Arrow kernel pass (char_fold_hashes,
+    pinned bit-for-bit to the rolling_hash expression fold by test —
+    the interpreted-HOF-per-character cost never touches the corpus)."""
     from kp_data_pipelines_spark.operators import sketches
-    from kp_data_pipelines_spark.operators.textops import rolling_hash
+    from kp_data_pipelines_spark.operators.similarity import ensure_parallelism
+    from kp_data_pipelines_spark.operators.textops import char_fold_hashes
 
     m = 1024
-    docs = read_table(spark, sf, "documents")
+    docs = ensure_parallelism(read_table(spark, sf, "documents"))
+    lanes = char_fold_hashes("text", (31, 1000003))
+    docs = docs.withColumn("__lanes", lanes)
     hv = sketches.hll_hash62(
-        rolling_hash("text", base=31), rolling_hash("text", base=1000003),
-        seed=29,
+        F.element_at("__lanes", 1), F.element_at("__lanes", 2), seed=29
     )
     per_reg = (
         docs.select(

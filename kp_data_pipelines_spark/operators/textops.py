@@ -372,3 +372,59 @@ def with_hashed_shingles(df, text_col: str, out: str = "gram_hashes", k: int = 5
     )
     grams = F.transform(idx, lambda i: F.xxhash64(F.slice("__tok_hashes", i, k)))
     return step.withColumn(out, grams).drop("__tok_hashes")
+
+
+def char_fold_hashes(col: Column | str, bases: "tuple[int, ...]" = (31, 1000003)):
+    """Vectorized multi-base ``rolling_hash``: one Arrow/numpy pass
+    computes the character Horner fold ``acc*base + ord(c) mod M31`` for
+    every base in ``bases`` and returns array<long> (one element per
+    base). Identical integer arithmetic to ``rolling_hash(col, base=b)``
+    per element — pinned bit-for-bit by test — so DuckDB twins that
+    recompute the fold are unaffected; the expression form pays one
+    interpreted lambda call per CHARACTER, this kernel none. Used by
+    q101's two-lane HLL text hash."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    p = _POLY_MOD
+    base_list = list(bases)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _fold(texts: pd.Series) -> pd.Series:
+        n = len(texts)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        nulls = texts.isna().to_numpy()
+        strs = ["" if is_null else str(t) for t, is_null in zip(texts, nulls)]
+        joined = "".join(strs)
+        if joined.isascii():
+            chars = np.frombuffer(joined.encode(), np.uint8).astype(np.int64)
+        else:
+            chars = np.fromiter(
+                (ord(c) for c in joined), dtype=np.int64, count=len(joined)
+            )
+        tl = np.fromiter((len(s) for s in strs), dtype=np.int64, count=n)
+        ends = np.cumsum(tl)
+        starts = ends - tl
+        max_l = int(tl.max()) if tl.size else 0
+        # Horner fold == sum(c_i * base^(L-1-i)) mod p (mod linearity);
+        # per-char terms are < 2^52 pre-mod, < 2^31 post-mod, so the
+        # segment cumsum stays far below int64 for any Arrow batch
+        exp = (
+            np.repeat(ends, tl) - 1 - np.arange(chars.size, dtype=np.int64)
+        )
+        out = np.empty((len(base_list), n), dtype=np.int64)
+        for bi, base in enumerate(base_list):
+            powb = np.ones(max_l + 1, dtype=np.int64)
+            for i in range(1, max_l + 1):
+                powb[i] = (powb[i - 1] * base) % p
+            prod = chars * powb[exp] % p
+            cs = np.concatenate(
+                (np.zeros(1, dtype=np.int64), np.cumsum(prod))
+            )
+            out[bi] = (cs[ends] - cs[starts]) % p
+        return pd.Series(
+            [None if nulls[i] else [int(out[bi][i]) for bi in range(len(base_list))] for i in range(n)]
+        )
+
+    return _fold(_c(col))

@@ -468,3 +468,36 @@ def test_portable_hll_accuracy(spark):
             r["true_distinct"], 1
         )
         assert rel < 3 * 1.04 / (64 ** 0.5), (r["week"], rel)
+
+
+def test_char_fold_kernel_matches_expression(spark):
+    """Pin char_fold_hashes (vectorized Arrow kernel) to the
+    rolling_hash expression fold bit-for-bit on real corpus text plus
+    edge rows (empty, null, non-ASCII, long doc) — the license for
+    using the kernel in oracle-hashed q101."""
+    from pyspark.sql import functions as F
+
+    from kp_data_pipelines_spark.operators.textops import (
+        char_fold_hashes,
+        rolling_hash,
+    )
+    from kp_data_pipelines_spark.sources.readers import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "text"
+    )
+    edge = spark.createDataFrame(
+        [("",), ("ünïcode tëst",), (None,), ("x" * 4096,)], "text string"
+    )
+    df = docs.unionByName(edge)
+    rows = df.select(
+        char_fold_hashes("text", (31, 1000003)).alias("k"),
+        rolling_hash("text", base=31).alias("e1"),
+        rolling_hash("text", base=1000003).alias("e2"),
+    ).collect()
+    assert rows
+    for r in rows:
+        if r["k"] is None:
+            assert r["e1"] is None and r["e2"] is None
+        else:
+            assert r["k"][0] == r["e1"] and r["k"][1] == r["e2"]
