@@ -6485,3 +6485,208 @@ def q158_decile_stats_scale(spark: SparkSession, sf: str) -> DataFrame:
             "avg_chars"
         ),
     )
+
+
+@register(
+    "q159_asof_attribution",
+    """
+    WITH c AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+      WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_id, p.user_id, p.us AS purchase_us,
+           c.event_id AS click_id, c.us AS click_us,
+           p.us - c.us AS latency_us
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.us >= c.us
+    """,
+)
+def q159_asof_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """AS-OF JOIN (point-in-time attribution): each purchase matched to
+    the user's most recent click at-or-before it. Spark has no native
+    as-of operator; the distributed form is the tagged-union window —
+    one shuffle on the join key, then ``last(click, ignorenulls)`` over
+    the per-user event-time order — so every partition holds one key
+    range's rows and state is a single struct per row (the streaming
+    sibling would be a transformWithState keyed timer). No range
+    explosion, no BNLJ: cost is sort-within-partition of events.
+    ORACLE-CHECKED against DuckDB's native ASOF LEFT JOIN, which pins
+    the semantics (ties impossible: (user_id, ts) is unique in events;
+    timestamps compare as unix micros, the q65 convention)."""
+    ev = read_table(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    us = F.unix_micros(F.col("ts"))
+    tagged = ev.select(
+        "user_id",
+        us.alias("us"),
+        "event_id",
+        F.col("event_type").alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.last(
+        F.when(
+            F.col("kind") == "click", F.struct("us", "event_id")
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        tagged.withColumn("__c", last_click)
+        .filter(F.col("kind") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("us").alias("purchase_us"),
+            F.col("__c.event_id").alias("click_id"),
+            F.col("__c.us").alias("click_us"),
+            (F.col("us") - F.col("__c.us")).alias("latency_us"),
+        )
+    )
+
+
+@register(
+    "q160_countmin_heavyhitters", oracles.countmin_heavyhitters_sql()
+)
+def q160_countmin_heavyhitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch heavy hitters, ORACLE-CHECKED end to end: a
+    d=4 x w=1024 CMS of per-user event counts — the constant-size,
+    mergeable frequency sketch (map-side combinable groupBy(row,
+    bucket); at 100 TB per-executor partials are 4096 longs merged by
+    addition, never a per-key shuffle) — probed with the exact top-10
+    users so the result shows exact vs estimate (CMS guarantees
+    cms_n >= exact_n). Bucket lanes are the portable LCG mod-M31
+    arithmetic (operators/sketches.py family): pure integer math, so
+    every cell and estimate hash-matches the DuckDB twin."""
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    d_rows, w_buckets, topk, seed = 4, 1024, 10, 57
+    params = _hash_params(d_rows, seed)
+    ev = read_table(spark, sf, "events")
+
+    def lanes(uid: Column) -> Column:
+        um = F.pmod(uid.cast("long"), F.lit(_MERSENNE))
+        return F.array(
+            *[
+                ((F.lit(a) * um + F.lit(b)) % _MERSENNE) % w_buckets
+                for a, b in params
+            ]
+        )
+
+    cms = (
+        ev.select(F.posexplode(lanes(F.col("user_id"))).alias("row_idx", "bucket"))
+        .groupBy("row_idx", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(topk)
+    )
+    cand = exact.select(
+        "user_id",
+        "exact_n",
+        F.posexplode(lanes(F.col("user_id"))).alias("row_idx", "bucket"),
+    )
+    return (
+        F.broadcast(cand)
+        .join(cms, ["row_idx", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("exact_n").alias("exact_n"), F.min("n").alias("cms_n"))
+    )
+
+
+@register(
+    "q161_salted_skew_agg",
+    """
+    SELECT l_returnflag AS flag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q161_salted_skew_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: lineitem has only 3 return
+    flags, so a naive groupBy funnels a third of 100 TB through three
+    reducers. Salting splits each hot key 16 ways (pmod of the row's
+    orderkey) for the wide partial aggregation, then a second, tiny
+    aggregation (<= 48 rows) folds the salts away. Decimal partials
+    make the two-phase sum exactly equal to the single-phase oracle
+    (decimal addition is associative), so the oracle is just the plain
+    GROUP BY — the equivalence IS the correctness statement. Same
+    pattern applies to skewed joins (salt the hot side, replicate the
+    dim side 16x)."""
+    li = read_table(spark, sf, "lineitem")
+    partial = (
+        li.withColumn("__salt", F.pmod(F.col("l_orderkey"), F.lit(16)))
+        .groupBy("l_returnflag", "__salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("ps"),
+        )
+    )
+    return partial.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.sum("pn").alias("n_items"),
+        F.sum("ps").cast("double").alias("total_price"),
+    )
+
+
+@register(
+    "q162_hierarchical_rollup",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS v
+      FROM events GROUP BY 1
+    ),
+    daily AS (
+      SELECT CAST(hour AS DATE) AS day,
+             CAST(SUM(n) AS BIGINT) AS n, SUM(v) AS v
+      FROM hourly GROUP BY 1
+    )
+    SELECT strftime(date_trunc('week', day), '%Y-%m-%d') AS week,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS total_value
+    FROM daily GROUP BY 1 ORDER BY 1
+    """,
+)
+def q162_hierarchical_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour partials built once
+    from the fact table, days folded from hours, weeks from days —
+    each level re-aggregates the one below (tiny inputs), never
+    rescanning events. This is the materialized-rollup cascade for
+    time-series marts at 100 TB (store the hourly partials; every
+    coarser resolution is a cheap re-aggregation — q131's register
+    pattern, with additive sums instead of MAX). Decimal partials keep
+    every level's sum exactly equal to the direct weekly oracle."""
+    ev = read_table(spark, sf, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+    )
+    daily = hourly.groupBy(F.to_date("hour").alias("day")).agg(
+        F.sum("n").alias("n"), F.sum("v").alias("v")
+    )
+    return (
+        daily.groupBy(
+            F.date_format(F.date_trunc("week", F.col("day")), "yyyy-MM-dd")
+            .alias("week")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("n").alias("n_events"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+        .orderBy("week")
+    )

@@ -1179,3 +1179,41 @@ def quantile_hist_sql() -> str:
            MAX(CASE WHEN which = 'p99_approx' THEN v END) AS p99_approx
     FROM res GROUP BY flag, n
     """
+
+
+def countmin_heavyhitters_sql(
+    d: int = 4, w: int = 1024, topk: int = 10, seed: int = 57
+) -> str:
+    """Twin of q160: the Count-Min table is rebuilt with the same LCG
+    bucket lanes (integer mod arithmetic — engine-exact), the same
+    exact top-k candidates, and the same min-over-rows estimate."""
+    params = _hash_params(d, seed)
+    lanes = ", ".join(
+        f"(({a} * {_pm31('user_id')} + {b}) % {_MOD}) % {w}"
+        for a, b in params
+    )
+    return f"""
+    WITH b AS (
+      SELECT user_id, r.i AS row_idx, ([{lanes}])[r.i + 1] AS bucket
+      FROM events, range(0, {d}) r(i)
+    ),
+    cms AS (
+      SELECT row_idx, bucket, CAST(COUNT(*) AS BIGINT) AS n
+      FROM b GROUP BY row_idx, bucket
+    ),
+    exact AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY user_id
+      ORDER BY exact_n DESC, user_id LIMIT {topk}
+    ),
+    cand AS (
+      SELECT e.user_id, e.exact_n, r.i AS row_idx,
+             ([{lanes}])[r.i + 1] AS bucket
+      FROM exact e, range(0, {d}) r(i)
+    )
+    SELECT c.user_id, MIN(c.exact_n) AS exact_n,
+           MIN(m.n) AS cms_n
+    FROM cand c JOIN cms m
+      ON c.row_idx = m.row_idx AND c.bucket = m.bucket
+    GROUP BY c.user_id
+    """
