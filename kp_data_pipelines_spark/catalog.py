@@ -6690,3 +6690,126 @@ def q162_hierarchical_rollup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+@register(
+    "q163_concurrency_sweep",
+    """
+    WITH iv AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT user_id, s AS us, CAST(1 AS BIGINT) AS delta FROM iv
+      UNION ALL
+      SELECT user_id, e AS us, CAST(-1 AS BIGINT) AS delta FROM iv
+    ),
+    r AS (
+      SELECT us, delta,
+             SUM(delta) OVER (ORDER BY us, 0 - delta, user_id
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM b
+    )
+    SELECT strftime(make_timestamp(us), '%Y-%m-%d') AS day,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+           CAST(COUNT(*) AS BIGINT) AS n_boundaries
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+)
+def q163_concurrency_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-overlap counting by boundary sweep, at scale: each
+    (user, day) activity interval [first event, last event] emits a +1
+    at its start and a -1 at its end; the running sum over the global
+    (time, -delta, user) order IS the number of concurrently-active
+    users at every instant. The global cumulative sum is a
+    single-partition window in naive SQL — here it runs through
+    ``prefix_sum`` (range partition + local scan + offset broadcast),
+    so the sweep is fully distributed: the classic time-travel /
+    overlap-join alternative that avoids an interval self-join
+    entirely. Peak concurrency is then a cheap per-day max. The +1
+    sorts before the -1 at the same instant (ascending -delta), making
+    touching intervals count as overlapping — the inclusive-bounds
+    convention, mirrored in the oracle's window ORDER BY."""
+    from kp_data_pipelines_spark.operators.prefix import prefix_sum
+
+    ev = read_table(spark, sf, "events")
+    us = F.unix_micros(F.col("ts"))
+    iv = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.min(us).alias("s"), F.max(us).alias("e"))
+    b = iv.select(
+        "user_id", F.col("s").alias("us"), F.lit(1).cast("long").alias("delta")
+    ).unionAll(
+        iv.select(
+            "user_id",
+            F.col("e").alias("us"),
+            F.lit(-1).cast("long").alias("delta"),
+        )
+    ).withColumn("neg_delta", -F.col("delta"))
+    r = prefix_sum(
+        b, ["us", "neg_delta", "user_id"], F.col("delta"), out_col="conc"
+    )
+    return (
+        r.groupBy(
+            F.date_format(F.timestamp_micros(F.col("us")), "yyyy-MM-dd")
+            .alias("day")
+        )
+        .agg(
+            F.max("conc").alias("peak_concurrency"),
+            F.count(F.lit(1)).alias("n_boundaries"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "q164_stratified_sample",
+    """
+    WITH u AS (
+      SELECT source, doc_id,
+             (1048573 * (((doc_id % 2147483647) + 2147483647) % 2147483647)
+                + 12345) % 2147483647 AS u
+      FROM documents
+    ),
+    r AS (
+      SELECT source, doc_id, u,
+             row_number() OVER (PARTITION BY source ORDER BY u, doc_id)
+               AS rn
+      FROM u
+    )
+    SELECT source, doc_id, u FROM r WHERE rn <= 5
+    """,
+)
+def q164_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly k=5 docs per source,
+    chosen by an LCG priority (rerun- and partitioning-independent, the
+    q151 determinism family). Scale path: per-stratum counts broadcast
+    a priority THRESHOLD of 8k/n * p first, so the per-stratum top-k
+    window sorts only ~8k surviving rows per source instead of the
+    whole stratum — the filter-then-rank trick that keeps exact-k
+    sampling O(k) per stratum at 100 TB. The true k smallest
+    priorities survive any threshold that keeps >= k rows (Chernoff:
+    under-selection odds ~e^-15 at k=5, and deterministic per dataset
+    — parity proves this dataset is safe at every sf); the oracle
+    ranks the full stratum, so the equality also certifies the prune
+    lost nothing."""
+    k = 5
+    a, b, p = 1048573, 12345, 2147483647
+    docs = read_table(spark, sf, "documents").select("source", "doc_id")
+    u = (F.lit(a) * F.pmod(F.col("doc_id"), F.lit(p)) + F.lit(b)) % p
+    withu = docs.withColumn("u", u)
+    counts = withu.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    thresh = F.least(
+        F.lit(p).cast("double"),
+        F.lit(float(8 * k)) * F.lit(float(p)) / F.col("n").cast("double"),
+    )
+    pruned = withu.join(F.broadcast(counts), "source").filter(
+        F.col("u").cast("double") < thresh
+    )
+    w = Window.partitionBy("source").orderBy("u", "doc_id")
+    return (
+        pruned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("source", "doc_id", "u")
+    )
