@@ -6813,3 +6813,246 @@ def q164_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= k)
         .select("source", "doc_id", "u")
     )
+
+
+@register(
+    "q165_rolling_features",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    )
+    SELECT user_id, event_id, us,
+           CAST(SUM(v) OVER w AS DOUBLE) AS sum_5,
+           CAST(CAST(SUM(v) OVER w AS DOUBLE)
+                / CAST(COUNT(*) OVER w AS DOUBLE) AS DOUBLE) AS avg_5,
+           us - lag(us, 1) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id) AS gap_us
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q165_rolling_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-key rolling time-series features (the feature-engineering
+    staple): 5-event moving sum/avg of value and inter-event gap per
+    user, all per-user windows — state is bounded by one user's events
+    per partition, so the plan is one shuffle on user_id + in-partition
+    sorts at any corpus size (never a global window). Money sums stage
+    through DECIMAL and the avg divides in double on both engines."""
+    ev = read_table(spark, sf, "events")
+    us = F.unix_micros(F.col("ts"))
+    e = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    wl = Window.partitionBy("user_id").orderBy("us", "event_id")
+    sum5 = F.sum("v").over(w).cast("double")
+    return e.select(
+        "user_id",
+        "event_id",
+        "us",
+        sum5.alias("sum_5"),
+        (sum5 / F.count(F.lit(1)).over(w).cast("double")).alias("avg_5"),
+        (F.col("us") - F.lag("us", 1).over(wl)).alias("gap_us"),
+    )
+
+
+@register(
+    "q166_dq_report",
+    """
+    SELECT * FROM (
+      SELECT 'orders.o_totalprice_nonpositive' AS rule,
+             CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+               AS n_violations,
+             CAST(COUNT(*) AS BIGINT) AS n_checked
+      FROM orders
+      UNION ALL
+      SELECT 'orders.o_orderdate_null',
+             CAST(COUNT(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orders.o_orderkey_duplicate',
+             CAST(COALESCE(SUM(c - 1), 0) AS BIGINT),
+             CAST(SUM(c) AS BIGINT)
+      FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+      UNION ALL
+      SELECT 'orders.o_custkey_orphan',
+             CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+      FROM orders o WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      UNION ALL
+      SELECT 'lineitem.l_qty_out_of_range',
+             CAST(COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+                  AS BIGINT),
+             CAST(COUNT(*) AS BIGINT)
+      FROM lineitem
+    ) ORDER BY rule
+    """,
+)
+def q166_dq_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed data-quality gate (the production form of the
+    reference's spreadsheet data_validation + control-sum checks): a
+    rule catalog evaluated as conditional aggregates — range, null,
+    uniqueness, referential integrity — each one scan or one keyed
+    anti-join, emitted as a (rule, n_violations, n_checked) report.
+    Conditional counts share a single pass per table (no per-rule
+    rescans); the orphan check is a broadcast anti join. The report
+    shape is what a pipeline asserts on before publishing a snapshot."""
+    orders = read_table(spark, sf, "orders")
+    cust = read_table(spark, sf, "customer")
+    li = read_table(spark, sf, "lineitem")
+    cnt = F.count(F.lit(1))
+    o_checks = orders.agg(
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("nonpos"),
+        F.sum(F.col("o_orderdate").isNull().cast("long")).alias("datenull"),
+        cnt.alias("n"),
+    )
+    dup = (
+        orders.groupBy("o_orderkey")
+        .agg(cnt.alias("c"))
+        .agg(
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("extra"),
+            F.sum("c").alias("n"),
+        )
+    )
+    orphan = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "left_anti",
+        ).agg(cnt.alias("n_orphan"))
+    )
+    l_checks = li.agg(
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("long")
+        ).alias("qty_bad"),
+        cnt.alias("n"),
+    )
+    rows = [
+        o_checks.select(
+            F.lit("orders.o_totalprice_nonpositive").alias("rule"),
+            F.col("nonpos").alias("n_violations"),
+            F.col("n").alias("n_checked"),
+        ),
+        o_checks.select(
+            F.lit("orders.o_orderdate_null").alias("rule"),
+            F.col("datenull").alias("n_violations"),
+            F.col("n").alias("n_checked"),
+        ),
+        dup.select(
+            F.lit("orders.o_orderkey_duplicate").alias("rule"),
+            F.col("extra").alias("n_violations"),
+            F.col("n").alias("n_checked"),
+        ),
+        orphan.select(
+            F.lit("orders.o_custkey_orphan").alias("rule"),
+            F.col("n_orphan").alias("n_violations"),
+            F.col("n_orphan").alias("n_checked"),
+        ),
+        l_checks.select(
+            F.lit("lineitem.l_qty_out_of_range").alias("rule"),
+            F.col("qty_bad").alias("n_violations"),
+            F.col("n").alias("n_checked"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("rule")
+
+
+@register(
+    "q167_fuzzy_entity_match",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_name, substr(c_name, 10, 9) AS digits
+      FROM customer
+      WHERE regexp_matches(c_name, '^Customer#[0-9]{9}$')
+    ),
+    masks AS (
+      SELECT c_custkey, c_name, m.i AS mask_id,
+             CASE m.i
+               WHEN 1 THEN substr(digits, 4, 6)
+               WHEN 2 THEN substr(digits, 1, 3) || substr(digits, 7, 3)
+               ELSE substr(digits, 1, 6)
+             END AS mask_val
+      FROM c, range(1, 4) m(i)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+             a.c_name AS name_a, b.c_name AS name_b
+      FROM masks a JOIN masks b
+        ON a.mask_id = b.mask_id AND a.mask_val = b.mask_val
+       AND a.c_custkey < b.c_custkey
+    )
+    SELECT custkey_a, custkey_b,
+           CAST(levenshtein(name_a, name_b) AS INTEGER) AS lev
+    FROM pairs
+    WHERE levenshtein(name_a, name_b) <= 1
+    """,
+)
+def q167_fuzzy_entity_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution with SymSpell-style mask blocking: customers
+    whose names differ by <= 1 edit. Candidate generation is an
+    EQUI-join on (mask_id, masked key): the 9-digit id span splits
+    into 3 chunks and each mask deletes one chunk, so any pair
+    differing only inside one chunk collides exactly on that chunk's
+    mask — pigeonhole-complete for the single-substitution model, no
+    cartesian anywhere (plan_audit-clean). The expensive edit-distance
+    runs only on mask collisions. Block-size note: masks that delete
+    the LOW-order digits of dense sequential ids collect runs of ~10^3
+    neighbors — real-world entity keys (names, addresses) spread
+    masks far thinner; for sequential-id corpora drop the
+    low-order-deleting mask or sub-chunk it. Distinct-pair dedup
+    before scoring keeps each candidate scored once."""
+    cust = read_table(spark, sf, "customer").filter(
+        F.col("c_name").rlike(r"^Customer#[0-9]{9}$")
+    )
+    digits = F.substring("c_name", 10, 9)
+    c = cust.select("c_custkey", "c_name", digits.alias("digits"))
+    masks = c.select(
+        "c_custkey",
+        "c_name",
+        F.posexplode(
+            F.array(
+                F.substring("digits", 4, 6),
+                F.concat(
+                    F.substring("digits", 1, 3), F.substring("digits", 7, 3)
+                ),
+                F.substring("digits", 1, 6),
+            )
+        ).alias("mask_id", "mask_val"),
+    )
+    a = masks.alias("a")
+    b = masks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.mask_id") == F.col("b.mask_id"))
+            & (F.col("a.mask_val") == F.col("b.mask_val"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("custkey_a"),
+            F.col("b.c_custkey").alias("custkey_b"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+        )
+        .distinct()
+    )
+    lev = F.levenshtein("name_a", "name_b")
+    return (
+        pairs.withColumn("lev", lev)
+        .filter(F.col("lev") <= 1)
+        .select("custkey_a", "custkey_b", F.col("lev").cast("int").alias("lev"))
+    )
