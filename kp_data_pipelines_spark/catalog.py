@@ -7056,3 +7056,75 @@ def q167_fuzzy_entity_match(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("lev") <= 1)
         .select("custkey_a", "custkey_b", F.col("lev").cast("int").alias("lev"))
     )
+
+
+@register("q168_pagerank_neardup", oracles.pagerank_neardup_sql())
+def q168_pagerank_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank (3 rounds, damping 0.85) over the MinHash near-dup
+    graph — the canonical iterative-propagation algorithm beyond q66's
+    connected components: rank centrality ranks the canonical copy
+    inside big duplicate clusters. Per round: one keyed join chain
+    (ranks -> out-edges -> incoming aggregation) — all equi-joins on
+    node ids, shuffle volume = edge count, no adjacency ever collected.
+    ORACLE-CHECKED bit-exact: incoming mass aggregates as
+    round(contrib * 1e12) BIGINTs (order-independent) summed as hi/lo
+    2^26 splits so every partial converts to double exactly at any node
+    degree (the q106/q115 rule); the degree-division and damping blend
+    are identical IEEE doubles in the unrolled DuckDB twin.
+    localCheckpoint between rounds cuts the iterative lineage (the q66
+    pattern)."""
+    from kp_data_pipelines_spark.operators.similarity import minhash_near_dups
+
+    quant = 10**12
+    damping, base = 0.85, 0.15
+    docs = read_table(spark, sf, "documents")
+    pairs = minhash_near_dups(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=32, bands=16,
+        jaccard_threshold=0.4, portable_hash=True,
+    ).select("id_a", "id_b")
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ranks = deg.select("node", F.lit(1.0).alias("pr"))
+    for _ in range(3):
+        contrib = (
+            sym.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(
+                deg.select(F.col("node").alias("src"), F.col("deg").alias("sdeg")),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.round(
+                    (F.col("pr") / F.col("sdeg").cast("double")) * quant
+                ).cast("long").alias("q"),
+            )
+        )
+        split = 1 << 26
+        s_recon = (
+            F.sum(F.expr(f"q div {split}")).cast("double")
+            * F.lit(float(split))
+            + F.sum(F.col("q") % split).cast("double")
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg(
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (s_recon / F.lit(quant).cast("double"))
+                ).alias("pr")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.join(deg, "node")
+        .select(F.col("node").alias("doc_id"), "deg", "pr")
+        .orderBy("doc_id")
+    )

@@ -1217,3 +1217,63 @@ def countmin_heavyhitters_sql(
       ON c.row_idx = m.row_idx AND c.bucket = m.bucket
     GROUP BY c.user_id
     """
+
+
+def pagerank_neardup_sql(
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.4,
+    n_iter: int = 3,
+    damping: str = "0.85",
+    quant: int = 10**12,
+) -> str:
+    """Twin of q168: PageRank over the MinHash near-dup graph, the
+    n_iter rounds unrolled as CTEs. Per-round incoming mass sums as
+    QUANTIZED integers (round(contrib * 1e12) -> BIGINT, exact and
+    order-independent) and every float op (the division by degree, the
+    damping blend) is the identical IEEE double op on both engines, so
+    the ranks are bit-exact."""
+    d = f"CAST({damping} AS DOUBLE)"
+    base = f"CAST({repr(1 - float(damping))} AS DOUBLE)"
+    parts = [
+        _minhash_pairs_core(k, num_hashes, bands, threshold),
+        f"""edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs WHERE est_jaccard >= {threshold}
+    ),
+    sym AS (
+      SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+    ),
+    deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY 1
+    ),
+    r0 AS (
+      SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM deg
+    )""",
+    ]
+    qexpr = f"CAST(round((r.pr / CAST(nd.deg AS DOUBLE)) * {quant}) AS BIGINT)"
+    for i in range(1, n_iter + 1):
+        # hi/lo split (div/mod 2^26): each BIGINT partial sum stays
+        # below 2^53 so the cast to double is exact on both engines at
+        # ANY node degree (q106/q115 pattern; contribs are positive)
+        parts.append(
+            f"""r{i} AS (
+      SELECT d.node,
+             {base} + {d} * ((CAST(SUM({qexpr} // 67108864) AS DOUBLE)
+                                * CAST(67108864 AS DOUBLE)
+                              + CAST(SUM({qexpr} % 67108864) AS DOUBLE))
+                             / CAST({quant} AS DOUBLE)) AS pr
+      FROM deg d
+      JOIN sym s ON s.dst = d.node
+      JOIN r{i - 1} r ON r.node = s.src
+      JOIN deg nd ON nd.node = s.src
+      GROUP BY d.node
+    )"""
+        )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT r.node AS doc_id, d.deg, r.pr
+    FROM r{n_iter} r JOIN deg d ON d.node = r.node
+    ORDER BY doc_id
+    """
