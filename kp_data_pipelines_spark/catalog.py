@@ -6487,9 +6487,7 @@ def q158_decile_stats_scale(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register(
-    "q159_asof_attribution",
-    """
+_ASOF_ATTRIBUTION_SQL = """
     WITH c AS (
       SELECT user_id, epoch_us(ts) AS us, event_id FROM events
       WHERE event_type = 'click'
@@ -6503,8 +6501,10 @@ def q158_decile_stats_scale(spark: SparkSession, sf: str) -> DataFrame:
            p.us - c.us AS latency_us
     FROM p ASOF LEFT JOIN c
       ON p.user_id = c.user_id AND p.us >= c.us
-    """,
-)
+    """
+
+
+@register("q159_asof_attribution", _ASOF_ATTRIBUTION_SQL)
 def q159_asof_attribution(spark: SparkSession, sf: str) -> DataFrame:
     """AS-OF JOIN (point-in-time attribution): each purchase matched to
     the user's most recent click at-or-before it. Spark has no native
@@ -7127,4 +7127,206 @@ def q168_pagerank_neardup(spark: SparkSession, sf: str) -> DataFrame:
         ranks.join(deg, "node")
         .select(F.col("node").alias("doc_id"), "deg", "pr")
         .orderBy("doc_id")
+    )
+
+
+@register("q169_streaming_asof", _ASOF_ATTRIBUTION_SQL)
+def q169_streaming_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """q159's deploy shape: purchases arrive as a STREAM (file source,
+    AvailableNow) and each micro-batch runs the as-of attribution
+    against the static click history inside ``foreachBatch`` — batch
+    purchases union the clicks, the per-user event-time window picks
+    the last click at-or-before each purchase, and the batch's matches
+    are written to parquet inside the trigger (the q150 harness: no
+    driver collect, ephemeral checkpoint). Correct under any batch
+    split because a purchase's match depends only on the static click
+    side. Oracle: the SAME ASOF twin as q159 — streaming and batch
+    engines must agree row-for-row."""
+    from kp_data_pipelines_spark.streaming.events import (
+        run_available_now_foreach_batch,
+    )
+
+    path = f"{sf}/events.parquet"
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    from kp_data_pipelines_spark.sources.readers import _nanos_timestamp_cols
+
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    for c in ns_cols:
+        stream = stream.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+        )
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    clicks = read_table(spark, sf, "events").filter(
+        F.col("event_type") == "click"
+    )
+
+    def attribute(batch: DataFrame) -> DataFrame:
+        us = F.unix_micros(F.col("ts"))
+        tagged = batch.select(
+            "user_id", us.alias("us"), "event_id",
+            F.col("event_type").alias("kind"),
+        ).unionByName(
+            clicks.select(
+                "user_id", us.alias("us"), "event_id",
+                F.col("event_type").alias("kind"),
+            )
+        )
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("us")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        last_click = F.last(
+            F.when(F.col("kind") == "click", F.struct("us", "event_id")),
+            ignorenulls=True,
+        ).over(w)
+        return (
+            tagged.withColumn("__c", last_click)
+            .filter(F.col("kind") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                "user_id",
+                F.col("us").alias("purchase_us"),
+                F.col("__c.event_id").alias("click_id"),
+                F.col("__c.us").alias("click_us"),
+                (F.col("us") - F.col("__c.us")).alias("latency_us"),
+            )
+        )
+
+    return run_available_now_foreach_batch(
+        purchases,
+        attribute,
+        "purchase_id long, user_id long, purchase_us long, "
+        "click_id long, click_us long, latency_us long",
+    )
+
+
+@register(
+    "q170_group_regression",
+    """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, MIN(us) AS mn FROM e GROUP BY 1
+    ),
+    t AS (
+      SELECT e.event_type, (e.us - m.mn) // 1000000 AS x, e.y
+      FROM e JOIN m USING (event_type)
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x // 67108864) AS DOUBLE) * CAST(67108864 AS DOUBLE)
+               + CAST(SUM(x % 67108864) AS DOUBLE) AS sx,
+             CAST(SUM(y // 67108864) AS DOUBLE) * CAST(67108864 AS DOUBLE)
+               + CAST(SUM(y % 67108864) AS DOUBLE) AS sy,
+             CAST(SUM((x * x) // 67108864) AS DOUBLE) * CAST(67108864 AS DOUBLE)
+               + CAST(SUM((x * x) % 67108864) AS DOUBLE) AS sxx,
+             CAST(SUM((x * y) // 67108864) AS DOUBLE) * CAST(67108864 AS DOUBLE)
+               + CAST(SUM((x * y) % 67108864) AS DOUBLE) AS sxy,
+             CAST(SUM((y * y) // 67108864) AS DOUBLE) * CAST(67108864 AS DOUBLE)
+               + CAST(SUM((y * y) % 67108864) AS DOUBLE) AS syy
+      FROM t GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_cents_per_sec,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             AS intercept_cents,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+    FROM s ORDER BY event_type
+    """,
+)
+def q170_group_regression(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped closed-form least squares (value-vs-time trend per event
+    type), ORACLE-CHECKED bit-exact: one scan accumulates the five
+    moment sums as EXACT integers — x re-based to seconds from the
+    group minimum (bounds x*x, x*y under 2^63 for decade-long spans),
+    y as cents — each summed through the hi/lo 2^26 split so the
+    double conversions are exact at any row count (the q106/q115
+    rule; all terms non-negative, so DuckDB's floor-div // and
+    Spark's trunc-div agree). The slope/intercept/r2 algebra then runs
+    in identical IEEE doubles on both engines. Scale shape: grouped
+    moment sums are one map-side-combinable aggregation — the
+    textbook distributed-regression split (no per-group data
+    movement, just 5 numbers per group)."""
+    ev = read_table(spark, sf, "events")
+    e = ev.select(
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    m = e.groupBy("event_type").agg(F.min("us").alias("mn"))
+    t = e.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        F.expr("(us - mn) div 1000000").alias("x"),
+        "y",
+    )
+    split = 67108864  # 2^26
+
+    def hl(expr: str) -> Column:
+        return F.sum(F.expr(f"({expr}) div {split}")).cast("double") * F.lit(
+            float(split)
+        ) + F.sum(F.expr(f"({expr}) % {split}")).cast("double")
+
+    s = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        hl("x").alias("sx"),
+        hl("y").alias("sy"),
+        hl("x * x").alias("sxx"),
+        hl("x * y").alias("sxy"),
+        hl("y * y").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    slope = cov / varx
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        slope.alias("slope_cents_per_sec"),
+        ((sy - slope * sx) / n).alias("intercept_cents"),
+        ((cov * cov) / (varx * vary)).alias("r2"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q171_cdf_features",
+    """
+    SELECT event_id, event_type, value,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cdf
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def q171_cdf_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group CDF / percentile-rank transform (rank-normalized
+    features for training): percent_rank and cume_dist over the
+    per-event-type value order — per-key windows only (one shuffle on
+    event_type; for few heavy groups at 100 TB switch to the q123
+    histogram + broadcast-rank form, the same two-phase trick as
+    q164). Rank arithmetic divides identically in both engines
+    ((rank-1)/(n-1), peers/n)."""
+    ev = read_table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdf"),
     )
