@@ -7330,3 +7330,178 @@ def q171_cdf_features(spark: SparkSession, sf: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cdf"),
     )
+
+
+@register("q172_triangle_count", oracles.triangle_count_sql())
+def q172_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node triangle counts over the MinHash near-dup graph —
+    the clustering-coefficient numerator that distinguishes tight
+    duplicate cliques (template families) from chains of borderline
+    matches. Edges are id-oriented (a < b), so every triangle appears
+    exactly once as a < b < c: one equi-join on the wedge's middle
+    node, then a 2-key equi-join for the closing edge — shuffle volume
+    is O(wedges), never all-pairs, which is the standard distributed
+    triangle enumeration (degree-ordering drops the wedge count
+    further on power-law graphs; id-ordering keeps the oracle twin
+    trivially identical). localCheckpoint pins the edge list so the
+    three self-join branches share one computed layout."""
+    from kp_data_pipelines_spark.operators.similarity import minhash_near_dups
+
+    docs = read_table(spark, sf, "documents")
+    edges = (
+        minhash_near_dups(
+            docs, "doc_id", "text", shingle_k=3, num_hashes=32, bands=16,
+            jaccard_threshold=0.4, portable_hash=True,
+        )
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    nodes = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return (
+        nodes.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q173_incremental_mv_merge",
+    """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q173_incremental_mv_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the daily aggregate
+    "view" is kept as mergeable partials (count + decimal sum); when a
+    delta batch arrives (here: events on/after Jan 21), only the DELTA
+    is aggregated and folded into the stored base partials with a
+    second tiny groupBy — the base fact rows are never rescanned. At
+    100 TB this is the difference between an O(delta) nightly refresh
+    and an O(history) recompute; decimal addition is associative, so
+    merged partials are EXACTLY the full recompute — which is the
+    oracle (the equivalence is the correctness statement, the q161
+    pattern). Same shape maintains any algebraic aggregate (sum,
+    count, min/max, the q131 HLL registers)."""
+    cutoff = F.lit("2024-01-21").cast("date")
+    ev = read_table(spark, sf, "events")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("pv"),
+        )
+
+    base = partials(ev.filter(F.to_date("ts") < cutoff))
+    delta = partials(ev.filter(F.to_date("ts") >= cutoff))
+    return (
+        base.unionAll(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.sum("pv").cast("double").alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+def _morton_sql(x: str, y: str, bits: int = 16) -> str:
+    """Bit-interleave SQL identical on Spark and DuckDB: BIGINT
+    shifts/ANDs are exact integer ops on both engines."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "q174_zorder_layout",
+    f"""
+    WITH ext AS (
+      SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+             MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+      FROM lineitem
+    ),
+    g AS (
+      SELECT l_partkey, l_suppkey,
+             ((l_partkey - pmin) * 65535) // (pmax - pmin) AS gx,
+             ((l_suppkey - smin) * 65535) // (smax - smin) AS gy
+      FROM lineitem, ext
+    ),
+    z AS (
+      SELECT l_partkey, l_suppkey,
+             ({_morton_sql('gx', 'gy')}) AS zcode
+      FROM g
+    )
+    SELECT (zcode >> 26) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_partkey) AS BIGINT) AS part_min,
+           CAST(MAX(l_partkey) AS BIGINT) AS part_max,
+           CAST(MIN(l_suppkey) AS BIGINT) AS supp_min,
+           CAST(MAX(l_suppkey) AS BIGINT) AS supp_max
+    FROM z GROUP BY 1 ORDER BY 1
+    """,
+)
+def q174_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton-curve) layout clustering — the multi-dimension
+    data-skipping layout behind Delta/Iceberg OPTIMIZE ZORDER: bit-
+    interleave two sort dimensions into one BIGINT code, range-split
+    the code into file buckets (top 6 bits -> 64 buckets), and every
+    bucket gets a BOUNDED min/max zone on BOTH dimensions, so a
+    predicate on either column prunes most files (a 1-D sort gives
+    bounded zones on one dimension only). At 100 TB this is
+    `repartitionByRange(zcode).sortWithinPartitions(zcode)` before the
+    parquet write; here the emitted table IS the per-bucket zone map
+    (row count + both min/max spans), which the oracle recomputes from
+    the identical integer interleave. Keys are first rescaled onto the
+    16-bit grid from the column extrema (one scalar-agg pass; 4 longs
+    of driver state, the centroid pattern) so the top code bits always
+    split the space at any sf; all arithmetic is BIGINT sub/mul/
+    floor-div/shift/AND — exact on both engines."""
+    li = read_table(spark, sf, "lineitem")
+    ext = li.agg(
+        F.min("l_partkey").alias("pmin"), F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"), F.max("l_suppkey").alias("smax"),
+    ).collect()[0]
+    gx = f"(((l_partkey - {ext['pmin']}) * 65535) div {ext['pmax'] - ext['pmin']})"
+    gy = f"(((l_suppkey - {ext['smin']}) * 65535) div {ext['smax'] - ext['smin']})"
+    z = li.select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(_morton_sql(gx, gy)).alias("zcode"),
+    )
+    return (
+        z.groupBy(F.expr("zcode >> 26").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").cast("bigint").alias("part_min"),
+            F.max("l_partkey").cast("bigint").alias("part_max"),
+            F.min("l_suppkey").cast("bigint").alias("supp_min"),
+            F.max("l_suppkey").cast("bigint").alias("supp_max"),
+        )
+        .orderBy("bucket")
+    )

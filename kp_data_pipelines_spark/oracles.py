@@ -1277,3 +1277,34 @@ def pagerank_neardup_sql(
     FROM r{n_iter} r JOIN deg d ON d.node = r.node
     ORDER BY doc_id
     """
+
+
+def triangle_count_sql(
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.4,
+) -> str:
+    """Twin of q172: per-node triangle counts over the MinHash
+    near-dup graph. Edges are id-oriented (a < b) so each triangle is
+    enumerated exactly once as a < b < c: wedge join on the middle
+    node, then a 2-key closing-edge join."""
+    return f"""
+    WITH {_minhash_pairs_core(k, num_hashes, bands, threshold)},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs WHERE est_jaccard >= {threshold}
+    ),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    nodes AS (
+      SELECT a AS doc_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY doc_id ORDER BY doc_id
+    """

@@ -31,6 +31,9 @@ SUBSET = [
     "q143_ivf_refined_ann",
     "q152_token_budget_selection",
     "q157_portable_hll",
+    # round-3 graph/layout families
+    "q172_triangle_count",
+    "q174_zorder_layout",
 ]
 
 
