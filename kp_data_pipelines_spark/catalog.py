@@ -7505,3 +7505,144 @@ def q174_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register("q175_novelty_score", oracles.novelty_score_sql())
+def q175_novelty_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document shingle novelty — the curation signal dual to
+    dedup: the fraction of a doc's distinct 5-gram shingles that occur
+    NOWHERE else in the corpus (corpus df = 1). High-novelty docs add
+    new content to a training mix; near-zero novelty marks boilerplate
+    and template families before pair-level dedup even runs. Pipeline:
+    vectorized poly-shingle kernel (the q38 Arrow kernel, bit-pinned to
+    its JVM fold) -> explode distinct grams -> one hash-shuffle df
+    count -> one keyed join back — both shuffles on the gram key, no
+    pair enumeration at all, so cost is O(corpus grams) at any scale.
+    All counts integer-exact; the ratio is one IEEE division."""
+    from kp_data_pipelines_spark.operators.similarity import ensure_parallelism
+    from kp_data_pipelines_spark.operators.textops import with_poly_shingles
+
+    docs = ensure_parallelism(
+        read_table(spark, sf, "documents").select("doc_id", "text")
+    )
+    g = with_poly_shingles(docs, "text", out="grams", k=5)
+    ex = g.select(
+        "doc_id", F.explode(F.array_distinct("grams")).alias("gram")
+    )
+    dfc = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    uniq = F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("bigint")
+    return (
+        ex.join(dfc, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            uniq.alias("n_unique"),
+            (uniq.cast("double") / F.count(F.lit(1))).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register("q176_bm25_search", oracles.bm25_proxy_sql())
+def q176_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Log-free BM25 ranked retrieval (k1=1.2, b=0.75) for the fixed
+    query {hash, merge, vector} — extends q125's boolean inverted-index
+    search to SCORED retrieval. The Robertson idf keeps its rational
+    form (N - df + 0.5)/(df + 0.5) WITHOUT the log (strictly monotone,
+    so the ranking is unchanged — q153's log-free rule; ln() ulps
+    differ between libm and the JVM, rational ops do not). Corpus
+    stats (N, total tokens) collect as TWO driver scalars; df for the
+    3 query terms broadcasts; the per-(doc,term) score is elementwise
+    IEEE double arithmetic quantized to BIGINT before the per-doc sum,
+    so accumulation order cannot move the hash. Cost: one token scan +
+    keyed tf/dl aggregations + a top-k TakeOrdered — no full-corpus
+    score sort at 100 TB."""
+    terms, k1, b, quant = ["hash", "merge", "vector"], 1.2, 0.75, 10**9
+    docs = read_table(spark, sf, "documents").filter(F.trim("text") != "")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    srow = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tt")
+    ).collect()[0]
+    n_docs, avgdl = float(srow["n"]), float(srow["tt"]) / float(srow["n"])
+    tf = (
+        tok.filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = (F.lit(n_docs) - F.col("df").cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    tfd, dld = F.col("tf").cast("double"), F.col("dl").cast("double")
+    tfpart = (tfd * F.lit(k1 + 1.0)) / (
+        tfd
+        + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * (dld / F.lit(avgdl)))
+    )
+    qscore = F.round(idf * tfpart * F.lit(float(quant))).cast("long")
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "token")
+        .select("doc_id", qscore.alias("qscore"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("qscore").cast("bigint").alias("qscore_sum"))
+        .select(
+            "doc_id",
+            "qscore_sum",
+            (F.col("qscore_sum").cast("double") / F.lit(float(quant))).alias(
+                "bm25_proxy"
+            ),
+        )
+        .orderBy(F.desc("qscore_sum"), "doc_id")
+        .limit(10)
+    )
+
+
+@register(
+    "q177_salted_skew_join",
+    """
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q177_salted_skew_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe SALTED JOIN — q161's pattern applied to the join
+    itself, for when both sides are too big to broadcast and a few hot
+    customers own millions of orders: the fact side gets a
+    deterministic salt (o_orderkey % 16), the dim side is replicated
+    16x (explode of a literal salt array), and the join key becomes
+    (custkey, salt) — every hot key now spreads over 16 reducers
+    instead of melting one. shuffle_hash hint models the 100 TB plan
+    (no broadcast). Decimal partials keep the salted aggregate exactly
+    equal to the plain-join oracle — the equivalence IS the
+    correctness statement (q161)."""
+    orders = read_table(spark, sf, "orders").withColumn(
+        "salt", F.pmod(F.col("o_orderkey"), F.lit(16))
+    )
+    customer = read_table(spark, sf, "customer").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(16)]))
+    )
+    joined = orders.join(
+        customer.hint("shuffle_hash"),
+        (orders.o_custkey == customer.c_custkey)
+        & (orders.salt == customer.salt),
+    )
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("segment")
+    )

@@ -1308,3 +1308,99 @@ def triangle_count_sql(
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
     FROM nodes GROUP BY doc_id ORDER BY doc_id
     """
+
+
+def novelty_score_sql(k: int = 5) -> str:
+    """Twin of q175: per-document shingle novelty — the fraction of a
+    doc's distinct k-gram poly-shingles whose corpus document frequency
+    is 1. Counts are integer-exact; the final ratio is one IEEE
+    division."""
+    return f"""
+    WITH th AS (
+      SELECT doc_id, {_tok_hashes("text")} AS th FROM documents
+    ),
+    g AS (
+      SELECT doc_id, list_distinct({_grams("th", k, False)}) AS grams FROM th
+    ),
+    ex AS (
+      SELECT doc_id, unnest(grams) AS gram FROM g
+    ),
+    dfc AS (
+      SELECT gram, COUNT(*) AS df FROM ex GROUP BY gram
+    )
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS novelty
+    FROM ex e JOIN dfc d ON d.gram = e.gram
+    GROUP BY e.doc_id ORDER BY e.doc_id
+    """
+
+
+def bm25_proxy_sql(
+    terms: tuple = ("hash", "merge", "vector"),
+    k1: str = "1.2",
+    b: str = "0.75",
+    quant: int = 10**9,
+    topk: int = 10,
+) -> str:
+    """Twin of q176: log-free BM25 ranked retrieval. idf' is the
+    rational Robertson fraction (N - df + 0.5) / (df + 0.5) WITHOUT the
+    log (monotone in the same direction, so ranking is preserved and
+    every op stays an elementwise IEEE double — q153's log-free rule).
+    Per-(doc, term) scores quantize to BIGINT before the per-doc sum so
+    accumulation order cannot perturb the hash."""
+    terms_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+               AS token
+      FROM documents WHERE trim(text) <> ''
+    ),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_tokens
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE token IN ({terms_list})
+      GROUP BY doc_id, token
+    ),
+    dfreq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(round(
+               ((CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+                  / (CAST(f.df AS DOUBLE) + 0.5))
+               * ((CAST(t.tf AS DOUBLE) * (CAST({k1} AS DOUBLE) + 1.0))
+                  / (CAST(t.tf AS DOUBLE)
+                     + CAST({k1} AS DOUBLE)
+                       * (1.0 - CAST({b} AS DOUBLE)
+                          + CAST({b} AS DOUBLE)
+                            * (CAST(d.dl AS DOUBLE)
+                               / (CAST(s.total_tokens AS DOUBLE)
+                                  / CAST(s.n_docs AS DOUBLE))))))
+               * {quant}) AS BIGINT) AS qscore
+      FROM tf t
+      JOIN dl d ON d.doc_id = t.doc_id
+      JOIN dfreq f ON f.token = t.token
+      CROSS JOIN stats s
+    ),
+    agg AS (
+      SELECT doc_id, CAST(SUM(qscore) AS BIGINT) AS qscore_sum
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, qscore_sum,
+           CAST(qscore_sum AS DOUBLE) / {quant} AS bm25_proxy
+    FROM agg
+    ORDER BY qscore_sum DESC, doc_id
+    LIMIT {topk}
+    """
