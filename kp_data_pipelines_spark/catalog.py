@@ -7646,3 +7646,203 @@ def q177_salted_skew_join(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "q178_lateness_profile",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS prev_max
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN prev_max > us THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(MAX(CASE WHEN prev_max > us THEN prev_max - us ELSE 0 END)
+                AS BIGINT) AS max_late_us
+    FROM seq GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q178_lateness_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Out-of-order arrival profiling — the measurement that SIZES a
+    streaming watermark: replay each user's stream in arrival order
+    (event_id), track the running max event time, and count events
+    that arrive LATE (older than something already seen) plus the
+    worst lateness in microseconds. `withWatermark(max_late)` then
+    provably drops nothing; a smaller bound trades completeness for
+    state. Per-user windows only (one shuffle on user_id, the q165
+    frame) — arrival order is global at 100 TB but lateness is
+    measured per key, which is exactly the granularity streaming state
+    eviction cares about. All integer microsecond arithmetic."""
+    ev = read_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col("ts"))
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        F.max(us).over(w).alias("prev_max"),
+    )
+    late = F.col("prev_max") > F.col("us")
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(late, 1).otherwise(0)).cast("bigint").alias("n_late"),
+            F.max(
+                F.when(late, F.col("prev_max") - F.col("us")).otherwise(0)
+            ).cast("bigint").alias("max_late_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register("q179_label_propagation", oracles.label_propagation_sql())
+def q179_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-supervised label propagation across near-duplicates — the
+    standard trick for transferring sparse metadata (license, lang,
+    topic) to the unlabeled members of a duplicate family before
+    filtering decisions: seeds (here docs with doc_id % 3 == 0 keep
+    their lang) stay clamped; every other node adopts its
+    neighbourhood's majority label each synchronous round, tie-broken
+    deterministically by (count DESC, label ASC). Three rounds, each =
+    one edge-keyed join + one (node,label) count + one per-node
+    row_number window — shuffle volume O(edges) per round, state is
+    one label per node, localCheckpoint cuts the iterative lineage
+    (q66/q168 pattern). The oracle unrolls the identical rounds."""
+    from kp_data_pipelines_spark.operators.similarity import minhash_near_dups
+
+    docs = read_table(spark, sf, "documents")
+    pairs = minhash_near_dups(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=32, bands=16,
+        jaccard_threshold=0.4, portable_hash=True,
+    ).select("id_a", "id_b")
+    sym = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.join(
+        docs.select(F.col("doc_id").alias("node"), "lang"), "node"
+    ).select(
+        "node",
+        F.when(F.col("node") % 3 == 0, F.col("lang")).alias("label"),
+    )
+    for _ in range(3):
+        votes = (
+            sym.join(
+                labels.withColumnRenamed("node", "src"), "src"
+            )
+            .filter(F.col("label").isNotNull())
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+        )
+        winner = (
+            votes.withColumn("rn", rn)
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("wlabel"))
+        )
+        labels = (
+            labels.join(winner, "node", "left")
+            .select(
+                "node",
+                F.when(F.col("node") % 3 == 0, F.col("label"))
+                .when(F.col("wlabel").isNotNull(), F.col("wlabel"))
+                .otherwise(F.col("label"))
+                .alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(F.col("node").alias("doc_id"), "label").orderBy(
+        "doc_id"
+    )
+
+
+@register("q180_containment_join", oracles.containment_join_sql())
+def q180_containment_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric set-CONTAINMENT join (|Ta ∩ Tb| >= 0.8|Ta| on 3-gram
+    shingle sets) — catches quote/excerpt/superset relations that the
+    symmetric Jaccard join (q41) misses: a short doc fully contained in
+    a long one has low Jaccard but containment 1.0. Candidate
+    generation is the rarity-prefix filter: if B holds >= t of Ta, it
+    must share one of Ta's floor((1-t)|Ta|)+1 RAREST grams, so the
+    equi-join runs prefix(A) x grams(B) — the rarest grams have the
+    smallest df, which is exactly what bounds the join fan-out (PPJoin
+    logic, containment-flavoured). Gram rarity ranks use the
+    DISTRIBUTED row_number (q153's prefix_sum — no single-partition
+    window over a web-scale gram vocabulary); per-doc prefix positions
+    are doc-keyed windows; the verify step recounts the exact overlap
+    with two (doc, gram) equi-joins; the threshold test is exact
+    integer arithmetic (overlap*5 >= 4*|Ta|)."""
+    from kp_data_pipelines_spark.operators.prefix import prefix_sum
+    from kp_data_pipelines_spark.operators.similarity import ensure_parallelism
+    from kp_data_pipelines_spark.operators.textops import with_poly_shingles
+
+    t_num, t_den = 4, 5
+    docs = ensure_parallelism(
+        read_table(spark, sf, "documents").select("doc_id", "text")
+    )
+    ex = (
+        with_poly_shingles(docs, "text", out="grams", k=3)
+        .select("doc_id", F.explode(F.array_distinct("grams")).alias("gram"))
+        .localCheckpoint(eager=True)
+    )
+    dfc = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    ranked = prefix_sum(
+        dfc, ["df", "gram"], F.lit(1).cast("long"), out_col="rnk"
+    ).select("gram", "rnk")
+    wsz = Window.partitionBy("doc_id")
+    wpos = Window.partitionBy("doc_id").orderBy("rnk")
+    exr = (
+        ex.join(ranked, "gram")
+        .withColumn("sz", F.count(F.lit(1)).over(wsz))
+        .withColumn("pos", F.row_number().over(wpos))
+    )
+    pref = exr.filter(
+        F.col("pos") <= F.expr(f"(sz * {t_den - t_num}) div {t_den}") + 1
+    ).select("doc_id", "gram")
+    cand = (
+        pref.withColumnRenamed("doc_id", "id_a")
+        .join(ex.withColumnRenamed("doc_id", "id_b"), "gram")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = ex.select(F.col("doc_id").alias("id_a"), "gram")
+    tb = ex.select(F.col("doc_id").alias("id_b"), "gram")
+    ov = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    sz = ex.groupBy(F.col("doc_id").alias("id_a")).agg(
+        F.count(F.lit(1)).alias("size_a")
+    )
+    return (
+        ov.join(sz, "id_a")
+        .filter(F.col("overlap") * t_den >= t_num * F.col("size_a"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("overlap").cast("bigint").alias("overlap"),
+            F.col("size_a").cast("bigint").alias("size_a"),
+            (F.col("overlap").cast("double") / F.col("size_a").cast("double"))
+            .alias("containment"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -1404,3 +1404,118 @@ def bm25_proxy_sql(
     ORDER BY qscore_sum DESC, doc_id
     LIMIT {topk}
     """
+
+
+def label_propagation_sql(
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.4,
+    n_iter: int = 3,
+) -> str:
+    """Twin of q179: semi-supervised label propagation over the MinHash
+    near-dup graph, the n_iter synchronous rounds unrolled as CTEs.
+    Seeds (doc_id % 3 = 0) stay clamped; unlabeled nodes adopt the
+    neighbourhood-majority label with the deterministic
+    (count DESC, label ASC) tie-break."""
+    parts = [
+        _minhash_pairs_core(k, num_hashes, bands, threshold),
+        f"""edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs WHERE est_jaccard >= {threshold}
+    ),
+    sym AS (
+      SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+    ),
+    nodes AS (
+      SELECT DISTINCT src AS node FROM sym
+    ),
+    l0 AS (
+      SELECT n.node,
+             CASE WHEN n.node % 3 = 0 THEN d.lang ELSE NULL END AS label
+      FROM nodes n JOIN documents d ON d.doc_id = n.node
+    )""",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""v{i} AS (
+      SELECT s.dst AS node, l.label, COUNT(*) AS cnt
+      FROM sym s JOIN l{i - 1} l ON l.node = s.src
+      WHERE l.label IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    w{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label) AS rn
+        FROM v{i}
+      ) WHERE rn = 1
+    ),
+    l{i} AS (
+      SELECT p.node,
+             CASE WHEN p.node % 3 = 0 THEN p.label
+                  WHEN w.label IS NOT NULL THEN w.label
+                  ELSE p.label END AS label
+      FROM l{i - 1} p LEFT JOIN w{i} w ON w.node = p.node
+    )"""
+        )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT node AS doc_id, label FROM l{n_iter} ORDER BY doc_id
+    """
+
+
+def containment_join_sql(k: int = 3, t_num: int = 4, t_den: int = 5) -> str:
+    """Twin of q180: asymmetric set-containment join on k-gram shingle
+    sets — pairs (a, b) with |Ta ∩ Tb| >= (t_num/t_den)|Ta|. Candidates
+    come from the rarity-ranked prefix filter (a doc's first
+    floor((1 - t)|Ta|) + 1 rarest grams); the threshold test is exact
+    integer arithmetic."""
+    return f"""
+    WITH th AS (
+      SELECT doc_id, {_tok_hashes("text")} AS th FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, unnest(list_distinct({_grams("th", k, False)})) AS gram
+      FROM th
+    ),
+    dfc AS (
+      SELECT gram, COUNT(*) AS df FROM ex GROUP BY gram
+    ),
+    ranked AS (
+      SELECT gram, ROW_NUMBER() OVER (ORDER BY df, gram) AS rnk FROM dfc
+    ),
+    exr AS (
+      SELECT e.doc_id, e.gram, r.rnk,
+             COUNT(*) OVER (PARTITION BY e.doc_id) AS sz,
+             ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY r.rnk) AS pos
+      FROM ex e JOIN ranked r ON r.gram = e.gram
+    ),
+    pref AS (
+      SELECT doc_id, gram FROM exr
+      WHERE pos <= (sz * {t_den - t_num}) // {t_den} + 1
+    ),
+    cand AS (
+      SELECT DISTINCT p.doc_id AS id_a, e.doc_id AS id_b
+      FROM pref p JOIN ex e ON e.gram = p.gram
+      WHERE e.doc_id <> p.doc_id
+    ),
+    ov AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS overlap
+      FROM cand c
+      JOIN ex a ON a.doc_id = c.id_a
+      JOIN ex b ON b.doc_id = c.id_b AND b.gram = a.gram
+      GROUP BY c.id_a, c.id_b
+    ),
+    sz AS (
+      SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id
+    )
+    SELECT o.id_a, o.id_b,
+           CAST(o.overlap AS BIGINT) AS overlap,
+           CAST(s.sz AS BIGINT) AS size_a,
+           CAST(o.overlap AS DOUBLE) / CAST(s.sz AS DOUBLE) AS containment
+    FROM ov o JOIN sz s ON s.doc_id = o.id_a
+    WHERE o.overlap * {t_den} >= {t_num} * s.sz
+    ORDER BY o.id_a, o.id_b
+    """
