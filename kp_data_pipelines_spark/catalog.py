@@ -7846,3 +7846,283 @@ def q180_containment_join(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+def _kmv_sql(k: int = 64, seed: int = 29) -> str:
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    (a1, b1), (a2, b2) = _hash_params(2, seed)
+    m = _MERSENNE
+    return f"""
+    WITH h AS (
+      SELECT DISTINCT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+             (({a1} * (((user_id % {m}) + {m}) % {m}) + {b1}) % {m})
+               * CAST(2147483648 AS BIGINT)
+               + (({a2} * (((user_id % {m}) + {m}) % {m}) + {b2}) % {m}) AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT week, hv,
+             ROW_NUMBER() OVER (PARTITION BY week ORDER BY hv) AS rn
+      FROM h
+    ),
+    agg AS (
+      SELECT week, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             MAX(hv) AS kth
+      FROM r WHERE rn <= {k} GROUP BY week
+    ),
+    truth AS (
+      SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT a.week, a.n_kept, t.true_distinct,
+           CASE WHEN a.n_kept < {k} THEN CAST(a.n_kept AS DOUBLE)
+                ELSE {repr(float((k - 1) * (1 << 62)))} / CAST(a.kth AS DOUBLE)
+           END AS kmv_estimate
+    FROM agg a JOIN truth t ON t.week = a.week
+    ORDER BY a.week
+    """
+
+
+@register("q181_kmv_sketch", _kmv_sql())
+def q181_kmv_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct sketch, the mergeable
+    companion to q157's HLL with exact small-range behavior: keep the k
+    smallest DISTINCT portable-hash values per week; if fewer than k
+    survive the count is exact, else estimate (k-1)/kth_min normalized
+    to the 62-bit hash space. Union-mergeability (bottom-k of a union =
+    bottom-k of pooled bottom-k sets) is what makes it shuffle-light at
+    100 TB: partial bottom-k per partition, merge at reduce — here the
+    distinct + per-week window is the same shape (the window scans only
+    post-distinct rows). (k-1)*2^62 has 6 significant bits so the
+    double literal is exact; BIGINT->double casts round identically on
+    both engines. Estimator never peeks at true_distinct (emitted
+    alongside for the accuracy story)."""
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    k, seed = 64, 29
+    (a1, b1), (a2, b2) = _hash_params(2, seed)
+    ev = read_table(spark, sf, "events")
+    week = F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+    uid_m = F.pmod(F.col("user_id"), F.lit(_MERSENNE))
+    hv = (
+        (F.lit(a1) * uid_m + F.lit(b1)) % _MERSENNE
+    ) * F.lit(1 << 31) + ((F.lit(a2) * uid_m + F.lit(b2)) % _MERSENNE)
+    h = ev.select(week.alias("week"), hv.alias("hv")).distinct()
+    rn = F.row_number().over(Window.partitionBy("week").orderBy("hv"))
+    agg = (
+        h.withColumn("rn", rn)
+        .filter(F.col("rn") <= k)
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.max("hv").alias("kth"),
+        )
+    )
+    truth = ev.groupBy(week.alias("week")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("true_distinct")
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float((k - 1) * (1 << 62))) / F.col("kth").cast("double")
+    )
+    return (
+        agg.join(truth, "week")
+        .select("week", "n_kept", "true_distinct", est.alias("kmv_estimate"))
+        .orderBy("week")
+    )
+
+
+@register(
+    "q182_item_cooccurrence",
+    """
+    WITH d AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+    ),
+    freq AS (
+      SELECT pkey, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY pkey
+    ),
+    tot AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders FROM d),
+    pairs AS (
+      SELECT a.pkey AS part_a, b.pkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS cooc
+      FROM d a JOIN d b ON a.okey = b.okey AND a.pkey < b.pkey
+      GROUP BY 1, 2
+    )
+    SELECT p.part_a, p.part_b, p.cooc, fa.n AS n_a, fb.n AS n_b,
+           (CAST(p.cooc AS DOUBLE) * CAST(t.n_orders AS DOUBLE))
+             / (CAST(fa.n AS DOUBLE) * CAST(fb.n AS DOUBLE)) AS lift,
+           CAST(p.cooc AS DOUBLE) / sqrt(CAST(fa.n * fb.n AS DOUBLE))
+             AS cosine
+    FROM pairs p
+    JOIN freq fa ON fa.pkey = p.part_a
+    JOIN freq fb ON fb.pkey = p.part_b
+    CROSS JOIN tot t
+    WHERE p.cooc >= 2
+    ORDER BY p.cooc DESC, p.part_a, p.part_b
+    LIMIT 100
+    """,
+)
+def q182_item_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
+    """Item-item co-occurrence similarity (the classic collaborative-
+    filtering building block): orders are baskets, candidate pairs are
+    generated ONLY by the basket equi-join (a.okey = b.okey, pkey a<b)
+    so fan-out per order is C(basket,2) — bounded by basket size, never
+    all-pairs over the catalog. At 100 TB the guard is a per-basket cap
+    (slice each basket to its top-N items before pairing); TPC-H
+    baskets are <= 7 lines so the raw join is already volume-bounded.
+    Lift and cosine stay exact: integer counts cast to double in the
+    SAME multiply/divide order on both engines, sqrt of an exact-
+    integer product is one IEEE op. Top-100 by (cooc DESC, part_a,
+    part_b) is a total order (pairs are unique)."""
+    d = (
+        read_table(spark, sf, "lineitem")
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey"))
+        .distinct()
+    )
+    freq = d.groupBy("pkey").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    n_orders = d.select(
+        F.count_distinct("okey").cast("bigint").alias("n_orders")
+    )
+    pairs = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.pkey") < F.col("b.pkey")),
+        )
+        .groupBy(
+            F.col("a.pkey").alias("part_a"), F.col("b.pkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cooc"))
+        .filter(F.col("cooc") >= 2)
+    )
+    fa = freq.select(F.col("pkey").alias("part_a"), F.col("n").alias("n_a"))
+    fb = freq.select(F.col("pkey").alias("part_b"), F.col("n").alias("n_b"))
+    lift = (F.col("cooc").cast("double") * F.col("n_orders").cast("double")) / (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    cosine = F.col("cooc").cast("double") / F.sqrt(
+        (F.col("n_a") * F.col("n_b")).cast("double")
+    )
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a", "part_b", "cooc", "n_a", "n_b",
+            lift.alias("lift"), cosine.alias("cosine"),
+        )
+        .orderBy(F.desc("cooc"), "part_a", "part_b")
+        .limit(100)
+    )
+
+
+@register(
+    "q183_cusum_changepoint",
+    """
+    WITH q AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 1000000) AS BIGINT) AS qv
+      FROM events
+    ),
+    med AS (
+      SELECT user_id, qv AS med_q FROM (
+        SELECT user_id, qv,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY qv, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM q
+      ) WHERE rn = (n + 1) // 2
+    ),
+    c AS (
+      SELECT q.user_id, q.event_id,
+             SUM(q.qv - m.med_q) OVER (PARTITION BY q.user_id
+                                       ORDER BY q.ts, q.event_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+      FROM q JOIN med m ON m.user_id = q.user_id
+    ),
+    s AS (
+      SELECT user_id, event_id,
+             CAST(cum - LEAST(CAST(0 AS BIGINT),
+                         MIN(cum) OVER (PARTITION BY user_id
+                                        ORDER BY event_id
+                                        ROWS UNBOUNDED PRECEDING))
+                  AS BIGINT) AS stat
+      FROM c
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(stat) AS BIGINT) AS s_max,
+           MIN(CASE WHEN stat = smax THEN event_id END) AS change_event_id
+    FROM (SELECT *, MAX(stat) OVER (PARTITION BY user_id) AS smax FROM s)
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q183_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection per user — upward drift of
+    event `value` against the user's median — WITHOUT the sequential
+    recursion: S_t = max(0, S_{t-1} + (x_t - k)) has the closed form
+    S_t = C_t - min(0, running_min(C)) over the cumulative sum C, so
+    the whole detector is two per-user running windows (cumsum +
+    running min), perfectly parallel across users at 100 TB. Values are
+    micro-quantized to BIGINT (|value| <= 561 -> qv <= 5.7e8; per-user
+    cumsums stay far under 2^53) so every engine op is exact integer
+    arithmetic; k is the user's lower median (rank (n+1)//2), itself an
+    integer. Reports the peak statistic and the earliest event at which
+    it is attained (the detected change point). Note the running min is
+    over event_id order AFTER cum is computed over (ts, event_id) —
+    identical frames on both engines."""
+    ev = read_table(spark, sf, "events")
+    q = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 1000000).cast("bigint").alias("qv"),
+    )
+    wmed = Window.partitionBy("user_id").orderBy("qv", "event_id")
+    wcnt = Window.partitionBy("user_id")
+    med = (
+        q.withColumn("rn", F.row_number().over(wmed))
+        .withColumn("n", F.count(F.lit(1)).over(wcnt))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("user_id", F.col("qv").alias("med_q"))
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = q.join(med, "user_id").select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("qv") - F.col("med_q")).over(wcum).alias("cum"),
+    )
+    wmin = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = c.select(
+        "user_id",
+        "event_id",
+        (
+            F.col("cum")
+            - F.least(F.lit(0).cast("bigint"), F.min("cum").over(wmin))
+        ).alias("stat"),
+    )
+    smax = s.withColumn("smax", F.max("stat").over(Window.partitionBy("user_id")))
+    return (
+        smax.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max("stat").alias("s_max"),
+            F.min(
+                F.when(F.col("stat") == F.col("smax"), F.col("event_id"))
+            ).alias("change_event_id"),
+        )
+        .orderBy("user_id")
+    )

@@ -33,6 +33,10 @@ INTENTIONAL_BNLJ = {
     "q18_containment_join",
     "q135_price_tier_join",
     "q142_join_skew_report",
+    # q182: crossJoin(broadcast(<1-row scalar n_orders>)) — a broadcast of
+    # exactly one row (the global order count) onto the top-100 pair set;
+    # the candidate pairs themselves come from the basket equi-join.
+    "q182_item_cooccurrence",
 }
 
 
