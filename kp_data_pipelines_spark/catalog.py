@@ -8126,3 +8126,230 @@ def q183_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register("q184_kcore_decomposition", oracles.kcore_sql())
+def q184_kcore_decomposition(spark: SparkSession, sf: str) -> DataFrame:
+    """k-core decomposition (core_k=2) of the MinHash near-dup graph by
+    iterative peeling — the graph-hygiene step that separates DENSE
+    duplicate families (template farms, mirror clusters, boilerplate
+    rings — high-priority removal targets) from incidental one-off pair
+    matches. Each of the 4 unrolled rounds is degree-count + two
+    LEFT SEMI joins on the survivor set: shuffle volume O(edges) per
+    round, monotonically shrinking, localCheckpoint pins the iterative
+    lineage (q66/q179 pattern). Peeling converges in <= diameter rounds
+    on these band graphs; the fixed unroll keeps the DuckDB twin exact.
+    Emits surviving nodes with their final in-subgraph degree."""
+    from kp_data_pipelines_spark.operators.similarity import minhash_near_dups
+
+    core_k, rounds = 2, 4
+    docs = read_table(spark, sf, "documents")
+    pairs = minhash_near_dups(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=32, bands=16,
+        jaccard_threshold=0.4, portable_hash=True,
+    ).select("id_a", "id_b")
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        alive = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= core_k)
+            .select("src")
+        )
+        edges = (
+            edges.join(alive, "src", "left_semi")
+            .join(alive.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        edges.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q185_pareto_frontier",
+    """
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    ORDER BY p.p_partkey
+    """,
+)
+def q185_pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D Pareto frontier (skyline): parts not dominated on (cheaper
+    price, larger size). The naive formulation is an all-pairs NOT
+    EXISTS — the DuckDB twin keeps that as an INDEPENDENT derivation —
+    but the Spark plan is the linear two-phase running-max: (1) per-
+    price max size (one keyed agg), (2) prices bucketed by floor(price)
+    so the strictly-cheaper running max splits into a per-bucket window
+    (partitioned, distributed) plus a cross-bucket offset computed on
+    the ~100-row bucket aggregate (dimension-sized global window, the
+    q135/q158 tiny-dim pattern — bucket count tracks the PRICE DOMAIN,
+    not row count, so it stays bounded at 100 TB). A part is on the
+    frontier iff its size equals its price's max AND beats every
+    strictly cheaper price's best."""
+    part = read_table(spark, sf, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    per_price = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("pmax")
+    )
+    bucketed = per_price.withColumn(
+        "bucket", F.floor(F.col("p_retailprice"))
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn("in_max", F.max("pmax").over(w_in))
+    b_agg = bucketed.groupBy("bucket").agg(F.max("pmax").alias("bmax"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = b_agg.select(
+        "bucket", F.max("bmax").over(w_b).alias("off_max")
+    )
+    frontier_prices = (
+        local.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "cheaper_max",
+            F.greatest(
+                F.coalesce(F.col("in_max"), F.lit(-1)),
+                F.coalesce(F.col("off_max"), F.lit(-1)),
+            ),
+        )
+        .filter(F.col("pmax") > F.col("cheaper_max"))
+        .select(
+            F.col("p_retailprice").alias("f_price"),
+            F.col("pmax").alias("f_size"),
+        )
+    )
+    return (
+        part.join(
+            F.broadcast(frontier_prices),
+            (F.col("p_retailprice") == F.col("f_price"))
+            & (F.col("p_size") == F.col("f_size")),
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+def _target_encoding_sql(alpha: int = 20, seed: int = 31) -> str:
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    (a, b) = _hash_params(1, seed)[0]
+    m = _MERSENNE
+    split = f"(({a} * (((o_orderkey % {m}) + {m}) % {m}) + {b}) % {m}) % 10"
+    return f"""
+    WITH base AS (
+      SELECT o_orderpriority AS category,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+             CASE WHEN {split} < 8 THEN 1 ELSE 0 END AS is_train
+      FROM orders
+    ),
+    prior AS (
+      SELECT CAST(SUM(CASE WHEN is_train = 1 THEN y ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(is_train) AS DOUBLE) AS p
+      FROM base
+    ),
+    cats AS (
+      SELECT category,
+             CAST(SUM(is_train) AS BIGINT) AS n_train,
+             CAST(SUM(CASE WHEN is_train = 1 THEN y ELSE 0 END) AS BIGINT)
+               AS pos_train,
+             CAST(SUM(1 - is_train) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN is_train = 0 THEN y ELSE 0 END) AS BIGINT)
+               AS pos_test
+      FROM base GROUP BY category
+    )
+    SELECT c.category, c.n_train, c.n_test,
+           CAST(c.pos_train AS DOUBLE) / CAST(c.n_train AS DOUBLE)
+             AS train_rate,
+           (CAST(c.pos_train AS DOUBLE) + CAST({alpha} AS DOUBLE) * p.p)
+             / (CAST(c.n_train AS DOUBLE) + CAST({alpha} AS DOUBLE))
+             AS smoothed_encoding,
+           CAST(c.pos_test AS DOUBLE) / CAST(c.n_test AS DOUBLE) AS test_rate
+    FROM cats c CROSS JOIN prior p
+    ORDER BY c.category
+    """
+
+
+@register("q186_target_encoding", _target_encoding_sql())
+def q186_target_encoding(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe target encoding for a categorical feature: encode
+    o_orderpriority by the smoothed fulfillment rate (y = status 'F')
+    computed ONLY on the train split, with the train/test partition
+    drawn from a portable LCG hash of the GROUP key (o_orderkey) — the
+    split every feature pipeline needs so that the same entity can
+    never straddle train and test (hash-split, not random-split, is
+    what makes it reproducible and leakage-safe at 100 TB; the same
+    idiom shards by user for per-user features). Smoothing is the
+    standard empirical-Bayes (pos + alpha*prior)/(n + alpha) with the
+    global train prior; every rate is an exact-integer-to-double
+    division in identical order on both engines. test_rate sits
+    alongside as the held-out sanity check. One scan, one keyed agg,
+    one 1-row broadcast — nothing here gets harder at scale."""
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    alpha, seed = 20, 31
+    (a, b) = _hash_params(1, seed)[0]
+    orders = read_table(spark, sf, "orders")
+    split = (
+        (F.lit(a) * F.pmod(F.col("o_orderkey"), F.lit(_MERSENNE)) + F.lit(b))
+        % _MERSENNE
+    ) % 10
+    base = orders.select(
+        F.col("o_orderpriority").alias("category"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        F.when(split < 8, 1).otherwise(0).alias("is_train"),
+    )
+    prior = base.agg(
+        (
+            F.sum(F.when(F.col("is_train") == 1, F.col("y")).otherwise(0))
+            .cast("double")
+            / F.sum("is_train").cast("double")
+        ).alias("p")
+    )
+    cats = base.groupBy("category").agg(
+        F.sum("is_train").cast("bigint").alias("n_train"),
+        F.sum(F.when(F.col("is_train") == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("pos_train"),
+        F.sum(F.lit(1) - F.col("is_train")).cast("bigint").alias("n_test"),
+        F.sum(F.when(F.col("is_train") == 0, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("pos_test"),
+    )
+    return (
+        cats.crossJoin(F.broadcast(prior))
+        .select(
+            "category",
+            "n_train",
+            "n_test",
+            (F.col("pos_train").cast("double") / F.col("n_train").cast("double"))
+            .alias("train_rate"),
+            (
+                (
+                    F.col("pos_train").cast("double")
+                    + F.lit(float(alpha)) * F.col("p")
+                )
+                / (F.col("n_train").cast("double") + F.lit(float(alpha)))
+            ).alias("smoothed_encoding"),
+            (F.col("pos_test").cast("double") / F.col("n_test").cast("double"))
+            .alias("test_rate"),
+        )
+        .orderBy("category")
+    )

@@ -1519,3 +1519,46 @@ def containment_join_sql(k: int = 3, t_num: int = 4, t_den: int = 5) -> str:
     WHERE o.overlap * {t_den} >= {t_num} * s.sz
     ORDER BY o.id_a, o.id_b
     """
+
+
+def kcore_sql(
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.4,
+    core_k: int = 2,
+    rounds: int = 4,
+) -> str:
+    """Twin of q184: k-core decomposition of the MinHash near-dup graph
+    by iterative peeling, the fixed number of rounds unrolled as CTEs —
+    each round drops nodes whose degree in the SURVIVING subgraph is
+    below core_k, then drops their incident edges."""
+    parts = [
+        _minhash_pairs_core(k, num_hashes, bands, threshold),
+        f"""ed AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs WHERE est_jaccard >= {threshold}
+    ),
+    e0 AS (
+      SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed
+    )""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""d{i} AS (
+      SELECT src, COUNT(*) AS c FROM e{i - 1} GROUP BY src
+    ),
+    a{i} AS (
+      SELECT src FROM d{i} WHERE c >= {core_k}
+    ),
+    e{i} AS (
+      SELECT e.src, e.dst FROM e{i - 1} e
+      JOIN a{i} x ON x.src = e.src
+      JOIN a{i} y ON y.src = e.dst
+    )"""
+        )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM e{rounds} GROUP BY src ORDER BY doc_id
+    """

@@ -37,6 +37,9 @@ INTENTIONAL_BNLJ = {
     # exactly one row (the global order count) onto the top-100 pair set;
     # the candidate pairs themselves come from the basket equi-join.
     "q182_item_cooccurrence",
+    # q186: crossJoin(broadcast(<1-row global prior>)) onto the 5-row
+    # category aggregate — a scalar broadcast, not a pair generator.
+    "q186_target_encoding",
 }
 
 
