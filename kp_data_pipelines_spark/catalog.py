@@ -8353,3 +8353,227 @@ def q186_target_encoding(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("category")
     )
+
+
+def _ewma_sql(depth: int = 8) -> str:
+    terms = " + ".join(
+        f"COALESCE(LAG(qv, {j}) OVER w, CAST(0 AS BIGINT)) * {1 << (depth - 1 - j)}"
+        for j in range(depth)
+    )
+    return f"""
+    WITH q AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 1000000) AS BIGINT) AS qv
+      FROM events
+    ),
+    e AS (
+      SELECT user_id, event_id,
+             {terms} AS s_num,
+             LEAST(CAST(ROW_NUMBER() OVER w AS BIGINT), {depth}) AS n_terms
+      FROM q
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    v AS (
+      SELECT user_id, event_id,
+             CAST(s_num AS DOUBLE)
+               / (CAST(({1 << depth} - (1 << ({depth} - n_terms)))
+                       AS DOUBLE) * 1000000.0) AS ewma
+      FROM e
+    ),
+    last AS (
+      SELECT user_id, ewma AS final_ewma FROM (
+        SELECT user_id, ewma,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM v
+      ) WHERE rn = 1
+    )
+    SELECT v.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(v.ewma) AS peak_ewma,
+           MAX(l.final_ewma) AS final_ewma
+    FROM v JOIN last l ON l.user_id = v.user_id
+    GROUP BY v.user_id
+    ORDER BY v.user_id
+    """
+
+
+@register("q187_dyadic_ewma", _ewma_sql())
+def q187_dyadic_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially-weighted moving average WITHOUT the sequential
+    recursion and WITHOUT float drift: alpha = 1/2 truncated at depth
+    8, so the weights are dyadic (1/2, 1/4, ... 1/256) and the
+    numerator is an EXACT integer — sum of 8 lag() terms scaled by
+    powers of two over micro-quantized values (max |s_num| ~ 5.8e11,
+    far under 2^53). Each row then does ONE double division by its own
+    exact power-of-two weight sum (partial windows renormalize over the
+    terms actually present) — identical IEEE op on both engines, which
+    is what lets an EWMA be oracle-HASHED at all. Per-user windows
+    shard by key at 100 TB; the 8-lag unroll is a single window pass
+    (Spark evaluates all lags in one WindowExec). Emits each user's
+    peak and final smoothed value — the drift/burst features a
+    quality-monitoring pipeline keys on."""
+    depth = 8
+    ev = read_table(spark, sf, "events")
+    q = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 1000000).cast("bigint").alias("qv"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s_num = None
+    for j in range(depth):
+        term = F.coalesce(
+            F.lag("qv", j).over(w), F.lit(0).cast("bigint")
+        ) * F.lit(1 << (depth - 1 - j))
+        s_num = term if s_num is None else s_num + term
+    n_terms = F.least(
+        F.row_number().over(w).cast("bigint"), F.lit(depth).cast("bigint")
+    )
+    wsum_tbl = F.array(
+        *[
+            F.lit(float((1 << depth) - (1 << (depth - n))))
+            for n in range(1, depth + 1)
+        ]
+    )
+    denom = F.element_at(wsum_tbl, n_terms.cast("int")) * F.lit(1000000.0)
+    v = q.select(
+        "user_id",
+        "event_id",
+        (s_num.cast("double") / denom).alias("ewma"),
+    )
+    wlast = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    last = (
+        v.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("ewma").alias("final_ewma"))
+    )
+    return (
+        v.join(last, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max("ewma").alias("peak_ewma"),
+            F.max("final_ewma").alias("final_ewma"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q188_mad_outliers",
+    """
+    WITH q AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS qv
+      FROM events
+    ),
+    hist AS (
+      SELECT event_type, qv, CAST(COUNT(*) AS BIGINT) AS n
+      FROM q GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, MIN(qv) AS med_q FROM (
+        SELECT event_type, qv,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY qv
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(n) OVER (PARTITION BY event_type) AS tot
+        FROM hist
+      ) WHERE cum >= (tot + 1) // 2
+      GROUP BY event_type
+    ),
+    dev AS (
+      SELECT h.event_type, abs(h.qv - m.med_q) AS d, SUM(h.n) AS n
+      FROM hist h JOIN med m ON m.event_type = h.event_type
+      GROUP BY 1, 2
+    ),
+    mad AS (
+      SELECT event_type, MIN(d) AS mad_q FROM (
+        SELECT event_type, d,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(n) OVER (PARTITION BY event_type) AS tot
+        FROM dev
+      ) WHERE cum >= (tot + 1) // 2
+      GROUP BY event_type
+    )
+    SELECT h.event_type,
+           CAST(SUM(h.n) AS BIGINT) AS n_events,
+           MAX(m.med_q) AS median_q,
+           MAX(a.mad_q) AS mad_q,
+           CAST(SUM(CASE WHEN abs(h.qv - m.med_q) > 3 * a.mad_q
+                         THEN h.n ELSE 0 END) AS BIGINT) AS n_outliers,
+           MAX(abs(h.qv - m.med_q)) AS max_dev_q
+    FROM hist h
+    JOIN med m ON m.event_type = h.event_type
+    JOIN mad a ON a.event_type = h.event_type
+    GROUP BY h.event_type
+    ORDER BY h.event_type
+    """,
+)
+def q188_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust (median/MAD) outlier screening per event type — the
+    quality gate that survives heavy tails where z-scores (q115) get
+    dragged by the outliers themselves. The key scale move: NO window
+    ever touches raw rows. Values are cent-quantized and HISTOGRAMMED
+    first (groupBy (type, qv) — map-side combinable), so the weighted-
+    median windows run over at most |value domain| ~ 56k rows per type
+    REGARDLESS of input scale — a billion events per type still
+    compress to the same bounded histogram. Both medians (value, then
+    absolute deviation) are exact lower weighted medians via running-
+    count rank over the histogram; outliers are |x - med| > 3*MAD in
+    exact integer arithmetic. This histogram-then-rank shape is the
+    100 TB form of every exact-median query (q64's NTILE caveat does
+    not apply here)."""
+    ev = read_table(spark, sf, "events")
+    hist = (
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("qv"),
+        )
+        .groupBy("event_type", "qv")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+    def weighted_median(h: DataFrame, val: str) -> DataFrame:
+        wcum = (
+            Window.partitionBy("event_type")
+            .orderBy(val)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wtot = Window.partitionBy("event_type")
+        return (
+            h.withColumn("cum", F.sum("n").over(wcum))
+            .withColumn("tot", F.sum("n").over(wtot))
+            .filter(F.col("cum") >= F.expr("(tot + 1) div 2"))
+            .groupBy("event_type")
+            .agg(F.min(val).alias(f"med_{val}"))
+        )
+
+    med = weighted_median(hist, "qv").withColumnRenamed("med_qv", "med_q")
+    dev = (
+        hist.join(med, "event_type")
+        .groupBy("event_type", F.abs(F.col("qv") - F.col("med_q")).alias("d"))
+        .agg(F.sum("n").alias("n"))
+    )
+    mad = weighted_median(dev, "d").withColumnRenamed("med_d", "mad_q")
+    return (
+        hist.join(med, "event_type")
+        .join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.max("med_q").alias("median_q"),
+            F.max("mad_q").alias("mad_q"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("qv") - F.col("med_q")) > 3 * F.col("mad_q"),
+                    F.col("n"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.max(F.abs(F.col("qv") - F.col("med_q"))).alias("max_dev_q"),
+        )
+        .orderBy("event_type")
+    )
