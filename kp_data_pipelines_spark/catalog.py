@@ -8577,3 +8577,186 @@ def q188_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _hrw_rebalance_sql(
+    old_n: int = 16, new_n: int = 24, seed: int = 37
+) -> str:
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    (a1, b1), (a2, b2) = _hash_params(2, seed)
+    m = _MERSENNE
+    return f"""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+    ),
+    hv AS (
+      SELECT u.user_id, s.s,
+             ((({a1} * (((u.user_id % {m}) + {m}) % {m}) + {b1}) % {m})
+                * (s.s + 1)
+                + (({a2} * (((u.user_id % {m}) + {m}) % {m}) + {b2}) % {m}))
+               % {m} AS h
+      FROM u CROSS JOIN (SELECT unnest(range({new_n})) AS s) s
+    ),
+    old AS (
+      SELECT user_id, s AS old_shard FROM (
+        SELECT user_id, s,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY h DESC, s DESC) AS rn
+        FROM hv WHERE s < {old_n}
+      ) WHERE rn = 1
+    ),
+    new AS (
+      SELECT user_id, s AS new_shard FROM (
+        SELECT user_id, s,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY h DESC, s DESC) AS rn
+        FROM hv
+      ) WHERE rn = 1
+    )
+    SELECT o.old_shard,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN n.new_shard <> o.old_shard THEN 1 ELSE 0 END)
+                AS BIGINT) AS hrw_moved,
+           CAST(SUM(CASE WHEN ((o.user_id % {old_n}) + {old_n}) % {old_n}
+                          <> ((o.user_id % {new_n}) + {new_n}) % {new_n}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS naive_moved
+    FROM old o JOIN new n ON n.user_id = o.user_id
+    GROUP BY o.old_shard
+    ORDER BY o.old_shard
+    """
+
+
+@register("q189_shard_rebalance", _hrw_rebalance_sql())
+def q189_shard_rebalance(spark: SparkSession, sf: str) -> DataFrame:
+    """Shard-rebalance planner via rendezvous (HRW) hashing — the
+    capacity-change playbook for any keyed store (state backends,
+    bucketed tables, embedding shards): growing 16 -> 24 shards under
+    HRW moves only keys whose argmax lands on a NEW shard (expected
+    8/24 = a third), while naive key%N remaps ~92%. Per key the shard
+    score is a portable LCG hash of (key, shard); the argmax is
+    max-by-(h, s) — computed here with one bounded explode (x24, a
+    generator, not a join) and one groupBy max(struct) per variant;
+    the twin's row_number form is the same total order. The per-
+    old-shard move matrix is what an operator actually reads before a
+    resharding run: every row's naive_moved >> hrw_moved is the
+    migration traffic saved. All shuffles key on user_id/shard — flat
+    at 100 TB."""
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    old_n, new_n, seed = 16, 24, 37
+    (a1, b1), (a2, b2) = _hash_params(2, seed)
+    ev = read_table(spark, sf, "events")
+    u = ev.select("user_id").distinct()
+    uid_m = F.pmod(F.col("user_id"), F.lit(_MERSENNE))
+    h1 = (F.lit(a1) * uid_m + F.lit(b1)) % _MERSENNE
+    h2 = (F.lit(a2) * uid_m + F.lit(b2)) % _MERSENNE
+    hv = u.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(new_n - 1))).alias("s"),
+        h1.alias("h1"),
+        h2.alias("h2"),
+    ).select(
+        "user_id",
+        "s",
+        ((F.col("h1") * (F.col("s") + 1) + F.col("h2")) % _MERSENNE).alias(
+            "h"
+        ),
+    )
+    old = (
+        hv.filter(F.col("s") < old_n)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("h", "s")).alias("m"))
+        .select("user_id", F.col("m.s").alias("old_shard"))
+    )
+    new = (
+        hv.groupBy("user_id")
+        .agg(F.max(F.struct("h", "s")).alias("m"))
+        .select("user_id", F.col("m.s").alias("new_shard"))
+    )
+    return (
+        old.join(new, "user_id")
+        .groupBy("old_shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum(
+                F.when(F.col("new_shard") != F.col("old_shard"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("hrw_moved"),
+            F.sum(
+                F.when(
+                    F.pmod(F.col("user_id"), F.lit(old_n))
+                    != F.pmod(F.col("user_id"), F.lit(new_n)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("naive_moved"),
+        )
+        .orderBy("old_shard")
+    )
+
+
+@register("q190_bfs_hops", oracles.bfs_hops_sql())
+def q190_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS hop distance over the MinHash near-dup graph:
+    seeds are the audited/curated docs (doc_id % 50 == 0); every other
+    doc learns its minimum hop distance to ANY seed within 3 rounds —
+    the contamination-radius / provenance-distance question ("how far
+    is this doc from a known-bad cluster?"). Each unrolled round is one
+    edge-keyed join + one min-aggregate + one left join back (shuffle
+    O(edges)); distances only decrease, so the fixed unroll is exact
+    for paths <= 3 (the oracle unrolls identically). localCheckpoint
+    cuts lineage per round (q66/q179/q184 pattern). At 100 TB the
+    frontier join stays keyed on node ids — the classic Pregel
+    iteration expressed as DataFrame ops."""
+    from kp_data_pipelines_spark.operators.similarity import minhash_near_dups
+
+    seed_mod, rounds = 50, 3
+    docs = read_table(spark, sf, "documents")
+    pairs = minhash_near_dups(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=32, bands=16,
+        jaccard_threshold=0.4, portable_hash=True,
+    ).select("id_a", "id_b")
+    sym = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = docs.select(
+        F.col("doc_id").alias("node"),
+        F.when(F.col("doc_id") % seed_mod == 0, F.lit(0))
+        .otherwise(F.lit(None))
+        .cast("int")
+        .alias("hops"),
+    )
+    for _ in range(rounds):
+        cand = (
+            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            .filter(F.col("hops").isNotNull())
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.min("hops") + 1).alias("cand"))
+        )
+        labels = (
+            labels.join(cand, "node", "left")
+            .select(
+                "node",
+                F.when(F.col("hops").isNull(), F.col("cand"))
+                .when(F.col("cand").isNull(), F.col("hops"))
+                .otherwise(F.least("hops", "cand"))
+                .alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.filter(F.col("hops").isNotNull())
+        .select("node", "hops")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("hops").cast("bigint").alias("hops"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1562,3 +1562,53 @@ def kcore_sql(
     SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree
     FROM e{rounds} GROUP BY src ORDER BY doc_id
     """
+
+
+def bfs_hops_sql(
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.4,
+    seed_mod: int = 50,
+    rounds: int = 3,
+) -> str:
+    """Twin of q190: multi-source BFS hop distance over the MinHash
+    near-dup graph from the seed set (doc_id % seed_mod = 0), the
+    fixed rounds unrolled — each round relaxes dist(dst) against
+    min(dist(src)) + 1 over the symmetric edge set."""
+    parts = [
+        _minhash_pairs_core(k, num_hashes, bands, threshold),
+        f"""ed AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs WHERE est_jaccard >= {threshold}
+    ),
+    sym AS (
+      SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed
+    ),
+    l0 AS (
+      SELECT doc_id AS node,
+             CASE WHEN doc_id % {seed_mod} = 0 THEN 0 ELSE NULL END AS hops
+      FROM documents
+    )""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""c{i} AS (
+      SELECT s.dst AS node, MIN(l.hops) + 1 AS cand
+      FROM sym s JOIN l{i - 1} l ON l.node = s.src
+      WHERE l.hops IS NOT NULL
+      GROUP BY s.dst
+    ),
+    l{i} AS (
+      SELECT p.node,
+             CASE WHEN p.hops IS NULL THEN c.cand
+                  WHEN c.cand IS NULL THEN p.hops
+                  ELSE LEAST(p.hops, c.cand) END AS hops
+      FROM l{i - 1} p LEFT JOIN c{i} c ON c.node = p.node
+    )"""
+        )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT node AS doc_id, CAST(hops AS BIGINT) AS hops
+    FROM l{rounds} WHERE hops IS NOT NULL ORDER BY doc_id
+    """
