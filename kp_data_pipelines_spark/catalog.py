@@ -8760,3 +8760,230 @@ def q190_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_DIGITS_RE = "[0-9]+"
+
+
+@register(
+    "q191_pii_scrub_audit",
+    f"""
+    WITH c AS (
+      SELECT c_nationkey,
+             c_name || '.' || CAST(c_custkey AS VARCHAR) || '@corp.example'
+               AS contact
+      FROM customer
+    ),
+    d AS (
+      SELECT c_nationkey, contact,
+             len(regexp_extract_all(contact, '{_EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(contact, '{_DIGITS_RE}')) AS n_digit_runs,
+             regexp_replace(regexp_replace(contact, '{_EMAIL_RE}', '<EMAIL>',
+                                           'g'),
+                            '{_DIGITS_RE}', '<NUM>', 'g') AS redacted
+      FROM c
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+           CAST(SUM(n_digit_runs) AS BIGINT) AS n_digit_runs,
+           CAST(SUM(length(contact) - length(redacted)) AS BIGINT)
+             AS chars_removed
+    FROM d
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q191_pii_scrub_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """PII detection + redaction audit — the scrub-before-training pass
+    every corpus pipeline runs: count pattern hits (emails, digit runs)
+    per record, rewrite them to typed placeholders, and report per-
+    partition totals plus how many characters redaction removed (the
+    audit trail a data-governance review asks for). The PII-bearing
+    field is derived from customer name+key (the synthetic corpus has
+    no organic PII) — detection and redaction are the real operators:
+    JVM-side regexp_extract_all / regexp_replace, no UDFs, patterns
+    restricted to backtracking-free character classes so Java and RE2
+    engines agree byte-for-byte. Scales as a pure map + one keyed agg;
+    at 100 TB the same expressions run inside whole-stage codegen."""
+    cust = read_table(spark, sf, "customer")
+    contact = F.concat(
+        F.col("c_name"),
+        F.lit("."),
+        F.col("c_custkey").cast("string"),
+        F.lit("@corp.example"),
+    )
+    d = cust.select(
+        "c_nationkey",
+        contact.alias("contact"),
+        F.size(
+            F.expr(f"regexp_extract_all(concat(c_name, '.', cast(c_custkey as string), '@corp.example'), '{_EMAIL_RE}', 0)")
+        ).alias("n_emails"),
+    ).withColumn(
+        "n_digit_runs",
+        F.size(F.expr(f"regexp_extract_all(contact, '{_DIGITS_RE}', 0)")),
+    ).withColumn(
+        "redacted",
+        F.regexp_replace(
+            F.regexp_replace(F.col("contact"), _EMAIL_RE, "<EMAIL>"),
+            _DIGITS_RE,
+            "<NUM>",
+        ),
+    )
+    return (
+        d.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("n_emails").cast("bigint").alias("n_emails"),
+            F.sum("n_digit_runs").cast("bigint").alias("n_digit_runs"),
+            F.sum(F.length("contact") - F.length("redacted"))
+            .cast("bigint")
+            .alias("chars_removed"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "q192_k_anonymity_audit",
+    """
+    WITH base AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             CAST(FLOOR(c_acctbal / 100) AS BIGINT) AS bal_bucket
+      FROM customer
+    ),
+    l0 AS (
+      SELECT CAST(0 AS BIGINT) AS level, COUNT(*) AS sz
+      FROM base GROUP BY nation, segment, bal_bucket
+    ),
+    l1 AS (
+      SELECT CAST(1 AS BIGINT) AS level, COUNT(*) AS sz
+      FROM base GROUP BY nation, segment
+    ),
+    l2 AS (
+      SELECT CAST(2 AS BIGINT) AS level, COUNT(*) AS sz
+      FROM base GROUP BY segment
+    ),
+    u AS (
+      SELECT * FROM l0 UNION ALL SELECT * FROM l1 UNION ALL SELECT * FROM l2
+    )
+    SELECT level,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(sz) AS BIGINT) AS min_group_size,
+           CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk
+    FROM u GROUP BY level ORDER BY level
+    """,
+)
+def q192_k_anonymity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity audit across a generalization ladder — the privacy
+    gate for releasing quasi-identifier combinations: at each
+    generalization level (L0 nation+segment+balance-bucket, L1 drop
+    the bucket, L2 segment only) count equivalence classes smaller
+    than k=5 and the rows they expose. The ladder shows the classic
+    trade: generalizing shrinks violating groups to zero at the cost
+    of granularity — exactly the report a release review needs to pick
+    the coarsest safe level. Three keyed aggregates over one scan
+    (each map-side combinable), a 3-way union of tiny summaries; group
+    COUNTS per level are what travel, never rows — flat at 100 TB."""
+    base = read_table(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 100).cast("bigint").alias("bal_bucket"),
+    )
+
+    def level(i: int, keys: list[str]) -> DataFrame:
+        return (
+            base.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .select(F.lit(i).cast("bigint").alias("level"), "sz")
+        )
+
+    u = (
+        level(0, ["nation", "segment", "bal_bucket"])
+        .unionAll(level(1, ["nation", "segment"]))
+        .unionAll(level(2, ["segment"]))
+    )
+    return (
+        u.groupBy("level")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.min("sz").cast("bigint").alias("min_group_size"),
+            F.sum(F.when(F.col("sz") < 5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_groups"),
+            F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_at_risk"),
+        )
+        .orderBy("level")
+    )
+
+
+@register(
+    "q193_mixture_quota_plan",
+    """
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ),
+    w AS (
+      SELECT lang, n_docs, CAST(1 AS BIGINT) AS weight,
+             CAST(SUM(1) OVER () AS BIGINT) AS total_weight
+      FROM counts
+    ),
+    cap AS (
+      SELECT MIN(n_docs * total_weight // weight) AS t FROM w
+    )
+    SELECT w.lang, w.n_docs, w.weight,
+           w.weight * c.t // w.total_weight AS quota,
+           CAST(w.weight * c.t // w.total_weight AS DOUBLE)
+             / CAST(w.n_docs AS DOUBLE) AS sample_rate
+    FROM w CROSS JOIN cap c
+    ORDER BY w.lang
+    """,
+)
+def q193_mixture_quota_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-mixture quota planner: given target mixture weights per
+    language (uniform here), compute the LARGEST total corpus whose
+    per-lang draws hit the target proportions without oversampling any
+    source — T = min over langs of n_l * W / w_l, quota_l = w_l*T/W —
+    the allocation every multilingual/multi-source training run solves
+    before sampling (q151's weighted sampler then executes the plan).
+    Pure integer arithmetic (floor divisions), one tiny per-lang
+    aggregate, a 1-row cap broadcast: the plan is computed on the
+    GROUP summary, so 100 TB of documents still reduces to |langs|
+    rows before any of this math runs."""
+    counts = (
+        read_table(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    w = counts.select(
+        "lang",
+        "n_docs",
+        F.lit(1).cast("bigint").alias("weight"),
+    ).withColumn(
+        "total_weight",
+        F.sum("weight").over(Window.partitionBy()).cast("bigint"),
+    )
+    cap = w.agg(
+        F.min(F.expr("n_docs * total_weight div weight")).alias("t")
+    )
+    return (
+        w.crossJoin(F.broadcast(cap))
+        .select(
+            "lang",
+            "n_docs",
+            "weight",
+            F.expr("weight * t div total_weight").alias("quota"),
+            (
+                F.expr("weight * t div total_weight").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("sample_rate"),
+        )
+        .orderBy("lang")
+    )
