@@ -6981,12 +6981,9 @@ def q166_dq_report(spark: SparkSession, sf: str) -> DataFrame:
     ),
     masks AS (
       SELECT c_custkey, c_name, m.i AS mask_id,
-             CASE m.i
-               WHEN 1 THEN substr(digits, 4, 6)
-               WHEN 2 THEN substr(digits, 1, 3) || substr(digits, 7, 3)
-               ELSE substr(digits, 1, 6)
-             END AS mask_val
-      FROM c, range(1, 4) m(i)
+             substr(digits, 1, m.i - 1) || substr(digits, m.i + 1)
+               AS mask_val
+      FROM c, range(1, 10) m(i)
     ),
     pairs AS (
       SELECT DISTINCT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
@@ -7004,17 +7001,19 @@ def q166_dq_report(spark: SparkSession, sf: str) -> DataFrame:
 def q167_fuzzy_entity_match(spark: SparkSession, sf: str) -> DataFrame:
     """Entity resolution with SymSpell-style mask blocking: customers
     whose names differ by <= 1 edit. Candidate generation is an
-    EQUI-join on (mask_id, masked key): the 9-digit id span splits
-    into 3 chunks and each mask deletes one chunk, so any pair
-    differing only inside one chunk collides exactly on that chunk's
-    mask — pigeonhole-complete for the single-substitution model, no
-    cartesian anywhere (plan_audit-clean). The expensive edit-distance
-    runs only on mask collisions. Block-size note: masks that delete
-    the LOW-order digits of dense sequential ids collect runs of ~10^3
-    neighbors — real-world entity keys (names, addresses) spread
-    masks far thinner; for sequential-id corpora drop the
-    low-order-deleting mask or sub-chunk it. Distinct-pair dedup
-    before scoring keeps each candidate scored once."""
+    EQUI-join on (mask_id, masked key): 9 masks, each deleting ONE
+    digit position, so any same-length pair differing by a single
+    substitution collides exactly on the mask of the differing
+    position — pigeonhole-complete for lev <= 1 on fixed-length keys
+    (equal length rules out insert/delete at lev 1), no cartesian
+    anywhere (plan_audit-clean). Digit-granular deletion is the skew
+    fix over chunk-granular masks: even fully SEQUENTIAL ids spread
+    into blocks of ~10 per mask (one varying digit), where a
+    low-3-digit-deleting chunk mask collected runs of ~10^3 —
+    candidate volume drops ~12x and no block is hot, which is what
+    holds at 100 TB. The expensive edit-distance runs only on mask
+    collisions; distinct-pair dedup before scoring keeps each
+    candidate scored once."""
     cust = read_table(spark, sf, "customer").filter(
         F.col("c_name").rlike(r"^Customer#[0-9]{9}$")
     )
@@ -7025,11 +7024,13 @@ def q167_fuzzy_entity_match(spark: SparkSession, sf: str) -> DataFrame:
         "c_name",
         F.posexplode(
             F.array(
-                F.substring("digits", 4, 6),
-                F.concat(
-                    F.substring("digits", 1, 3), F.substring("digits", 7, 3)
-                ),
-                F.substring("digits", 1, 6),
+                *[
+                    F.concat(
+                        F.substring("digits", 1, i - 1),
+                        F.substring("digits", i + 1, 9 - i),
+                    )
+                    for i in range(1, 10)
+                ]
             )
         ).alias("mask_id", "mask_val"),
     )

@@ -40,6 +40,9 @@ INTENTIONAL_BNLJ = {
     # q186: crossJoin(broadcast(<1-row global prior>)) onto the 5-row
     # category aggregate — a scalar broadcast, not a pair generator.
     "q186_target_encoding",
+    # q193: crossJoin(broadcast(<1-row corpus cap T>)) onto the |langs|-row
+    # weight summary — a scalar broadcast, not a pair generator.
+    "q193_mixture_quota_plan",
 }
 
 
