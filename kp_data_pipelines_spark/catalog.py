@@ -8988,3 +8988,239 @@ def q193_mixture_quota_plan(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q194_hopping_window",
+    """
+    WITH e AS (
+      SELECT epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS qv
+      FROM events
+    ),
+    h AS (
+      SELECT (us // 7200000000 - k.k) * 7200 AS hop_start_s, qv
+      FROM e CROSS JOIN (SELECT unnest(range(3)) AS k) k
+    )
+    SELECT hop_start_s,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(qv) AS BIGINT) AS sum_q
+    FROM h GROUP BY hop_start_s ORDER BY hop_start_s
+    """,
+)
+def q194_hopping_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Hopping (sliding) window aggregation — 6-hour windows every 2
+    hours, so each event lands in exactly 3 overlapping windows. Built
+    on Spark's native F.window(ts, '6 hours', '2 hours') — the same
+    operator runs unchanged under readStream — with the window start
+    emitted as EPOCH SECONDS (integer grid arithmetic) so the result
+    is timezone-representation-free; the twin derives the identical 3
+    grid starts per event by unnesting k in 0..2 (exactly how Spark's
+    TimeWindow expands a slide). Event values are cent-quantized so
+    sums are exact integers. One explode-by-3 + one keyed agg: the
+    standard dashboard rollup shape, map-side combinable, flat at
+    100 TB."""
+    ev = read_table(spark, sf, "events")
+    win = F.window("ts", "6 hours", "2 hours")
+    return (
+        ev.select(
+            win.alias("w"),
+            F.round(F.col("value") * 100).cast("bigint").alias("qv"),
+        )
+        .groupBy(F.unix_timestamp("w.start").alias("hop_start_s"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("qv").cast("bigint").alias("sum_q"),
+        )
+        .orderBy("hop_start_s")
+    )
+
+
+@register(
+    "q195_time_weighted_avg",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(round(value * 100) AS BIGINT) AS qv
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, day, qv,
+             COALESCE(LEAD(us) OVER (PARTITION BY user_id, day
+                                     ORDER BY us, event_id),
+                      (day + 1) * 86400000000) - us AS dur_us
+      FROM e
+    )
+    SELECT user_id, day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(qv * dur_us) AS BIGINT) AS weighted_sum_q,
+           CAST(SUM(qv * dur_us) AS DOUBLE) / CAST(SUM(dur_us) AS DOUBLE)
+             AS twa_q
+    FROM d GROUP BY user_id, day ORDER BY user_id, day
+    """,
+)
+def q195_time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-weighted average (the TimescaleDB `time_weight` operator):
+    per user per day, each observation holds until the next one (LOCF
+    integral), the last until midnight, and the average weights value
+    by held duration — the correct summary for irregularly-sampled
+    gauges where a plain AVG over-counts bursts. Day boundaries and
+    durations are integer MICROSECOND arithmetic on epoch values (no
+    timezone anywhere); values are cent-quantized so the weighted sum
+    is an exact BIGINT (max ~5e15 < 2^53, so the HUGEINT->double cast
+    is exact too) and the final division is one IEEE op per group.
+    One per-(user,day) lead window + one keyed agg — shards by key at
+    100 TB."""
+    ev = read_table(spark, sf, "events")
+    us = F.unix_micros(F.col("ts"))
+    e = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("qv"),
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("us", "event_id")
+    d = e.withColumn(
+        "dur_us",
+        F.coalesce(
+            F.lead("us").over(w), (F.col("day") + 1) * F.lit(86400000000)
+        )
+        - F.col("us"),
+    )
+    return (
+        d.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("qv") * F.col("dur_us"))
+            .cast("bigint")
+            .alias("weighted_sum_q"),
+            (
+                F.sum(F.col("qv") * F.col("dur_us")).cast("double")
+                / F.sum("dur_us").cast("double")
+            ).alias("twa_q"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+@register(
+    "q196_gapfill_locf",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             epoch_us(ts) // 3600000000 AS h,
+             CAST(round(value * 100) AS BIGINT) AS qv
+      FROM events
+    ),
+    obs AS (
+      SELECT user_id, h, qv FROM (
+        SELECT user_id, h, qv,
+               ROW_NUMBER() OVER (PARTITION BY user_id, h
+                                  ORDER BY us DESC, event_id DESC) AS rn
+        FROM e
+      ) WHERE rn = 1
+    ),
+    bounds AS (
+      SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM e GROUP BY user_id
+    ),
+    spine AS (
+      SELECT b.user_id, b.h0 + s.s AS h
+      FROM bounds b CROSS JOIN LATERAL
+        (SELECT unnest(range(b.h1 - b.h0 + 1)) AS s) s
+    ),
+    carried AS (
+      SELECT s.user_id, s.h, o.qv,
+             MAX(CASE WHEN o.qv IS NOT NULL THEN s.h END)
+               OVER (PARTITION BY s.user_id ORDER BY s.h
+                     ROWS UNBOUNDED PRECEDING) AS src_h
+      FROM spine s LEFT JOIN obs o ON o.user_id = s.user_id AND o.h = s.h
+    ),
+    filled AS (
+      SELECT c.user_id, c.h, c.qv,
+             COALESCE(c.qv, o2.qv) AS filled_q
+      FROM carried c
+      LEFT JOIN obs o2 ON o2.user_id = c.user_id AND o2.h = c.src_h
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(CASE WHEN qv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_observed,
+           CAST(SUM(CASE WHEN qv IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_filled,
+           CAST(SUM(filled_q) AS BIGINT) AS locf_sum_q
+    FROM filled GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q196_gapfill_locf(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly gap-filling with last-observation-carried-forward (the
+    TimescaleDB time_bucket_gapfill + locf pair): build each user's
+    dense hour spine between first and last activity (bounded explode
+    of a sequence — a generator, not a join), left-join the per-hour
+    last observation, then carry values forward WITHOUT an
+    ignore-nulls window (not portable): a running MAX over the
+    observed hour index gives each gap its source hour, and one keyed
+    join fetches that hour's value — exact, engine-agnostic LOCF. Hour
+    indexes are pure epoch integer arithmetic (timezone-free). The
+    spine is |users| x |span hours| — generated, never shuffled wide;
+    the carry window partitions by user. Reports fill coverage plus
+    the exact integer checksum of the filled series."""
+    ev = read_table(spark, sf, "events")
+    us = F.unix_micros(F.col("ts"))
+    e = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+        F.round(F.col("value") * 100).cast("bigint").alias("qv"),
+    )
+    wlast = Window.partitionBy("user_id", "h").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    obs = (
+        e.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "h", "qv")
+    )
+    bounds = e.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+    )
+    wcarry = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        spine.join(obs, ["user_id", "h"], "left")
+        .withColumn(
+            "src_h",
+            F.max(F.when(F.col("qv").isNotNull(), F.col("h"))).over(wcarry),
+        )
+    )
+    o2 = obs.select(
+        F.col("user_id").alias("user_id"),
+        F.col("h").alias("src_h"),
+        F.col("qv").alias("src_q"),
+    )
+    filled = carried.join(o2, ["user_id", "src_h"], "left").withColumn(
+        "filled_q", F.coalesce(F.col("qv"), F.col("src_q"))
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.sum(F.when(F.col("qv").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_observed"),
+            F.sum(F.when(F.col("qv").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_filled"),
+            F.sum("filled_q").cast("bigint").alias("locf_sum_q"),
+        )
+        .orderBy("user_id")
+    )
