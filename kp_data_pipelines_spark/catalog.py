@@ -9224,3 +9224,212 @@ def q196_gapfill_locf(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q197_scd2_build",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, event_type, us,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                    OR LAG(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS is_change
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    versions AS (
+      SELECT user_id, event_type, us AS eff_us,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS version,
+             LEAD(us) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) AS exp_us
+      FROM flagged WHERE is_change = 1
+    )
+    SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+           eff_us, exp_us,
+           CAST(CASE WHEN exp_us IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_current
+    FROM versions
+    ORDER BY user_id, version
+    """,
+)
+def q197_scd2_build(spark: SparkSession, sf: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 history build from an event
+    stream: collapse consecutive duplicates of each user's tracked
+    attribute (event_type) so only CHANGES open a new version, then
+    stitch validity intervals [eff_us, exp_us) with LEAD over the
+    change rows — open-ended current version flagged. This is the
+    standard warehouse dimension-versioning operator (MERGE-based SCD2
+    writers produce exactly these rows); two per-user window passes +
+    a filter, shuffle keyed on user_id, timestamps as integer epoch
+    micros (timezone-free). At 100 TB the change-collapse prunes the
+    window output massively before the second pass — versions track
+    CHANGES, not events."""
+    ev = read_table(spark, sf, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = e.withColumn(
+        "is_change",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    changes = flagged.filter(F.col("is_change") == 1)
+    wv = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return (
+        changes.select(
+            "user_id",
+            F.row_number().over(wv).cast("bigint").alias("version"),
+            "event_type",
+            F.col("us").alias("eff_us"),
+            F.lead("us").over(wv).alias("exp_us"),
+        )
+        .withColumn(
+            "is_current",
+            F.when(F.col("exp_us").isNull(), 1).otherwise(0).cast("bigint"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+def _mmr_sql(k_sel: int = 5, dim: int = 64) -> str:
+    def fold(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {dim + 1}), i -> {a}[i] * {b}[i])), "
+            f"(acc, x) -> acc + x)"
+        )
+
+    lam = "CAST(0.7 AS DOUBLE)"
+    one_m_lam = "CAST(0.3 AS DOUBLE)"
+    parts = [
+        f"""n AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt({fold('embedding', 'embedding')}) AS nrm
+      FROM (SELECT vec_id, label,
+                   CAST(embedding AS DOUBLE[]) AS embedding
+            FROM embeddings)
+    ),
+    qv AS (SELECT v, nrm FROM n WHERE vec_id = 0),
+    rel AS (
+      SELECT c.vec_id, c.label, c.v, c.nrm,
+             {fold('c.v', 'q.v')} / (c.nrm * q.nrm) AS rel
+      FROM n c CROSS JOIN qv q WHERE c.vec_id <> 0
+    ),
+    s1 AS (
+      SELECT vec_id, label, v, nrm, rel, rel AS score
+      FROM rel ORDER BY rel DESC, vec_id LIMIT 1
+    )""",
+    ]
+    for r in range(2, k_sel + 1):
+        sims = ", ".join(
+            f"{fold('c.v', f's{j}.v')} / (c.nrm * s{j}.nrm)"
+            for j in range(1, r)
+        )
+        joins = " ".join(f"CROSS JOIN s{j}" for j in range(1, r))
+        excl = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, r)
+        )
+        maxsim = f"GREATEST({sims})" if r > 2 else sims
+        parts.append(
+            f"""r{r} AS (
+      SELECT c.vec_id, c.label, c.v, c.nrm, c.rel,
+             {lam} * c.rel - {one_m_lam} * {maxsim} AS score
+      FROM rel c {joins}
+      WHERE c.vec_id NOT IN ({excl})
+    ),
+    s{r} AS (
+      SELECT vec_id, label, v, nrm, rel, score
+      FROM r{r} ORDER BY score DESC, vec_id LIMIT 1
+    )"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT CAST({j} AS BIGINT) AS sel_round, vec_id, label, rel, score FROM s{j}"
+        for j in range(1, k_sel + 1)
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT * FROM ({union}) ORDER BY sel_round
+    """
+
+
+@register("q198_mmr_diversified_topk", _mmr_sql())
+def q198_mmr_diversified_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal Marginal Relevance (MMR) diversified retrieval: greedily
+    pick 5 results that balance relevance to the query vector
+    (vec_id 0) against redundancy with what's already picked —
+    score = 0.7*rel - 0.3*max(sim to selected). The dedup-aware
+    retrieval step RAG stacks bolt onto ANN. Each greedy round is ONE
+    distributed scan + TakeOrdered(1); selected-vector state is <= 5
+    driver-side float vectors re-entering the plan as literals (the
+    kmeans-centroid pattern — bounded state, no collect of candidates).
+    ORACLE-HASHED doubles: every cosine is the sequential JVM fold
+    (F.aggregate/zip_with == DuckDB list_reduce, bit-identical), norms
+    carried once per row, and the lambda blend uses explicit DOUBLE
+    literals on both engines. The twin unrolls the 5 rounds as CTEs
+    with 1-row cross joins."""
+    from kp_data_pipelines_spark.operators.similarity import _dot
+
+    k_sel, lam = 5, 0.7
+    emb = read_table(spark, sf, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    n = emb.select(
+        "vec_id",
+        "label",
+        v.alias("v"),
+        F.sqrt(_dot(v, v)).alias("nrm"),
+    )
+    qrow = n.filter(F.col("vec_id") == 0).select("v", "nrm").head()
+    qv = F.array(*[F.lit(float(x)) for x in qrow[0]])
+    qn = F.lit(float(qrow[1]))
+    rel_df = (
+        n.filter(F.col("vec_id") != 0)
+        .withColumn("rel", _dot(F.col("v"), qv) / (F.col("nrm") * qn))
+        .persist()
+    )
+    selected: list = []
+    out = []
+    for r in range(1, k_sel + 1):
+        if not selected:
+            score = F.col("rel")
+        else:
+            sims = [
+                _dot(F.col("v"), F.array(*[F.lit(float(x)) for x in sv]))
+                / (F.col("nrm") * F.lit(float(snrm)))
+                for (sv, snrm) in selected
+            ]
+            maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            # NOT 1 - lam: Python 1 - 0.7 = 0.30000000000000004, while the
+            # twin parses the literal 0.3 — pin the exact same constant.
+            score = F.lit(lam) * F.col("rel") - F.lit(0.3) * maxsim
+        pool = rel_df.filter(
+            ~F.col("vec_id").isin([i for (i, *_r) in out])
+        ) if out else rel_df
+        w = (
+            pool.withColumn("score", score)
+            .orderBy(F.desc("score"), "vec_id")
+            .select("vec_id", "label", "rel", "score", "v", "nrm")
+            .head()
+        )
+        out.append((w[0], w[1], w[2], w[3]))
+        selected.append((list(w[4]), float(w[5])))
+    rel_df.unpersist()
+    rows = [
+        (r + 1, int(vid), int(lbl), float(rel), float(score))
+        for r, (vid, lbl, rel, score) in enumerate(out)
+    ]
+    return spark.createDataFrame(
+        rows, "sel_round bigint, vec_id bigint, label int, rel double, score double"
+    ).orderBy("sel_round")
