@@ -9433,3 +9433,231 @@ def q198_mmr_diversified_topk(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "sel_round bigint, vec_id bigint, label int, rel double, score double"
     ).orderBy("sel_round")
+
+
+@register(
+    "q199_distribution_drift",
+    """
+    WITH q AS (
+      SELECT CASE WHEN epoch_us(ts) // 86400000000 < 19738
+                  THEN 0 ELSE 1 END AS half,
+             CAST(round(value * 100) AS BIGINT) AS qv
+      FROM events
+    ),
+    hist AS (
+      SELECT half, qv, CAST(COUNT(*) AS BIGINT) AS n
+      FROM q GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN half = 0 THEN n ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN half = 1 THEN n ELSE 0 END) AS BIGINT) AS n2
+      FROM hist
+    ),
+    grid AS (
+      SELECT qv,
+             SUM(SUM(CASE WHEN half = 0 THEN n ELSE 0 END))
+               OVER (ORDER BY qv ROWS UNBOUNDED PRECEDING) AS cum1,
+             SUM(SUM(CASE WHEN half = 1 THEN n ELSE 0 END))
+               OVER (ORDER BY qv ROWS UNBOUNDED PRECEDING) AS cum2
+      FROM hist GROUP BY qv
+    ),
+    ks AS (
+      SELECT MAX(abs(CAST(cum1 * t.n2 - cum2 * t.n1 AS BIGINT))) AS ks_num
+      FROM grid CROSS JOIN tot t
+    ),
+    bins AS (
+      SELECT qv // 5700 AS bin,
+             CAST(SUM(CASE WHEN half = 0 THEN n ELSE 0 END) AS BIGINT) AS o1,
+             CAST(SUM(CASE WHEN half = 1 THEN n ELSE 0 END) AS BIGINT) AS o2
+      FROM hist GROUP BY 1
+    ),
+    terms AS (
+      SELECT b.bin,
+             CAST((o1 * t.n2 - o2 * t.n1) AS DOUBLE)
+               * CAST((o1 * t.n2 - o2 * t.n1) AS DOUBLE)
+               / (CAST(o1 + o2 AS DOUBLE)
+                  * CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)) AS term
+      FROM bins b CROSS JOIN tot t
+    ),
+    chi AS (
+      SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list(term ORDER BY bin), x -> x)),
+               (acc, x) -> acc + x) AS chi2
+      FROM terms
+    )
+    SELECT t.n1, t.n2,
+           CAST(k.ks_num AS DOUBLE)
+             / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)) AS ks_stat,
+           c.chi2 AS chi2_stat
+    FROM tot t CROSS JOIN ks k CROSS JOIN chi c
+    """,
+)
+def q199_distribution_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-drift detection between the first and second half
+    of the month (the train/serve skew monitor): a two-sample
+    Kolmogorov-Smirnov statistic and a binned chi-square homogeneity
+    statistic over cent-quantized event values. The KS supremum is
+    computed in EXACT INTEGERS — max |cum1*n2 - cum2*n1| over the
+    merged histogram grid, divided by n1*n2 only once at the end — so
+    it oracle-hashes; cum sums live on the domain-bounded histogram
+    (q188 pattern: a billion rows still compress to <= 56k grid
+    points, and the one ordered window runs over THAT, never raw
+    rows). Chi-square uses the same integer cross-differences per
+    equal-width bin with one double division per bin. Day threshold
+    19738 is epoch-day arithmetic (2024-01-16), timezone-free."""
+    ev = read_table(spark, sf, "events")
+    q = ev.select(
+        F.when(
+            F.expr("unix_micros(ts) div 86400000000") < 19738, 0
+        )
+        .otherwise(1)
+        .alias("half"),
+        F.round(F.col("value") * 100).cast("bigint").alias("qv"),
+    )
+    hist = q.groupBy("half", "qv").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    n1c = F.sum(F.when(F.col("half") == 0, F.col("n")).otherwise(0))
+    n2c = F.sum(F.when(F.col("half") == 1, F.col("n")).otherwise(0))
+    tot = hist.agg(
+        n1c.cast("bigint").alias("n1"), n2c.cast("bigint").alias("n2")
+    )
+    wcum = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, 0)
+    grid = (
+        hist.groupBy("qv")
+        .agg(n1c.alias("g1"), n2c.alias("g2"))
+        .select(
+            "qv",
+            F.sum("g1").over(wcum).alias("cum1"),
+            F.sum("g2").over(wcum).alias("cum2"),
+        )
+    )
+    ks = (
+        grid.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(
+                    (F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+                    .cast("bigint")
+                )
+            ).alias("ks_num")
+        )
+    )
+    bins = (
+        hist.groupBy(F.expr("qv div 5700").alias("bin"))
+        .agg(n1c.cast("bigint").alias("o1"), n2c.cast("bigint").alias("o2"))
+    )
+    diff = F.col("o1") * F.col("n2") - F.col("o2") * F.col("n1")
+    term = (
+        diff.cast("double")
+        * diff.cast("double")
+        / (
+            (F.col("o1") + F.col("o2")).cast("double")
+            * F.col("n1").cast("double")
+            * F.col("n2").cast("double")
+        )
+    )
+    # Float SUM is accumulation-order dependent; fold the ~10 bin terms in
+    # bin order (q157 pattern) so the double hash-matches the twin.
+    chi = (
+        bins.crossJoin(F.broadcast(tot))
+        .select(F.struct(F.col("bin"), term.alias("term")).alias("s"))
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("s")),
+                F.lit(0.0),
+                lambda acc, s: acc + s["term"],
+            ).alias("chi2")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(chi))
+        .select(
+            "n1",
+            "n2",
+            (
+                F.col("ks_num").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            ).alias("ks_stat"),
+            F.col("chi2").alias("chi2_stat"),
+        )
+    )
+
+
+@register(
+    "q200_benford_audit",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs)
+    SELECT o.digit, o.n,
+           CAST(o.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS observed_freq,
+           CASE o.digit
+             WHEN 1 THEN 3.01029995663981198e-01
+             WHEN 2 THEN 1.76091259055681237e-01
+             WHEN 3 THEN 1.24938736608299919e-01
+             WHEN 4 THEN 9.69100130080564198e-02
+             WHEN 5 THEN 7.91812460476248176e-02
+             WHEN 6 THEN 6.69467896306131793e-02
+             WHEN 7 THEN 5.79919469776867258e-02
+             WHEN 8 THEN 5.11525224473812906e-02
+             ELSE 4.57574905606751431e-02
+           END AS benford_freq
+    FROM obs o CROSS JOIN tot t
+    ORDER BY o.digit
+    """,
+)
+def q200_benford_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit over order totals —
+    the classic forensic screen for fabricated or re-generated numeric
+    columns (synthetic uniform data, like this corpus, FAILS Benford
+    loudly, which is exactly the point of the audit). First digits are
+    extracted with pure integer/string ops (floor -> BIGINT -> first
+    char — no log10 in the hot path); expected Benford frequencies
+    log10(1+1/d) enter as 20-digit literals computed offline so both
+    engines parse the identical double (no libm dependence anywhere).
+    One scan, one 9-key agg, a 1-row total broadcast."""
+    orders = read_table(spark, sf, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    d = orders.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = obs.agg(F.sum("n").cast("bigint").alias("total"))
+    benford = {
+        1: 0.30102999566398119521,
+        2: 0.17609125905568124208,
+        3: 0.12493873660829992570,
+        4: 0.09691001300805641436,
+        5: 0.07918124604762481755,
+        6: 0.06694678963061318059,
+        7: 0.05799194697768672847,
+        8: 0.05115252244738128730,
+        9: 0.04575749056067514143,
+    }
+    bf = F.lit(benford[9])
+    for dig in range(8, 0, -1):
+        bf = F.when(F.col("digit") == dig, F.lit(benford[dig])).otherwise(bf)
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            (F.col("n").cast("double") / F.col("total").cast("double"))
+            .alias("observed_freq"),
+            bf.alias("benford_freq"),
+        )
+        .orderBy("digit")
+    )

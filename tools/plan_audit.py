@@ -43,6 +43,10 @@ INTENTIONAL_BNLJ = {
     # q193: crossJoin(broadcast(<1-row corpus cap T>)) onto the |langs|-row
     # weight summary — a scalar broadcast, not a pair generator.
     "q193_mixture_quota_plan",
+    # q199/q200: crossJoin(broadcast(<1-row totals/KS/chi2 scalars>)) —
+    # scalar broadcasts onto histogram/digit summaries, not pair generators.
+    "q199_distribution_drift",
+    "q200_benford_audit",
 }
 
 
