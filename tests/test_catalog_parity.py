@@ -34,6 +34,14 @@ SUBSET = [
     # round-3 graph/layout families
     "q172_triangle_count",
     "q174_zorder_layout",
+    # round-3 sketch/time-series/retrieval families: KMV hash plumbing,
+    # closed-form CUSUM windows, fold-exact MMR doubles, drift fold
+    "q181_kmv_sketch",
+    "q183_cusum_changepoint",
+    "q187_dyadic_ewma",
+    "q196_gapfill_locf",
+    "q198_mmr_diversified_topk",
+    "q199_distribution_drift",
 ]
 
 
