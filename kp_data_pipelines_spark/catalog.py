@@ -9661,3 +9661,179 @@ def q200_benford_audit(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "q201_embedding_profile",
+    """
+    WITH e AS (
+      SELECT t.i AS dim,
+             CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS q
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
+    ),
+    s AS (
+      SELECT dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS sum_q,
+             CAST(SUM(CAST(q AS DECIMAL(38,0)) * q) AS DECIMAL(38,0))
+               AS sumsq_q,
+             CAST(MIN(q) AS BIGINT) AS min_q,
+             CAST(MAX(q) AS BIGINT) AS max_q,
+             CAST(SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero
+      FROM e GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, n, sum_q, min_q, max_q, n_zero,
+           CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mean,
+           (CAST(sumsq_q AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE)))
+             / 1000000.0 / 1000000.0 AS variance
+    FROM s ORDER BY dim
+    """,
+)
+def q201_embedding_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension embedding health profile — the feature monitor
+    that catches dead dimensions (all-zero), scale drift, and variance
+    collapse before they silently degrade every downstream ANN/dedup
+    job. posexplode unrolls vectors to (dim, value) — a generator, so
+    the fan-out is dim x rows with no join — values micro-quantized to
+    BIGINT so sums are exact; the squared sum stages through
+    DECIMAL(38,0) (CLAUDE.md ANSI rule: q^2 ~ 1e12 x billions of rows
+    overflows raw BIGINT long before sf matters). Mean/variance emerge
+    from the integer moments with divisions in pinned order. 64
+    output rows regardless of corpus size; the groupBy is map-side
+    combinable — the profile of a 100 TB embedding table costs one
+    scan."""
+    emb = read_table(spark, sf, "embeddings")
+    e = emb.select(
+        F.posexplode(F.col("embedding")).alias("dim0", "x")
+    ).select(
+        (F.col("dim0") + 1).cast("bigint").alias("dim"),
+        F.round(F.col("x").cast("double") * 1000000)
+        .cast("bigint")
+        .alias("q"),
+    )
+    s = e.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sum_q"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("sumsq_q"),
+        F.min("q").cast("bigint").alias("min_q"),
+        F.max("q").cast("bigint").alias("max_q"),
+        F.sum(F.when(F.col("q") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+    )
+    mean_q = F.col("sum_q").cast("double") / F.col("n").cast("double")
+    return s.select(
+        "dim",
+        "n",
+        "sum_q",
+        "min_q",
+        "max_q",
+        "n_zero",
+        (mean_q / F.lit(1000000.0)).alias("mean"),
+        (
+            (
+                F.col("sumsq_q").cast("double") / F.col("n").cast("double")
+                - mean_q * mean_q
+            )
+            / F.lit(1000000.0)
+            / F.lit(1000000.0)
+        ).alias("variance"),
+    ).orderBy("dim")
+
+
+@register(
+    "q202_snapshot_diff",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE epoch_us(o_orderdate) // 86400000000 < 19833
+    ),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             o_totalprice
+      FROM orders WHERE epoch_us(o_orderdate) // 86400000000 >= 19743
+    ),
+    j AS (
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS okey,
+             a.o_orderkey IS NOT NULL AS in_v1,
+             b.o_orderkey IS NOT NULL AS in_v2,
+             CASE WHEN a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+                    AND (a.o_orderstatus <> b.o_orderstatus
+                         OR a.o_totalprice <> b.o_totalprice)
+                  THEN 1 ELSE 0 END AS changed
+      FROM v1 a FULL OUTER JOIN v2 b ON b.o_orderkey = a.o_orderkey
+    )
+    SELECT CAST(SUM(CASE WHEN in_v1 AND in_v2 AND changed = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+           CAST(SUM(changed) AS BIGINT) AS n_changed,
+           CAST(SUM(CASE WHEN NOT in_v1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_added,
+           CAST(SUM(CASE WHEN NOT in_v2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed
+    FROM j
+    """,
+)
+def q202_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot diff between two table versions (the Delta/Iceberg
+    table-diff audit): v1 = orders before an epoch-day cutoff, v2 = a
+    later window with a deterministic mutation (every 97th key's
+    status flipped) standing in for upstream edits. One FULL OUTER
+    equi-join on the primary key classifies every row as
+    added/removed/changed/unchanged — the reconciliation report a
+    CDC backfill or a rebuilt pipeline is validated with. Change
+    detection compares the tracked columns directly (at wider schemas,
+    swap in a sha2 row fingerprint — q10's operator — to keep the
+    comparison one column). Keyed join + one aggregate: scales flat;
+    epoch-day arithmetic keeps it timezone-free."""
+    orders = read_table(spark, sf, "orders")
+    day = F.expr("unix_micros(o_orderdate) div 86400000000")
+    v1 = orders.filter(day < 19833).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = orders.filter(day >= 19743).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    a = v1.alias("a")
+    b = v2.alias("b")
+    j = a.join(
+        b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    ).select(
+        F.col("a.o_orderkey").isNotNull().alias("in_v1"),
+        F.col("b.o_orderkey").isNotNull().alias("in_v2"),
+        F.when(
+            F.col("a.o_orderkey").isNotNull()
+            & F.col("b.o_orderkey").isNotNull()
+            & (
+                (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+                | (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("changed"),
+    )
+    return j.agg(
+        F.sum(
+            F.when(F.col("in_v1") & F.col("in_v2") & (F.col("changed") == 0), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_unchanged"),
+        F.sum("changed").cast("bigint").alias("n_changed"),
+        F.sum(F.when(~F.col("in_v1"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_added"),
+        F.sum(F.when(~F.col("in_v2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+    )
