@@ -9837,3 +9837,165 @@ def q202_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("n_removed"),
     )
+
+
+@register(
+    "q203_join_cardinality_forecast",
+    """
+    WITH a AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS ca
+      FROM orders GROUP BY 1
+    ),
+    b AS (
+      SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cb
+      FROM customer GROUP BY 1
+    ),
+    m AS (
+      SELECT a.k, a.ca, b.cb, a.ca * b.cb AS contrib
+      FROM a JOIN b ON b.k = a.k
+    ),
+    top AS (
+      SELECT k, contrib,
+             ROW_NUMBER() OVER (ORDER BY contrib DESC, k) AS rn
+      FROM m
+    )
+    SELECT CAST(SUM(m.contrib) AS BIGINT) AS predicted_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_matching_keys,
+           CAST(MAX(m.contrib) AS BIGINT) AS max_key_contrib,
+           CAST((SELECT SUM(contrib) FROM top WHERE rn <= 5) AS BIGINT)
+             AS top5_contrib
+    FROM m
+    """,
+)
+def q203_join_cardinality_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-cardinality forecast — the pre-flight check before an
+    expensive join at 100 TB: |A JOIN B on k| = SUM over matching keys
+    of cnt_A(k) * cnt_B(k), computed from two cheap per-key COUNT
+    aggregates (map-side combinable, tiny compared to the join itself)
+    plus the skew profile (max and top-5 key contributions) that tells
+    you whether to salt (q177) BEFORE you burn the cluster on a hot
+    key. Runs entirely on key histograms: the candidate join is
+    key-count x key-count, never row x row. Exact integers throughout;
+    the top-5 window runs over the matched-key histogram ordered by
+    contribution (dimension-sized here; at web scale take
+    approx-top-k or a threshold instead — the docstring contract is
+    the forecast sums, which are windowless)."""
+    orders = read_table(spark, sf, "orders")
+    cust = read_table(spark, sf, "customer")
+    a = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ca")
+    )
+    b = cust.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cb")
+    )
+    m = a.join(b, "k").withColumn("contrib", F.col("ca") * F.col("cb"))
+    top5 = (
+        m.orderBy(F.desc("contrib"), "k")
+        .limit(5)
+        .agg(F.sum("contrib").cast("bigint").alias("top5_contrib"))
+    )
+    return (
+        m.agg(
+            F.sum("contrib").cast("bigint").alias("predicted_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_matching_keys"),
+            F.max("contrib").cast("bigint").alias("max_key_contrib"),
+        )
+        .crossJoin(F.broadcast(top5))
+        .select(
+            "predicted_rows", "n_matching_keys", "max_key_contrib",
+            "top5_contrib",
+        )
+    )
+
+
+@register(
+    "q204_survival_curve",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(MAX(epoch_us(ts)) // 86400000000
+                  - MIN(epoch_us(ts)) // 86400000000 AS BIGINT) AS dur_days
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM u),
+    d AS (
+      SELECT dur_days AS day, CAST(COUNT(*) AS BIGINT) AS n_churned
+      FROM u GROUP BY 1
+    ),
+    risk AS (
+      SELECT day, n_churned,
+             CAST(t.n0 - COALESCE(SUM(n_churned) OVER (ORDER BY day
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+      FROM d CROSS JOIN tot t
+    )
+    SELECT day, n_churned, n_at_risk,
+           CASE WHEN MAX(CASE WHEN n_at_risk = n_churned THEN 1 ELSE 0 END)
+                       OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) = 1
+                THEN CAST(0.0 AS DOUBLE)
+                ELSE exp(SUM(CASE WHEN n_at_risk > n_churned
+                             THEN ln(CAST(n_at_risk - n_churned AS DOUBLE)
+                                     / CAST(n_at_risk AS DOUBLE))
+                             ELSE CAST(0.0 AS DOUBLE) END)
+                         OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))
+           END AS km_survival
+    FROM risk
+    ORDER BY day
+    """,
+)
+def q204_survival_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user activity lifetimes (days
+    between first and last event): S(day) = prod over d <= day of
+    (1 - churned_d / at_risk_d) — the retention analysis that handles
+    cohorts of different ages correctly. Computed on the per-DAY
+    lifetime histogram (domain-bounded: the curve has at most
+    span-days points no matter how many users, q188's
+    histogram-first rule), with the running product expressed as
+    exp(running sum of logs) — note this pair of libm calls is why
+    km_survival is validated by the RANK-free integer columns
+    (n_churned, n_at_risk are exact) plus cross-engine agreement on
+    this dataset; ln/exp agree on both engines here but the exact
+    contract is the integer life table. One groupBy + one tiny
+    ordered window over <= 31 histogram rows."""
+    ev = read_table(spark, sf, "events")
+    day_us = F.expr("unix_micros(ts) div 86400000000")
+    u = ev.groupBy("user_id").agg(
+        (F.max(day_us) - F.min(day_us)).cast("bigint").alias("dur_days")
+    )
+    tot = u.agg(F.count(F.lit(1)).cast("bigint").alias("n0"))
+    d = u.groupBy(F.col("dur_days").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_churned")
+    )
+    wprev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    risk = (
+        d.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_at_risk",
+            F.col("n0")
+            - F.coalesce(F.sum("n_churned").over(wprev), F.lit(0)),
+        )
+    )
+    hit_zero = (
+        F.max(
+            F.when(F.col("n_at_risk") == F.col("n_churned"), 1).otherwise(0)
+        ).over(wcum)
+        == 1
+    )
+    ln_sum = F.sum(
+        F.when(
+            F.col("n_at_risk") > F.col("n_churned"),
+            F.log(
+                (F.col("n_at_risk") - F.col("n_churned")).cast("double")
+                / F.col("n_at_risk").cast("double")
+            ),
+        ).otherwise(F.lit(0.0))
+    ).over(wcum)
+    return (
+        risk.withColumn(
+            "km_survival",
+            F.when(hit_zero, F.lit(0.0)).otherwise(F.exp(ln_sum)),
+        )
+        .select("day", "n_churned", "n_at_risk", "km_survival")
+        .orderBy("day")
+    )
