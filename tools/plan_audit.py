@@ -47,6 +47,10 @@ INTENTIONAL_BNLJ = {
     # scalar broadcasts onto histogram/digit summaries, not pair generators.
     "q199_distribution_drift",
     "q200_benford_audit",
+    # q203/q204: crossJoin(broadcast(<1-row top5-sum / user-count scalar>))
+    # onto key-histogram summaries — scalar broadcasts, not pair generators.
+    "q203_join_cardinality_forecast",
+    "q204_survival_curve",
 }
 
 
