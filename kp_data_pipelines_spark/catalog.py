@@ -9517,6 +9517,14 @@ def q199_distribution_drift(spark: SparkSession, sf: str) -> DataFrame:
     hist = q.groupBy("half", "qv").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+    return _drift_stats_from_hist(hist)
+
+
+def _drift_stats_from_hist(hist: DataFrame) -> DataFrame:
+    """KS + chi-square drift statistics from a (half, qv, n) histogram —
+    shared by the batch monitor (q199) and its streaming partial-merge
+    twin (q205). The histogram is MERGEABLE: partials from any split of
+    the input (micro-batches, partitions, days) sum to the same grid."""
     n1c = F.sum(F.when(F.col("half") == 0, F.col("n")).otherwise(0))
     n2c = F.sum(F.when(F.col("half") == 1, F.col("n")).otherwise(0))
     tot = hist.agg(
@@ -9998,4 +10006,200 @@ def q204_survival_curve(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("day", "n_churned", "n_at_risk", "km_survival")
         .orderBy("day")
+    )
+
+
+@register(
+    "q205_streaming_drift_monitor", ORACLE["q199_distribution_drift"]
+)
+def q205_streaming_drift_monitor(spark: SparkSession, sf: str) -> DataFrame:
+    """q199's deploy shape: events arrive as a STREAM and each
+    micro-batch emits only its (half, qv, n) HISTOGRAM PARTIAL inside
+    foreachBatch (written to parquet — no driver collect); the drift
+    statistics are computed downstream over the merged partials.
+    Mergeability is the entire design: histogram counts from any batch
+    split sum to the same grid, so KS/chi-square over the merged
+    histogram equal the batch answer exactly — the oracle IS q199's
+    twin, and streaming vs batch must agree bit-for-bit. At 100 TB the
+    monitor ships a few-KB partial per trigger instead of re-scanning
+    history — the canonical streaming-quality-monitor shape."""
+    from kp_data_pipelines_spark.sources.readers import _nanos_timestamp_cols
+    from kp_data_pipelines_spark.streaming.events import (
+        run_available_now_foreach_batch,
+    )
+
+    path = f"{sf}/events.parquet"
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    for c in ns_cols:
+        stream = stream.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+        )
+
+    def partials(batch: DataFrame) -> DataFrame:
+        return (
+            batch.select(
+                F.when(
+                    F.expr("unix_micros(ts) div 86400000000") < 19738, 0
+                )
+                .otherwise(1)
+                .alias("half"),
+                F.round(F.col("value") * 100).cast("bigint").alias("qv"),
+            )
+            .groupBy("half", "qv")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+
+    merged = run_available_now_foreach_batch(
+        stream, partials, "half int, qv bigint, n bigint"
+    )
+    hist = merged.groupBy("half", "qv").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )
+    return _drift_stats_from_hist(hist)
+
+
+@register(
+    "q206_conformal_calibration",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS category,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN (((1430920115 * (((o_orderkey % 2147483647)
+                          + 2147483647) % 2147483647) + 811159497)
+                         % 2147483647) % 2) = 0
+                  THEN 1 ELSE 0 END AS is_calib
+      FROM orders
+    ),
+    chist AS (
+      SELECT category, cents, CAST(COUNT(*) AS BIGINT) AS n
+      FROM base WHERE is_calib = 1 GROUP BY 1, 2
+    ),
+    ctot AS (
+      SELECT category, CAST(SUM(n) AS BIGINT) AS n_calib FROM chist
+      GROUP BY category
+    ),
+    ranked AS (
+      SELECT h.category, h.cents,
+             SUM(h.n) OVER (PARTITION BY h.category ORDER BY h.cents
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             t.n_calib
+      FROM chist h JOIN ctot t ON t.category = h.category
+    ),
+    thresh AS (
+      SELECT category, MIN(cents) AS threshold_cents, MAX(n_calib) AS n_calib
+      FROM ranked
+      WHERE cum * 10 >= (n_calib + 1) * 9
+      GROUP BY category
+    ),
+    test AS (
+      SELECT b.category,
+             CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN b.cents <= t.threshold_cents
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      FROM base b JOIN thresh t ON t.category = b.category
+      WHERE b.is_calib = 0
+      GROUP BY b.category
+    )
+    SELECT t.category, h.n_calib, t.n_test, h.threshold_cents,
+           CAST(t.n_covered AS DOUBLE) / CAST(t.n_test AS DOUBLE)
+             AS coverage
+    FROM test t JOIN thresh h ON h.category = t.category
+    ORDER BY t.category
+    """,
+)
+def q206_conformal_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-conformal calibration per category: on a hash-drawn
+    calibration half, find the smallest value whose empirical rank
+    reaches ceil(0.9*(n+1)) — the conformal quantile that guarantees
+    >= 90% marginal coverage on exchangeable held-out data — then
+    verify the coverage on the test half. The quantile is found on the
+    cent-HISTOGRAM with a running-count rank (q188/q199 pattern: the
+    ordered window touches <= |price domain| rows per category, never
+    raw orders, at any scale) and the rank inequality is exact integer
+    cross-multiplication (cum*10 >= (n+1)*9 — no float quantile
+    libraries anywhere). The split reuses the q186 leakage-safe LCG
+    group hash. This is the calibration loop every score-thresholding
+    pipeline (toxicity filters, quality classifiers) should run before
+    picking a cutoff."""
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    (a, b) = _hash_params(1, 31)[0]
+    orders = read_table(spark, sf, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("category"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.when(
+            (
+                (
+                    F.lit(a) * F.pmod(F.col("o_orderkey"), F.lit(_MERSENNE))
+                    + F.lit(b)
+                )
+                % _MERSENNE
+            )
+            % 2
+            == 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_calib"),
+    )
+    chist = (
+        base.filter(F.col("is_calib") == 1)
+        .groupBy("category", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    ctot = chist.groupBy("category").agg(
+        F.sum("n").cast("bigint").alias("n_calib")
+    )
+    wcum = (
+        Window.partitionBy("category")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = chist.join(ctot, "category").withColumn(
+        "cum", F.sum("n").over(wcum)
+    )
+    thresh = (
+        ranked.filter(F.col("cum") * 10 >= (F.col("n_calib") + 1) * 9)
+        .groupBy("category")
+        .agg(
+            F.min("cents").alias("threshold_cents"),
+            F.max("n_calib").alias("n_calib"),
+        )
+    )
+    test = (
+        base.filter(F.col("is_calib") == 0)
+        .join(F.broadcast(thresh), "category")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(F.col("cents") <= F.col("threshold_cents"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        test.join(F.broadcast(thresh), "category")
+        .select(
+            "category",
+            "n_calib",
+            "n_test",
+            "threshold_cents",
+            (F.col("n_covered").cast("double") / F.col("n_test").cast("double"))
+            .alias("coverage"),
+        )
+        .orderBy("category")
     )
