@@ -10203,3 +10203,207 @@ def q206_conformal_calibration(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("category")
     )
+
+
+def _ipw_sql(seed: int = 41) -> str:
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    (a, b) = _hash_params(1, seed)[0]
+    m = _MERSENNE
+    return f"""
+    WITH rates AS (
+      SELECT lang,
+             CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 500
+                       WHEN 'fr' THEN 500 ELSE 1000 END AS rate_ppm
+      FROM (SELECT DISTINCT lang FROM documents)
+    ),
+    d AS (
+      SELECT doc.lang, doc.n_chars,
+             CASE WHEN (({a} * (((doc.doc_id % {m}) + {m}) % {m}) + {b})
+                        % {m}) % 1000 < r.rate_ppm
+                  THEN 1 ELSE 0 END AS sampled,
+             r.rate_ppm
+      FROM documents doc JOIN rates r ON r.lang = doc.lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(sampled) AS BIGINT) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS exact_chars,
+           CAST(SUM(CASE WHEN sampled = 1 THEN n_chars ELSE 0 END) * 1000
+                AS BIGINT) AS ipw_numerator,
+           MAX(rate_ppm) AS rate_ppm,
+           CAST(SUM(CASE WHEN sampled = 1 THEN n_chars ELSE 0 END) * 1000
+                AS DOUBLE) / CAST(MAX(rate_ppm) AS DOUBLE) AS ipw_chars
+    FROM d GROUP BY lang ORDER BY lang
+    """
+
+
+@register("q207_ipw_estimate", _ipw_sql())
+def q207_ipw_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverse-propensity-weighted estimation audit: sample documents
+    per language at DIFFERENT deterministic rates (LCG Bernoulli,
+    rate/1000 — the q151 sampler), then reconstruct each language's
+    total character count from the sample alone via Horvitz-Thompson
+    weights (sum * 1000 / rate) and place it next to the exact total —
+    the audit that tells you whether sampled telemetry can stand in
+    for full-scan metrics, per stratum. The IPW numerator stays an
+    EXACT integer (common denominator 1000 — no per-row float
+    weights); the estimate is one double division per group. This is
+    how a 100 TB pipeline validates its sampling-based dashboards:
+    keyed aggregates only, the sample never needs to be materialized
+    separately."""
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    (a, b) = _hash_params(1, 41)[0]
+    docs = read_table(spark, sf, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 250)
+        .when(F.col("lang") == "de", 500)
+        .when(F.col("lang") == "fr", 500)
+        .otherwise(1000)
+    )
+    h = (
+        (F.lit(a) * F.pmod(F.col("doc_id"), F.lit(_MERSENNE)) + F.lit(b))
+        % _MERSENNE
+    ) % 1000
+    d = docs.select(
+        "lang",
+        "n_chars",
+        rate.alias("rate_ppm"),
+        F.when(h < rate, 1).otherwise(0).alias("sampled"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("sampled").cast("bigint").alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("exact_chars"),
+            (
+                F.sum(
+                    F.when(F.col("sampled") == 1, F.col("n_chars")).otherwise(0)
+                )
+                * 1000
+            )
+            .cast("bigint")
+            .alias("ipw_numerator"),
+            F.max("rate_ppm").alias("rate_ppm"),
+            (
+                (
+                    F.sum(
+                        F.when(
+                            F.col("sampled") == 1, F.col("n_chars")
+                        ).otherwise(0)
+                    )
+                    * 1000
+                ).cast("double")
+                / F.max("rate_ppm").cast("double")
+            ).alias("ipw_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q208_fd_audit",
+    """
+    WITH cand AS (
+      SELECT 'o_custkey->o_orderpriority' AS fd, o_custkey AS a,
+             o_orderpriority AS b
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderkey->o_orderstatus', o_orderkey,
+             o_orderstatus
+      FROM orders
+      UNION ALL
+      SELECT 'l_orderkey->l_returnflag', l_orderkey, l_returnflag
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_partkey->l_suppkey', l_partkey,
+             CAST(l_suppkey AS VARCHAR)
+      FROM lineitem
+    ),
+    g AS (
+      SELECT fd, a,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b
+      FROM cand GROUP BY fd, a
+    )
+    SELECT fd,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n_b > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(SUM(CASE WHEN n_b > 1 THEN n_rows ELSE 0 END) AS BIGINT)
+             AS n_rows_in_violation,
+           CAST(MAX(n_b) AS BIGINT) AS max_distinct_b,
+           CAST(CASE WHEN SUM(CASE WHEN n_b > 1 THEN 1 ELSE 0 END) = 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS holds
+    FROM g GROUP BY fd ORDER BY fd
+    """,
+)
+def q208_fd_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Functional-dependency audit (the profiling step behind key
+    discovery, J7): for each candidate dependency A -> B, count the
+    determinant groups where more than one B value appears — zero
+    violations means the FD holds and B can be normalized out /
+    trusted as join-safe. Four candidates over orders and lineitem
+    stacked into one tagged union so the whole audit is a single
+    two-level aggregate (group counts travel, never rows); at 100 TB
+    swap COUNT(DISTINCT b) for a portable sketch (q157/q181) when B's
+    per-group cardinality is unbounded — here it is domain-bounded.
+    The expected report: orderkey->status HOLDS (order-level
+    attribute), custkey->priority and partkey->suppkey are violated
+    (many orders per customer, multiple suppliers per part)."""
+    orders = read_table(spark, sf, "orders")
+    li = read_table(spark, sf, "lineitem")
+    cand = (
+        orders.select(
+            F.lit("o_custkey->o_orderpriority").alias("fd"),
+            F.col("o_custkey").alias("a"),
+            F.col("o_orderpriority").alias("b"),
+        )
+        .unionAll(
+            orders.select(
+                F.lit("o_orderkey->o_orderstatus").alias("fd"),
+                F.col("o_orderkey").alias("a"),
+                F.col("o_orderstatus").alias("b"),
+            )
+        )
+        .unionAll(
+            li.select(
+                F.lit("l_orderkey->l_returnflag").alias("fd"),
+                F.col("l_orderkey").alias("a"),
+                F.col("l_returnflag").alias("b"),
+            )
+        )
+        .unionAll(
+            li.select(
+                F.lit("l_partkey->l_suppkey").alias("fd"),
+                F.col("l_partkey").alias("a"),
+                F.col("l_suppkey").cast("string").alias("b"),
+            )
+        )
+    )
+    g = cand.groupBy("fd", "a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_distinct("b").cast("bigint").alias("n_b"),
+    )
+    return (
+        g.groupBy("fd")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("n_b") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_groups"),
+            F.sum(F.when(F.col("n_b") > 1, F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_in_violation"),
+            F.max("n_b").cast("bigint").alias("max_distinct_b"),
+            F.when(
+                F.sum(F.when(F.col("n_b") > 1, 1).otherwise(0)) == 0, 1
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("holds"),
+        )
+        .orderBy("fd")
+    )
