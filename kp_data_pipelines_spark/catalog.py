@@ -10407,3 +10407,148 @@ def q208_fd_audit(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("fd")
     )
+
+
+@register(
+    "q209_scd2_point_lookup",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, event_type, us,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                    OR LAG(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS is_change
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    dim AS (
+      SELECT user_id, event_type AS attr, us AS eff_us,
+             COALESCE(LEAD(us) OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id),
+                      9223372036854775807) AS exp_us
+      FROM flagged WHERE is_change = 1
+    ),
+    probes AS (
+      SELECT user_id, event_id, us FROM e WHERE event_id % 7 = 0
+    )
+    SELECT p.user_id, p.event_id, d.attr,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n_probes
+    FROM probes p
+    JOIN dim d ON d.user_id = p.user_id
+              AND d.eff_us <= p.us AND p.us < d.exp_us
+    ORDER BY p.user_id, p.event_id
+    """,
+)
+def q209_scd2_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 dimension q197 builds —
+    the bitemporal consumption side: for a probe set of events, fetch
+    the attribute version VALID AT each probe's timestamp
+    (eff_us <= t < exp_us). The join is keyed on user_id (equi) with
+    the validity-range predicate as a post-join filter — per-user
+    version counts are bounded (versions track CHANGES), so the
+    keyed-join fan-out is version-count per user, never a cartesian;
+    this is the standard time-travel dimension lookup every
+    reproducible-training-snapshot pipeline runs ("what was this
+    user's segment when the example was generated?"). Exactly one
+    version matches each probe by construction (intervals partition
+    the timeline from first change to +inf)."""
+    ev = read_table(spark, sf, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    dim = (
+        e.withColumn(
+            "is_change",
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                1,
+            ).otherwise(0),
+        )
+        .filter(F.col("is_change") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("attr"),
+            F.col("us").alias("eff_us"),
+            F.coalesce(
+                F.lead("us").over(w), F.lit(9223372036854775807)
+            ).alias("exp_us"),
+        )
+    )
+    probes = e.filter(F.col("event_id") % 7 == 0).select(
+        "user_id", "event_id", "us"
+    )
+    joined = probes.join(dim, "user_id").filter(
+        (F.col("eff_us") <= F.col("us")) & (F.col("us") < F.col("exp_us"))
+    )
+    return (
+        joined.withColumn(
+            "n_probes",
+            F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint"),
+        )
+        .select("user_id", "event_id", "attr", "n_probes")
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "q210_ohlc_rollup",
+    """
+    WITH e AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) // 86400000000 AS day,
+             epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS qv
+      FROM events
+    )
+    SELECT user_id, day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(qv) AS BIGINT) AS low_q,
+           CAST(MAX(qv) AS BIGINT) AS high_q,
+           CAST((MIN(struct_pack(u := us, e := event_id, q := qv))).q
+                AS BIGINT) AS open_q,
+           CAST((MAX(struct_pack(u := us, e := event_id, q := qv))).q
+                AS BIGINT) AS close_q
+    FROM e GROUP BY user_id, day ORDER BY user_id, day
+    """,
+)
+def q210_ohlc_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """OHLC candlestick rollup per user-day — the canonical time-series
+    downsample (finance bars, metric summaries): open = first value by
+    event time, close = last, high/low = extremes. First/last WITHOUT
+    a sort: min/max over (timestamp, tiebreak, value) structs inside a
+    single keyed aggregate — map-side combinable, one shuffle, no
+    window pass at all (the struct-argmin trick is the 100 TB shape;
+    a per-key ORDER BY would sort the world). Values cent-quantized,
+    day = epoch-integer division, (us, event_id) makes the extremes'
+    argument order total so both engines pick the identical row."""
+    ev = read_table(spark, sf, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("qv"),
+    )
+    return (
+        e.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("qv").cast("bigint").alias("low_q"),
+            F.max("qv").cast("bigint").alias("high_q"),
+            F.min(F.struct("us", "event_id", "qv"))["qv"]
+            .cast("bigint")
+            .alias("open_q"),
+            F.max(F.struct("us", "event_id", "qv"))["qv"]
+            .cast("bigint")
+            .alias("close_q"),
+        )
+        .orderBy("user_id", "day")
+    )
