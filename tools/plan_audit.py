@@ -51,6 +51,9 @@ INTENTIONAL_BNLJ = {
     # onto key-histogram summaries — scalar broadcasts, not pair generators.
     "q203_join_cardinality_forecast",
     "q204_survival_curve",
+    # q205: inherits q199's scalar broadcasts (1-row totals/KS/chi2) in the
+    # shared _drift_stats_from_hist downstream — not a pair generator.
+    "q205_streaming_drift_monitor",
 }
 
 
