@@ -10552,3 +10552,269 @@ def q210_ohlc_rollup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@register(
+    "q211_seasonal_profile",
+    """
+    WITH e AS (
+      SELECT (epoch_us(ts) // 3600000000) % 168 AS how,
+             CAST(round(value * 100) AS BIGINT) AS qv
+      FROM events
+    ),
+    prof AS (
+      SELECT how, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(qv) AS BIGINT) AS sum_q
+      FROM e GROUP BY how
+    ),
+    season AS (
+      SELECT how, n, sum_q,
+             CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE) AS seasonal_mean_q
+      FROM prof
+    ),
+    resid AS (
+      SELECT e.how,
+             CAST(e.qv AS DOUBLE) - s.seasonal_mean_q AS r
+      FROM e JOIN season s ON s.how = e.how
+    ),
+    rstat AS (
+      SELECT how,
+             MAX(abs(r)) AS max_abs_resid,
+             CAST(SUM(CAST(round(abs(r)) AS BIGINT)) AS BIGINT)
+               AS sum_abs_resid_q
+      FROM resid GROUP BY how
+    )
+    SELECT s.how, s.n, s.sum_q, s.seasonal_mean_q,
+           r.max_abs_resid, r.sum_abs_resid_q
+    FROM season s JOIN rstat r ON r.how = s.how
+    ORDER BY s.how
+    """,
+)
+def q211_seasonal_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly seasonal profile + residual diagnostics — the seasonal-
+    naive baseline every anomaly detector needs before claiming a
+    deviation is real: bucket events by hour-of-week (168 slots, pure
+    epoch integer arithmetic), per-slot mean of cent-quantized values
+    (exact integer sums, one division), then residuals against that
+    baseline with max and rounded-L1 magnitude per slot. Two keyed
+    aggregates + one broadcast-size join back (168 rows) — the
+    profile is domain-bounded at ANY input scale, and the residual
+    pass is one scan. Residual subtraction is a single IEEE op per
+    row; the L1 sum re-quantizes via round() so it aggregates as an
+    exact integer (order-independent)."""
+    ev = read_table(spark, sf, "events")
+    e = ev.select(
+        (F.expr("unix_micros(ts) div 3600000000") % 168).alias("how"),
+        F.round(F.col("value") * 100).cast("bigint").alias("qv"),
+    )
+    season = (
+        e.groupBy("how")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("qv").cast("bigint").alias("sum_q"),
+        )
+        .withColumn(
+            "seasonal_mean_q",
+            F.col("sum_q").cast("double") / F.col("n").cast("double"),
+        )
+    )
+    resid = e.join(F.broadcast(season.select("how", "seasonal_mean_q")), "how")
+    r = F.col("qv").cast("double") - F.col("seasonal_mean_q")
+    rstat = resid.groupBy("how").agg(
+        F.max(F.abs(r)).alias("max_abs_resid"),
+        F.sum(F.round(F.abs(r)).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_abs_resid_q"),
+    )
+    return (
+        season.join(rstat, "how")
+        .select(
+            "how", "n", "sum_q", "seasonal_mean_q",
+            "max_abs_resid", "sum_abs_resid_q",
+        )
+        .orderBy("how")
+    )
+
+
+@register(
+    "q212_autocorrelation",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             CAST(round(value * 100) AS BIGINT) AS qv
+      FROM events
+    ),
+    lagged AS (
+      SELECT user_id, qv,
+             LAG(qv, 1) OVER w AS l1,
+             LAG(qv, 2) OVER w AS l2,
+             LAG(qv, 3) OVER w AS l3
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    m AS (
+      SELECT k.k AS lag,
+             CAST(COUNT(CASE k.k WHEN 1 THEN l1 WHEN 2 THEN l2 ELSE l3 END)
+                  AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN (CASE k.k WHEN 1 THEN l1 WHEN 2 THEN l2
+                                 ELSE l3 END) IS NOT NULL
+                           THEN qv ELSE 0 END) AS BIGINT) AS sx,
+             CAST(SUM(COALESCE(CASE k.k WHEN 1 THEN l1 WHEN 2 THEN l2
+                               ELSE l3 END, 0)) AS BIGINT) AS sy,
+             CAST(SUM(CASE WHEN (CASE k.k WHEN 1 THEN l1 WHEN 2 THEN l2
+                                 ELSE l3 END) IS NOT NULL
+                           THEN CAST(qv AS DECIMAL(38,0)) * qv
+                           ELSE 0 END) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(COALESCE(CASE k.k WHEN 1 THEN l1 WHEN 2 THEN l2
+                                    ELSE l3 END, 0) AS DECIMAL(38,0))
+                      * COALESCE(CASE k.k WHEN 1 THEN l1 WHEN 2 THEN l2
+                                 ELSE l3 END, 0))
+                  AS DECIMAL(38,0)) AS syy,
+             CAST(SUM(CAST(CASE WHEN (CASE k.k WHEN 1 THEN l1 WHEN 2 THEN l2
+                                      ELSE l3 END) IS NOT NULL
+                                THEN qv ELSE 0 END AS DECIMAL(38,0))
+                      * COALESCE(CASE k.k WHEN 1 THEN l1 WHEN 2 THEN l2
+                                 ELSE l3 END, 0))
+                  AS DECIMAL(38,0)) AS sxy
+      FROM lagged CROSS JOIN (SELECT unnest(range(1, 4)) AS k) k
+      GROUP BY k.k
+    )
+    SELECT lag, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS acf
+    FROM m ORDER BY lag
+    """,
+)
+def q212_autocorrelation(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user-series autocorrelation (ACF lags 1-3, Pearson over
+    lagged pairs pooled across users) — the periodicity probe that
+    decides whether q211's seasonal baseline is even worth fitting.
+    One window pass computes all three lags (Spark evaluates the lag
+    family in a single WindowExec); each lag's correlation comes from
+    the five raw moments (n, sx, sy, sxx, syy, sxy) accumulated as
+    EXACT integers — cross-products stage through DECIMAL(38,0)
+    (CLAUDE.md rule: cent-product ~3e7 x billions of pairs overflows
+    BIGINT) — then one closed-form double evaluation per lag in
+    pinned operation order. Moments are map-side combinable; the
+    3-way lag unnest is a generator over the windowed rows. At sf0.1
+    each moment stays under 2^53 so the DECIMAL->double cast is
+    exact (hi/lo split per q106/q115 is the >2^53 escalation)."""
+    ev = read_table(spark, sf, "events")
+    e = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("qv"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    lagged = e.select(
+        "qv",
+        F.lag("qv", 1).over(w).alias("l1"),
+        F.lag("qv", 2).over(w).alias("l2"),
+        F.lag("qv", 3).over(w).alias("l3"),
+    )
+    pairs = lagged.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("bigint").alias("lag"),
+                        F.col("qv").alias("x"),
+                        F.col(f"l{k}").alias("y"),
+                    )
+                    for k in (1, 2, 3)
+                ]
+            )
+        ).alias("p")
+    ).select("p.lag", "p.x", "p.y")
+    m = (
+        pairs.groupBy("lag")
+        .agg(
+            F.count("y").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("y").isNotNull(), F.col("x")).otherwise(0))
+            .cast("bigint")
+            .alias("sx"),
+            F.sum(F.coalesce(F.col("y"), F.lit(0)))
+            .cast("bigint")
+            .alias("sy"),
+            F.sum(
+                F.when(
+                    F.col("y").isNotNull(),
+                    F.col("x").cast("decimal(38,0)") * F.col("x"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("sxx"),
+            F.sum(
+                F.coalesce(F.col("y"), F.lit(0)).cast("decimal(38,0)")
+                * F.coalesce(F.col("y"), F.lit(0))
+            ).alias("syy"),
+            F.sum(
+                F.when(F.col("y").isNotNull(), F.col("x"))
+                .otherwise(0)
+                .cast("decimal(38,0)")
+                * F.coalesce(F.col("y"), F.lit(0))
+            ).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    acf = (nd * F.col("sxy").cast("double") - sxd * syd) / (
+        F.sqrt(nd * F.col("sxx").cast("double") - sxd * sxd)
+        * F.sqrt(nd * F.col("syy").cast("double") - syd * syd)
+    )
+    return m.select("lag", "n", acf.alias("acf")).orderBy("lag")
+
+
+@register(
+    "q213_gini_diversity",
+    """
+    WITH c AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang
+    ),
+    t AS (
+      SELECT source, CAST(SUM(n) AS BIGINT) AS tot,
+             CAST(SUM(CAST(n AS DECIMAL(38,0)) * n) AS DECIMAL(38,0)) AS ss
+      FROM c GROUP BY source
+    )
+    SELECT source, tot AS n_docs,
+           CAST((SELECT COUNT(*) FROM c c2 WHERE c2.source = t.source)
+                AS BIGINT) AS n_langs,
+           CAST(1.0 AS DOUBLE)
+             - CAST(ss AS DOUBLE)
+               / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) AS gini_diversity
+    FROM t ORDER BY source
+    """,
+)
+def q213_gini_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini-Simpson diversity of the language mix per source — the
+    log-free diversity index (1 - sum p_i^2) for monitoring corpus
+    balance: 0 = monoculture, ->1 = evenly mixed. Works entirely on
+    the (source, lang) count table (two tiny keyed aggregates); the
+    sum of squared counts stages through DECIMAL(38,0) (counts in the
+    billions square past BIGINT) and the final index is computed from
+    exact integers with divisions in pinned order — no logarithms, so
+    it oracle-hashes where Shannon entropy would drift. The
+    per-source language count rides along for the report."""
+    docs = read_table(spark, sf, "documents")
+    c = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    t = c.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).alias("ss"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+    )
+    return t.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        (
+            F.lit(1.0)
+            - F.col("ss").cast("double")
+            / (F.col("n_docs").cast("double") * F.col("n_docs").cast("double"))
+        ).alias("gini_diversity"),
+    ).orderBy("source")
