@@ -7795,23 +7795,27 @@ def q180_containment_join(spark: SparkSession, sf: str) -> DataFrame:
 
     t_num, t_den = 4, 5
     docs = ensure_parallelism(
-        read_table(spark, sf, "documents").select("doc_id", "text")
+        read_table(spark, sf, "documents").select("doc_id", "text"), 32
     )
+    # sz travels WITH the exploded rows (computed once on the distinct-gram
+    # array) — no per-doc COUNT window needed downstream.
     ex = (
         with_poly_shingles(docs, "text", out="grams", k=3)
-        .select("doc_id", F.explode(F.array_distinct("grams")).alias("gram"))
+        .withColumn("grams", F.array_distinct("grams"))
+        .select(
+            "doc_id",
+            F.size("grams").cast("long").alias("sz"),
+            F.explode("grams").alias("gram"),
+        )
         .localCheckpoint(eager=True)
     )
     dfc = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     ranked = prefix_sum(
         dfc, ["df", "gram"], F.lit(1).cast("long"), out_col="rnk"
     ).select("gram", "rnk")
-    wsz = Window.partitionBy("doc_id")
     wpos = Window.partitionBy("doc_id").orderBy("rnk")
-    exr = (
-        ex.join(ranked, "gram")
-        .withColumn("sz", F.count(F.lit(1)).over(wsz))
-        .withColumn("pos", F.row_number().over(wpos))
+    exr = ex.join(ranked, "gram").withColumn(
+        "pos", F.row_number().over(wpos)
     )
     pref = exr.filter(
         F.col("pos") <= F.expr(f"(sz * {t_den - t_num}) div {t_den}") + 1
@@ -7831,9 +7835,7 @@ def q180_containment_join(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("overlap"))
     )
-    sz = ex.groupBy(F.col("doc_id").alias("id_a")).agg(
-        F.count(F.lit(1)).alias("size_a")
-    )
+    sz = ex.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("size_a")).distinct()
     return (
         ov.join(sz, "id_a")
         .filter(F.col("overlap") * t_den >= t_num * F.col("size_a"))
