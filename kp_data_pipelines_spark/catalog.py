@@ -10820,3 +10820,173 @@ def q213_gini_diversity(spark: SparkSession, sf: str) -> DataFrame:
             / (F.col("n_docs").cast("double") * F.col("n_docs").cast("double"))
         ).alias("gini_diversity"),
     ).orderBy("source")
+
+
+def _hll_merge_sql(seed: int = 23, cut_day: int = 19738) -> str:
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    (a1, b1), (a2, b2) = _hash_params(2, seed)
+    m = _MERSENNE
+    hv = (
+        f"(({a1} * (((user_id % {m}) + {m}) % {m}) + {b1}) % {m})"
+        f" * CAST(2147483648 AS BIGINT)"
+        f" + (({a2} * (((user_id % {m}) + {m}) % {m}) + {b2}) % {m})"
+    )
+    return f"""
+    WITH h AS (
+      SELECT CASE WHEN epoch_us(ts) // 86400000000 < {cut_day}
+                  THEN 0 ELSE 1 END AS part,
+             {hv} AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT part, hv & 63 AS reg,
+             CASE WHEN (hv >> 6) > 0 THEN 57 - length(bin(hv >> 6))
+                  ELSE 57 END AS rank
+      FROM h
+    ),
+    partials AS (
+      SELECT part, reg, CAST(MAX(rank) AS BIGINT) AS mr
+      FROM r GROUP BY part, reg
+    ),
+    merged AS (
+      SELECT reg, CAST(MAX(mr) AS BIGINT) AS mr FROM partials GROUP BY reg
+    ),
+    fullr AS (
+      SELECT reg, CAST(MAX(rank) AS BIGINT) AS mr FROM r GROUP BY reg
+    )
+    SELECT m.reg, m.mr AS merged_rank, f.mr AS full_rank,
+           CAST(CASE WHEN m.mr = f.mr THEN 1 ELSE 0 END AS BIGINT)
+             AS registers_agree
+    FROM merged m JOIN fullr f ON f.reg = m.reg
+    ORDER BY m.reg
+    """
+
+
+@register("q214_hll_incremental_merge", _hll_merge_sql())
+def q214_hll_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental sketch maintenance, PROVEN: build q157's portable
+    HLL registers separately for the old partition (days before the
+    cutoff — the persisted sketch state) and the new arrivals, merge
+    by per-register MAX, and emit the merged registers NEXT TO a full
+    recompute with an agreement flag per register — the property
+    (merge == recompute) that lets a 100 TB distinct-count dashboard
+    update from day-partial sketches (64 BIGINTs per partition)
+    without ever rescanning history. Every register and the agreement
+    column are oracle-hashed; the same MAX-merge shape maintains the
+    KMV (q181: bottom-k of pooled bottom-ks) and Count-Min (q160:
+    cellwise SUM) states."""
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    (a1, b1), (a2, b2) = _hash_params(2, 23)
+    ev = read_table(spark, sf, "events")
+    uid_m = F.pmod(F.col("user_id"), F.lit(_MERSENNE))
+    hv = (
+        (F.lit(a1) * uid_m + F.lit(b1)) % _MERSENNE
+    ) * F.lit(1 << 31) + ((F.lit(a2) * uid_m + F.lit(b2)) % _MERSENNE)
+    rest = F.shiftrightunsigned(hv, 6)
+    rank = F.when(rest > 0, F.lit(57) - F.length(F.bin(rest))).otherwise(
+        F.lit(57)
+    )
+    r = ev.select(
+        F.when(F.expr("unix_micros(ts) div 86400000000") < 19738, 0)
+        .otherwise(1)
+        .alias("part"),
+        hv.bitwiseAND(F.lit(63)).alias("reg"),
+        rank.alias("rank"),
+    )
+    partials = r.groupBy("part", "reg").agg(
+        F.max("rank").cast("bigint").alias("mr")
+    )
+    merged = partials.groupBy("reg").agg(
+        F.max("mr").cast("bigint").alias("merged_rank")
+    )
+    full = r.groupBy("reg").agg(F.max("rank").cast("bigint").alias("full_rank"))
+    return (
+        merged.join(full, "reg")
+        .select(
+            "reg",
+            "merged_rank",
+            "full_rank",
+            F.when(F.col("merged_rank") == F.col("full_rank"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("registers_agree"),
+        )
+        .orderBy("reg")
+    )
+
+
+@register(
+    "q215_temporal_range_join",
+    """
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus,
+             epoch_us(ts) // 3600000000 AS hb
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cb AS (
+      SELECT user_id, click_id, cus,
+             cus // 3600000000 + k.k AS hb
+      FROM c CROSS JOIN (SELECT unnest(range(2)) AS k) k
+    )
+    SELECT p.user_id, p.purchase_id, cb.click_id,
+           CAST(p.pus - cb.cus AS BIGINT) AS gap_us
+    FROM p JOIN cb ON cb.user_id = p.user_id AND cb.hb = p.hb
+    WHERE cb.cus <= p.pus AND p.pus < cb.cus + 3600000000
+    ORDER BY p.user_id, p.purchase_id, cb.click_id
+    """,
+)
+def q215_temporal_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded temporal range join — every (click, purchase) pair of
+    the same user with the purchase inside the hour after the click —
+    via TIME-BUCKET BLOCKING: each click replicates into its own hour
+    bucket and the next (x2, a generator), purchases join on the EQUI
+    key (user, hour bucket), and the exact range predicate filters the
+    residual. This is the general banded interval join (any |t_a -
+    t_b| <= W predicate) that a plain inequality join would execute as
+    a per-user cross product; bucketing bounds candidates to the two
+    adjacent windows regardless of history length — the shape that
+    holds when a user has a decade of events. Returns ALL pairs in
+    range (attribution q159 picks the latest single one — different
+    contract: fan-in vs fan-out)."""
+    ev = read_table(spark, sf, "events")
+    us = F.unix_micros(F.col("ts"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), us.alias("cus")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        us.alias("pus"),
+        F.expr("unix_micros(ts) div 3600000000").alias("hb"),
+    )
+    cb = c.select(
+        "user_id",
+        "click_id",
+        "cus",
+        F.explode(F.sequence(F.lit(0), F.lit(1))).alias("k"),
+    ).select(
+        "user_id",
+        "click_id",
+        "cus",
+        (F.expr("cus div 3600000000") + F.col("k")).alias("hb"),
+    )
+    return (
+        p.join(cb, ["user_id", "hb"])
+        .filter(
+            (F.col("cus") <= F.col("pus"))
+            & (F.col("pus") < F.col("cus") + 3600000000)
+        )
+        .select(
+            "user_id",
+            "purchase_id",
+            "click_id",
+            (F.col("pus") - F.col("cus")).cast("bigint").alias("gap_us"),
+        )
+        .orderBy("user_id", "purchase_id", "click_id")
+    )
