@@ -10990,3 +10990,215 @@ def q215_temporal_range_join(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id", "purchase_id", "click_id")
     )
+
+
+@register(
+    "q216_period_over_period",
+    """
+    WITH w AS (
+      SELECT event_type,
+             CAST((epoch_us(ts) // 86400000000 - 19723) // 7 AS BIGINT)
+               AS week_idx,
+             CAST(round(value * 100) AS BIGINT) AS qv
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type, week_idx,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(qv) AS BIGINT) AS sum_q
+      FROM w GROUP BY event_type, week_idx
+    ),
+    l AS (
+      SELECT event_type, week_idx, n, sum_q,
+             LAG(n) OVER (PARTITION BY event_type ORDER BY week_idx)
+               AS prev_n,
+             LAG(sum_q) OVER (PARTITION BY event_type ORDER BY week_idx)
+               AS prev_sum_q
+      FROM agg
+    )
+    SELECT event_type, week_idx, n, sum_q,
+           CASE WHEN prev_n IS NULL OR prev_n = 0 THEN NULL
+                ELSE CAST((n - prev_n) * 100 AS DOUBLE)
+                     / CAST(prev_n AS DOUBLE) END AS n_pct_change,
+           CASE WHEN prev_sum_q IS NULL OR prev_sum_q = 0 THEN NULL
+                ELSE CAST((sum_q - prev_sum_q) * 100 AS DOUBLE)
+                     / CAST(prev_sum_q AS DOUBLE) END AS value_pct_change
+    FROM l ORDER BY event_type, week_idx
+    """,
+)
+def q216_period_over_period(spark: SparkSession, sf: str) -> DataFrame:
+    """Week-over-week delta report per event type — the standard KPI
+    comparison with EXPLICIT null semantics for the first period and
+    zero denominators (the two cases that silently poison dashboards).
+    Week index is pure epoch-day integer arithmetic anchored at
+    2024-01-01 (day 19723) — no calendar/timezone functions; percent
+    change keeps the numerator exact ((n - prev)*100 as integer) with
+    ONE double division. Aggregate-then-lag: the window runs over the
+    (type, week) summary — at 100 TB that's |types| x |weeks| rows,
+    never events."""
+    ev = read_table(spark, sf, "events")
+    w = ev.select(
+        "event_type",
+        F.expr("(unix_micros(ts) div 86400000000 - 19723) div 7")
+        .cast("bigint")
+        .alias("week_idx"),
+        F.round(F.col("value") * 100).cast("bigint").alias("qv"),
+    )
+    agg = w.groupBy("event_type", "week_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qv").cast("bigint").alias("sum_q"),
+    )
+    wlag = Window.partitionBy("event_type").orderBy("week_idx")
+    l = agg.select(
+        "event_type",
+        "week_idx",
+        "n",
+        "sum_q",
+        F.lag("n").over(wlag).alias("prev_n"),
+        F.lag("sum_q").over(wlag).alias("prev_sum_q"),
+    )
+
+    def pct(cur: str, prev: str):
+        return F.when(
+            F.col(prev).isNull() | (F.col(prev) == 0), F.lit(None)
+        ).otherwise(
+            ((F.col(cur) - F.col(prev)) * 100).cast("double")
+            / F.col(prev).cast("double")
+        )
+
+    return l.select(
+        "event_type",
+        "week_idx",
+        "n",
+        "sum_q",
+        pct("n", "prev_n").alias("n_pct_change"),
+        pct("sum_q", "prev_sum_q").alias("value_pct_change"),
+    ).orderBy("event_type", "week_idx")
+
+
+def _sliding_hll_sql(seed: int = 23, win: int = 7) -> str:
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    (a1, b1), (a2, b2) = _hash_params(2, seed)
+    m = _MERSENNE
+    hv = (
+        f"(({a1} * (((user_id % {m}) + {m}) % {m}) + {b1}) % {m})"
+        f" * CAST(2147483648 AS BIGINT)"
+        f" + (({a2} * (((user_id % {m}) + {m}) % {m}) + {b2}) % {m})"
+    )
+    pow_tbl = "[" + ", ".join(repr(2.0 ** -i) for i in range(58)) + "]"
+    alpha_m2 = repr((0.7213 / (1 + 1.079 / 64)) * 4096.0)
+    return f"""
+    WITH h AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, {hv} AS hv
+      FROM events
+    ),
+    daily AS (
+      SELECT day, hv & 63 AS reg,
+             CAST(MAX(CASE WHEN (hv >> 6) > 0
+                           THEN 57 - length(bin(hv >> 6))
+                           ELSE 57 END) AS BIGINT) AS mr
+      FROM h GROUP BY day, reg
+    ),
+    bounds AS (
+      SELECT MIN(day) AS d0, MAX(day) AS d1 FROM h
+    ),
+    fan AS (
+      SELECT d.day + k.k AS win_end, d.reg, d.mr
+      FROM daily d CROSS JOIN (SELECT unnest(range({win})) AS k) k
+    ),
+    wreg AS (
+      SELECT f.win_end, f.reg, CAST(MAX(f.mr) AS BIGINT) AS mr
+      FROM fan f CROSS JOIN bounds b
+      WHERE f.win_end BETWEEN b.d0 + {win} - 1 AND b.d1
+      GROUP BY f.win_end, f.reg
+    ),
+    folded AS (
+      SELECT win_end,
+             CAST(COUNT(*) AS BIGINT) AS n_regs,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list(mr ORDER BY reg),
+                              x -> ({pow_tbl})[x + 1])),
+               (acc, t) -> acc + t) AS s
+      FROM wreg GROUP BY win_end
+    )
+    SELECT win_end AS day, n_regs,
+           {alpha_m2} / (s + CAST(64 - n_regs AS DOUBLE))
+             AS rolling7_distinct_est
+    FROM folded ORDER BY win_end
+    """
+
+
+@register("q217_sliding_distinct_hll", _sliding_hll_sql())
+def q217_sliding_distinct_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 7-day distinct users per day WITHOUT rescanning 7 days
+    of raw events: each day keeps only its 64 HLL register partials
+    (q157's portable sketch); every day's rolling window MAX-merges
+    the 7 daily partials that cover it (a x7 generator fan-out over
+    64-row partials, then one keyed MAX) and folds the estimate in
+    register order. Exact sliding distinct counting is one of the most
+    expensive queries at 100 TB (each day re-counts a 7-day set);
+    sketch partials make it O(days x 64) state — THE canonical
+    mergeable-sketch win. Registers, counts, and the folded estimate
+    all oracle-hash (q157 machinery); window ends before the 7th day
+    are dropped (partial windows would not be comparable)."""
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    win = 7
+    (a1, b1), (a2, b2) = _hash_params(2, 23)
+    ev = read_table(spark, sf, "events")
+    uid_m = F.pmod(F.col("user_id"), F.lit(_MERSENNE))
+    hv = (
+        (F.lit(a1) * uid_m + F.lit(b1)) % _MERSENNE
+    ) * F.lit(1 << 31) + ((F.lit(a2) * uid_m + F.lit(b2)) % _MERSENNE)
+    rest = F.shiftrightunsigned(hv, 6)
+    rank = F.when(rest > 0, F.lit(57) - F.length(F.bin(rest))).otherwise(
+        F.lit(57)
+    )
+    h = ev.select(
+        F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("day"),
+        hv.bitwiseAND(F.lit(63)).alias("reg"),
+        rank.alias("rank"),
+    )
+    daily = h.groupBy("day", "reg").agg(
+        F.max("rank").cast("bigint").alias("mr")
+    )
+    bounds = h.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    fan = daily.select(
+        "reg",
+        "mr",
+        F.explode(F.sequence(F.lit(0), F.lit(win - 1))).alias("k"),
+        "day",
+    ).select((F.col("day") + F.col("k")).alias("win_end"), "reg", "mr")
+    wreg = (
+        fan.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("win_end") >= F.col("d0") + win - 1)
+            & (F.col("win_end") <= F.col("d1"))
+        )
+        .groupBy("win_end", "reg")
+        .agg(F.max("mr").cast("bigint").alias("mr"))
+    )
+    pow_tbl = F.array(*[F.lit(2.0 ** -i) for i in range(58)])
+    alpha_m2 = (0.7213 / (1 + 1.079 / 64)) * 4096.0
+    folded = wreg.groupBy("win_end").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_regs"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("reg", "mr"))),
+            F.lit(0.0),
+            lambda acc, s: acc + F.element_at(pow_tbl, s["mr"].cast("int") + 1),
+        ).alias("s"),
+    )
+    return (
+        folded.select(
+            F.col("win_end").alias("day"),
+            "n_regs",
+            (
+                F.lit(alpha_m2)
+                / (F.col("s") + (F.lit(64) - F.col("n_regs")).cast("double"))
+            ).alias("rolling7_distinct_est"),
+        )
+        .orderBy("day")
+    )
