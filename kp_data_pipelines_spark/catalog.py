@@ -11202,3 +11202,207 @@ def q217_sliding_distinct_hll(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q218_funnel_timeout_steps",
+    """
+    WITH v1 AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS vus
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c1 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS cus
+      FROM events e JOIN v1 ON v1.user_id = e.user_id
+      WHERE e.event_type = 'click'
+        AND epoch_us(e.ts) > v1.vus
+        AND epoch_us(e.ts) <= v1.vus + 1800000000
+      GROUP BY e.user_id
+    ),
+    p1 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS pus
+      FROM events e JOIN c1 ON c1.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) > c1.cus
+        AND epoch_us(e.ts) <= c1.cus + 3600000000
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT)
+             AS n_users,
+           CAST((SELECT COUNT(*) FROM v1) AS BIGINT) AS n_viewed,
+           CAST((SELECT COUNT(*) FROM c1) AS BIGINT) AS n_clicked_30m,
+           CAST((SELECT COUNT(*) FROM p1) AS BIGINT) AS n_purchased_60m
+    """,
+)
+def q218_funnel_timeout_steps(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-step conversion funnel with PER-STEP timeouts — view ->
+    click within 30 min -> purchase within 60 min of that click —
+    the time-constrained funnel q65 (no deadline) can't express.
+    Greedy-earliest anchoring (first view, first qualifying click,
+    first qualifying purchase) makes the chain deterministic and
+    means each step is ONE keyed min-aggregate + ONE equi-join on
+    user_id with the timeout as a residual range filter — no window
+    over event history, no per-user sort; step outputs shrink
+    monotonically, so each successive join is cheaper. The classic
+    CEP sequence-with-deadline pattern as pure relational ops;
+    microsecond arithmetic throughout."""
+    ev = read_table(spark, sf, "events")
+    us = F.unix_micros(F.col("ts"))
+    v1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("vus"))
+    )
+    c1 = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", us.alias("cus0"))
+        .join(v1, "user_id")
+        .filter(
+            (F.col("cus0") > F.col("vus"))
+            & (F.col("cus0") <= F.col("vus") + 1800000000)
+        )
+        .groupBy("user_id")
+        .agg(F.min("cus0").alias("cus"))
+    )
+    p1 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("pus0"))
+        .join(c1, "user_id")
+        .filter(
+            (F.col("pus0") > F.col("cus"))
+            & (F.col("pus0") <= F.col("cus") + 3600000000)
+        )
+        .groupBy("user_id")
+        .agg(F.min("pus0").alias("pus"))
+    )
+    n_users = ev.agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users")
+    )
+    n_v = v1.agg(F.count(F.lit(1)).cast("bigint").alias("n_viewed"))
+    n_c = c1.agg(F.count(F.lit(1)).cast("bigint").alias("n_clicked_30m"))
+    n_p = p1.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchased_60m"))
+    return (
+        n_users.crossJoin(F.broadcast(n_v))
+        .crossJoin(F.broadcast(n_c))
+        .crossJoin(F.broadcast(n_p))
+    )
+
+
+def _negative_sampling_sql(
+    k: int = 4,
+    seed: int = 43,
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.4,
+) -> str:
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    (a, b) = _hash_params(1, seed)[0]
+    m = _MERSENNE
+    return f"""
+    WITH {oracles._minhash_pairs_core(shingle_k, num_hashes, bands, threshold)},
+    pos AS (
+      SELECT id_a, id_b FROM pairs WHERE est_jaccard >= {threshold}
+    ),
+    idx AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS i
+      FROM documents
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM idx),
+    cand AS (
+      SELECT d.doc_id AS anchor, s.s AS slot,
+             (({a} * (((d.doc_id * {k} + s.s) % {m}) + {m}) % {m} + {b})
+              % {m}) % n.cnt AS neg_i
+      FROM documents d
+      CROSS JOIN (SELECT unnest(range({k})) AS s) s
+      CROSS JOIN n
+    ),
+    mapped AS (
+      SELECT c.anchor, c.slot, i.doc_id AS neg_id
+      FROM cand c JOIN idx i ON i.i = c.neg_i
+      WHERE i.doc_id <> c.anchor
+    ),
+    filtered AS (
+      SELECT m.anchor, m.slot, m.neg_id
+      FROM mapped m
+      WHERE NOT EXISTS (SELECT 1 FROM pos p
+                        WHERE (p.id_a = m.anchor AND p.id_b = m.neg_id)
+                           OR (p.id_a = m.neg_id AND p.id_b = m.anchor))
+    )
+    SELECT anchor, CAST(slot AS BIGINT) AS slot, neg_id
+    FROM filtered ORDER BY anchor, slot, neg_id
+    """
+
+
+@register("q219_negative_sampling", _negative_sampling_sql())
+def q219_negative_sampling(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive/retrieval
+    training: each document draws K=4 pseudo-random partners by LCG
+    hash into the corpus index space, then TRUE near-duplicates (the
+    MinHash pair set) and self-pairs are anti-joined away so no
+    "negative" is secretly a positive — the label-hygiene step that
+    decides whether a bi-encoder learns anything. The corpus index is
+    a rank over doc_id (distributed prefix_sum at scale — see q153;
+    the twin's ROW_NUMBER is the semantic contract); candidate
+    mapping is an equi-join on the index; positive exclusion is one
+    anti-join per orientation (left_anti on the symmetrized pair
+    set). Fully reproducible across runs and engines — no RNG
+    state."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        _MERSENNE,
+        _hash_params,
+        minhash_near_dups,
+    )
+
+    k, seed = 4, 43
+    (a, b) = _hash_params(1, seed)[0]
+    docs = read_table(spark, sf, "documents")
+    pairs = minhash_near_dups(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=32, bands=16,
+        jaccard_threshold=0.4, portable_hash=True,
+    ).select("id_a", "id_b")
+    sym = pairs.unionAll(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    w = Window.orderBy("doc_id")
+    idx = docs.select(
+        "doc_id", (F.row_number().over(w) - 1).cast("bigint").alias("i")
+    )
+    n = idx.agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    cand = (
+        docs.select(F.col("doc_id").alias("anchor"))
+        .select(
+            "anchor",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("slot"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "anchor",
+            "slot",
+            (
+                (
+                    F.lit(a)
+                    * F.pmod(
+                        F.col("anchor") * k + F.col("slot"), F.lit(_MERSENNE)
+                    )
+                    + F.lit(b)
+                )
+                % _MERSENNE
+                % F.col("cnt")
+            ).alias("neg_i"),
+        )
+    )
+    mapped = (
+        cand.join(idx, cand.neg_i == idx.i)
+        .filter(F.col("doc_id") != F.col("anchor"))
+        .select("anchor", "slot", F.col("doc_id").alias("neg_id"))
+    )
+    filtered = mapped.join(
+        sym,
+        (mapped.anchor == sym.id_a) & (mapped.neg_id == sym.id_b),
+        "left_anti",
+    )
+    return filtered.select(
+        "anchor", F.col("slot").cast("bigint").alias("slot"), "neg_id"
+    ).orderBy("anchor", "slot", "neg_id")

@@ -54,6 +54,12 @@ INTENTIONAL_BNLJ = {
     # q205: inherits q199's scalar broadcasts (1-row totals/KS/chi2) in the
     # shared _drift_stats_from_hist downstream — not a pair generator.
     "q205_streaming_drift_monitor",
+    # q217/q218/q219: crossJoin(broadcast(<1-row bounds/funnel-counts/corpus
+    # cardinality>)) — scalar broadcasts onto sketch partials / tiny
+    # summaries, not pair generators.
+    "q217_sliding_distinct_hll",
+    "q218_funnel_timeout_steps",
+    "q219_negative_sampling",
 }
 
 
