@@ -11406,3 +11406,337 @@ def q219_negative_sampling(spark: SparkSession, sf: str) -> DataFrame:
     return filtered.select(
         "anchor", F.col("slot").cast("bigint").alias("slot"), "neg_id"
     ).orderBy("anchor", "slot", "neg_id")
+
+
+def _half_sample_sql(n_rep: int = 20, seed: int = 47) -> str:
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    (a, b) = _hash_params(1, seed)[0]
+    m = _MERSENNE
+    return f"""
+    WITH e AS (
+      SELECT event_type,
+             event_id,
+             CAST(round(value * 100) AS BIGINT) AS qv
+      FROM events
+    ),
+    rep AS (
+      SELECT e.event_type, r.r AS rep,
+             CAST(SUM(CASE WHEN (({a} * (((e.event_id * {n_rep} + r.r) % {m})
+                                 + {m}) % {m} + {b}) % {m}) % 2 = 0
+                           THEN e.qv ELSE 0 END) AS BIGINT) AS s,
+             CAST(SUM(CASE WHEN (({a} * (((e.event_id * {n_rep} + r.r) % {m})
+                                 + {m}) % {m} + {b}) % {m}) % 2 = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n
+      FROM e CROSS JOIN (SELECT unnest(range({n_rep})) AS r) r
+      GROUP BY e.event_type, r.r
+    ),
+    means AS (
+      SELECT event_type, rep,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu
+      FROM rep
+    ),
+    fold AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_reps,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list(mu ORDER BY rep), x -> x)),
+               (acc, x) -> acc + x) AS sum_mu,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list(mu ORDER BY rep), x -> x * x)),
+               (acc, x) -> acc + x) AS sum_mu2
+      FROM means GROUP BY event_type
+    ),
+    full_mean AS (
+      SELECT event_type,
+             CAST(SUM(qv) AS BIGINT) AS sq,
+             CAST(COUNT(*) AS BIGINT) AS nq
+      FROM e GROUP BY event_type
+    )
+    SELECT f.event_type,
+           CAST(fm.sq AS DOUBLE) / CAST(fm.nq AS DOUBLE) AS full_mean_q,
+           f.sum_mu / CAST(f.n_reps AS DOUBLE) AS rep_mean_q,
+           sqrt((f.sum_mu2 - f.sum_mu * f.sum_mu / CAST(f.n_reps AS DOUBLE))
+                / CAST(f.n_reps - 1 AS DOUBLE)) AS half_sample_se_q
+    FROM fold f JOIN full_mean fm ON fm.event_type = f.event_type
+    ORDER BY f.event_type
+    """
+
+
+@register("q220_half_sample_ci", _half_sample_sql())
+def q220_half_sample_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Half-sample replication standard errors — the RNG-free bootstrap
+    for grouped means: 20 deterministic half-samples (LCG parity of
+    (event_id, replicate)), each replicate's mean computed from exact
+    integer sums in ONE pass (the x20 fan-out is a generator over the
+    scan, each row contributing to every replicate's conditional sum —
+    map-side combinable, no resampled copies of the data EVER
+    materialize), then the spread of the 20 replicate means estimates
+    the sampling error of the full mean. Replicate means fold in
+    replicate order (q157 pattern) so the variance doubles are
+    order-pinned and the whole CI report oracle-hashes. This is how a
+    100 TB pipeline puts honest error bars on its dashboard means —
+    uncertainty for the price of 20 conditional sums."""
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    n_rep, seed = 20, 47
+    (a, b) = _hash_params(1, seed)[0]
+    ev = read_table(spark, sf, "events")
+    e = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("qv"),
+    )
+    rep_e = e.select(
+        "event_type",
+        "qv",
+        F.explode(F.sequence(F.lit(0), F.lit(n_rep - 1))).alias("rep"),
+        "event_id",
+    )
+    inc = (
+        (
+            F.lit(a)
+            * F.pmod(F.col("event_id") * n_rep + F.col("rep"), F.lit(_MERSENNE))
+            + F.lit(b)
+        )
+        % _MERSENNE
+    ) % 2 == 0
+    rep = rep_e.groupBy("event_type", "rep").agg(
+        F.sum(F.when(inc, F.col("qv")).otherwise(0)).cast("bigint").alias("s"),
+        F.sum(F.when(inc, 1).otherwise(0)).cast("bigint").alias("n"),
+    )
+    means = rep.select(
+        "event_type",
+        "rep",
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias("mu"),
+    )
+    fold = means.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reps"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("rep", "mu"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["mu"],
+        ).alias("sum_mu"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("rep", "mu"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["mu"] * s["mu"],
+        ).alias("sum_mu2"),
+    )
+    fm = e.groupBy("event_type").agg(
+        F.sum("qv").cast("bigint").alias("sq"),
+        F.count(F.lit(1)).cast("bigint").alias("nq"),
+    )
+    return (
+        fold.join(fm, "event_type")
+        .select(
+            "event_type",
+            (F.col("sq").cast("double") / F.col("nq").cast("double"))
+            .alias("full_mean_q"),
+            (F.col("sum_mu") / F.col("n_reps").cast("double"))
+            .alias("rep_mean_q"),
+            F.sqrt(
+                (
+                    F.col("sum_mu2")
+                    - F.col("sum_mu") * F.col("sum_mu")
+                    / F.col("n_reps").cast("double")
+                )
+                / (F.col("n_reps") - 1).cast("double")
+            ).alias("half_sample_se_q"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _rrf_sql(
+    terms: tuple = ("hash", "merge", "vector"),
+    c: int = 60,
+    pool: int = 100,
+    topk: int = 20,
+    dim: int = 64,
+) -> str:
+    terms_list = ", ".join(f"'{t}'" for t in terms)
+
+    def fold(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {dim + 1}), i -> {a}[i] * {b}[i])), "
+            f"(acc, x) -> acc + x)"
+        )
+
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+               AS token
+      FROM documents WHERE trim(text) <> ''
+    ),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_tokens
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE token IN ({terms_list})
+      GROUP BY doc_id, token
+    ),
+    dfreq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(round(
+               ((CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+                  / (CAST(f.df AS DOUBLE) + 0.5))
+               * ((CAST(t.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+                  / (CAST(t.tf AS DOUBLE)
+                     + CAST(1.2 AS DOUBLE)
+                       * (1.0 - CAST(0.75 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE)
+                            * (CAST(d.dl AS DOUBLE)
+                               / (CAST(s.total_tokens AS DOUBLE)
+                                  / CAST(s.n_docs AS DOUBLE))))))
+               * 1000000000) AS BIGINT) AS qscore
+      FROM tf t
+      JOIN dl d ON d.doc_id = t.doc_id
+      JOIN dfreq f ON f.token = t.token
+      CROSS JOIN stats s
+    ),
+    lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY qscore_sum DESC, doc_id) AS r
+      FROM (SELECT doc_id, CAST(SUM(qscore) AS BIGINT) AS qscore_sum
+            FROM scored GROUP BY doc_id)
+      ORDER BY qscore_sum DESC, doc_id LIMIT {pool}
+    ),
+    n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt({fold('CAST(embedding AS DOUBLE[])',
+                        'CAST(embedding AS DOUBLE[])')}) AS nrm
+      FROM embeddings
+    ),
+    qv AS (SELECT v, nrm FROM n WHERE vec_id = 0),
+    sem AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS r
+      FROM (
+        SELECT c.vec_id, {fold('c.v', 'q.v')} / (c.nrm * q.nrm) AS cos
+        FROM n c CROSS JOIN qv q WHERE c.vec_id <> 0
+      )
+      ORDER BY cos DESC, doc_id LIMIT {pool}
+    )
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           l.r AS lex_rank, s.r AS sem_rank,
+           COALESCE(1.0 / CAST({c} + l.r AS DOUBLE), CAST(0.0 AS DOUBLE))
+             + COALESCE(1.0 / CAST({c} + s.r AS DOUBLE), CAST(0.0 AS DOUBLE))
+             AS rrf
+    FROM lex l FULL OUTER JOIN sem s ON s.doc_id = l.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT {topk}
+    """
+
+
+@register("q221_reciprocal_rank_fusion", _rrf_sql())
+def q221_reciprocal_rank_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion: the log-free BM25
+    lexical ranking (q176's scoring, quantized BIGINT scores) and the
+    fold-exact cosine semantic ranking (q24/q198 machinery) each
+    produce a top-100 pool; RRF fuses them as sum of 1/(60 + rank) —
+    rank-based, so the two scorers never need commensurable scales —
+    and the fused top-20 is the hybrid answer (the standard trick for
+    combining keyword and embedding search without training a
+    reranker). Pool-then-rank is the scale contract: each ranker is a
+    TakeOrdered(100) over its own keyed aggregates (no global sort of
+    all scores); the rank windows run over 100-row pools; fusion is a
+    full-outer equi-join of two 100-row lists. Every double is either
+    a pinned-order fold or a single division, so ranks AND fused
+    scores hash cross-engine."""
+    from kp_data_pipelines_spark.operators.similarity import _dot
+
+    terms, c, pool, topk = ["hash", "merge", "vector"], 60, 100, 20
+    k1, b, quant = 1.2, 0.75, 10**9
+    docs = read_table(spark, sf, "documents").filter(F.trim("text") != "")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    srow = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tt")
+    ).collect()[0]
+    n_docs, avgdl = float(srow["n"]), float(srow["tt"]) / float(srow["n"])
+    tf = (
+        tok.filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = (F.lit(n_docs) - F.col("df").cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    tfc = F.col("tf").cast("double")
+    dlc = F.col("dl").cast("double")
+    score = idf * (
+        (tfc * F.lit(k1 + 1.0))
+        / (tfc + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dlc / F.lit(avgdl))))
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "token")
+        .select(
+            "doc_id",
+            F.round(score * quant).cast("bigint").alias("qscore"),
+        )
+    )
+    lex_pool = (
+        scored.groupBy("doc_id")
+        .agg(F.sum("qscore").cast("bigint").alias("qscore_sum"))
+        .orderBy(F.desc("qscore_sum"), "doc_id")
+        .limit(pool)
+    )
+    lex = lex_pool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("qscore_sum"), "doc_id"))
+        .cast("bigint")
+        .alias("lex_rank"),
+    )
+    emb = read_table(spark, sf, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    n = emb.select(
+        "vec_id", v.alias("v"), F.sqrt(_dot(v, v)).alias("nrm")
+    )
+    qrow = n.filter(F.col("vec_id") == 0).select("v", "nrm").head()
+    qvlit = F.array(*[F.lit(float(x)) for x in qrow[0]])
+    qn = F.lit(float(qrow[1]))
+    sem_pool = (
+        n.filter(F.col("vec_id") != 0)
+        .withColumn("cos", _dot(F.col("v"), qvlit) / (F.col("nrm") * qn))
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(pool)
+    )
+    sem = sem_pool.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos"), "vec_id"))
+        .cast("bigint")
+        .alias("sem_rank"),
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(c) + F.col("lex_rank")).cast("double"),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(c) + F.col("sem_rank")).cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(topk)
