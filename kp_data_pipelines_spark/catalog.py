@@ -11740,3 +11740,178 @@ def q221_reciprocal_rank_fusion(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(topk)
+
+
+def _spatial_join_sql(cell: int = 1000, radius: int = 800, seed: int = 53) -> str:
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    (a1, b1), (a2, b2) = _hash_params(2, seed)
+    m = _MERSENNE
+    return f"""
+    WITH pts AS (
+      SELECT s_suppkey AS id,
+             (({a1} * (((s_suppkey % {m}) + {m}) % {m}) + {b1}) % {m})
+               % 20000 AS x,
+             (({a2} * (((s_suppkey % {m}) + {m}) % {m}) + {b2}) % {m})
+               % 20000 AS y
+      FROM supplier
+    ),
+    cells AS (
+      SELECT p.id, p.x, p.y,
+             p.x // {cell} + dx.d AS cx,
+             p.y // {cell} + dy.d AS cy
+      FROM pts p
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+    ),
+    home AS (
+      SELECT id, x, y, x // {cell} AS cx, y // {cell} AS cy FROM pts
+    ),
+    pairs AS (
+      SELECT c.id AS id_a, h.id AS id_b,
+             (c.x - h.x) * (c.x - h.x) + (c.y - h.y) * (c.y - h.y) AS d2
+      FROM cells c JOIN home h ON h.cx = c.cx AND h.cy = c.cy
+      WHERE c.id < h.id
+    )
+    SELECT DISTINCT id_a, id_b, CAST(d2 AS BIGINT) AS dist2
+    FROM pairs WHERE d2 <= {radius * radius}
+    ORDER BY id_a, id_b
+    """
+
+
+@register("q222_spatial_grid_join", _spatial_join_sql())
+def q222_spatial_grid_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Spatial radius self-join via GRID-CELL blocking: points (derived
+    deterministically from supplier keys onto a 20000x20000 integer
+    plane — the corpus has no native geo columns; the OPERATOR is the
+    point) pair up only when within radius 800. Each point registers
+    in its home cell and probes the 3x3 neighborhood (cell = 1000 >
+    radius, so the neighborhood provably covers every in-range pair);
+    the join is a pure EQUI-join on (cx, cy) — the spatial analogue of
+    the MinHash band / SimHash chunk keyed-blocking rule, and exactly
+    how a 100 TB geo join avoids the cross product (candidates are
+    bounded by local density, not corpus size). Distance is exact
+    INTEGER squared-euclidean compared against radius^2 — no sqrt, no
+    haversine libm anywhere — so the pair set and distances
+    oracle-hash. DISTINCT collapses the multi-cell probe duplicates."""
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    cell, radius, seed = 1000, 800, 53
+    (a1, b1), (a2, b2) = _hash_params(2, seed)
+    sup = read_table(spark, sf, "supplier")
+    key_m = F.pmod(F.col("s_suppkey"), F.lit(_MERSENNE))
+    pts = sup.select(
+        F.col("s_suppkey").alias("id"),
+        (((F.lit(a1) * key_m + F.lit(b1)) % _MERSENNE) % 20000).alias("x"),
+        (((F.lit(a2) * key_m + F.lit(b2)) % _MERSENNE) % 20000).alias("y"),
+    )
+    d = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    cells = (
+        pts.select("id", "x", "y", d.alias("dx"))
+        .select("id", "x", "y", "dx", d.alias("dy"))
+        .select(
+            "id",
+            "x",
+            "y",
+            (F.expr(f"x div {cell}") + F.col("dx")).alias("cx"),
+            (F.expr(f"y div {cell}") + F.col("dy")).alias("cy"),
+        )
+    )
+    home = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.expr(f"x div {cell}").alias("cx"),
+        F.expr(f"y div {cell}").alias("cy"),
+    )
+    d2 = (F.col("x") - F.col("xb")) * (F.col("x") - F.col("xb")) + (
+        F.col("y") - F.col("yb")
+    ) * (F.col("y") - F.col("yb"))
+    return (
+        cells.join(home, ["cx", "cy"])
+        .filter(F.col("id") < F.col("id_b"))
+        .select(
+            F.col("id").alias("id_a"),
+            "id_b",
+            d2.cast("bigint").alias("dist2"),
+        )
+        .filter(F.col("dist2") <= radius * radius)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "q223_tree_rollup",
+    """
+    WITH base AS (
+      SELECT c_custkey AS node,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_q
+      FROM customer
+    ),
+    contrib AS (
+      SELECT node AS anc, bal_q, CAST(0 AS BIGINT) AS depth FROM base
+      UNION ALL
+      SELECT node // 10, bal_q, 1 FROM base WHERE node >= 10
+      UNION ALL
+      SELECT node // 100, bal_q, 2 FROM base WHERE node >= 100
+      UNION ALL
+      SELECT node // 1000, bal_q, 3 FROM base WHERE node >= 1000
+    )
+    SELECT anc AS node,
+           CAST(COUNT(*) AS BIGINT) AS n_contributors,
+           CAST(SUM(bal_q) AS BIGINT) AS subtree_bal_q,
+           CAST(MAX(depth) AS BIGINT) AS max_descendant_depth
+    FROM contrib
+    GROUP BY anc
+    HAVING COUNT(*) > 1
+    ORDER BY anc
+    """,
+)
+def q223_tree_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical subtree rollup (BOM-explosion / org-chart shape):
+    each leaf's balance contributes to every ancestor up to 3 levels,
+    with the parent edge encoded arithmetically (parent = node div 10
+    — a synthetic decimal-trie hierarchy over customer keys, standing
+    in for the materialized-path pattern). The rollup NEVER walks the
+    tree: each row emits its bounded ancestor set via a fixed unrolled
+    union (a generator — the materialized-path trick that replaces
+    recursive CTEs at scale), then ONE keyed aggregate sums every
+    subtree. Contributions are exact cent integers; depth of the
+    deepest contributor rides along. At 100 TB this is the standard
+    replacement for iterative parent-pointer chasing when depth is
+    bounded."""
+    cust = read_table(spark, sf, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("node"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_q"),
+    )
+    parts = [
+        base.select(
+            F.col("node").alias("anc"),
+            "bal_q",
+            F.lit(0).cast("bigint").alias("depth"),
+        )
+    ]
+    for depth in (1, 2, 3):
+        div = 10 ** depth
+        parts.append(
+            base.filter(F.col("node") >= div).select(
+                F.expr(f"node div {div}").alias("anc"),
+                "bal_q",
+                F.lit(depth).cast("bigint").alias("depth"),
+            )
+        )
+    contrib = parts[0]
+    for p in parts[1:]:
+        contrib = contrib.unionAll(p)
+    return (
+        contrib.groupBy(F.col("anc").alias("node"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_contributors"),
+            F.sum("bal_q").cast("bigint").alias("subtree_bal_q"),
+            F.max("depth").cast("bigint").alias("max_descendant_depth"),
+        )
+        .filter(F.col("n_contributors") > 1)
+        .orderBy("node")
+    )
