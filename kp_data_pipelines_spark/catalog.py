@@ -11915,3 +11915,194 @@ def q223_tree_rollup(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("n_contributors") > 1)
         .orderBy("node")
     )
+
+
+@register(
+    "q224_quantile_normalization",
+    """
+    WITH e AS (
+      SELECT event_type AS grp,
+             CAST(round(value * 100) AS BIGINT) AS qv
+      FROM events
+    ),
+    gh AS (
+      SELECT grp, qv, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY grp, qv
+    ),
+    gtot AS (
+      SELECT grp, CAST(SUM(n) AS BIGINT) AS nt FROM gh GROUP BY grp
+    ),
+    gcum AS (
+      SELECT h.grp, h.qv, h.n, t.nt,
+             SUM(h.n) OVER (PARTITION BY h.grp ORDER BY h.qv
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM gh h JOIN gtot t ON t.grp = h.grp
+    ),
+    ph AS (
+      SELECT qv, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY qv
+    ),
+    ptot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM ph),
+    pcum AS (
+      SELECT qv,
+             SUM(n) OVER (ORDER BY qv ROWS UNBOUNDED PRECEDING) AS cum
+      FROM ph
+    ),
+    probes AS (
+      SELECT g.grp, g.qv, g.n,
+             (g.cum * p.nn + g.nt - 1) // g.nt AS pos
+      FROM gcum g CROSS JOIN ptot p
+    ),
+    merged AS (
+      SELECT CAST(NULL AS VARCHAR) AS grp, CAST(NULL AS BIGINT) AS src_qv,
+             CAST(NULL AS BIGINT) AS n, cum AS pos, qv AS pooled_qv,
+             1 AS is_pooled
+      FROM pcum
+      UNION ALL
+      SELECT grp, qv, n, pos, CAST(NULL AS BIGINT), 0 FROM probes
+    ),
+    carried AS (
+      SELECT grp, src_qv, n, pos, is_pooled,
+             MAX(CASE WHEN is_pooled = 1
+                      THEN struct_pack(p := -pos, v := pooled_qv) END)
+               OVER (ORDER BY pos DESC, is_pooled DESC
+                     ROWS UNBOUNDED PRECEDING) AS carry
+      FROM merged
+    )
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_values,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(SUM(n * (carry).v) AS BIGINT) AS mapped_sum_q,
+           CAST(SUM(n * src_qv) AS BIGINT) AS original_sum_q,
+           CAST(MAX(abs((carry).v - src_qv)) AS BIGINT) AS max_shift_q
+    FROM carried WHERE is_pooled = 0
+    GROUP BY grp ORDER BY grp
+    """,
+)
+def q224_quantile_normalization(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile normalization across groups — map every event type's
+    value distribution onto the POOLED distribution by rank (the
+    batch-effect correction standard in genomics, equally the
+    cross-source score-alignment step before mixing quality scores
+    from different classifiers). Pure histogram machinery (q188
+    rule — no raw-row windows): per-group CDFs and the pooled CDF
+    are domain-bounded histograms; each (group, value) finds its
+    nearest-rank pooled position with exact integer ceil arithmetic;
+    the position -> pooled-value lookup is the MERGE-AND-CARRY trick
+    (union both sorted lists, one running MAX over a struct carries
+    the next pooled value backward — q196's LOCF idiom, no range
+    join). Reports the exact mapped checksum, original checksum, and
+    the largest per-value shift — all integers."""
+    ev = read_table(spark, sf, "events")
+    e = ev.select(
+        F.col("event_type").alias("grp"),
+        F.round(F.col("value") * 100).cast("bigint").alias("qv"),
+    )
+    gh = e.groupBy("grp", "qv").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    gtot = gh.groupBy("grp").agg(F.sum("n").cast("bigint").alias("nt"))
+    wg = (
+        Window.partitionBy("grp")
+        .orderBy("qv")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gcum = gh.join(gtot, "grp").withColumn("cum", F.sum("n").over(wg))
+    ph = e.groupBy("qv").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ptot = ph.agg(F.sum("n").cast("bigint").alias("nn"))
+    wp = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, 0)
+    pcum = ph.withColumn("cum", F.sum("n").over(wp))
+    probes = gcum.crossJoin(F.broadcast(ptot)).select(
+        "grp",
+        F.col("qv").alias("src_qv"),
+        "n",
+        F.expr("(cum * nn + nt - 1) div nt").alias("pos"),
+        F.lit(0).alias("is_pooled"),
+        F.lit(None).cast("bigint").alias("pooled_qv"),
+    )
+    pooled_rows = pcum.select(
+        F.lit(None).cast("string").alias("grp"),
+        F.lit(None).cast("bigint").alias("src_qv"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.col("cum").alias("pos"),
+        F.lit(1).alias("is_pooled"),
+        F.col("qv").alias("pooled_qv"),
+    )
+    merged = pooled_rows.unionByName(probes.select(*pooled_rows.columns))
+    wc = Window.orderBy(F.desc("pos"), F.desc("is_pooled")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    carried = merged.withColumn(
+        "carry",
+        F.max(
+            F.when(
+                F.col("is_pooled") == 1,
+                F.struct(
+                    (-F.col("pos")).alias("p"), F.col("pooled_qv").alias("v")
+                ),
+            )
+        ).over(wc),
+    )
+    return (
+        carried.filter(F.col("is_pooled") == 0)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_values"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.sum(F.col("n") * F.col("carry.v"))
+            .cast("bigint")
+            .alias("mapped_sum_q"),
+            F.sum(F.col("n") * F.col("src_qv"))
+            .cast("bigint")
+            .alias("original_sum_q"),
+            F.max(F.abs(F.col("carry.v") - F.col("src_qv")))
+            .cast("bigint")
+            .alias("max_shift_q"),
+        )
+        .orderBy("grp")
+    )
+
+
+@register("q225_behavior_near_dups", oracles.behavior_near_dups_sql())
+def q225_behavior_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Behavioral near-duplicate USERS: serialize each user's ordered
+    event-type sequence into a synthetic document and run the exact
+    MinHash/LSH machinery (q38's operator, unchanged) over 5-gram
+    sequence shingles — bot farms, scripted replays, and copied
+    click-paths surface as high sequence-Jaccard pairs the way copied
+    text does. The point is operator REUSE across modalities: the
+    banding equi-join, portable signatures, and oracle chain apply to
+    any tokenizable sequence (event types here, API calls, URL paths).
+    Sequence assembly is one keyed collect (sorted by event time
+    in-group, deterministic tie-break on event_id); everything after
+    is the q38 plan with its 100 TB properties intact. The twin
+    shadows `documents` with the sequence CTE and reuses the shared
+    signature SQL verbatim."""
+    from kp_data_pipelines_spark.operators.similarity import minhash_near_dups
+
+    ev = read_table(spark, sf, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.unix_micros(F.col("ts")).alias("us"),
+                F.col("event_id").alias("eid"),
+                F.col("event_type").alias("et"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["et"]
+                ),
+            ).alias("text")
+        )
+        .withColumnRenamed("user_id", "doc_id")
+    )
+    pairs = minhash_near_dups(
+        seq, "doc_id", "text", shingle_k=5, num_hashes=32, bands=16,
+        jaccard_threshold=0.0625, portable_hash=True,
+    )
+    return pairs.select(
+        F.col("id_a").alias("user_a"),
+        F.col("id_b").alias("user_b"),
+        "est_jaccard",
+    ).orderBy("user_a", "user_b")

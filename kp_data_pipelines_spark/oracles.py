@@ -1612,3 +1612,24 @@ def bfs_hops_sql(
     SELECT node AS doc_id, CAST(hops AS BIGINT) AS hops
     FROM l{rounds} WHERE hops IS NOT NULL ORDER BY doc_id
     """
+
+
+def behavior_near_dups_sql(
+    k: int = 5, num_hashes: int = 32, bands: int = 16, threshold: float = 0.0625
+) -> str:
+    """Twin of q225: MinHash near-dup USERS over their event-type
+    sequences. A leading CTE named ``documents`` (user_id -> doc_id,
+    ordered event-type sequence -> text) shadows the documents view, so
+    the standard signature/pair chain applies verbatim to behavior."""
+    return f"""
+    WITH documents AS (
+      SELECT user_id AS doc_id,
+             string_agg(event_type, ' ' ORDER BY epoch_us(ts), event_id)
+               AS text
+      FROM events GROUP BY user_id
+    ),
+    {_minhash_pairs_core(k, num_hashes, bands, threshold)}
+    SELECT id_a AS user_a, id_b AS user_b, est_jaccard
+    FROM pairs WHERE est_jaccard >= {threshold}
+    ORDER BY id_a, id_b
+    """
