@@ -12106,3 +12106,136 @@ def q225_behavior_near_dups(spark: SparkSession, sf: str) -> DataFrame:
         F.col("id_b").alias("user_b"),
         "est_jaccard",
     ).orderBy("user_a", "user_b")
+
+
+@register("q226_knn_label_noise", oracles.knn_label_noise_sql())
+def q226_knn_label_noise(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-noise screening by k-nearest-neighbor agreement: a vector
+    whose 5 nearest neighbors MOSTLY carry a different label is a
+    mislabeling suspect — the cheap first pass every labeled-dataset
+    audit runs (confident-learning's core signal). Neighbor candidates
+    come from hyperplane-LSH buckets (the q40 blocking — a keyed
+    equi-join on the 4-bit bucket, never all-pairs; recall is the
+    standard LSH trade and more planes/multi-probe tighten it); within
+    buckets, exact fold cosines (bit-identical cross-engine) rank the
+    top-5 per anchor through a per-anchor window over bucket-sized
+    candidate sets. Output: the suspects (majority-disagreeing
+    anchors) with their agreement counts — exact integers."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        _dot,
+        simhash_planes,
+        with_hyperplane_bucket,
+    )
+
+    n_planes, seed, k = 4, 7, 5
+    emb = read_table(spark, sf, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select("vec_id", "label", v.alias("v"))
+    planes = simhash_planes(64, n_planes, seed)
+    be = with_hyperplane_bucket(e, "v", planes)
+    a = be.select(
+        F.col("vec_id").alias("anchor"),
+        F.col("label").alias("alabel"),
+        F.col("v").alias("av"),
+        "bucket",
+    )
+    b = be.select(
+        F.col("vec_id").alias("nb"),
+        F.col("label").alias("nlabel"),
+        F.col("v").alias("bv"),
+        "bucket",
+    )
+    cos = _dot(F.col("av"), F.col("bv")) / (
+        F.sqrt(_dot(F.col("av"), F.col("av")))
+        * F.sqrt(_dot(F.col("bv"), F.col("bv")))
+    )
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("nb") != F.col("anchor"))
+        .select("anchor", "alabel", "nb", "nlabel", cos.alias("cos"))
+    )
+    wk = Window.partitionBy("anchor").orderBy(F.desc("cos"), "nb")
+    topk = cand.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= k
+    )
+    agg = topk.groupBy("anchor").agg(
+        F.max("alabel").cast("bigint").alias("label"),
+        F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
+        F.sum(F.when(F.col("nlabel") == F.col("alabel"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_same_label"),
+    )
+    return (
+        agg.filter(F.col("n_same_label") * 2 < F.col("n_neighbors"))
+        .select(
+            F.col("anchor").alias("vec_id"),
+            "label",
+            "n_neighbors",
+            "n_same_label",
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register("q227_split_leakage_audit", oracles.split_leakage_sql())
+def q227_split_leakage_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/test LEAKAGE audit: count MinHash near-duplicate pairs
+    that straddle the hash train/test split — each straddling pair is
+    a test example whose near-copy sits in training, silently
+    inflating eval (the single most common LLM benchmark-hygiene
+    failure). Composes two existing oracle-checked operators: the q38
+    banded pair generator and the q186 LCG hash split; the audit
+    itself is two broadcast-joins of the split flag onto the pair set
+    plus one aggregate. The FIX the numbers motivate is group-aware
+    splitting (split by q66's connected component instead of raw
+    doc_id — then straddling pairs are zero by construction); this
+    query is the measurement that justifies it."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        _MERSENNE,
+        _hash_params,
+        minhash_near_dups,
+    )
+
+    (a, b) = _hash_params(1, 31)[0]
+    docs = read_table(spark, sf, "documents")
+    pairs = minhash_near_dups(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=32, bands=16,
+        jaccard_threshold=0.4, portable_hash=True,
+    ).select("id_a", "id_b")
+    split = (
+        (F.lit(a) * F.pmod(F.col("doc_id"), F.lit(_MERSENNE)) + F.lit(b))
+        % _MERSENNE
+    ) % 10
+    s = docs.select(
+        "doc_id", F.when(split < 8, 1).otherwise(0).alias("is_train")
+    )
+    tagged = (
+        pairs.join(
+            F.broadcast(
+                s.select(
+                    F.col("doc_id").alias("id_a"), F.col("is_train").alias("ta")
+                )
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                s.select(
+                    F.col("doc_id").alias("id_b"), F.col("is_train").alias("tb")
+                )
+            ),
+            "id_b",
+        )
+    )
+    return tagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("ta") != F.col("tb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_straddling"),
+        F.sum(F.when((F.col("ta") == 1) & (F.col("tb") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_within_train"),
+        F.sum(F.when((F.col("ta") == 0) & (F.col("tb") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_within_test"),
+    )

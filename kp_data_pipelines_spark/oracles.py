@@ -1633,3 +1633,86 @@ def behavior_near_dups_sql(
     FROM pairs WHERE est_jaccard >= {threshold}
     ORDER BY id_a, id_b
     """
+
+
+def knn_label_noise_sql(n_planes: int = 4, seed: int = 7, k: int = 5) -> str:
+    """Twin of q226: LSH-bucketed kNN label-agreement screen. Planes are
+    similarity.simhash_planes literals; cosines are sequential folds, so
+    neighbor ranking is bit-identical to the Spark plan."""
+    planes = simhash_planes(EMBEDDING_DIM, n_planes, seed)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    be AS (
+      SELECT vec_id, label, v, {_bucket_expr("v", planes)} AS bucket FROM e
+    ),
+    cand AS (
+      SELECT a.vec_id AS anchor, a.label AS alabel,
+             b.vec_id AS nb, b.label AS nlabel,
+             {_dot("a.v", "b.v")}
+               / (sqrt({_dot("a.v", "a.v")}) * sqrt({_dot("b.v", "b.v")}))
+               AS cos
+      FROM be a JOIN be b ON b.bucket = a.bucket AND b.vec_id <> a.vec_id
+    ),
+    topk AS (
+      SELECT anchor, alabel, nlabel FROM (
+        SELECT anchor, alabel, nlabel,
+               ROW_NUMBER() OVER (PARTITION BY anchor
+                                  ORDER BY cos DESC, nb) AS rn
+        FROM cand
+      ) WHERE rn <= {k}
+    ),
+    agg AS (
+      SELECT anchor, CAST(MAX(alabel) AS BIGINT) AS label,
+             CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+             CAST(SUM(CASE WHEN nlabel = alabel THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_same_label
+      FROM topk GROUP BY anchor
+    )
+    SELECT anchor AS vec_id, label, n_neighbors, n_same_label
+    FROM agg
+    WHERE n_same_label * 2 < n_neighbors
+    ORDER BY vec_id
+    """
+
+
+def split_leakage_sql(
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.4,
+    seed: int = 31,
+) -> str:
+    """Twin of q227: near-dup pairs straddling a hash train/test split."""
+    (a, b) = _hash_params(1, seed)[0]
+    m = (1 << 31) - 1
+    split = (
+        f"(({a} * (((doc_id % {m}) + {m}) % {m}) + {b}) % {m}) % 10"
+    )
+    return f"""
+    WITH {_minhash_pairs_core(k, num_hashes, bands, threshold)},
+    pos AS (
+      SELECT id_a, id_b FROM pairs WHERE est_jaccard >= {threshold}
+    ),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN {split} < 8 THEN 1 ELSE 0 END AS is_train
+      FROM documents
+    ),
+    tagged AS (
+      SELECT p.id_a, p.id_b, sa.is_train AS ta, sb.is_train AS tb
+      FROM pos p
+      JOIN s sa ON sa.doc_id = p.id_a
+      JOIN s sb ON sb.doc_id = p.id_b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN ta <> tb THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_straddling,
+           CAST(SUM(CASE WHEN ta = 1 AND tb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_within_train,
+           CAST(SUM(CASE WHEN ta = 0 AND tb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_within_test
+    FROM tagged
+    """
