@@ -60,6 +60,9 @@ INTENTIONAL_BNLJ = {
     "q217_sliding_distinct_hll",
     "q218_funnel_timeout_steps",
     "q219_negative_sampling",
+    # q224: crossJoin(broadcast(<1-row pooled-count scalar>)) onto the
+    # per-group histogram — a scalar broadcast, not a pair generator.
+    "q224_quantile_normalization",
 }
 
 
