@@ -12239,3 +12239,257 @@ def q227_split_leakage_audit(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("n_within_test"),
     )
+
+
+def _sketch_algebra_sql(seed: int = 23) -> str:
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    (a1, b1), (a2, b2) = _hash_params(2, seed)
+    m = _MERSENNE
+    hv = (
+        f"(({a1} * (((user_id % {m}) + {m}) % {m}) + {b1}) % {m})"
+        f" * CAST(2147483648 AS BIGINT)"
+        f" + (({a2} * (((user_id % {m}) + {m}) % {m}) + {b2}) % {m})"
+    )
+    pow_tbl = "[" + ", ".join(repr(2.0 ** -i) for i in range(58)) + "]"
+    alpha_m2 = repr((0.7213 / (1 + 1.079 / 64)) * 4096.0)
+    est = (
+        f"{alpha_m2} / (s + CAST(64 - n_regs AS DOUBLE))"
+    )
+    return f"""
+    WITH h AS (
+      SELECT CASE WHEN epoch_us(ts) // 86400000000 < 19738 THEN 0 ELSE 1 END
+               AS half,
+             user_id, {hv} AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT half, hv & 63 AS reg,
+             CASE WHEN (hv >> 6) > 0 THEN 57 - length(bin(hv >> 6))
+                  ELSE 57 END AS rank
+      FROM h
+    ),
+    regs AS (
+      SELECT half, reg, CAST(MAX(rank) AS BIGINT) AS mr
+      FROM r GROUP BY half, reg
+    ),
+    union_regs AS (
+      SELECT reg, CAST(MAX(mr) AS BIGINT) AS mr FROM regs GROUP BY reg
+    ),
+    folds AS (
+      SELECT CAST(half AS BIGINT) AS sk, CAST(COUNT(*) AS BIGINT) AS n_regs,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list(mr ORDER BY reg), x -> ({pow_tbl})[x + 1])),
+               (acc, t) -> acc + t) AS s
+      FROM regs GROUP BY half
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list(mr ORDER BY reg), x -> ({pow_tbl})[x + 1])),
+               (acc, t) -> acc + t)
+      FROM union_regs
+    ),
+    ests AS (
+      SELECT sk, {est} AS est FROM folds
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN sk = 0 THEN est END) AS est_a,
+             MAX(CASE WHEN sk = 1 THEN est END) AS est_b,
+             MAX(CASE WHEN sk = 2 THEN est END) AS est_union
+      FROM ests
+    ),
+    truth AS (
+      SELECT CAST(COUNT(DISTINCT CASE WHEN half = 0 THEN user_id END)
+                  AS BIGINT) AS true_a,
+             CAST(COUNT(DISTINCT CASE WHEN half = 1 THEN user_id END)
+                  AS BIGINT) AS true_b,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_union
+      FROM h
+    )
+    SELECT w.est_a, w.est_b, w.est_union,
+           w.est_a + w.est_b - w.est_union AS est_intersection,
+           t.true_a, t.true_b, t.true_union,
+           CAST(t.true_a + t.true_b - t.true_union AS BIGINT)
+             AS true_intersection
+    FROM wide w CROSS JOIN truth t
+    """
+
+
+@register("q228_sketch_set_algebra", _sketch_algebra_sql())
+def q228_sketch_set_algebra(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch SET ALGEBRA: estimate the overlap of two user populations
+    (first vs second half of the month) from their HLL sketches alone —
+    union by per-register MAX (lossless for HLL), intersection by
+    inclusion-exclusion — next to the exact answers. This is how
+    retention/overlap dashboards run on sketch stores: |A∩B| from
+    3x64 BIGINT registers instead of two distinct-scans and a join.
+    All three folded estimates and the inclusion-exclusion arithmetic
+    oracle-hash (q157 machinery; subtraction of two pinned doubles).
+    The known caveat — inclusion-exclusion error grows when |A∩B| <<
+    |A∪B| — is exactly what the side-by-side exact columns let you
+    calibrate."""
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    (a1, b1), (a2, b2) = _hash_params(2, 23)
+    ev = read_table(spark, sf, "events")
+    uid_m = F.pmod(F.col("user_id"), F.lit(_MERSENNE))
+    hv = (
+        (F.lit(a1) * uid_m + F.lit(b1)) % _MERSENNE
+    ) * F.lit(1 << 31) + ((F.lit(a2) * uid_m + F.lit(b2)) % _MERSENNE)
+    rest = F.shiftrightunsigned(hv, 6)
+    rank = F.when(rest > 0, F.lit(57) - F.length(F.bin(rest))).otherwise(
+        F.lit(57)
+    )
+    h = ev.select(
+        F.when(F.expr("unix_micros(ts) div 86400000000") < 19738, 0)
+        .otherwise(1)
+        .alias("half"),
+        "user_id",
+        hv.bitwiseAND(F.lit(63)).alias("reg"),
+        rank.alias("rank"),
+    )
+    regs = h.groupBy("half", "reg").agg(
+        F.max("rank").cast("bigint").alias("mr")
+    )
+    union_regs = regs.groupBy("reg").agg(F.max("mr").cast("bigint").alias("mr"))
+    pow_tbl = F.array(*[F.lit(2.0 ** -i) for i in range(58)])
+    alpha_m2 = (0.7213 / (1 + 1.079 / 64)) * 4096.0
+
+    def fold(df: DataFrame, sk: int) -> DataFrame:
+        return df.agg(
+            F.lit(sk).cast("bigint").alias("sk"),
+            F.count(F.lit(1)).cast("bigint").alias("n_regs"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("reg", "mr"))),
+                F.lit(0.0),
+                lambda acc, s: acc
+                + F.element_at(pow_tbl, s["mr"].cast("int") + 1),
+            ).alias("s"),
+        )
+
+    folds = (
+        fold(regs.filter(F.col("half") == 0), 0)
+        .unionAll(fold(regs.filter(F.col("half") == 1), 1))
+        .unionAll(fold(union_regs, 2))
+    )
+    est = F.lit(alpha_m2) / (
+        F.col("s") + (F.lit(64) - F.col("n_regs")).cast("double")
+    )
+    ests = folds.select("sk", est.alias("est"))
+    wide = ests.agg(
+        F.max(F.when(F.col("sk") == 0, F.col("est"))).alias("est_a"),
+        F.max(F.when(F.col("sk") == 1, F.col("est"))).alias("est_b"),
+        F.max(F.when(F.col("sk") == 2, F.col("est"))).alias("est_union"),
+    )
+    truth = h.agg(
+        F.count_distinct(
+            F.when(F.col("half") == 0, F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("true_a"),
+        F.count_distinct(
+            F.when(F.col("half") == 1, F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("true_b"),
+        F.count_distinct("user_id").cast("bigint").alias("true_union"),
+    )
+    return wide.crossJoin(F.broadcast(truth)).select(
+        "est_a",
+        "est_b",
+        "est_union",
+        (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+            "est_intersection"
+        ),
+        "true_a",
+        "true_b",
+        "true_union",
+        (F.col("true_a") + F.col("true_b") - F.col("true_union"))
+        .cast("bigint")
+        .alias("true_intersection"),
+    )
+
+
+@register(
+    "q229_burst_detection",
+    """
+    WITH e AS (
+      SELECT epoch_us(ts) // 3600000000 AS h,
+             event_type
+      FROM events
+    ),
+    hourly AS (
+      SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY event_type, h
+    ),
+    base AS (
+      SELECT event_type, h, n,
+             CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY h
+                               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+                  AS BIGINT) AS trailing24,
+             CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY h
+                                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+                  AS BIGINT) AS n_baseline_hours
+      FROM hourly
+    )
+    SELECT event_type, h AS hour_idx, n, trailing24, n_baseline_hours,
+           CAST(n * n_baseline_hours AS BIGINT) AS burst_lhs,
+           CAST(3 * trailing24 AS BIGINT) AS burst_rhs
+    FROM base
+    WHERE n_baseline_hours >= 12
+      AND n * n_baseline_hours > 3 * trailing24
+    ORDER BY event_type, h
+    """,
+)
+def q229_burst_detection(spark: SparkSession, sf: str) -> DataFrame:
+    """Burst detection against a trailing baseline: an hour whose event
+    count exceeds 3x its type's trailing-24h hourly average is flagged
+    — the ops alert primitive behind rate-anomaly monitors. The
+    comparison n > 3 * (trailing24 / hours) is cross-multiplied into
+    EXACT integers (n * hours > 3 * trailing24 — no float rate
+    anywhere), warm-up hours (< 12 baseline hours) are suppressed, and
+    the window slides over the HOURLY HISTOGRAM per type (q188 rule:
+    24-row frames over |types| x |hours| rows, regardless of raw
+    volume). Emits both sides of the inequality so the alert threshold
+    is auditable."""
+    ev = read_table(spark, sf, "events")
+    hourly = (
+        ev.select(
+            F.expr("unix_micros(ts) div 3600000000").alias("h"), "event_type"
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wtrail = (
+        Window.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    )
+    base = hourly.select(
+        "event_type",
+        "h",
+        "n",
+        F.sum("n").over(wtrail).cast("bigint").alias("trailing24"),
+        F.count(F.lit(1)).over(wtrail).cast("bigint").alias(
+            "n_baseline_hours"
+        ),
+    )
+    return (
+        base.filter(
+            (F.col("n_baseline_hours") >= 12)
+            & (
+                F.col("n") * F.col("n_baseline_hours")
+                > 3 * F.col("trailing24")
+            )
+        )
+        .select(
+            "event_type",
+            F.col("h").alias("hour_idx"),
+            "n",
+            "trailing24",
+            "n_baseline_hours",
+            (F.col("n") * F.col("n_baseline_hours"))
+            .cast("bigint")
+            .alias("burst_lhs"),
+            (3 * F.col("trailing24")).cast("bigint").alias("burst_rhs"),
+        )
+        .orderBy("event_type", "hour_idx")
+    )
