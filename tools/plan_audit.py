@@ -63,6 +63,9 @@ INTENTIONAL_BNLJ = {
     # q224: crossJoin(broadcast(<1-row pooled-count scalar>)) onto the
     # per-group histogram — a scalar broadcast, not a pair generator.
     "q224_quantile_normalization",
+    # q228: crossJoin(broadcast(<1-row exact-truth scalars>)) beside the
+    # 1-row sketch estimates — a scalar broadcast, not a pair generator.
+    "q228_sketch_set_algebra",
 }
 
 
