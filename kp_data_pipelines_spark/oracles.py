@@ -1646,14 +1646,14 @@ def knn_label_noise_sql(n_planes: int = 4, seed: int = 7, k: int = 5) -> str:
       FROM embeddings
     ),
     be AS (
-      SELECT vec_id, label, v, {_bucket_expr("v", planes)} AS bucket FROM e
+      SELECT vec_id, label, v, {_bucket_expr("v", planes)} AS bucket,
+             sqrt({_dot("v", "v")}) AS nrm
+      FROM e
     ),
     cand AS (
       SELECT a.vec_id AS anchor, a.label AS alabel,
              b.vec_id AS nb, b.label AS nlabel,
-             {_dot("a.v", "b.v")}
-               / (sqrt({_dot("a.v", "a.v")}) * sqrt({_dot("b.v", "b.v")}))
-               AS cos
+             {_dot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
       FROM be a JOIN be b ON b.bucket = a.bucket AND b.vec_id <> a.vec_id
     ),
     topk AS (
