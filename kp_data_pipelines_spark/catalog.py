@@ -7783,13 +7783,12 @@ def q180_containment_join(spark: SparkSession, sf: str) -> DataFrame:
     must share one of Ta's floor((1-t)|Ta|)+1 RAREST grams, so the
     equi-join runs prefix(A) x grams(B) — the rarest grams have the
     smallest df, which is exactly what bounds the join fan-out (PPJoin
-    logic, containment-flavoured). Gram rarity ranks use the
-    DISTRIBUTED row_number (q153's prefix_sum — no single-partition
-    window over a web-scale gram vocabulary); per-doc prefix positions
-    are doc-keyed windows; the verify step recounts the exact overlap
+    logic, containment-flavoured). Rarity ordering is (df, gram)
+    INSIDE each doc's window — the per-doc prefix is identical to what
+    a global rarity rank selects, with no vocabulary-wide sort
+    anywhere (df is one keyed agg); the verify step recounts the exact overlap
     with two (doc, gram) equi-joins; the threshold test is exact
     integer arithmetic (overlap*5 >= 4*|Ta|)."""
-    from kp_data_pipelines_spark.operators.prefix import prefix_sum
     from kp_data_pipelines_spark.operators.similarity import ensure_parallelism
     from kp_data_pipelines_spark.operators.textops import with_poly_shingles
 
@@ -7810,20 +7809,30 @@ def q180_containment_join(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     dfc = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    ranked = prefix_sum(
-        dfc, ["df", "gram"], F.lit(1).cast("long"), out_col="rnk"
-    ).select("gram", "rnk")
-    wpos = Window.partitionBy("doc_id").orderBy("rnk")
-    exr = ex.join(ranked, "gram").withColumn(
+    # Rarity prefix = the k smallest grams by (df, gram) PER DOC — ordering
+    # by (df, gram) inside the doc window selects the identical prefix a
+    # global rarity rank would, without ranking the whole vocabulary (the
+    # global sort dominated at 5M+ distinct grams; df is a keyed agg).
+    wpos = Window.partitionBy("doc_id").orderBy("df", "gram")
+    exr = ex.join(dfc, "gram").withColumn(
         "pos", F.row_number().over(wpos)
     )
     pref = exr.filter(
         F.col("pos") <= F.expr(f"(sz * {t_den - t_num}) div {t_den}") + 1
-    ).select("doc_id", "gram")
+    ).select("doc_id", "gram", F.col("sz").alias("sz_a"))
+    # PPJoin length filter: containment >= t needs |Tb| >= t*|Ta| — prune
+    # candidates BEFORE the exact-overlap recount (result-neutral: such
+    # pairs cannot pass the final threshold since overlap <= |Tb|).
+    exb = ex.select(
+        F.col("doc_id").alias("id_b"), "gram", F.col("sz").alias("sz_b")
+    )
     cand = (
         pref.withColumnRenamed("doc_id", "id_a")
-        .join(ex.withColumnRenamed("doc_id", "id_b"), "gram")
-        .filter(F.col("id_a") != F.col("id_b"))
+        .join(exb, "gram")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("sz_b") * t_den >= t_num * F.col("sz_a"))
+        )
         .select("id_a", "id_b")
         .distinct()
     )

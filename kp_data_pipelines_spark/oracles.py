@@ -1483,14 +1483,12 @@ def containment_join_sql(k: int = 3, t_num: int = 4, t_den: int = 5) -> str:
     dfc AS (
       SELECT gram, COUNT(*) AS df FROM ex GROUP BY gram
     ),
-    ranked AS (
-      SELECT gram, ROW_NUMBER() OVER (ORDER BY df, gram) AS rnk FROM dfc
-    ),
     exr AS (
-      SELECT e.doc_id, e.gram, r.rnk,
+      SELECT e.doc_id, e.gram,
              COUNT(*) OVER (PARTITION BY e.doc_id) AS sz,
-             ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY r.rnk) AS pos
-      FROM ex e JOIN ranked r ON r.gram = e.gram
+             ROW_NUMBER() OVER (PARTITION BY e.doc_id
+                                ORDER BY d.df, e.gram) AS pos
+      FROM ex e JOIN dfc d ON d.gram = e.gram
     ),
     pref AS (
       SELECT doc_id, gram FROM exr
