@@ -12505,3 +12505,115 @@ def q229_burst_detection(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_idx")
     )
+
+
+def _antientropy_sql(seg: int = 1000, seed: int = 59) -> str:
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    (a, b) = _hash_params(1, seed)[0]
+    m = _MERSENNE
+    rh = (
+        f"(({a} * (((o_orderkey * 31 + CAST(round(o_totalprice * 100) AS BIGINT)"
+        f" % 1000003 + CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2"
+        f" ELSE 3 END) % {m}) + {m}) % {m}) + {b}) % {m}"
+    )
+    return f"""
+    WITH a AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             o_totalprice
+      FROM orders
+    ),
+    ha AS (
+      SELECT o_orderkey // {seg} AS segment,
+             CAST(COUNT(*) AS BIGINT) AS n_a,
+             CAST(SUM(CAST({rh} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS h_a
+      FROM a GROUP BY 1
+    ),
+    hb AS (
+      SELECT o_orderkey // {seg} AS segment,
+             CAST(COUNT(*) AS BIGINT) AS n_b,
+             CAST(SUM(CAST({rh} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS h_b
+      FROM b GROUP BY 1
+    )
+    SELECT COALESCE(ha.segment, hb.segment) AS segment,
+           COALESCE(ha.n_a, 0) AS n_a, COALESCE(hb.n_b, 0) AS n_b,
+           CAST(CASE WHEN ha.h_a IS DISTINCT FROM hb.h_b
+                       OR ha.n_a IS DISTINCT FROM hb.n_b
+                     THEN 1 ELSE 0 END AS BIGINT) AS diverged
+    FROM ha FULL OUTER JOIN hb ON hb.segment = ha.segment
+    ORDER BY segment
+    """
+
+
+@register("q230_antientropy_segments", _antientropy_sql())
+def q230_antientropy_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Anti-entropy replica comparison via SEGMENT HASHES (the
+    Merkle-tree sync primitive, one level deep): two replicas of
+    orders — B carrying a deterministic mutation on every 97th key —
+    are compared per 1000-key segment using an ORDER-INDEPENDENT
+    aggregate of a portable per-row hash (integer LCG over the tracked
+    fields, summed in DECIMAL so partition order cannot matter). Only
+    segments whose (count, hash) disagree need the expensive row-level
+    diff (q202) — at 100 TB this is how replicas reconcile with
+    O(segments) exchange instead of shipping keys: each side computes
+    its segment digests locally (one map-side-combinable agg), the
+    digests join on segment id, and the divergent-segment list IS the
+    repair plan. Every digest and flag oracle-hashes."""
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    seg, seed = 1000, 59
+    (a, b) = _hash_params(1, seed)[0]
+    orders = read_table(spark, sf, "orders")
+
+    def digests(df: DataFrame, nc: str, hc: str) -> DataFrame:
+        status_code = (
+            F.when(F.col("o_orderstatus") == "F", 1)
+            .when(F.col("o_orderstatus") == "O", 2)
+            .otherwise(3)
+        )
+        mix = (
+            F.col("o_orderkey") * 31
+            + F.pmod(
+                F.round(F.col("o_totalprice") * 100).cast("bigint"),
+                F.lit(1000003),
+            )
+            + status_code
+        )
+        rh = (F.lit(a) * F.pmod(mix, F.lit(_MERSENNE)) + F.lit(b)) % _MERSENNE
+        return df.groupBy(
+            F.expr(f"o_orderkey div {seg}").alias("segment")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias(nc),
+            F.sum(rh.cast("decimal(38,0)")).alias(hc),
+        )
+    ha = digests(orders, "n_a", "h_a")
+    bmut = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    hb = digests(bmut, "n_b", "h_b")
+    j = ha.join(hb, "segment", "full_outer")
+    return (
+        j.select(
+            "segment",
+            F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
+            F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
+            F.when(
+                (~F.col("h_a").eqNullSafe(F.col("h_b")))
+                | (~F.col("n_a").eqNullSafe(F.col("n_b"))),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("diverged"),
+        )
+        .orderBy("segment")
+    )
