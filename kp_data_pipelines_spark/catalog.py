@@ -12617,3 +12617,84 @@ def q230_antientropy_segments(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register("q231_curation_funnel", oracles.curation_funnel_sql())
+def q231_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """THE capstone composition — the full training-data curation
+    funnel as one query, each stage an operator verified elsewhere in
+    this catalog: quality gate (q22's score, >= 0.7) -> exact-dedup
+    canonicals (q23's sha256 fingerprint, keep-min) -> near-dup drop
+    (q38's MinHash pairs on the surviving set, pairwise keep-min
+    policy; the CC-exact variant is q146) -> uniform mixture quota
+    (q193's exact integer allocation over what survives). Emits the
+    per-language stage counts — the manifest a data lead reads to see
+    where volume went. Every stage is the scale shape its source
+    query documents (keyed aggs, banded pair generation, scalar
+    broadcast); the stages COMPOSE without materialization barriers
+    beyond the pair generator's checkpoint. The twin re-derives the
+    identical funnel with the shared signature SQL re-rooted onto the
+    filtered canonical set."""
+    from kp_data_pipelines_spark.operators.similarity import minhash_near_dups
+    from kp_data_pipelines_spark.operators.textops import (
+        doc_fingerprint,
+        quality_score,
+    )
+
+    q_min, threshold = 0.7, 0.4
+    docs = read_table(spark, sf, "documents")
+    qual = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        quality_score("text").alias("quality"),
+        doc_fingerprint("text").alias("fp"),
+    )
+    passed = qual.filter(F.col("quality") >= q_min)
+    wfp = Window.partitionBy("fp").orderBy("doc_id")
+    canon = (
+        passed.withColumn("rn", F.row_number().over(wfp))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text", "lang")
+    )
+    pairs = minhash_near_dups(
+        canon, "doc_id", "text", shingle_k=3, num_hashes=32, bands=16,
+        jaccard_threshold=threshold, portable_hash=True,
+    )
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = canon.join(dropped, "doc_id", "left_anti").select("lang", "doc_id")
+    stage = qual.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+        F.sum(F.when(F.col("quality") >= q_min, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_quality"),
+    )
+    cn = canon.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_canonical")
+    )
+    kp = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_neardup_kept")
+    )
+    w = kp.select(
+        "lang", "n_neardup_kept", F.lit(1).cast("bigint").alias("weight")
+    ).withColumn(
+        "total_weight",
+        F.sum("weight").over(Window.partitionBy()).cast("bigint"),
+    )
+    cap = w.agg(
+        F.min(F.expr("n_neardup_kept * total_weight div weight")).alias("t")
+    )
+    return (
+        stage.join(cn, "lang")
+        .join(w, "lang")
+        .crossJoin(F.broadcast(cap))
+        .select(
+            "lang",
+            "n_raw",
+            "n_quality",
+            "n_canonical",
+            "n_neardup_kept",
+            F.expr("weight * t div total_weight").alias("quota"),
+        )
+        .orderBy("lang")
+    )

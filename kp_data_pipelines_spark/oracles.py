@@ -80,15 +80,16 @@ def _lit_list(vals, cast: str) -> str:
 
 
 def _minhash_sig_cte(
-    k: int, num_hashes: int, seed: int = 11, extra_cols: str = ""
+    k: int, num_hashes: int, seed: int = 11, extra_cols: str = "",
+    src: str = "documents",
 ) -> str:
-    """CTEs documents -> per-doc MinHash signature (column ``sig``)."""
+    """CTEs ``src``(doc_id, text) -> per-doc MinHash signature (``sig``)."""
     params = _hash_params(num_hashes, seed)
     a_lit = _lit_list([p[0] for p in params], "BIGINT")
     b_lit = _lit_list([p[1] for p in params], "BIGINT")
     return f"""
     th AS (
-      SELECT doc_id{extra_cols}, {_tok_hashes("text")} AS th FROM documents
+      SELECT doc_id{extra_cols}, {_tok_hashes("text")} AS th FROM {src}
     ),
     g AS (
       SELECT doc_id{extra_cols}, list_distinct({_grams("th", k, False)}) AS grams
@@ -104,7 +105,8 @@ def _minhash_sig_cte(
 
 
 def _minhash_pairs_core(
-    k: int, num_hashes: int, bands: int, threshold: float
+    k: int, num_hashes: int, bands: int, threshold: float,
+    src: str = "documents",
 ) -> str:
     """CTE chain ending in ``pairs(id_a, id_b, est_jaccard)``."""
     rpb = num_hashes // bands
@@ -112,7 +114,7 @@ def _minhash_pairs_core(
         f"a.sig[{i * rpb + 1}:{(i + 1) * rpb}] = b.sig[{i * rpb + 1}:{(i + 1) * rpb}]"
         for i in range(bands)
     )
-    return f"""{_minhash_sig_cte(k, num_hashes)},
+    return f"""{_minhash_sig_cte(k, num_hashes, src=src)},
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(len(list_filter(range(1, {num_hashes + 1}),
@@ -1713,4 +1715,83 @@ def split_leakage_sql(
            CAST(SUM(CASE WHEN ta = 0 AND tb = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_within_test
     FROM tagged
+    """
+
+
+def curation_funnel_sql(
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.4,
+    q_min: str = "0.7",
+) -> str:
+    """Twin of q231: the end-to-end curation funnel — quality gate,
+    exact-dedup canonicals, pairwise keep-min near-dup drop, and the
+    q193 mixture quota — one stage-count manifest per language."""
+    quality = (
+        "round(0.4 * (CASE WHEN length(text) BETWEEN 100 AND 20000"
+        " THEN 1.0 ELSE 0.5 END)"
+        " + 0.4 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))"
+        " AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0))"
+        " + 0.2 * (CASE WHEN (CAST(length(regexp_replace(text, '\\s+', '',"
+        " 'g')) AS DOUBLE) / greatest(CASE WHEN trim(text) = '' THEN 0"
+        " ELSE len(string_split_regex(trim(text), '\\s+')) END, 1))"
+        " BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 6)"
+    )
+    return f"""
+    WITH qual AS (
+      SELECT doc_id, text, lang, {quality} AS quality,
+             sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    passed AS (
+      SELECT * FROM qual WHERE quality >= {q_min}
+    ),
+    canon AS (
+      SELECT doc_id, text, lang FROM (
+        SELECT doc_id, text, lang,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM passed
+      ) WHERE rn = 1
+    ),
+    {_minhash_pairs_core(k, num_hashes, bands, threshold, src="canon")},
+    dropped AS (
+      SELECT DISTINCT id_b AS doc_id FROM pairs
+      WHERE est_jaccard >= {threshold}
+    ),
+    kept AS (
+      SELECT c.lang, c.doc_id FROM canon c
+      WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_id = c.doc_id)
+    ),
+    stage AS (
+      SELECT d.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_raw,
+             CAST(SUM(CASE WHEN q.quality >= {q_min} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_quality
+      FROM documents d JOIN qual q ON q.doc_id = d.doc_id
+      GROUP BY d.lang
+    ),
+    cn AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_canonical
+      FROM canon GROUP BY lang
+    ),
+    kp AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_neardup_kept
+      FROM kept GROUP BY lang
+    ),
+    w AS (
+      SELECT k.lang, k.n_neardup_kept, CAST(1 AS BIGINT) AS weight,
+             CAST(SUM(1) OVER () AS BIGINT) AS total_weight
+      FROM kp k
+    ),
+    cap AS (
+      SELECT MIN(n_neardup_kept * total_weight // weight) AS t FROM w
+    )
+    SELECT s.lang, s.n_raw, s.n_quality, c.n_canonical, w.n_neardup_kept,
+           w.weight * p.t // w.total_weight AS quota
+    FROM stage s
+    JOIN cn c ON c.lang = s.lang
+    JOIN w ON w.lang = s.lang
+    CROSS JOIN cap p
+    ORDER BY s.lang
     """
