@@ -66,6 +66,9 @@ INTENTIONAL_BNLJ = {
     # q228: crossJoin(broadcast(<1-row exact-truth scalars>)) beside the
     # 1-row sketch estimates — a scalar broadcast, not a pair generator.
     "q228_sketch_set_algebra",
+    # q231: crossJoin(broadcast(<1-row mixture-cap scalar>)) onto the
+    # per-lang funnel summary (q193 pattern) — not a pair generator.
+    "q231_curation_funnel",
 }
 
 
