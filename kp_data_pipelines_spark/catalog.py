@@ -12698,3 +12698,261 @@ def q231_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q232_weighted_percentile",
+    """
+    WITH h AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT flag, CAST(SUM(w) AS BIGINT) AS tw FROM h GROUP BY flag
+    ),
+    r AS (
+      SELECT h.flag, h.cents, t.tw,
+             CAST(SUM(h.w) OVER (PARTITION BY h.flag ORDER BY h.cents
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM h JOIN t ON t.flag = h.flag
+    )
+    SELECT flag,
+           MIN(CASE WHEN cum * 2 >= tw THEN cents END) AS wmedian_cents,
+           MIN(CASE WHEN cum * 10 >= 9 * tw THEN cents END) AS wp90_cents,
+           MAX(tw) AS total_weight
+    FROM r GROUP BY flag ORDER BY flag
+    """,
+)
+def q232_weighted_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """QUANTITY-weighted price percentiles per return flag — the
+    volume-weighted median/p90 that answers "at what price does half
+    the SHIPPED QUANTITY sit?", which a row-count percentile gets
+    wrong whenever quantity and price correlate. Same histogram-first
+    machinery as q188 but the histogram aggregates WEIGHTS (units)
+    instead of row counts; percentile thresholds are exact integer
+    cross-multiplications (cum*2 >= tw, cum*10 >= 9*tw) over the
+    domain-bounded cent grid. One keyed agg + one bounded window —
+    the weighted generalization every revenue dashboard eventually
+    needs."""
+    li = read_table(spark, sf, "lineitem")
+    h = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+        )
+        .groupBy("flag", "cents")
+        .agg(F.sum("q").cast("bigint").alias("w"))
+    )
+    t = h.groupBy("flag").agg(F.sum("w").cast("bigint").alias("tw"))
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = h.join(t, "flag").withColumn(
+        "cum", F.sum("w").over(wcum).cast("bigint")
+    )
+    return (
+        r.groupBy("flag")
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 2 >= F.col("tw"), F.col("cents"))
+            ).alias("wmedian_cents"),
+            F.min(
+                F.when(F.col("cum") * 10 >= 9 * F.col("tw"), F.col("cents"))
+            ).alias("wp90_cents"),
+            F.max("tw").alias("total_weight"),
+        )
+        .orderBy("flag")
+    )
+
+
+def _partition_skew_sql(n_parts: int = 32, seed: int = 61) -> str:
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    (a, b) = _hash_params(1, seed)[0]
+    m = _MERSENNE
+    return f"""
+    WITH p AS (
+      SELECT (({a} * (((user_id % {m}) + {m}) % {m}) + {b}) % {m})
+               % {n_parts} AS part,
+             user_id
+      FROM events
+    ),
+    sizes AS (
+      SELECT part, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
+      FROM p GROUP BY part
+    ),
+    t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(MAX(n) AS BIGINT) AS max_n,
+             CAST(MIN(n) AS BIGINT) AS min_n,
+             CAST(SUM(CAST(n AS DECIMAL(38,0)) * n) AS DECIMAL(38,0)) AS ss
+      FROM sizes
+    )
+    SELECT total, n_parts, max_n, min_n,
+           CAST(max_n AS DOUBLE) * CAST(n_parts AS DOUBLE)
+             / CAST(total AS DOUBLE) AS peak_ratio,
+           CAST(ss AS DOUBLE) * CAST(n_parts AS DOUBLE)
+             / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
+             AS imbalance_factor
+    FROM t
+    """
+
+
+@register("q233_partition_skew_report", _partition_skew_sql())
+def q233_partition_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Partitioning advisor: simulate hashing the stream by user_id
+    into 32 shards and report the skew metrics that predict shuffle
+    health BEFORE a job runs — peak_ratio (hottest shard vs perfect
+    balance; task stragglers) and imbalance_factor (sum n_i^2 * P /
+    N^2, the expected relative slowdown of shuffle-read; 1.0 =
+    perfectly balanced). The shard histogram is one keyed agg; the
+    squared sizes stage through DECIMAL (q201 rule); ratios are
+    pinned-order double divisions. Pairs with q203 (join blow-up
+    forecast) and q177/q161 (the salting fix when these numbers come
+    back hot)."""
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    n_parts, seed = 32, 61
+    (a, b) = _hash_params(1, seed)[0]
+    ev = read_table(spark, sf, "events")
+    part = (
+        (F.lit(a) * F.pmod(F.col("user_id"), F.lit(_MERSENNE)) + F.lit(b))
+        % _MERSENNE
+    ) % n_parts
+    sizes = (
+        ev.select(part.alias("part"), "user_id")
+        .groupBy("part")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count_distinct("user_id").cast("bigint").alias("n_keys"),
+        )
+    )
+    t = sizes.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.max("n").cast("bigint").alias("max_n"),
+        F.min("n").cast("bigint").alias("min_n"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).alias("ss"),
+    )
+    return t.select(
+        "total",
+        "n_parts",
+        "max_n",
+        "min_n",
+        (
+            F.col("max_n").cast("double")
+            * F.col("n_parts").cast("double")
+            / F.col("total").cast("double")
+        ).alias("peak_ratio"),
+        (
+            F.col("ss").cast("double")
+            * F.col("n_parts").cast("double")
+            / (F.col("total").cast("double") * F.col("total").cast("double"))
+        ).alias("imbalance_factor"),
+    )
+
+
+@register(
+    "q234_correlation_matrix",
+    """
+    WITH q AS (
+      SELECT CAST(round(l_quantity * 100) AS BIGINT) AS x1,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS x2,
+             CAST(round(l_discount * 10000) AS BIGINT) AS x3,
+             CAST(round(l_tax * 10000) AS BIGINT) AS x4
+      FROM lineitem
+    ),
+    pairs AS (
+      SELECT p.a, p.b,
+             CASE p.a WHEN 1 THEN x1 WHEN 2 THEN x2 WHEN 3 THEN x3
+                      ELSE x4 END AS x,
+             CASE p.b WHEN 1 THEN x1 WHEN 2 THEN x2 WHEN 3 THEN x3
+                      ELSE x4 END AS y
+      FROM q CROSS JOIN (
+        SELECT unnest([1,1,1,2,2,3]) AS a, unnest([2,3,4,3,4,4]) AS b
+      ) p
+    ),
+    m AS (
+      SELECT a, b,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy
+      FROM pairs GROUP BY a, b
+    )
+    SELECT CAST(a AS BIGINT) AS col_a, CAST(b AS BIGINT) AS col_b, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS pearson
+    FROM m ORDER BY col_a, col_b
+    """,
+)
+def q234_correlation_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    columns (quantity, price, discount, tax — 6 pairs) — the feature-
+    profiling staple that flags redundant or leaking columns before
+    model training. One generator unrolls the 6 pairs over the scan;
+    each pair's correlation comes from 5 exact integer raw moments
+    (quantized; cross-products staged through DECIMAL(38,0) — q212's
+    ACF machinery pointed at column pairs instead of lags) and ONE
+    closed-form double evaluation in pinned order. Map-side
+    combinable; at sf0.1 every moment is < 2^53 so the
+    DECIMAL->double casts are exact."""
+    li = read_table(spark, sf, "lineitem")
+    q = li.select(
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("x1"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("x2"),
+        F.round(F.col("l_discount") * 10000).cast("bigint").alias("x3"),
+        F.round(F.col("l_tax") * 10000).cast("bigint").alias("x4"),
+    )
+    combos = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    pairs = q.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("a"),
+                        F.lit(b).alias("b"),
+                        F.col(f"x{a}").alias("x"),
+                        F.col(f"x{b}").alias("y"),
+                    )
+                    for a, b in combos
+                ]
+            )
+        ).alias("p")
+    ).select("p.a", "p.b", "p.x", "p.y")
+    m = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    pearson = (nd * F.col("sxy").cast("double") - sxd * syd) / (
+        F.sqrt(nd * F.col("sxx").cast("double") - sxd * sxd)
+        * F.sqrt(nd * F.col("syy").cast("double") - syd * syd)
+    )
+    return m.select(
+        F.col("a").cast("bigint").alias("col_a"),
+        F.col("b").cast("bigint").alias("col_b"),
+        "n",
+        pearson.alias("pearson"),
+    ).orderBy("col_a", "col_b")
