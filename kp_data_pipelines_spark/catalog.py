@@ -12886,20 +12886,33 @@ def q233_partition_skew_report(spark: SparkSession, sf: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(x) AS BIGINT) AS sx,
              CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
-             CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy,
-             CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy
+             CAST(SUM((x * x) // 67108864) AS DECIMAL(38,0)) AS sxx_hi,
+             CAST(SUM((x * x) % 67108864) AS DECIMAL(38,0)) AS sxx_lo,
+             CAST(SUM((y * y) // 67108864) AS DECIMAL(38,0)) AS syy_hi,
+             CAST(SUM((y * y) % 67108864) AS DECIMAL(38,0)) AS syy_lo,
+             CAST(SUM((x * y) // 67108864) AS DECIMAL(38,0)) AS sxy_hi,
+             CAST(SUM((x * y) % 67108864) AS DECIMAL(38,0)) AS sxy_lo
       FROM pairs GROUP BY a, b
+    ),
+    d AS (
+      SELECT a, b, n, sx, sy,
+             CAST(sxx_hi AS DOUBLE) * 67108864.0 + CAST(sxx_lo AS DOUBLE)
+               AS sxx,
+             CAST(syy_hi AS DOUBLE) * 67108864.0 + CAST(syy_lo AS DOUBLE)
+               AS syy,
+             CAST(sxy_hi AS DOUBLE) * 67108864.0 + CAST(sxy_lo AS DOUBLE)
+               AS sxy
+      FROM m
     )
     SELECT CAST(a AS BIGINT) AS col_a, CAST(b AS BIGINT) AS col_b, n,
-           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           (CAST(n AS DOUBLE) * sxy
               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             / (sqrt(CAST(n AS DOUBLE) * sxx
                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                * sqrt(CAST(n AS DOUBLE) * syy
                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
              AS pearson
-    FROM m ORDER BY col_a, col_b
+    FROM d ORDER BY col_a, col_b
     """,
 )
 def q234_correlation_matrix(spark: SparkSession, sf: str) -> DataFrame:
@@ -12908,11 +12921,11 @@ def q234_correlation_matrix(spark: SparkSession, sf: str) -> DataFrame:
     profiling staple that flags redundant or leaking columns before
     model training. One generator unrolls the 6 pairs over the scan;
     each pair's correlation comes from 5 exact integer raw moments
-    (quantized; cross-products staged through DECIMAL(38,0) — q212's
-    ACF machinery pointed at column pairs instead of lags) and ONE
-    closed-form double evaluation in pinned order. Map-side
-    combinable; at sf0.1 every moment is < 2^53 so the
-    DECIMAL->double casts are exact."""
+    (quantized; cross-products summed as hi/lo 2^26 splits — the
+    q106/q115 rule, because price-cent squares pass 2^53 at sf0.1 and
+    DECIMAL->double casts then round differently across engines) and
+    ONE closed-form double evaluation in pinned order. Map-side
+    combinable; each split partial converts to double exactly."""
     li = read_table(spark, sf, "lineitem")
     q = li.select(
         F.round(F.col("l_quantity") * 100).cast("bigint").alias("x1"),
@@ -12936,19 +12949,27 @@ def q234_correlation_matrix(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.a", "p.b", "p.x", "p.y")
+    # hi/lo 2^26 split (q106/q115 rule): the raw cross-moments pass 2^53
+    # at sf0.1, where DECIMAL/HUGEINT->double casts round differently
+    # across engines; split partials convert exactly on both.
+    def hilo(prod):
+        hi = F.sum(F.expr(f"({prod}) div 67108864").cast("decimal(38,0)"))
+        lo = F.sum(F.expr(f"({prod}) % 67108864").cast("decimal(38,0)"))
+        return hi.cast("double") * F.lit(67108864.0) + lo.cast("double")
+
     m = pairs.groupBy("a", "b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
         F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
-        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        hilo("x * x").alias("sxx"),
+        hilo("y * y").alias("syy"),
+        hilo("x * y").alias("sxy"),
     )
     nd = F.col("n").cast("double")
     sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
-    pearson = (nd * F.col("sxy").cast("double") - sxd * syd) / (
-        F.sqrt(nd * F.col("sxx").cast("double") - sxd * sxd)
-        * F.sqrt(nd * F.col("syy").cast("double") - syd * syd)
+    pearson = (nd * F.col("sxy") - sxd * syd) / (
+        F.sqrt(nd * F.col("sxx") - sxd * sxd)
+        * F.sqrt(nd * F.col("syy") - syd * syd)
     )
     return m.select(
         F.col("a").cast("bigint").alias("col_a"),
