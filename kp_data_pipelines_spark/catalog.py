@@ -8050,7 +8050,7 @@ def q182_item_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
       ) WHERE rn = (n + 1) // 2
     ),
     c AS (
-      SELECT q.user_id, q.event_id,
+      SELECT q.user_id, q.event_id, q.ts,
              SUM(q.qv - m.med_q) OVER (PARTITION BY q.user_id
                                        ORDER BY q.ts, q.event_id
                                        ROWS UNBOUNDED PRECEDING) AS cum
@@ -8060,7 +8060,7 @@ def q182_item_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
       SELECT user_id, event_id,
              CAST(cum - LEAST(CAST(0 AS BIGINT),
                          MIN(cum) OVER (PARTITION BY user_id
-                                        ORDER BY event_id
+                                        ORDER BY ts, event_id
                                         ROWS UNBOUNDED PRECEDING))
                   AS BIGINT) AS stat
       FROM c
@@ -8085,9 +8085,10 @@ def q183_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
     cumsums stay far under 2^53) so every engine op is exact integer
     arithmetic; k is the user's lower median (rank (n+1)//2), itself an
     integer. Reports the peak statistic and the earliest event at which
-    it is attained (the detected change point). Note the running min is
-    over event_id order AFTER cum is computed over (ts, event_id) —
-    identical frames on both engines."""
+    it is attained (the detected change point). Both the cumsum and the
+    running min are ordered by (ts, event_id) — the SAME total order —
+    so the closed form is unconditionally the CUSUM recursion even if
+    event arrival order diverges from time order (round-3 ADVICE)."""
     ev = read_table(spark, sf, "events")
     q = ev.select(
         "user_id",
@@ -8111,11 +8112,12 @@ def q183_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
     c = q.join(med, "user_id").select(
         "user_id",
         "event_id",
+        "ts",
         F.sum(F.col("qv") - F.col("med_q")).over(wcum).alias("cum"),
     )
     wmin = (
         Window.partitionBy("user_id")
-        .orderBy("event_id")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     s = c.select(
@@ -9949,15 +9951,11 @@ def q203_join_cardinality_forecast(spark: SparkSession, sf: str) -> DataFrame:
       FROM d CROSS JOIN tot t
     )
     SELECT day, n_churned, n_at_risk,
-           CASE WHEN MAX(CASE WHEN n_at_risk = n_churned THEN 1 ELSE 0 END)
-                       OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) = 1
-                THEN CAST(0.0 AS DOUBLE)
-                ELSE exp(SUM(CASE WHEN n_at_risk > n_churned
-                             THEN ln(CAST(n_at_risk - n_churned AS DOUBLE)
-                                     / CAST(n_at_risk AS DOUBLE))
-                             ELSE CAST(0.0 AS DOUBLE) END)
-                         OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))
-           END AS km_survival
+           list_reduce(
+             list(CAST(n_at_risk - n_churned AS DOUBLE)
+                  / CAST(n_at_risk AS DOUBLE))
+               OVER (ORDER BY day ROWS UNBOUNDED PRECEDING),
+             (a, b) -> a * b) AS km_survival
     FROM risk
     ORDER BY day
     """,
@@ -9969,13 +9967,16 @@ def q204_survival_curve(spark: SparkSession, sf: str) -> DataFrame:
     cohorts of different ages correctly. Computed on the per-DAY
     lifetime histogram (domain-bounded: the curve has at most
     span-days points no matter how many users, q188's
-    histogram-first rule), with the running product expressed as
-    exp(running sum of logs) — note this pair of libm calls is why
-    km_survival is validated by the RANK-free integer columns
-    (n_churned, n_at_risk are exact) plus cross-engine agreement on
-    this dataset; ln/exp agree on both engines here but the exact
-    contract is the integer life table. One groupBy + one tiny
-    ordered window over <= 31 histogram rows."""
+    histogram-first rule). The running product is a LOG-FREE
+    day-sequential left fold over the collected factor list
+    (Spark F.aggregate / DuckDB list_reduce): every per-day factor
+    (r-c)/r is one exactly-rounded IEEE division and every fold step
+    one exactly-rounded multiply in the same day order on both
+    engines, so km_survival is bit-deterministic cross-engine (the
+    repo's ln/exp-out-of-hashed-columns rule; round-3 ADVICE). A day
+    that wipes out the risk set contributes factor 0.0 and pins the
+    curve to exact 0 thereafter. One groupBy + one tiny ordered
+    window over <= 31 histogram rows."""
     ev = read_table(spark, sf, "events")
     day_us = F.expr("unix_micros(ts) div 86400000000")
     u = ev.groupBy("user_id").agg(
@@ -9995,25 +9996,17 @@ def q204_survival_curve(spark: SparkSession, sf: str) -> DataFrame:
             - F.coalesce(F.sum("n_churned").over(wprev), F.lit(0)),
         )
     )
-    hit_zero = (
-        F.max(
-            F.when(F.col("n_at_risk") == F.col("n_churned"), 1).otherwise(0)
-        ).over(wcum)
-        == 1
+    factor = (
+        (F.col("n_at_risk") - F.col("n_churned")).cast("double")
+        / F.col("n_at_risk").cast("double")
     )
-    ln_sum = F.sum(
-        F.when(
-            F.col("n_at_risk") > F.col("n_churned"),
-            F.log(
-                (F.col("n_at_risk") - F.col("n_churned")).cast("double")
-                / F.col("n_at_risk").cast("double")
-            ),
-        ).otherwise(F.lit(0.0))
-    ).over(wcum)
+    factors = F.collect_list(factor).over(wcum)
     return (
         risk.withColumn(
             "km_survival",
-            F.when(hit_zero, F.lit(0.0)).otherwise(F.exp(ln_sum)),
+            F.aggregate(
+                factors, F.lit(1.0), lambda acc, x: acc * x
+            ),
         )
         .select("day", "n_churned", "n_at_risk", "km_survival")
         .orderBy("day")
@@ -12436,11 +12429,11 @@ def q228_sketch_set_algebra(spark: SparkSession, sf: str) -> DataFrame:
     ),
     base AS (
       SELECT event_type, h, n,
-             CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY h
-                               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+             CAST(COALESCE(SUM(n) OVER (
+                    PARTITION BY event_type ORDER BY h
+                    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0)
                   AS BIGINT) AS trailing24,
-             CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY h
-                                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+             CAST(LEAST(24, h - MIN(h) OVER (PARTITION BY event_type))
                   AS BIGINT) AS n_baseline_hours
       FROM hourly
     )
@@ -12457,13 +12450,20 @@ def q229_burst_detection(spark: SparkSession, sf: str) -> DataFrame:
     """Burst detection against a trailing baseline: an hour whose event
     count exceeds 3x its type's trailing-24h hourly average is flagged
     — the ops alert primitive behind rate-anomaly monitors. The
-    comparison n > 3 * (trailing24 / hours) is cross-multiplied into
-    EXACT integers (n * hours > 3 * trailing24 — no float rate
-    anywhere), warm-up hours (< 12 baseline hours) are suppressed, and
-    the window slides over the HOURLY HISTOGRAM per type (q188 rule:
-    24-row frames over |types| x |hours| rows, regardless of raw
-    volume). Emits both sides of the inequality so the alert threshold
-    is auditable."""
+    baseline frame is RANGE-based on the integer hour index (round-3
+    ADVICE): hours with zero events are simply absent rows that
+    contribute 0 to the trailing sum, so the baseline always spans at
+    most 24 WALL-CLOCK hours even across gaps (a ROWS frame would
+    silently stretch over them). n_baseline_hours is the wall-clock
+    span least(24, h - first_h) — absent hours count as zero-event
+    hours in the average, which is what a rate monitor means. The
+    comparison n > 3 * (trailing24 / span) is cross-multiplied into
+    EXACT integers (n * span > 3 * trailing24 — no float rate
+    anywhere), warm-up (< 12 wall-clock hours of history) is
+    suppressed, and the window slides over the HOURLY HISTOGRAM per
+    type (q188 rule: 24-hour frames over |types| x |hours| rows,
+    regardless of raw volume). Emits both sides of the inequality so
+    the alert threshold is auditable."""
     ev = read_table(spark, sf, "events")
     hourly = (
         ev.select(
@@ -12473,16 +12473,19 @@ def q229_burst_detection(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
     wtrail = (
-        Window.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+        Window.partitionBy("event_type").orderBy("h").rangeBetween(-24, -1)
     )
+    wtype = Window.partitionBy("event_type")
     base = hourly.select(
         "event_type",
         "h",
         "n",
-        F.sum("n").over(wtrail).cast("bigint").alias("trailing24"),
-        F.count(F.lit(1)).over(wtrail).cast("bigint").alias(
-            "n_baseline_hours"
-        ),
+        F.coalesce(F.sum("n").over(wtrail), F.lit(0))
+        .cast("bigint")
+        .alias("trailing24"),
+        F.least(F.lit(24), F.col("h") - F.min("h").over(wtype))
+        .cast("bigint")
+        .alias("n_baseline_hours"),
     )
     return (
         base.filter(
@@ -12794,7 +12797,9 @@ def _partition_skew_sql(n_parts: int = 32, seed: int = 61) -> str:
              CAST(COUNT(*) AS BIGINT) AS n_parts,
              CAST(MAX(n) AS BIGINT) AS max_n,
              CAST(MIN(n) AS BIGINT) AS min_n,
-             CAST(SUM(CAST(n AS DECIMAL(38,0)) * n) AS DECIMAL(38,0)) AS ss
+             CAST(SUM(CAST(n AS DECIMAL(38,0)) * n) AS DECIMAL(38,0)) AS ss,
+             CAST(SUM(n_keys) AS BIGINT) AS total_keys,
+             CAST(MAX(n_keys) AS BIGINT) AS max_keys
       FROM sizes
     )
     SELECT total, n_parts, max_n, min_n,
@@ -12802,7 +12807,10 @@ def _partition_skew_sql(n_parts: int = 32, seed: int = 61) -> str:
              / CAST(total AS DOUBLE) AS peak_ratio,
            CAST(ss AS DOUBLE) * CAST(n_parts AS DOUBLE)
              / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
-             AS imbalance_factor
+             AS imbalance_factor,
+           total_keys, max_keys,
+           CAST(max_keys AS DOUBLE) * CAST(n_parts AS DOUBLE)
+             / CAST(total_keys AS DOUBLE) AS keys_peak_ratio
     FROM t
     """
 
@@ -12812,9 +12820,13 @@ def q233_partition_skew_report(spark: SparkSession, sf: str) -> DataFrame:
     """Partitioning advisor: simulate hashing the stream by user_id
     into 32 shards and report the skew metrics that predict shuffle
     health BEFORE a job runs — peak_ratio (hottest shard vs perfect
-    balance; task stragglers) and imbalance_factor (sum n_i^2 * P /
+    balance; task stragglers), imbalance_factor (sum n_i^2 * P /
     N^2, the expected relative slowdown of shuffle-read; 1.0 =
-    perfectly balanced). The shard histogram is one keyed agg; the
+    perfectly balanced), and keys_peak_ratio (distinct keys per shard
+    vs perfect balance — distinguishes "one hot key" skew, where rows
+    skew but keys don't, from "bad hash" skew where keys themselves
+    bunch; round-3 ADVICE asked that n_keys be surfaced or dropped —
+    surfaced). The shard histogram is one keyed agg; the
     squared sizes stage through DECIMAL (q201 rule); ratios are
     pinned-order double divisions. Pairs with q203 (join blow-up
     forecast) and q177/q161 (the salting fix when these numbers come
@@ -12842,6 +12854,8 @@ def q233_partition_skew_report(spark: SparkSession, sf: str) -> DataFrame:
         F.max("n").cast("bigint").alias("max_n"),
         F.min("n").cast("bigint").alias("min_n"),
         F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).alias("ss"),
+        F.sum("n_keys").cast("bigint").alias("total_keys"),
+        F.max("n_keys").cast("bigint").alias("max_keys"),
     )
     return t.select(
         "total",
@@ -12858,6 +12872,13 @@ def q233_partition_skew_report(spark: SparkSession, sf: str) -> DataFrame:
             * F.col("n_parts").cast("double")
             / (F.col("total").cast("double") * F.col("total").cast("double"))
         ).alias("imbalance_factor"),
+        "total_keys",
+        "max_keys",
+        (
+            F.col("max_keys").cast("double")
+            * F.col("n_parts").cast("double")
+            / F.col("total_keys").cast("double")
+        ).alias("keys_peak_ratio"),
     )
 
 

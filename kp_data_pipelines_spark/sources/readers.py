@@ -169,15 +169,206 @@ def flatten_multiindex_columns(pdf):
     return pdf
 
 
+_XLSX_MAIN_NS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+_XLSX_REL_NS = (
+    "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+)
+
+
+def _xlsx_col_index(ref: str) -> int:
+    """Cell reference column letters -> 0-based index ('A1'->0, 'AA3'->26)."""
+    idx = 0
+    for ch in ref:
+        if ch.isalpha():
+            idx = idx * 26 + (ord(ch.upper()) - 64)
+        else:
+            break
+    return idx - 1
+
+
+def _xlsx_sheet_grid(path: str, sheet_name=0) -> "list[list]":
+    """Raw cell grid of one worksheet — pure stdlib (zipfile + ElementTree).
+
+    The read mirror of the ``_MiniXlsxBook`` writer (sinks.py): xlsx is a
+    zip of SpreadsheetML parts, so a scan is workbook.xml (sheet names,
+    in order) -> workbook.xml.rels (r:id -> worksheet part) -> the sheet's
+    ``<row>/<c>`` elements. Handles the cell types report workbooks use:
+    shared strings (``t="s"``, rich-text runs concatenated), inline
+    strings (``t="inlineStr"``), booleans (``t="b"``), formula string
+    results (``t="str"``), and numerics (int when the lexeme is integral,
+    else float). Styled date serials are NOT decoded (they come back as
+    the raw serial number) — the reference's date columns are re-parsed
+    downstream by the C2/C3 cascade anyway. Sparse cells pad to None;
+    rows pad to the widest row. ``sheet_name`` is an index or a name,
+    matching ``pd.read_excel`` (CTP Data Compare.ipynb:136-139
+    ``sheet_name="Output"``)."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    m, r = f"{{{_XLSX_MAIN_NS}}}", f"{{{_XLSX_REL_NS}}}"
+    pkg_rel = (
+        "{http://schemas.openxmlformats.org/package/2006/relationships}"
+    )
+    with zipfile.ZipFile(path) as z:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        sheets = [
+            (el.get("name"), el.get(f"{r}id"))
+            for el in wb.find(f"{m}sheets")
+        ]
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        rid_to_target = {
+            rel.get("Id"): rel.get("Target")
+            for rel in rels.findall(f"{pkg_rel}Relationship")
+        }
+        if isinstance(sheet_name, int):
+            name, rid = sheets[sheet_name]
+        else:
+            matches = [s for s in sheets if s[0] == sheet_name]
+            if not matches:
+                raise ValueError(
+                    f"sheet {sheet_name!r} not in {[s[0] for s in sheets]}"
+                )
+            name, rid = matches[0]
+        target = rid_to_target[rid].lstrip("/")
+        part = target if target.startswith("xl/") else f"xl/{target}"
+
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            sst = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            shared = [
+                "".join(t.text or "" for t in si.iter(f"{m}t"))
+                for si in sst.findall(f"{m}si")
+            ]
+
+        ws = ET.fromstring(z.read(part))
+        grid: list[list] = []
+        for row_el in ws.iter(f"{m}row"):
+            ri = int(row_el.get("r")) - 1
+            while len(grid) <= ri:
+                grid.append([])
+            row = grid[ri]
+            for c_el in row_el.findall(f"{m}c"):
+                ci = _xlsx_col_index(c_el.get("r", ""))
+                t = c_el.get("t", "n")
+                if t == "inlineStr":
+                    is_el = c_el.find(f"{m}is")
+                    v = (
+                        "".join(x.text or "" for x in is_el.iter(f"{m}t"))
+                        if is_el is not None
+                        else None
+                    )
+                else:
+                    v_el = c_el.find(f"{m}v")
+                    raw = v_el.text if v_el is not None else None
+                    if raw is None:
+                        v = None
+                    elif t == "s":
+                        v = shared[int(raw)]
+                    elif t == "b":
+                        v = raw.strip() in ("1", "true")
+                    elif t == "str":
+                        v = raw
+                    else:
+                        try:
+                            v = int(raw)
+                        except ValueError:
+                            v = float(raw)
+                while len(row) <= ci:
+                    row.append(None)
+                row[ci] = v
+        width = max((len(rw) for rw in grid), default=0)
+        return [rw + [None] * (width - len(rw)) for rw in grid]
+
+
+def xlsx_to_pandas(path: str, sheet_name=0, skiprows: int = 0, header=0):
+    """S4 stdlib engine: xlsx -> pandas DataFrame with ``pd.read_excel``'s
+    sheet_name / skiprows / header semantics, no optional deps.
+
+    ``header`` may be an int (single header row) or a list of ints
+    (multi-row header -> MultiIndex columns, the reference's
+    ``header=[8,9,10,11]`` shape at Financial Snapshot
+    Preprocess.ipynb:199-228). Multi-row header cells are forward-filled
+    across columns (how merged header cells surface) and still-empty
+    slots become ``Unnamed: {col}_level_{lvl}`` so
+    ``flatten_multiindex_columns`` (the reference's ``tidy``) drops them
+    — matching pandas' naming. Column dtypes get pandas-style light
+    inference: all-numeric object columns become float64/int64."""
+    import pandas as pd
+
+    grid = _xlsx_sheet_grid(path, sheet_name)[skiprows:]
+    header_rows = [header] if isinstance(header, int) else list(header)
+    multi = len(header_rows) > 1
+    if header_rows:
+        data_start = max(header_rows) + 1
+        width = max((len(grid[hr]) for hr in header_rows if hr < len(grid)), default=0)
+        levels = []
+        # pandas' merged-cell fill (io/parsers _fill_mi_header): a blank
+        # header cell inherits leftward ONLY while its column is still
+        # inside the same merged group — once a column has started its
+        # own group in an upper row (control goes False), lower blanks
+        # stay blank (-> Unnamed) instead of leaking the neighbor's name.
+        control = [True] * width
+        for hr in header_rows:
+            cells = list(grid[hr]) if hr < len(grid) else []
+            cells += [None] * (width - len(cells))
+            filled = []
+            last = cells[0] if cells and cells[0] not in (None, "") else None
+            for ci, v in enumerate(cells):
+                blank = v is None or str(v) == ""
+                if ci > 0 and multi and not control[ci]:
+                    last = None if blank else str(v)
+                if blank:
+                    filled.append(str(last) if multi and last is not None else None)
+                else:
+                    control[ci] = False
+                    last = str(v)
+                    filled.append(last)
+            levels.append(filled)
+        width = max((len(lv) for lv in levels), default=0)
+        names = []
+        for ci in range(width):
+            parts = []
+            for lvl, lv in enumerate(levels):
+                v = lv[ci] if ci < len(lv) else None
+                parts.append(
+                    v if v is not None else f"Unnamed: {ci}_level_{lvl}"
+                )
+            names.append(tuple(parts))
+        data = [rw[:width] + [None] * (width - len(rw)) for rw in grid[data_start:]]
+        if len(header_rows) > 1:
+            columns = pd.MultiIndex.from_tuples(names)
+        else:
+            columns = [p[0] for p in names]
+        pdf = pd.DataFrame(data, columns=columns)
+    else:
+        pdf = pd.DataFrame(grid)
+    for col in pdf.columns:
+        s = pdf[col]
+        non_null = s.dropna()
+        if len(non_null) and all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for v in non_null
+        ):
+            pdf[col] = pd.to_numeric(s)
+    return pdf
+
+
 def read_excel_via_pandas(spark: SparkSession, path: str, **pandas_kwargs) -> DataFrame:
-    """S4: Excel ingest. Driver-side pandas read + Arrow createDataFrame.
+    """S4: Excel ingest. Driver-side read + Arrow createDataFrame.
 
     Supports the reference's sheet_name / skiprows / multi-row header
     patterns via ``pandas_kwargs``; multi-row headers go through
-    ``flatten_multiindex_columns``."""
+    ``flatten_multiindex_columns``. Uses ``pd.read_excel`` when an xlsx
+    engine (openpyxl) is installed; otherwise falls back to the stdlib
+    zip/XML engine (``xlsx_to_pandas``) so S4 executes on real .xlsx
+    files in any environment — same fallback pattern as the K3 sink's
+    ``_MiniXlsxBook``."""
     import pandas as pd
 
-    pdf = pd.read_excel(path, **pandas_kwargs)
+    try:
+        pdf = pd.read_excel(path, **pandas_kwargs)
+    except ImportError:
+        pdf = xlsx_to_pandas(path, **pandas_kwargs)
     return spark.createDataFrame(flatten_multiindex_columns(pdf))
 
 

@@ -360,3 +360,180 @@ def test_jdbc_read_from_derby(spark):
     )
     assert part.rdd.getNumPartitions() == 2
     assert part.count() == 3
+
+
+def test_xlsx_stdlib_reader_roundtrip(spark, tmp_path):
+    """S4 read path executed on a REAL .xlsx with no optional deps: the
+    stdlib zip/XML reader round-trips the stdlib ``_MiniXlsxBook``
+    writer's output — mixed int/float/str/bool/None cells, sheet select
+    by index and by name — and lands in a Spark DataFrame via
+    ``read_excel_via_pandas`` (which falls back to the stdlib engine
+    when pandas has no xlsx engine installed)."""
+    from kp_data_pipelines_spark.sources.readers import (
+        read_excel_via_pandas,
+        xlsx_to_pandas,
+    )
+    from kp_data_pipelines_spark.sources.sinks import _MiniXlsxBook
+
+    path = str(tmp_path / "book.xlsx")
+    book = _MiniXlsxBook()
+    book.add_sheet(
+        "Output",
+        [
+            ["study_id", "site", "enrolled", "rate", "active"],
+            [1, "sac", 25, 0.5, True],
+            [2, "fresno", None, 1.25, False],
+        ],
+    )
+    book.add_sheet("Notes", [["note"], ["second sheet"]])
+    book.save(path)
+
+    pdf = xlsx_to_pandas(path, sheet_name="Output")
+    assert list(pdf.columns) == [
+        "study_id", "site", "enrolled", "rate", "active",
+    ]
+    assert pdf["study_id"].tolist() == [1, 2]
+    assert pdf["site"].tolist() == ["sac", "fresno"]
+    assert pdf["rate"].tolist() == [0.5, 1.25]
+    assert pdf["active"].tolist() == [True, False]
+    assert pdf["enrolled"][0] == 25 and pdf["enrolled"].isna()[1]
+
+    # by index: second sheet
+    notes = xlsx_to_pandas(path, sheet_name=1)
+    assert notes["note"].tolist() == ["second sheet"]
+
+    sdf = read_excel_via_pandas(spark, path, sheet_name="Output")
+    assert sdf.count() == 2
+    assert set(sdf.columns) == {
+        "study_id", "site", "enrolled", "rate", "active",
+    }
+    assert {r["site"] for r in sdf.collect()} == {"sac", "fresno"}
+
+
+def test_xlsx_stdlib_reader_multirow_header(spark, tmp_path):
+    """The reference's most distinctive source shape (Financial Snapshot
+    Preprocess.ipynb:199-228): 8 junk preamble rows, a 4-row header
+    (``header=[8,9,10,11]``) with merged-cell blanks, then data. The
+    stdlib reader forward-fills merged header cells, names empty slots
+    ``Unnamed:`` so the ``tidy`` flatten drops them, and the flattened
+    result loads into Spark."""
+    from kp_data_pipelines_spark.sources.readers import (
+        flatten_multiindex_columns,
+        read_excel_via_pandas,
+        xlsx_to_pandas,
+    )
+    from kp_data_pipelines_spark.sources.sinks import _MiniXlsxBook
+
+    path = str(tmp_path / "snapshot.xlsx")
+    rows: list = [[f"title row {i}"] for i in range(8)]
+    # 4-level header: 'Fiscal' merges across two columns (blank inherits
+    # leftward inside the merge); 'Meta' starts its own group, so its
+    # lower blanks stay blank (-> Unnamed, dropped by tidy) rather than
+    # leaking '2024'/'Q2' from the neighbor — pandas _fill_mi_header
+    # semantics.
+    rows += [
+        ["Fiscal", None, "Meta"],
+        ["2024", "2024", None],
+        ["Q1", "Q2", None],
+        ["Hours", "Hours", "Project"],
+    ]
+    rows += [[10.5, 20.5, "RNG000001"], [1.0, 2.0, "RNG000002"]]
+    book = _MiniXlsxBook()
+    book.add_sheet("CTP", rows)
+    book.save(path)
+
+    pdf = xlsx_to_pandas(path, header=[8, 9, 10, 11])
+    flat = flatten_multiindex_columns(pdf)
+    assert list(flat.columns) == [
+        "Fiscal_2024_Q1_Hours", "Fiscal_2024_Q2_Hours", "Meta_Project",
+    ]
+    assert flat["Fiscal_2024_Q2_Hours"].tolist() == [20.5, 2.0]
+    assert flat["Meta_Project"].tolist() == ["RNG000001", "RNG000002"]
+
+    sdf = read_excel_via_pandas(spark, path, header=[8, 9, 10, 11])
+    assert sdf.columns == [
+        "Fiscal_2024_Q1_Hours", "Fiscal_2024_Q2_Hours", "Meta_Project",
+    ]
+    assert sdf.count() == 2
+
+
+def test_xlsx_stdlib_reader_skiprows(tmp_path):
+    """The ``skiprows=6`` shape (Financial Snapshot Preprocess.ipynb:77):
+    preamble dropped before the header row is interpreted."""
+    from kp_data_pipelines_spark.sources.readers import xlsx_to_pandas
+    from kp_data_pipelines_spark.sources.sinks import _MiniXlsxBook
+
+    path = str(tmp_path / "skip.xlsx")
+    rows: list = [[f"preamble {i}"] for i in range(6)]
+    rows += [["Project ID", "Amount"], ["RNG000001", 12.5]]
+    book = _MiniXlsxBook()
+    book.add_sheet("Sheet1", rows)
+    book.save(path)
+    pdf = xlsx_to_pandas(path, skiprows=6)
+    assert list(pdf.columns) == ["Project ID", "Amount"]
+    assert pdf["Amount"].tolist() == [12.5]
+
+
+def test_xlsx_stdlib_reader_shared_strings(tmp_path):
+    """Real Excel writers emit sharedStrings.xml (the mini-writer uses
+    inline strings), so the shared-string / boolean / formula-string
+    cell types are exercised on a hand-built SpreadsheetML package —
+    including a rich-text <si> whose runs must concatenate."""
+    import zipfile
+
+    from kp_data_pipelines_spark.sources.readers import xlsx_to_pandas
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    ns_r = "http://schemas.openxmlformats.org/package/2006/relationships"
+    ns_doc = (
+        "http://schemas.openxmlformats.org/officeDocument/2006/"
+        "relationships"
+    )
+    path = str(tmp_path / "shared.xlsx")
+    sheet = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1">'
+        '<c r="A1" t="s"><v>0</v></c>'
+        '<c r="B1" t="s"><v>1</v></c>'
+        '<c r="C1" t="s"><v>2</v></c>'
+        "</row>"
+        '<row r="2">'
+        '<c r="A2" t="s"><v>3</v></c>'
+        '<c r="B2"><v>42</v></c>'
+        '<c r="C2" t="b"><v>1</v></c>'
+        "</row>"
+        '<row r="3">'
+        '<c r="A3" t="str"><f>CONCAT("a","b")</f><v>ab</v></c>'
+        '<c r="B3"><v>2.5</v></c>'
+        "</row>"
+        "</sheetData></worksheet>"
+    )
+    shared = (
+        f'<sst xmlns="{ns}" count="4" uniqueCount="4">'
+        "<si><t>name</t></si>"
+        "<si><t>n</t></si>"
+        "<si><t>flag</t></si>"
+        "<si><r><t>rich </t></r><r><t>text</t></r></si>"
+        "</sst>"
+    )
+    workbook = (
+        f'<workbook xmlns="{ns}" xmlns:r="{ns_doc}">'
+        '<sheets><sheet name="Data" sheetId="1" r:id="rId1"/></sheets>'
+        "</workbook>"
+    )
+    wb_rels = (
+        f'<Relationships xmlns="{ns_r}">'
+        '<Relationship Id="rId1" Type="x" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/sharedStrings.xml", shared)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+    pdf = xlsx_to_pandas(path, sheet_name="Data")
+    assert list(pdf.columns) == ["name", "n", "flag"]
+    assert pdf["name"].tolist() == ["rich text", "ab"]
+    assert pdf["n"].tolist() == [42, 2.5]
+    assert pdf["flag"][0] is True and pdf["flag"].isna()[1]
