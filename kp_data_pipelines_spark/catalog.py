@@ -36,7 +36,12 @@ from kp_data_pipelines_spark.operators.dedup import (
     row_fingerprint,
     with_duplicate_count,
 )
-from kp_data_pipelines_spark.operators.joins import anti_join, lookup_join, semi_join
+from kp_data_pipelines_spark.operators.joins import (
+    anti_join,
+    broadcast_scalar,
+    lookup_join,
+    semi_join,
+)
 from kp_data_pipelines_spark.operators.reconcile import reconcile, reconcile_summary
 from kp_data_pipelines_spark.operators.similarity import (
     cosine_topk,
@@ -10492,11 +10497,12 @@ def q209_scd2_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
     joined = probes.join(dim, "user_id").filter(
         (F.col("eff_us") <= F.col("us")) & (F.col("us") < F.col("exp_us"))
     )
+    # n_probes (an audit column: every probe matched exactly once) is a
+    # corpus scalar — attached via broadcast_scalar, NOT a global window,
+    # so no single task ever sees the full probe set (window_audit catch).
+    n = joined.agg(F.count(F.lit(1)).cast("bigint").alias("n_probes"))
     return (
-        joined.withColumn(
-            "n_probes",
-            F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint"),
-        )
+        joined.crossJoin(broadcast_scalar(n))
         .select("user_id", "event_id", "attr", "n_probes")
         .orderBy("user_id", "event_id")
     )

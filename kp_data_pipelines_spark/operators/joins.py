@@ -287,3 +287,68 @@ def interval_join(
         inner.select(*points.columns), on=list(points.columns), how="left_anti"
     )
     return inner.unionByName(unmatched, allowMissingColumns=True)
+
+
+class UnboundedBroadcastError(ValueError):
+    """Raised when ``broadcast_scalar`` is given a plan that is not
+    provably bounded — the guard against a scalar-broadcast callsite
+    silently growing into a real cartesian."""
+
+
+_BOUNDED_LOGICAL_PASS = (
+    "Project",
+    "Filter",
+    "SubqueryAlias",
+    "Sort",
+    "Repartition",
+    "WithCTE",
+    "CTERelationRef",
+)
+
+
+def _logical_bounded(node, max_limit: int) -> bool:
+    cls = node.getClass().getSimpleName()
+    if cls == "Aggregate":
+        try:
+            if node.groupingExpressions().isEmpty():
+                return True
+        except Exception:  # noqa: BLE001
+            return False
+    if cls in ("GlobalLimit", "Limit"):
+        try:
+            v = int(node.limitExpr().eval(None))
+            if v <= max_limit:
+                return True
+        except Exception:  # noqa: BLE001
+            return False
+    kids = []
+    try:
+        cs = node.children()
+        for i in range(cs.size()):
+            kids.append(cs.apply(i))
+    except Exception:  # noqa: BLE001
+        return False
+    if cls == "Aggregate" or any(cls.startswith(p) for p in _BOUNDED_LOGICAL_PASS):
+        return bool(kids) and all(_logical_bounded(k, max_limit) for k in kids)
+    return False
+
+
+def broadcast_scalar(df: DataFrame, max_limit: int = 1024) -> DataFrame:
+    """Broadcast hint that ASSERTS the frame is bounded by construction:
+    its analyzed logical plan must bottom out in an ungrouped aggregate
+    (<= 1 row) or a limit(k <= max_limit) reached through row-preserving
+    nodes. Use this instead of a bare ``F.broadcast`` when crossJoining a
+    corpus-level scalar (total rows, cap, KS statistic) onto a summary —
+    the resulting BroadcastNestedLoopJoin is then *provably* k x n, and
+    ``tools/plan_audit.py`` recognizes the same structure in the physical
+    plan, so such sites need no allowlist entry. Raises
+    ``UnboundedBroadcastError`` for anything else (e.g. a filtered fact
+    table someone *believes* is small)."""
+    analyzed = df._jdf.queryExecution().analyzed()
+    if not _logical_bounded(analyzed, max_limit):
+        raise UnboundedBroadcastError(
+            "broadcast_scalar requires an ungrouped aggregate or "
+            f"limit(k<={max_limit}) lineage; got:\n"
+            + analyzed.toString()[:2000]
+        )
+    return F.broadcast(df)

@@ -4,9 +4,18 @@ For every ``queries()`` entry, builds the plan at the given sf dir and
 flags scale anti-patterns:
 
 - CartesianProduct            (always a bug)
-- BroadcastNestedLoopJoin     (allowed only where declared intentional)
-- missing PushedFilters on a filtered parquet scan is visible by eye --
-  the audit prints the scan lines for any flagged query.
+- BroadcastNestedLoopJoin     (allowed when the build side is PROVABLY
+  bounded — see below — or where declared intentional)
+
+A BNLJ is structurally safe when its broadcast (build) side is bounded by
+construction: an ungrouped aggregate (<= 1 row) or a global limit(k)
+reached through row-preserving nodes only. Those are the
+``crossJoin(F.broadcast(<scalar agg>))`` sites the catalog uses to attach
+corpus-level totals to summaries; recognizing them in the PLAN — not via a
+hand-grown name allowlist — means a genuinely unbounded cartesian can
+never hide behind a copy-pasted comment (round-3 verdict item 3). The
+name allowlist below is reserved for true BNLJ designs whose build side
+is bounded by *data knowledge* the plan can't see.
 
 Usage: python tools/plan_audit.py [sf_dir]
 """
@@ -24,52 +33,117 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # q135 is a banding join against a 4-row broadcast tier dimension: the
 # range condition costs 4 comparisons per probe row with no shuffle,
 # which is the correct physical plan for a tiny range dim (the same
-# semantics switch to width_bucket equi-joins as the dim grows).
-# q142 crossJoins its 10-row top-k against a 1-row global-stats
-# aggregate -- both sides are bounded by construction (limit(10) and a
-# scalar reduce), so the 10x1 BNLJ is the correct plan at any scale; a
-# literal-key equi-join would constant-fold back to the same BNLJ.
+# semantics switch to width_bucket equi-joins as the dim grows). The
+# build side is a 4-row parquet scan — bounded by data knowledge, not
+# by plan structure, hence declared.
 INTENTIONAL_BNLJ = {
     "q18_containment_join",
     "q135_price_tier_join",
-    "q142_join_skew_report",
-    # q182: crossJoin(broadcast(<1-row scalar n_orders>)) — a broadcast of
-    # exactly one row (the global order count) onto the top-100 pair set;
-    # the candidate pairs themselves come from the basket equi-join.
-    "q182_item_cooccurrence",
-    # q186: crossJoin(broadcast(<1-row global prior>)) onto the 5-row
-    # category aggregate — a scalar broadcast, not a pair generator.
-    "q186_target_encoding",
-    # q193: crossJoin(broadcast(<1-row corpus cap T>)) onto the |langs|-row
-    # weight summary — a scalar broadcast, not a pair generator.
-    "q193_mixture_quota_plan",
-    # q199/q200: crossJoin(broadcast(<1-row totals/KS/chi2 scalars>)) —
-    # scalar broadcasts onto histogram/digit summaries, not pair generators.
-    "q199_distribution_drift",
-    "q200_benford_audit",
-    # q203/q204: crossJoin(broadcast(<1-row top5-sum / user-count scalar>))
-    # onto key-histogram summaries — scalar broadcasts, not pair generators.
-    "q203_join_cardinality_forecast",
-    "q204_survival_curve",
-    # q205: inherits q199's scalar broadcasts (1-row totals/KS/chi2) in the
-    # shared _drift_stats_from_hist downstream — not a pair generator.
-    "q205_streaming_drift_monitor",
-    # q217/q218/q219: crossJoin(broadcast(<1-row bounds/funnel-counts/corpus
-    # cardinality>)) — scalar broadcasts onto sketch partials / tiny
-    # summaries, not pair generators.
-    "q217_sliding_distinct_hll",
-    "q218_funnel_timeout_steps",
-    "q219_negative_sampling",
-    # q224: crossJoin(broadcast(<1-row pooled-count scalar>)) onto the
-    # per-group histogram — a scalar broadcast, not a pair generator.
-    "q224_quantile_normalization",
-    # q228: crossJoin(broadcast(<1-row exact-truth scalars>)) beside the
-    # 1-row sketch estimates — a scalar broadcast, not a pair generator.
-    "q228_sketch_set_algebra",
-    # q231: crossJoin(broadcast(<1-row mixture-cap scalar>)) onto the
-    # per-lang funnel summary (q193 pattern) — not a pair generator.
-    "q231_curation_funnel",
 }
+
+# Max limit(k) accepted as a "bounded" broadcast build side.
+BOUNDED_LIMIT = 1024
+
+# Unary nodes that cannot increase the row count of their child — a
+# bounded subtree stays bounded through them.
+_ROW_PRESERVING = (
+    "BroadcastExchange",
+    "ReusedExchange",
+    "Exchange",
+    "ShuffleQueryStage",
+    "BroadcastQueryStage",
+    "AQEShuffleRead",
+    "Project",
+    "Filter",
+    "Sort",
+    "ColumnarToRow",
+    "InputAdapter",
+    "WholeStageCodegen",
+    "Coalesce",
+    "LocalLimit",
+)
+
+_BOUNDED_LIMIT_NODES = (
+    "GlobalLimitExec",
+    "CollectLimitExec",
+    "TakeOrderedAndProjectExec",
+)
+
+
+def _children(node) -> list:
+    """Children of a physical-plan node, descending through AQE wrappers
+    (AdaptiveSparkPlan -> initialPlan, QueryStage -> plan)."""
+    out = []
+    try:
+        cs = node.children()
+        for i in range(cs.size()):
+            out.append(cs.apply(i))
+    except Exception:  # noqa: BLE001
+        pass
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        try:
+            out.append(node.initialPlan())
+        except Exception:  # noqa: BLE001
+            pass
+    elif "QueryStage" in cls:
+        try:
+            out.append(node.plan())
+        except Exception:  # noqa: BLE001
+            pass
+    return out
+
+
+def _iter_nodes(root):
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        yield n
+        stack.extend(_children(n))
+
+
+def _is_bounded_subtree(node) -> bool:
+    """True when the subtree provably produces a bounded number of rows:
+    an ungrouped aggregate (<= 1 row) or a global limit(k <= 1024),
+    reached through row-preserving unary nodes."""
+    cls = node.getClass().getSimpleName()
+    if "Aggregate" in cls:
+        try:
+            if node.groupingExpressions().isEmpty():
+                return True
+        except Exception:  # noqa: BLE001
+            return False
+        # grouped aggregate: bounded only if its input already is (a
+        # regroup of a limited set) — recurse.
+        kids = _children(node)
+        return bool(kids) and all(_is_bounded_subtree(k) for k in kids)
+    if cls in _BOUNDED_LIMIT_NODES:
+        try:
+            return int(node.limit()) <= BOUNDED_LIMIT
+        except Exception:  # noqa: BLE001
+            return False
+    name = node.nodeName()
+    if any(name.startswith(p) for p in _ROW_PRESERVING) or "QueryStage" in cls:
+        kids = _children(node)
+        return bool(kids) and all(_is_bounded_subtree(k) for k in kids)
+    return False
+
+
+def _unbounded_bnlj(root) -> list:
+    """BroadcastNestedLoopJoin nodes whose build side is NOT provably
+    bounded (these are the ones that must be declared or fixed)."""
+    bad = []
+    for n in _iter_nodes(root):
+        if n.getClass().getSimpleName() != "BroadcastNestedLoopJoinExec":
+            continue
+        kids = _children(n)
+        if len(kids) != 2:
+            bad.append(n)
+            continue
+        build = kids[1] if "BuildRight" in n.buildSide().toString() else kids[0]
+        if not _is_bounded_subtree(build):
+            bad.append(n)
+    return bad
 
 
 def main() -> int:
@@ -81,10 +155,12 @@ def main() -> int:
     spark = get_spark("plan-audit")
     qs = entry_mod.queries()
 
-    n_bad = 0
+    n_bad = n_scalar_ok = 0
     for name, fn in sorted(qs.items()):
         try:
-            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            qe = fn(spark, sf_dir)._jdf.queryExecution()
+            root = qe.executedPlan()
+            plan = root.toString()
         except Exception as ex:  # noqa: BLE001
             print(f"ERROR {name}: {ex}")
             n_bad += 1
@@ -92,15 +168,26 @@ def main() -> int:
         flags = []
         if "CartesianProduct" in plan:
             flags.append("CartesianProduct")
-        if "BroadcastNestedLoopJoin" in plan and name not in INTENTIONAL_BNLJ:
-            flags.append("BroadcastNestedLoopJoin")
+        if "BroadcastNestedLoopJoin" in plan:
+            unbounded = _unbounded_bnlj(root)
+            if unbounded and name not in INTENTIONAL_BNLJ:
+                flags.append(
+                    f"BroadcastNestedLoopJoin ({len(unbounded)} with "
+                    "unbounded build side)"
+                )
+            elif not unbounded:
+                n_scalar_ok += 1
         if flags:
             print(f"FLAG {name}: {', '.join(flags)}")
             for line in plan.splitlines():
                 if "Scan" in line or "Join" in line:
                     print(f"    {line.strip()[:160]}")
             n_bad += 1
-    print(f"\n{len(qs)} queries audited, {n_bad} flagged")
+    print(
+        f"\n{len(qs)} queries audited, {n_bad} flagged "
+        f"({n_scalar_ok} structurally-bounded broadcast joins accepted, "
+        f"{len(INTENTIONAL_BNLJ)} declared intentional)"
+    )
     return 1 if n_bad else 0
 
 
