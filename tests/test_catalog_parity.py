@@ -84,3 +84,50 @@ def test_oracle_parity(spark, oracle_con, name):
     assert len(sdf) == len(odf)
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert _canon_hash(sdf) == _canon_hash(odf)
+
+
+def test_overflow_tag_is_complete():
+    """Every query whose source or oracle SQL carries an overflow marker
+    (quantized round(x*10^k) BIGINT sums, hi/lo 2^26 splits,
+    DECIMAL(38,0) staging) must be tagged OVERFLOW_SENSITIVE, so the
+    sf0.1 sweep (`tools/parity.py --subset overflow`) can't silently
+    miss a new quantized query — the CLAUDE.md rule, enforced."""
+    import inspect
+    import re
+
+    from kp_data_pipelines_spark.catalog import (
+        ORACLE,
+        OVERFLOW_SENSITIVE,
+        QUERIES,
+        TAGS,
+    )
+
+    def markers(text: str) -> bool:
+        flat = text.replace("\n", " ")
+        return (
+            "DECIMAL(38,0)" in flat
+            or "decimal(38,0)" in flat
+            or "67108864" in flat  # 2^26 hi/lo split constant
+            or re.search(r'F\.round\([^)]*\*\s*\d+\)\.cast\("bigint"\)', flat)
+            is not None
+            or re.search(r"round\(\w[^)]*\*\s*10+\s*\)\s*AS BIGINT", flat)
+            is not None
+        )
+
+    detected = set()
+    for name, fn in QUERIES.items():
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            src = ""
+        if markers(src) or markers(ORACLE.get(name, "")):
+            detected.add(name)
+    missing = detected - OVERFLOW_SENSITIVE
+    assert not missing, (
+        f"overflow-marker queries not tagged OVERFLOW_SENSITIVE: "
+        f"{sorted(missing)} — add them to catalog.OVERFLOW_SENSITIVE and "
+        f"run tools/parity.py --subset overflow /root/testdata/sf0.1"
+    )
+    # and the tag actually reaches the TAGS registry parity.py reads
+    tagged = {q for q, t in TAGS.items() if "overflow" in t}
+    assert tagged == OVERFLOW_SENSITIVE

@@ -4,11 +4,21 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB at the given sf dir, compares row count, column names, and an
 order-insensitive value hash (columns sorted by name, rows sorted).
 
-Usage: python tools/parity.py [--vanilla] [sf_dir] [query ...]
+Usage: python tools/parity.py [--vanilla] [--subset TAG] [sf_dir] [query ...]
 
 ``--vanilla`` runs the queries on a bare ``SparkSession.builder`` session
 (no tuned confs) — the driver uses its OWN session, so this catches any
 silent dependence on our session defaults.
+
+``--subset TAG`` restricts the sweep to catalog entries tagged TAG. The
+standing use is the CLAUDE.md overflow rule::
+
+    python tools/parity.py --subset overflow /root/testdata/sf0.1
+
+which runs every quantized/hi-lo/decimal-staged query at sf0.1, where
+ANSI long overflow and 2^53 drift actually bite (sf0.01 passes mask
+them). The tag set lives in catalog.OVERFLOW_SENSITIVE and is asserted
+complete by tests/test_catalog_parity.py.
 """
 
 from __future__ import annotations
@@ -51,8 +61,22 @@ def main() -> int:
     vanilla = "--vanilla" in args
     if vanilla:
         args.remove("--vanilla")
+    subset_tag = None
+    if "--subset" in args:
+        i = args.index("--subset")
+        subset_tag = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
+    if subset_tag is not None:
+        from kp_data_pipelines_spark.catalog import TAGS
+
+        tagged = {q for q, t in TAGS.items() if subset_tag in t}
+        if not tagged:
+            print(f"no queries tagged {subset_tag!r}")
+            return 1
+        only = (only & tagged) if only else tagged
+        print(f"subset {subset_tag!r}: {len(only)} queries")
 
     from kp_data_pipelines_spark.session import get_spark
 

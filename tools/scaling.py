@@ -29,6 +29,14 @@ DEFAULT = [
     "q47_streaming_window_events",
     "q146_dedup_representative",
     "q66_dedup_components",
+    # round-3 heavies (VERDICT r3 task 7): containment join, curation
+    # funnel, correlation matrix, fuzzy entity match, PageRank, k-core
+    "q180_containment_join",
+    "q231_curation_funnel",
+    "q234_correlation_matrix",
+    "q167_fuzzy_entity_match",
+    "q168_pagerank_neardup",
+    "q184_kcore_decomposition",
 ]
 
 
