@@ -13010,6 +13010,639 @@ def q234_correlation_matrix(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-4 additions: corpus-hygiene and training-prep operators
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q235_gopher_repetition",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, toks[i + 1] AS tok
+      FROM (SELECT doc_id, unnest(range(len(toks))) AS i, toks FROM d)
+    ),
+    pt AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+      FROM tok GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2] AS bg
+      FROM (SELECT doc_id, unnest(range(len(toks) - 1)) AS i, toks FROM d)
+    ),
+    bgc AS (
+      SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bg GROUP BY doc_id, bg
+    ),
+    bs AS (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+             CAST(SUM(c) AS BIGINT) AS n_bigrams
+      FROM bgc GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_tokens, p.n_distinct_tokens,
+           COALESCE(b.top_bigram_n, 0) AS top_bigram_n,
+           COALESCE(b.n_bigrams, 0) AS n_bigrams,
+           CAST(CASE WHEN (p.n_tokens - p.n_distinct_tokens) * 2 > p.n_tokens
+                     THEN 1 ELSE 0 END AS BIGINT) AS rep_tokens_flag,
+           CAST(CASE WHEN COALESCE(b.top_bigram_n, 0) * 5
+                          > COALESCE(b.n_bigrams, 0)
+                     THEN 1 ELSE 0 END AS BIGINT) AS top_bigram_flag
+    FROM pt p LEFT JOIN bs b ON p.doc_id = b.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def q235_gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality rules per document: distinct-token
+    fraction and top-bigram fraction — the cheap lexical filters every
+    pretraining corpus pipeline runs before any fuzzy dedup (repetitive
+    boilerplate and keyword-stuffed spam fail these long before MinHash
+    sees them). Thresholds are evaluated as exact integer
+    cross-multiplications ((n - distinct)*2 > n; top_bigram*5 >
+    n_bigrams — i.e. distinct fraction < 0.5, top bigram > 20%), so the
+    flags carry no float ambiguity. Plan: one token explode -> two hash
+    aggregates (token level, bigram level) -> keyed join back on doc_id;
+    bigrams come from a per-doc lead() window (doc-bounded partitions),
+    everything map-side combinable, no pairwise work anywhere."""
+    docs = ensure_parallelism(read_table(spark, sf, "documents"), 32)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    pt = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.count_distinct("tok").cast("bigint").alias("n_distinct_tokens"),
+    )
+    wlead = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.withColumn("nxt", F.lead("tok").over(wlead))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bg"))
+    )
+    bs = (
+        bg.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").cast("bigint").alias("top_bigram_n"),
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+        )
+    )
+    z = F.lit(0).cast("bigint")
+    return (
+        pt.join(bs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct_tokens",
+            F.coalesce("top_bigram_n", z).alias("top_bigram_n"),
+            F.coalesce("n_bigrams", z).alias("n_bigrams"),
+            F.when(
+                (F.col("n_tokens") - F.col("n_distinct_tokens")) * 2
+                > F.col("n_tokens"),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("rep_tokens_flag"),
+            F.when(
+                F.coalesce("top_bigram_n", z) * 5 > F.coalesce("n_bigrams", z),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("top_bigram_flag"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q236_semantic_dedup",
+    """
+    WITH flat AS (
+      SELECT vec_id, label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS clabel, dim,
+             CAST(SUM(CAST(round(v * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000000000.0 / COUNT(*) AS c
+      FROM flat GROUP BY clabel, dim
+    ),
+    scores AS (
+      SELECT f.vec_id, c.clabel,
+             SUM(CAST(round(f.v * c.c * 1000000000000.0) AS BIGINT)) AS dot_q
+      FROM flat f JOIN cent c ON f.dim = c.dim
+      GROUP BY f.vec_id, c.clabel
+    ),
+    pred AS (
+      SELECT vec_id, clabel AS cluster FROM (
+        SELECT vec_id, clabel, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY dot_q DESC, clabel) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    ),
+    sk AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN v >= 0 THEN 1 << CAST(dim AS INT)
+                           ELSE 0 END) AS BIGINT) AS sketch
+      FROM flat WHERE dim < 8 GROUP BY vec_id
+    ),
+    e AS (
+      SELECT em.vec_id, p.cluster, s.sketch,
+             CAST(em.embedding AS DOUBLE[]) AS v
+      FROM embeddings em
+      JOIN pred p ON p.vec_id = em.vec_id
+      JOIN sk s ON s.vec_id = em.vec_id
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i])),
+               (acc, x) -> acc + x)
+             / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, len(a.v)+1), i -> a.v[i] * a.v[i])),
+                  (acc, x) -> acc + x))
+                * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i])),
+                    (acc, x) -> acc + x))) AS cos
+      FROM e a JOIN e b
+        ON a.cluster = b.cluster AND a.sketch = b.sketch
+       AND a.vec_id < b.vec_id
+    ),
+    kept AS (SELECT * FROM pairs WHERE cos >= 0.15),
+    pp AS (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(COUNT(DISTINCT id_b) AS BIGINT) AS n_removed
+      FROM kept GROUP BY cluster
+    ),
+    cv AS (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM e GROUP BY cluster
+    )
+    SELECT cv.cluster, cv.n_vecs,
+           COALESCE(pp.n_pairs, 0) AS n_pairs,
+           COALESCE(pp.n_removed, 0) AS n_removed
+    FROM cv LEFT JOIN pp ON cv.cluster = pp.cluster
+    ORDER BY cv.cluster
+    """,
+)
+def q236_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup: semantic (embedding-space) deduplication — assign every
+    vector to its nearest centroid (q105's quantized-exact assignment),
+    block within (cluster, 8-bit sign sketch), compute EXACT cosine only
+    inside blocks, and mark the higher-id member of every >= 0.15 pair
+    as removable (keep-lowest-id representative). This is the
+    cluster-then-pairwise shape of semantic dedup at scale: candidate
+    generation is an equi-join on a computed key (never all-pairs), the
+    pairwise budget is sum over blocks of |block|^2 — bounded by the
+    sign-sketch fan-out of 256 per cluster — and the dot products reuse
+    the sequential-fold kernel so the cosines hash-match DuckDB exactly.
+    Emits the per-cluster dedup ledger (vectors, duplicate pairs,
+    removals)."""
+    emb = read_table(spark, sf, "embeddings")
+    flat = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    cent = flat.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        (
+            F.sum(F.round(F.col("v") * F.lit(1e12)).cast("long")).cast("double")
+            / F.lit(1e12)
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    pred = (
+        flat.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "clabel")
+        .agg(
+            F.sum(
+                F.round(F.col("v") * F.col("c") * F.lit(1e12)).cast("long")
+            ).alias("dot_q")
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("clabel"),
+                F.struct(F.col("dot_q"), (-F.col("clabel")).cast("long")),
+            ).alias("cluster")
+        )
+    )
+    powers = F.array([F.lit(1 << j) for j in range(8)])
+    sk = (
+        flat.filter(F.col("dim") < 8)
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("v") >= 0,
+                    F.element_at(powers, (F.col("dim") + 1).cast("int")),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("sketch")
+        )
+    )
+    e = (
+        emb.join(pred, "vec_id")
+        .join(sk, "vec_id")
+        .withColumn(
+            "block", F.concat_ws("_", F.col("cluster"), F.col("sketch"))
+        )
+    )
+    from kp_data_pipelines_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
+
+    pairs = cosine_pairs_blocked(
+        e, "vec_id", "embedding", "block", threshold=0.15
+    ).withColumn(
+        "cluster", F.split("block", "_").getItem(0).cast("int")
+    )
+    pp = pairs.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.count_distinct("id_b").cast("bigint").alias("n_removed"),
+    )
+    cv = e.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    z = F.lit(0).cast("bigint")
+    return (
+        cv.join(pp, "cluster", "left")
+        .select(
+            "cluster",
+            "n_vecs",
+            F.coalesce("n_pairs", z).alias("n_pairs"),
+            F.coalesce("n_removed", z).alias("n_removed"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _stratified_split_sql(seed: int = 67) -> str:
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    (a, b) = _hash_params(1, seed)[0]
+    m = _MERSENNE
+    return f"""
+    WITH h AS (
+      SELECT lang, n_chars,
+             (({a} * (((doc_id % {m}) + {m}) % {m}) + {b}) % {m}) % 10
+               AS bucket
+      FROM documents
+    ),
+    s AS (
+      SELECT lang,
+             CASE WHEN bucket < 8 THEN 'train'
+                  WHEN bucket = 8 THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM h GROUP BY lang, split
+    )
+    SELECT lang, split, n_docs, total_chars,
+           CAST(n_docs AS DOUBLE)
+             / CAST(CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+                    AS DOUBLE) AS lang_share
+    FROM s ORDER BY lang, split
+    """
+
+
+@register("q237_stratified_split", _stratified_split_sql())
+def q237_stratified_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified train/val/test split (80/10/10): each
+    document's assignment is a pure LCG hash of its id — reproducible
+    across runs, engines, and reshuffles (no RNG state, no sampling
+    order dependence), which is what makes a split AUDITABLE: anyone
+    can recompute membership from the id alone. Emits the per-language
+    ledger (docs, chars, share within language) that verifies the split
+    is stratified in expectation and leak-checkable (q227 is the
+    pairwise leakage audit). One keyed aggregate over the scan; the
+    share division is a single pinned double op per output row."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        _MERSENNE,
+        _hash_params,
+    )
+
+    (a, b) = _hash_params(1, 67)[0]
+    docs = read_table(spark, sf, "documents")
+    bucket = (
+        (F.lit(a) * F.pmod(F.col("doc_id"), F.lit(_MERSENNE)) + F.lit(b))
+        % _MERSENNE
+    ) % 10
+    s = (
+        docs.select(
+            "lang",
+            "n_chars",
+            F.when(bucket < 8, "train")
+            .when(bucket == 8, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+    wl = Window.partitionBy("lang")
+    return s.select(
+        "lang",
+        "split",
+        "n_docs",
+        "total_chars",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(wl).cast("bigint").cast("double")
+        ).alias("lang_share"),
+    ).orderBy("lang", "split")
+
+
+@register(
+    "q238_asof_join",
+    """
+    WITH c AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(MAX(event_id) AS BIGINT) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.purchase_id,
+           CASE WHEN c.us IS NOT NULL AND p.us - c.us <= 86400000000
+                THEN c.click_id END AS click_id,
+           CASE WHEN c.us IS NOT NULL AND p.us - c.us <= 86400000000
+                THEN CAST(p.us - c.us AS BIGINT) END AS gap_us
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us
+    ORDER BY p.user_id, p.purchase_id
+    """,
+)
+def q238_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Backward AS-OF join — every purchase picks the user's latest
+    click at-or-before it, within a 24h tolerance (attribution /
+    feature-at-event-time; the time-series join Spark has no native
+    operator for, DuckDB spells ASOF JOIN, pandas merge_asof).
+    Implementation is joins.asof_join's union trick (q51's operator —
+    here composed with a TOLERANCE): tag both sides, ONE shuffle on
+    user_id, one per-user sort by (ts, side) with clicks sorting before
+    co-timestamped purchases, then last(struct, ignorenulls) carries
+    the latest click row forward — sort-merge-join cost, one carried
+    row of state per key, no range-condition BNLJ, no per-event window
+    scans. The matched click's own timestamp travels inside the carried
+    payload struct, so the 24h tolerance is a post-filter that nulls
+    stale matches. Clicks are pre-deduped to max event_id per
+    (user, ts) so the carried pick is deterministic; timestamps compare
+    as unix micros on both engines."""
+    from kp_data_pipelines_spark.operators.joins import asof_join
+
+    tol = 86_400_000_000
+    ev = read_table(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "us")
+        .agg(F.max("event_id").cast("bigint").alias("click_id"))
+        .withColumn("click_us", F.col("us"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "us"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="us",
+        right_ts="us",
+        payload=["click_id", "click_us"],
+    )
+    in_tol = F.col("click_us_asof").isNotNull() & (
+        (F.col("us") - F.col("click_us_asof")) <= tol
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        F.when(in_tol, F.col("click_id_asof")).alias("click_id"),
+        F.when(in_tol, (F.col("us") - F.col("click_us_asof")).cast("bigint")).alias(
+            "gap_us"
+        ),
+    ).orderBy("user_id", "purchase_id")
+
+
+def _sequence_packing_sql(
+    budget: int = 4096, shards: int = 32, seed: int = 71
+) -> str:
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    # TWO LCG rounds: dense ids through one linear map mod M mod 32 keep
+    # arithmetic structure (only 8 of 32 shards hit); the second round
+    # breaks it (13-19 docs/shard at n=500, near-uniform at 50k).
+    (a1, b1) = _hash_params(1, seed)[0]
+    (a2, b2) = _hash_params(1, seed + 1)[0]
+    m = _MERSENNE
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             (({a2} * (({a1} * (((doc_id % {m}) + {m}) % {m}) + {b1}) % {m})
+               + {b2}) % {m}) % {shards} AS shard
+      FROM documents
+    ),
+    c AS (
+      SELECT shard, doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM d
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(cum) AS BIGINT) AS total_tokens,
+           CAST((MAX(cum) + {budget} - 1) // {budget} AS BIGINT) AS n_bins,
+           CAST(((MAX(cum) + {budget} - 1) // {budget}) * {budget}
+                - MAX(cum) AS BIGINT) AS pad_tokens,
+           CAST(SUM(CASE WHEN (cum - n_tokens) // {budget}
+                              <> (cum - 1) // {budget}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs
+    FROM c GROUP BY shard ORDER BY shard
+    """
+
+
+@register("q239_sequence_packing", _sequence_packing_sql())
+def q239_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-style sequence packing plan: shard documents by id hash,
+    concatenate each shard's token stream in doc_id order, and cut
+    fixed 4096-token training sequences — the packing used for LLM
+    pretraining (documents concatenated then split at the context
+    boundary; only the final bin of each shard pads). Emits the
+    per-shard packing ledger: bins, pad waste, and how many documents
+    straddle a bin boundary (the attention-mask / document-boundary
+    accounting). All integers, one per-shard cumulative-sum window
+    (keyed by shard — embarrassingly parallel across shards at any
+    scale, the window never crosses shards)."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        _MERSENNE,
+        _hash_params,
+    )
+
+    budget, shards = 4096, 32
+    (a1, b1) = _hash_params(1, 71)[0]
+    (a2, b2) = _hash_params(1, 72)[0]
+    docs = read_table(spark, sf, "documents")
+    h1 = (
+        F.lit(a1) * F.pmod(F.col("doc_id"), F.lit(_MERSENNE)) + F.lit(b1)
+    ) % _MERSENNE
+    d = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        (((F.lit(a2) * h1 + F.lit(b2)) % _MERSENNE) % shards).alias("shard"),
+    )
+    wc = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = d.withColumn("cum", F.sum("n_tokens").over(wc).cast("bigint"))
+    crosses = F.when(
+        F.expr(f"(cum - n_tokens) div {budget}") != F.expr(f"(cum - 1) div {budget}"),
+        1,
+    ).otherwise(0)
+    n_bins = F.expr(f"(max(cum) + {budget} - 1) div {budget}")
+    return (
+        c.groupBy(F.col("shard").cast("bigint").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("cum").cast("bigint").alias("total_tokens"),
+            n_bins.cast("bigint").alias("n_bins"),
+            (n_bins * budget - F.max("cum")).cast("bigint").alias("pad_tokens"),
+            F.sum(crosses).cast("bigint").alias("n_boundary_docs"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _vocab_growth_sql() -> str:
+    return """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    bounds AS (
+      SELECT CAST(MIN(doc_id) AS BIGINT) AS mn,
+             CAST(MAX(doc_id) AS BIGINT) AS mx
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, toks[i + 1] AS tok
+      FROM (SELECT doc_id, unnest(range(len(toks))) AS i, toks FROM d)
+    ),
+    tb AS (
+      SELECT t.tok,
+             CAST(LEAST(9, (t.doc_id - b.mn) * 10 // (b.mx - b.mn + 1))
+                  AS BIGINT) AS bucket
+      FROM tok t CROSS JOIN bounds b
+    ),
+    occ AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM tb GROUP BY bucket
+    ),
+    firsts AS (
+      SELECT tok, CAST(MIN(bucket) AS BIGINT) AS fb FROM tb GROUP BY tok
+    ),
+    nv AS (
+      SELECT fb AS bucket, CAST(COUNT(*) AS BIGINT) AS new_vocab
+      FROM firsts GROUP BY fb
+    ),
+    j AS (
+      SELECT o.bucket, o.n_occ, COALESCE(v.new_vocab, 0) AS new_vocab
+      FROM occ o LEFT JOIN nv v ON o.bucket = v.bucket
+    ),
+    cum AS (
+      SELECT bucket,
+             CAST(SUM(n_occ) OVER (ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+             CAST(SUM(new_vocab) OVER (ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+      FROM j
+    )
+    SELECT bucket, cum_tokens, cum_vocab,
+           CAST(cum_vocab AS DOUBLE) * 1000.0 / CAST(cum_tokens AS DOUBLE)
+             AS vocab_per_kilotoken
+    FROM cum ORDER BY bucket
+    """
+
+
+@register("q240_vocab_growth", _vocab_growth_sql())
+def q240_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law empirics): cumulative distinct
+    vocabulary vs cumulative tokens over 10 corpus prefixes (by doc-id
+    range) — the corpus-health diagnostic that catches template floods
+    (vocab flatlines) and encoding junk (vocab explodes) before
+    tokenizer training. Each token's FIRST prefix bucket is one keyed
+    min-aggregate (token-keyed shuffle — no global sort, no per-doc
+    scan order dependence); bucket boundaries come from a 1-row min/max
+    aggregate attached via broadcast_scalar; the cumulative windows run
+    over the 10-row bucket histogram (agg-bounded). The per-kilotoken
+    ratio is one pinned double division per output row."""
+    docs = ensure_parallelism(read_table(spark, sf, "documents"), 32)
+    bounds = docs.agg(
+        F.min("doc_id").cast("bigint").alias("mn"),
+        F.max("doc_id").cast("bigint").alias("mx"),
+    )
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tb = tok.crossJoin(broadcast_scalar(bounds)).select(
+        "tok",
+        F.expr("CAST(least(9, (doc_id - mn) * 10 div (mx - mn + 1)) AS BIGINT)").alias(
+            "bucket"
+        ),
+    )
+    occ = tb.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ")
+    )
+    nv = (
+        tb.groupBy("tok")
+        .agg(F.min("bucket").alias("fb"))
+        .groupBy(F.col("fb").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_vocab"))
+    )
+    j = occ.join(nv, "bucket", "left").select(
+        "bucket",
+        "n_occ",
+        F.coalesce("new_vocab", F.lit(0).cast("bigint")).alias("new_vocab"),
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = j.select(
+        "bucket",
+        F.sum("n_occ").over(wcum).cast("bigint").alias("cum_tokens"),
+        F.sum("new_vocab").over(wcum).cast("bigint").alias("cum_vocab"),
+    )
+    return cum.select(
+        "bucket",
+        "cum_tokens",
+        "cum_vocab",
+        (
+            F.col("cum_vocab").cast("double")
+            * F.lit(1000.0)
+            / F.col("cum_tokens").cast("double")
+        ).alias("vocab_per_kilotoken"),
+    ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------
 
@@ -13063,6 +13696,7 @@ OVERFLOW_SENSITIVE = frozenset({
     "q232_weighted_percentile",
     "q233_partition_skew_report",
     "q234_correlation_matrix",
+    "q236_semantic_dedup",
 })
 
 for _q in OVERFLOW_SENSITIVE:

@@ -352,3 +352,4 @@ def broadcast_scalar(df: DataFrame, max_limit: int = 1024) -> DataFrame:
             + analyzed.toString()[:2000]
         )
     return F.broadcast(df)
+

@@ -112,6 +112,12 @@ def test_overflow_tag_is_complete():
             is not None
             or re.search(r"round\(\w[^)]*\*\s*10+\s*\)\s*AS BIGINT", flat)
             is not None
+            # quantize via big power-of-ten literal, incl. the 1e12/.0
+            # spellings (1000000000000.0, F.lit(1e12)) — q105/q236 family
+            or re.search(r"round\([^()]*\*\s*1?0{3,}(\.0)?\s*\)", flat)
+            is not None
+            or re.search(r"F\.round\([^()]*\*\s*F\.lit\(1e\d+\)\)", flat)
+            is not None
         )
 
     detected = set()
