@@ -13014,6 +13014,72 @@ def q234_correlation_matrix(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _nearest_centroid_pred(emb: DataFrame) -> DataFrame:
+    """(vec_id, cluster): q105's quantized-exact nearest-centroid
+    assignment — per-label mean centroids, 1e-12-quantized dot scores
+    (order-independent BIGINT sums, no float-tie ambiguity), argmax with
+    a deterministic tiebreak. Shared by q105/q236/q244; the SQL twins
+    inline the identical CTE chain."""
+    flat = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    cent = flat.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        (
+            F.sum(F.round(F.col("v") * F.lit(1e12)).cast("long")).cast("double")
+            / F.lit(1e12)
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    return (
+        flat.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "clabel")
+        .agg(
+            F.sum(
+                F.round(F.col("v") * F.col("c") * F.lit(1e12)).cast("long")
+            ).alias("dot_q")
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("clabel"),
+                F.struct(F.col("dot_q"), (-F.col("clabel")).cast("long")),
+            ).alias("cluster")
+        )
+    )
+
+
+_CENTROID_PRED_CTES = """flat AS (
+      SELECT vec_id, label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS clabel, dim,
+             CAST(SUM(CAST(round(v * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000000000.0 / COUNT(*) AS c
+      FROM flat GROUP BY clabel, dim
+    ),
+    scores AS (
+      SELECT f.vec_id, c.clabel,
+             SUM(CAST(round(f.v * c.c * 1000000000000.0) AS BIGINT)) AS dot_q
+      FROM flat f JOIN cent c ON f.dim = c.dim
+      GROUP BY f.vec_id, c.clabel
+    ),
+    pred AS (
+      SELECT vec_id, clabel AS cluster FROM (
+        SELECT vec_id, clabel, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY dot_q DESC, clabel) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    )"""
+
+
 @register(
     "q235_gopher_repetition",
     """
@@ -13207,36 +13273,13 @@ def q236_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     removals)."""
     emb = read_table(spark, sf, "embeddings")
     flat = emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
     ).select(
         "vec_id",
-        "label",
         F.col("dim").cast("long").alias("dim"),
         F.col("v").cast("double").alias("v"),
     )
-    cent = flat.groupBy(F.col("label").alias("clabel"), "dim").agg(
-        (
-            F.sum(F.round(F.col("v") * F.lit(1e12)).cast("long")).cast("double")
-            / F.lit(1e12)
-            / F.count(F.lit(1))
-        ).alias("c")
-    )
-    pred = (
-        flat.join(F.broadcast(cent), "dim")
-        .groupBy("vec_id", "clabel")
-        .agg(
-            F.sum(
-                F.round(F.col("v") * F.col("c") * F.lit(1e12)).cast("long")
-            ).alias("dot_q")
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.col("clabel"),
-                F.struct(F.col("dot_q"), (-F.col("clabel")).cast("long")),
-            ).alias("cluster")
-        )
-    )
+    pred = _nearest_centroid_pred(emb)
     powers = F.array([F.lit(1 << j) for j in range(8)])
     sk = (
         flat.filter(F.col("dim") < 8)
@@ -13642,6 +13685,288 @@ def q240_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+
+
+@register(
+    "q241_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    t AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    )
+    SELECT cur, nxt, n,
+           CAST(n AS DOUBLE)
+             / CAST(CAST(SUM(n) OVER (PARTITION BY cur) AS BIGINT)
+                    AS DOUBLE) AS p
+    FROM t ORDER BY cur, nxt
+    """,
+)
+def q241_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event journeys
+    (P(next=b | cur=a)) — the user-behavior profile behind churn
+    prediction, anomaly detection ("error -> error loops"), and session
+    simulation. One lead() window per user (keyed, event-count bounded
+    per user), one hash aggregate to the |types|^2 transition histogram
+    — the matrix is domain-bounded (25 cells here) no matter how many
+    events, so the row-normalizing window runs over an aggregate
+    (window_audit auto-accepts). Probabilities are exact-integer counts
+    with ONE pinned double division each; ordering ties break on
+    event_id identically in both engines."""
+    ev = read_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    t = seq.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wrow = Window.partitionBy("cur")
+    return t.select(
+        "cur",
+        "nxt",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(wrow).cast("bigint").cast("double")
+        ).alias("p"),
+    ).orderBy("cur", "nxt")
+
+
+@register(
+    "q242_int8_quantization_error",
+    """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                           x -> abs(x)), 'max') AS vmax
+      FROM embeddings
+    ),
+    err AS (
+      SELECT vec_id, label,
+             CAST(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(v, x ->
+                 (x - round(x * 127.0 / vmax) * vmax / 127.0)
+                 * (x - round(x * 127.0 / vmax) * vmax / 127.0))),
+               (acc, x) -> acc + x) * 1000000000000.0) AS BIGINT) AS sse_q
+      FROM e WHERE vmax > 0
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(sse_q // 67108864 AS DECIMAL(38,0))) AS DOUBLE)
+             * 67108864.0
+             + CAST(SUM(CAST(sse_q % 67108864 AS DECIMAL(38,0))) AS DOUBLE)
+             AS total_sse_q,
+           CAST(MAX(sse_q) AS BIGINT) AS max_sse_q
+    FROM err GROUP BY label ORDER BY label
+    """,
+)
+def q242_int8_quantization_error(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 embedding-quantization error profile: symmetric per-vector
+    scaling (q = round(x * 127 / max|x|)), reconstruction SSE per vector
+    — the storage-compression decision every vector index makes (4x
+    smaller, how much recall risk?). Per-element quantize/dequantize is
+    pure IEEE arithmetic (identical on both engines); the per-vector SSE
+    is a SEQUENTIAL index-order fold (F.aggregate / list_reduce) so it
+    is bit-reproducible, then 1e-12-quantized to BIGINT; per-label sums
+    ride the hi/lo 2^26 split (q106 rule — at 1e9 vectors the raw
+    quantized sum passes 2^53, where DuckDB's HUGEINT->double cast
+    drifts). Emits per-label vector counts, total and max quantized
+    SSE."""
+    emb = read_table(spark, sf, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select(
+        "vec_id",
+        "label",
+        v.alias("v"),
+        F.array_max(F.transform(v, lambda x: F.abs(x))).alias("vmax"),
+    ).filter(F.col("vmax") > 0)
+    deq = lambda x: F.round(x * 127.0 / F.col("vmax")) * F.col("vmax") / 127.0  # noqa: E731
+    sse = F.aggregate(
+        "v", F.lit(0.0), lambda acc, x: acc + (x - deq(x)) * (x - deq(x))
+    )
+    err = e.select(
+        "label", F.round(sse * F.lit(1e12)).cast("bigint").alias("sse_q")
+    )
+    hi = F.sum(F.expr("CAST(sse_q div 67108864 AS DECIMAL(38,0))"))
+    lo = F.sum(F.expr("CAST(sse_q % 67108864 AS DECIMAL(38,0))"))
+    return (
+        err.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            (hi.cast("double") * F.lit(67108864.0) + lo.cast("double")).alias(
+                "total_sse_q"
+            ),
+            F.max("sse_q").cast("bigint").alias("max_sse_q"),
+        )
+        .orderBy("label")
+    )
+
+
+def _stratified_sample_sql(k: int = 20, seed: int = 73) -> str:
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    (a, b) = _hash_params(1, seed)[0]
+    m = _MERSENNE
+    return f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             (({a} * (((doc_id % {m}) + {m}) % {m}) + {b}) % {m}) AS hv
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang, hv,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY hv, doc_id) AS rk
+      FROM h
+    )
+    SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
+    FROM r WHERE rk <= {k}
+    ORDER BY lang, rk
+    """
+
+
+@register("q243_stratified_sample", _stratified_sample_sql())
+def q243_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic uniform sample of k=20 documents PER LANGUAGE (the
+    eval-set / human-review draw): rank documents within each stratum by
+    an LCG hash of their id and keep the k smallest — a reproducible
+    'random' sample with no RNG state, stable under reshuffles and
+    engine changes, and extendable (k+1..k+m are the next documents, so
+    growing the sample never resamples). The rank<=k predicate compiles
+    to WindowGroupLimit: each task keeps a k-row heap per stratum before
+    the final per-group sort, so the plan never materializes a full
+    per-language sort at 100 TB."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        _MERSENNE,
+        _hash_params,
+    )
+
+    k = 20
+    (a, b) = _hash_params(1, 73)[0]
+    docs = read_table(spark, sf, "documents")
+    hv = (
+        F.lit(a) * F.pmod(F.col("doc_id"), F.lit(_MERSENNE)) + F.lit(b)
+    ) % _MERSENNE
+    w = Window.partitionBy("lang").orderBy("hv", "doc_id")
+    return (
+        docs.select("doc_id", "lang", hv.alias("hv"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("lang", F.col("rk").cast("bigint").alias("rk"), "doc_id")
+        .orderBy("lang", "rk")
+    )
+
+
+@register(
+    "q244_cluster_purity",
+    f"""
+    WITH {_CENTROID_PRED_CTES},
+    conf AS (
+      SELECT e.label, p.cluster, CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings e JOIN pred p ON p.vec_id = e.vec_id
+      GROUP BY e.label, p.cluster
+    )
+    SELECT label, cluster, n,
+           CAST(n AS DOUBLE)
+             / CAST(CAST(SUM(n) OVER (PARTITION BY cluster) AS BIGINT)
+                    AS DOUBLE) AS cluster_share,
+           CAST(CASE WHEN n = MAX(n) OVER (PARTITION BY cluster)
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_majority
+    FROM conf ORDER BY label, cluster
+    """,
+)
+def q244_cluster_purity(spark: SparkSession, sf: str) -> DataFrame:
+    """Clustering-quality confusion matrix: true label x assigned
+    nearest-centroid cluster (the q105/q236 assignment, shared helper)
+    with per-cluster share and majority-cell flag — the purity audit
+    that decides whether a SemDeDup-style clustering is tight enough to
+    trust for dedup/curation decisions. The confusion matrix is
+    domain-bounded (|labels| x |clusters|), so both windows run over an
+    aggregate; shares are exact counts with one pinned division."""
+    emb = read_table(spark, sf, "embeddings")
+    pred = _nearest_centroid_pred(emb)
+    conf = (
+        emb.select("vec_id", "label")
+        .join(pred, "vec_id")
+        .groupBy("label", "cluster")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wc = Window.partitionBy("cluster")
+    return conf.select(
+        "label",
+        "cluster",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(wc).cast("bigint").cast("double")
+        ).alias("cluster_share"),
+        F.when(F.col("n") == F.max("n").over(wc), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_majority"),
+    ).orderBy("label", "cluster")
+
+
+@register(
+    "q245_cross_source_duplication",
+    """
+    WITH fp AS (
+      SELECT doc_id, source, sha256(text) AS f FROM documents
+    ),
+    g AS (
+      SELECT f, CAST(COUNT(*) AS BIGINT) AS n_copies,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM fp GROUP BY f
+    )
+    SELECT fp.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN g.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(SUM(CASE WHEN g.n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cross_source_docs
+    FROM fp JOIN g ON fp.f = g.f
+    GROUP BY fp.source
+    ORDER BY fp.source
+    """,
+)
+def q245_cross_source_duplication(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source duplication audit: for each source, how many of its
+    documents are exact duplicates of ANY document (n_dup_docs) and how
+    many collide across source boundaries (n_cross_source_docs) — the
+    crawl-overlap diagnostic that tells a curation pipeline which
+    sources to dedup against each other vs within themselves (mirror
+    sites vs re-posts). Two keyed aggregates on the 32-byte sha256
+    fingerprint (the q23 scale shape) joined back on the fingerprint;
+    no text ever shuffles twice."""
+    docs = read_table(spark, sf, "documents")
+    fp = docs.select("source", F.sha2(F.col("text"), 256).alias("f"))
+    g = fp.groupBy("f").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+    )
+    return (
+        fp.join(g, "f")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_cross_source_docs"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------
@@ -13697,6 +14022,8 @@ OVERFLOW_SENSITIVE = frozenset({
     "q233_partition_skew_report",
     "q234_correlation_matrix",
     "q236_semantic_dedup",
+    "q242_int8_quantization_error",
+    "q244_cluster_purity",
 })
 
 for _q in OVERFLOW_SENSITIVE:
