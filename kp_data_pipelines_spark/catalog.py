@@ -13967,6 +13967,56 @@ def q245_cross_source_duplication(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "q246_cube_revenue",
+    """
+    SELECT COALESCE(l_returnflag, '(all)') AS flag,
+           COALESCE(l_linestatus, '(all)') AS status,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY gid, flag, status
+    """,
+)
+def q246_cube_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE grouping sets: revenue at every (returnflag x linestatus)
+    aggregation level in ONE pass — per-cell, per-flag, per-status, and
+    grand total — the OLAP subtotal lattice (q48's ROLLUP is the
+    hierarchical half; CUBE is the full lattice). Spark expands the
+    lattice map-side (one shuffle, 4x the GROUP BY cells of a
+    domain-bounded key pair); grouping_id() disambiguates subtotal rows
+    from genuine values, and subtotal keys surface as '(all)' so the
+    output carries no NULL-vs-value ambiguity into the hash compare.
+    Revenue aggregates in DECIMAL(18,4) (exact_sum rule) and casts back
+    to double."""
+    li = read_table(spark, sf, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("status"),
+            "gid",
+            "n_rows",
+            "revenue",
+        )
+        .orderBy("gid", "flag", "status")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------
