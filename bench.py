@@ -66,8 +66,12 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": runs,
     }
+    # BENCH.json is the headline sf0.1 artifact; probes at other scale
+    # factors write BENCH_probe.json so a fast sf0.001 run (e.g. inside
+    # tools/verify_all.sh) can't clobber the round's benchmark record.
+    out_name = "BENCH.json" if sf == 0.1 else "BENCH_probe.json"
     with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w"
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), out_name), "w"
     ) as f:
         json.dump(full, f, indent=1)
     slowest = dict(

@@ -326,3 +326,62 @@ def sessionize_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TRANSITION_OUTPUT_SCHEMA = "user_id bigint, cur string, nxt string, n bigint"
+_TRANSITION_STATE_SCHEMA = "last_type string, last_us bigint"
+
+
+def transition_counts_stateful(
+    stream_df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of the batch Markov-transition count (catalog
+    q241) via ``applyInPandasWithState``: per-user state = the LAST seen
+    (event_type, ts), so transitions that SPAN micro-batch boundaries
+    are counted exactly once — the cross-batch dependency that makes a
+    stateless per-batch partial WRONG for sequence statistics (unlike
+    q205's histogram partials, a lead() inside one batch misses every
+    boundary-crossing pair). Emits per-batch (user, cur, nxt, n)
+    transition partials; counts are mergeable downstream (sum), so
+    stream-over-time-ordered-batches == batch lead() exactly. State is
+    one row per active user — bounded, the same budget as the
+    sessionizer. Requires event-time-ordered arrival per user across
+    batches (the kafka-partition-per-user deployment); within a batch,
+    rows are concatenated and sorted once before folding."""
+    import pandas as pd
+
+    def fn(key, pdf_iter, state):
+        user = key[0]
+        if state.exists:
+            last_type, last_us = state.get
+        else:
+            last_type, last_us = None, None
+        counts: dict = {}
+        chunks = [pdf for pdf in pdf_iter]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
+            for ts, t in zip(pdf[ts_col], pdf[type_col]):
+                us = int(pd.Timestamp(ts).value // 1000)
+                if last_type is not None:
+                    k = (last_type, t)
+                    counts[k] = counts.get(k, 0) + 1
+                last_type, last_us = t, us
+        state.update((last_type, last_us))
+        if counts:
+            rows = [(user, c, n_, v) for (c, n_), v in sorted(counts.items())]
+            yield pd.DataFrame(
+                rows, columns=["user_id", "cur", "nxt", "n"]
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream_df.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=TRANSITION_OUTPUT_SCHEMA,
+        stateStructType=_TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

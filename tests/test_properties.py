@@ -222,3 +222,105 @@ def test_q112_matches_numpy_percentile(spark):
         for p, col in ((25, "p25"), (50, "p50"), (75, "p75")):
             expect = np.percentile(np.array(vals), p, method="linear")
             assert abs(got[seg][col] - expect) < 1e-9, (seg, p)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # key
+            st.integers(min_value=0, max_value=100), # ts
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=100),
+            st.integers(min_value=0, max_value=999),  # payload
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+)
+def test_asof_join_matches_naive(spark, lefts, rights):
+    """asof_join == the naive per-row argmax: for every left row, the
+    right row of the same key with the greatest ts <= left ts (ties on
+    ts pre-deduped to the max payload, mirroring the q238 contract)."""
+    from kp_data_pipelines_spark.operators.joins import asof_join
+
+    # dedup rights per (key, ts) -> max payload (the operator's contract)
+    rmap = {}
+    for k, t, v in rights:
+        rmap[(k, t)] = max(rmap.get((k, t), -1), v)
+    rrows = [(k, t, v) for (k, t), v in sorted(rmap.items())]
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)],
+        "lid long, k long, t long",
+    )
+    if rrows:
+        right = spark.createDataFrame(rrows, "k long, rt long, val long")
+    else:
+        right = spark.createDataFrame([], "k long, rt long, val long")
+    out = asof_join(left, right, "k", "t", "rt", payload=["val"])
+    got = {r["lid"]: r["val_asof"] for r in out.collect()}
+
+    for i, (k, t) in enumerate(lefts):
+        cands = [(rt, v) for (rk, rt), v in rmap.items() if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, t, got[i], want)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=300),  # doc token counts
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_sequence_packing_invariants(spark, toks):
+    """q239's packing arithmetic, property-checked on one shard: pad is
+    always < budget, bins*budget covers the stream exactly, and the
+    boundary-doc count matches a direct simulation of cutting the
+    concatenated stream every `budget` tokens."""
+    budget = 128
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(toks)], "doc_id long, n_tokens long"
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = df.withColumn("cum", F.sum("n_tokens").over(w))
+    row = (
+        c.agg(
+            F.max("cum").alias("total"),
+            F.expr(f"(max(cum) + {budget} - 1) div {budget}").alias("n_bins"),
+            F.sum(
+                F.when(
+                    F.expr(f"(cum - n_tokens) div {budget}")
+                    != F.expr(f"(cum - 1) div {budget}"),
+                    1,
+                ).otherwise(0)
+            ).alias("crossings"),
+        )
+    ).head()
+
+    total = sum(toks)
+    assert row["total"] == total
+    assert row["n_bins"] == (total + budget - 1) // budget
+    pad = row["n_bins"] * budget - total
+    assert 0 <= pad < budget
+    # direct simulation: a doc crosses if its span covers a multiple of budget
+    pos, crossings = 0, 0
+    for n in toks:
+        if pos // budget != (pos + n - 1) // budget:
+            crossings += 1
+        pos += n
+    assert row["crossings"] == crossings

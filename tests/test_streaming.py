@@ -367,3 +367,75 @@ def _transform_with_state_logic_harness(spark) -> None:
         n, total = batch[uid]
         assert int(out["n_events"].iloc[0]) == n
         assert abs(float(out["total_value"].iloc[0]) - total) < 1e-6
+
+
+def test_transition_counts_stateful_spans_batches(spark, tmp_path):
+    """Cross-batch sequence statistics: the stateful transition counter
+    must count transitions that SPAN micro-batch boundaries (the pair
+    (last event of batch N, first event of batch N+1)) — the case a
+    stateless per-batch lead() partial silently drops. Two time-ordered
+    waves per user, one file per trigger; summed stream partials must
+    equal the batch lead() counts over the union."""
+    import pandas as pd
+
+    from kp_data_pipelines_spark.streaming.events import (
+        run_available_now,
+        transition_counts_stateful,
+    )
+
+    base = pd.Timestamp("2024-03-01")
+    wave1, wave2 = [], []
+    # user 1: view click view | purchase error  (boundary pair: view->purchase)
+    for i, t in enumerate(["view", "click", "view"]):
+        wave1.append((1, base + pd.Timedelta(minutes=i), t))
+    for i, t in enumerate(["purchase", "error"]):
+        wave2.append((1, base + pd.Timedelta(minutes=10 + i), t))
+    # user 2: click click | click  (boundary pair: click->click)
+    for i, t in enumerate(["click", "click"]):
+        wave1.append((2, base + pd.Timedelta(minutes=i), t))
+    wave2.append((2, base + pd.Timedelta(minutes=30), "click"))
+
+    src = str(tmp_path / "waves")
+    cols = ["user_id", "ts", "event_type"]
+    spark.createDataFrame(pd.DataFrame(wave1, columns=cols)).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    spark.createDataFrame(pd.DataFrame(wave2, columns=cols)).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = run_available_now(
+        transition_counts_stateful(stream), str(tmp_path / "ckpt"), "append"
+    )
+    got = {
+        (r["user_id"], r["cur"], r["nxt"]): r["n"]
+        for r in out.groupBy("user_id", "cur", "nxt")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+
+    ev = spark.read.parquet(src)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    batch = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("user_id", "cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {(r["user_id"], r["cur"], r["nxt"]): r["n"] for r in batch.collect()}
+    assert got == want
+    # the boundary-crossing pairs specifically
+    assert got[(1, "view", "purchase")] == 1
+    assert got[(2, "click", "click")] == 2
