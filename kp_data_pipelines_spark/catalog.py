@@ -14017,6 +14017,87 @@ def q246_cube_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "q247_trimmed_mean",
+    """
+    WITH hist AS (
+      SELECT lang, n_chars, CAST(COUNT(*) AS BIGINT) AS w
+      FROM documents GROUP BY lang, n_chars
+    ),
+    tot AS (
+      SELECT lang, CAST(SUM(w) AS BIGINT) AS n FROM hist GROUP BY lang
+    ),
+    c AS (
+      SELECT h.lang, h.n_chars, h.w, t.n, t.n // 10 AS k,
+             CAST(SUM(h.w) OVER (PARTITION BY h.lang ORDER BY h.n_chars
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM hist h JOIN tot t ON t.lang = h.lang
+    ),
+    kept AS (
+      SELECT lang, n_chars, n, k,
+             GREATEST(CAST(0 AS BIGINT),
+                      LEAST(cum, n - k) - GREATEST(cum - w, k)) AS kw
+      FROM c
+    )
+    SELECT lang,
+           CAST(MAX(n - 2 * k) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars * kw) AS DOUBLE) / CAST(MAX(n - 2 * k) AS DOUBLE)
+             AS trimmed_mean_chars
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+)
+def q247_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """10%-trimmed mean of document length per language — the
+    outlier-robust location statistic (truncation-threshold tuning,
+    quality drift tracking) computed the SCALE-CORRECT way: on the
+    per-language length HISTOGRAM (q188's histogram-first rule). The
+    trim is an integer weight-overlap: each histogram cell keeps
+    max(0, min(cum, n-k) - max(cum-w, k)) of its mass against the
+    [k, n-k) kept-rank interval, so no task ever holds a language's raw
+    values (the naive sort-the-group approach materializes whole
+    languages per task — the grouped-agg pandas UDAF twin of exactly
+    that shape is equivalence-pinned to this query in
+    test_operators.py). All integers until one final pinned double
+    division; cumulative window runs over <= |length domain| histogram
+    rows per language."""
+    docs = read_table(spark, sf, "documents")
+    hist = docs.groupBy("lang", "n_chars").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
+    )
+    tot = hist.groupBy("lang").agg(F.sum("w").cast("bigint").alias("n"))
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = (
+        hist.join(tot, "lang")
+        .withColumn("k", F.expr("n div 10"))
+        .withColumn("cum", F.sum("w").over(wcum).cast("bigint"))
+    )
+    kept = c.withColumn(
+        "kw",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(F.col("cum"), F.col("n") - F.col("k"))
+            - F.greatest(F.col("cum") - F.col("w"), F.col("k")),
+        ),
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.max(F.col("n") - 2 * F.col("k")).cast("bigint").alias("n_kept"),
+            (
+                F.sum(F.col("n_chars") * F.col("kw")).cast("double")
+                / F.max(F.col("n") - 2 * F.col("k")).cast("double")
+            ).alias("trimmed_mean_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------

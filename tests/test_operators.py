@@ -568,3 +568,68 @@ def test_decile_scale_path_matches_exact_ntile(spark):
         for r in QUERIES["q158_decile_stats_scale"](spark, sf).collect()
     }
     assert scale == exact
+
+
+def test_observed_control_sums_no_second_scan(spark, tmp_path):
+    """A3 control sums via df.observe: totals/row-counts/null-counts are
+    collected DURING the write action (accumulator-style, zero extra
+    scans) and equal the explicit control_sum() recomputation."""
+    from kp_data_pipelines_spark.operators.aggregates import (
+        control_sum,
+        observed_control_sums,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.25), (2, None), (3, 5.50), (4, 0.25)],
+        "id long, amount double",
+    )
+    observed, obs = observed_control_sums(df, "amount")
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    assert m["n_rows"] == 4
+    assert m["nulls_amount"] == 1
+    assert abs(m["sum_amount"] - 16.0) < 1e-9
+    assert abs(m["sum_amount"] - control_sum(df, "amount")["amount"]) < 1e-9
+
+
+def test_trimmed_mean_histogram_matches_grouped_agg_udaf(spark):
+    """q247's histogram trimmed mean == the naive grouped-agg pandas
+    UDAF (the X2 custom-aggregate surface: sort the group, drop n//10
+    from each end, mean the rest). The UDAF materializes whole groups
+    per task — correct but not the 100 TB shape — so it lives here as
+    the equivalence pin, not in the catalog."""
+    import numpy as np
+    import pandas as pd
+
+    from kp_data_pipelines_spark.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    hist_result = {
+        r["lang"]: (r["n_kept"], r["trimmed_mean_chars"])
+        for r in QUERIES["q247_trimmed_mean"](spark, sf).collect()
+    }
+
+    # functionType passed explicitly: this file uses
+    # `from __future__ import annotations`, which stringifies the type
+    # hints pandas_udf would otherwise infer GROUPED_AGG from
+    from pyspark.sql.functions import PandasUDFType
+
+    @F.pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean(v):
+        a = np.sort(v.to_numpy(np.int64))
+        k = len(a) // 10
+        kept = a[k : len(a) - k]
+        return float(int(kept.sum()) / len(kept))
+
+    from kp_data_pipelines_spark.sources import read_table
+
+    docs = read_table(spark, sf, "documents")
+    udaf_result = {
+        r["lang"]: r["tm"]
+        for r in docs.groupBy("lang")
+        .agg(trimmed_mean("n_chars").alias("tm"))
+        .collect()
+    }
+    assert set(udaf_result) == set(hist_result)
+    for lang, tm in udaf_result.items():
+        assert tm == hist_result[lang][1], lang
