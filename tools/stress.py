@@ -91,6 +91,25 @@ def main() -> int:
             F.concat_ws(" ", F.slice(F.split("text", " "), 1, 10)).alias("p")
         ).count().filter(F.col("count") >= 2),
     )
+    # q235's repetition-rule path: token explode + two hash aggregates +
+    # a per-doc lead() window for bigrams — the heaviest per-doc fan-out
+    # in the round-4 additions (one row per token, ~token-count x docs).
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    rep = (
+        toks.withColumn("nxt", F.lead("tok").over(wl))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bg"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top"), F.sum("c").alias("nb"))
+        .filter(F.col("top") * 5 > F.col("nb"))
+    )
+    stage("repetition_rules_bigrams", rep)
     print(json.dumps({"metric": "stress_docs_per_sec", "n_docs": n, **out}))
     return 0
 
