@@ -14098,6 +14098,212 @@ def q247_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "q248_rfm_segmentation",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS f,
+             CAST(SUM(CAST(round(value * 100) AS DECIMAL(38,0)))
+                  AS BIGINT) AS m,
+             CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+      FROM events GROUP BY user_id
+    ),
+    anchor AS (SELECT CAST(MAX(last_us) AS BIGINT) AS a FROM u),
+    ur AS (
+      SELECT u.user_id, u.f, u.m,
+             CAST((an.a - u.last_us) // 86400000000 AS BIGINT) AS r
+      FROM u CROSS JOIN anchor an
+    ),
+    nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ur),
+    rh AS (
+      SELECT r AS v,
+             CAST(SUM(COUNT(*)) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING)
+                  - COUNT(*) AS BIGINT) AS below
+      FROM ur GROUP BY r
+    ),
+    fh AS (
+      SELECT f AS v,
+             CAST(SUM(COUNT(*)) OVER (ORDER BY f ROWS UNBOUNDED PRECEDING)
+                  - COUNT(*) AS BIGINT) AS below
+      FROM ur GROUP BY f
+    ),
+    mh AS (
+      SELECT m AS v,
+             CAST(SUM(COUNT(*)) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+                  - COUNT(*) AS BIGINT) AS below
+      FROM ur GROUP BY m
+    ),
+    scored AS (
+      SELECT ur.user_id,
+             CAST(1 + (5 * rr.below) // nu.n AS BIGINT) AS r_score,
+             CAST(1 + (5 * ff.below) // nu.n AS BIGINT) AS f_score,
+             CAST(1 + (5 * mm.below) // nu.n AS BIGINT) AS m_score,
+             ur.r, ur.f, ur.m
+      FROM ur
+      JOIN rh rr ON rr.v = ur.r
+      JOIN fh ff ON ff.v = ur.f
+      JOIN mh mm ON mm.v = ur.m
+      CROSS JOIN nu
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(r) AS BIGINT) AS sum_recency_days,
+           CAST(SUM(f) AS BIGINT) AS sum_frequency,
+           CAST(SUM(m) AS BIGINT) AS sum_monetary_cents
+    FROM scored GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def q248_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation — the
+    classic customer/user triage grid, built the scale-correct way: each
+    metric's quintile score comes from its VALUE HISTOGRAM (score of a
+    value = 1 + 5*users_strictly_below/n, an exact integer), and users
+    pick up their scores by EQUI-JOINING on the metric value — never an
+    NTILE sort over all users (q64's declared smell) and never a
+    range-join against a threshold dim (a 4-row BNLJ). The monetary sum
+    stages cents through DECIMAL(38,0) (ANSI rule); the recency anchor
+    is a broadcast_scalar 1-row aggregate. Cumulative windows run over
+    the metric histograms (domain-bounded). Emits the segment grid with
+    exact integer totals."""
+    ev = read_table(spark, sf, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f"),
+        F.sum(F.expr("CAST(round(value * 100) AS DECIMAL(38,0))"))
+        .cast("bigint")
+        .alias("m"),
+        F.max(F.unix_micros(F.col("ts"))).cast("bigint").alias("last_us"),
+    )
+    anchor = u.agg(F.max("last_us").cast("bigint").alias("a"))
+    ur = u.crossJoin(broadcast_scalar(anchor)).select(
+        "user_id",
+        "f",
+        "m",
+        F.expr("CAST((a - last_us) div 86400000000 AS BIGINT)").alias("r"),
+    )
+    nu = ur.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    def score_map(col):
+        wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        return (
+            ur.groupBy(F.col(col).alias("v"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+            .withColumn(
+                "below", (F.sum("w").over(wcum) - F.col("w")).cast("bigint")
+            )
+            .crossJoin(broadcast_scalar(nu))
+            .select(
+                "v",
+                F.expr("CAST(1 + (5 * below) div n AS BIGINT)").alias(
+                    f"{col}_score"
+                ),
+            )
+        )
+
+    scored = (
+        ur.join(score_map("r").withColumnRenamed("v", "r"), "r")
+        .join(score_map("f").withColumnRenamed("v", "f"), "f")
+        .join(score_map("m").withColumnRenamed("v", "m"), "m")
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("r").cast("bigint").alias("sum_recency_days"),
+            F.sum("f").cast("bigint").alias("sum_frequency"),
+            F.sum("m").cast("bigint").alias("sum_monetary_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@register(
+    "q249_lag_features",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, event_id, us, cents,
+             LAG(cents, 1) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id) AS lag1,
+             LAG(cents, 2) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id) AS lag2,
+             LAG(us, 1) OVER (PARTITION BY user_id
+                              ORDER BY us, event_id) AS prev_us,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY us DESC, event_id DESC) AS rn
+      FROM e
+    )
+    SELECT user_id, event_id AS last_event_id, cents AS last_cents,
+           lag1 AS lag1_cents, lag2 AS lag2_cents,
+           CASE WHEN lag1 IS NOT NULL AND lag2 IS NOT NULL
+                THEN CAST(cents + lag1 + lag2 AS DOUBLE) / 3.0 END AS ma3,
+           CASE WHEN prev_us IS NOT NULL
+                THEN CAST(us - prev_us AS BIGINT) END AS gap_us
+    FROM w WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def q249_lag_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time lag-feature extraction: for each user's LATEST
+    event, the previous two quantized values, their 3-window moving
+    average, and the inter-event gap — the feature-engineering shape
+    behind churn/LTV models ("state of the user as of now", leak-free
+    because every feature only looks backward). All windows are keyed
+    per user and ordered by (ts, event_id) — one shuffle, bounded
+    per-key state; values quantize to cents so lag/ma features are
+    exact integers until the one pinned ma3 division."""
+    ev = read_table(spark, sf, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    wf = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wr = Window.partitionBy("user_id").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    w = e.select(
+        "user_id",
+        "event_id",
+        "us",
+        "cents",
+        F.lag("cents", 1).over(wf).alias("lag1"),
+        F.lag("cents", 2).over(wf).alias("lag2"),
+        F.lag("us", 1).over(wf).alias("prev_us"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return (
+        w.filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("cents").alias("last_cents"),
+            F.col("lag1").alias("lag1_cents"),
+            F.col("lag2").alias("lag2_cents"),
+            F.when(
+                F.col("lag1").isNotNull() & F.col("lag2").isNotNull(),
+                (F.col("cents") + F.col("lag1") + F.col("lag2")).cast(
+                    "double"
+                )
+                / F.lit(3.0),
+            ).alias("ma3"),
+            F.when(
+                F.col("prev_us").isNotNull(),
+                (F.col("us") - F.col("prev_us")).cast("bigint"),
+            ).alias("gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------
@@ -14155,6 +14361,8 @@ OVERFLOW_SENSITIVE = frozenset({
     "q236_semantic_dedup",
     "q242_int8_quantization_error",
     "q244_cluster_purity",
+    "q248_rfm_segmentation",
+    "q249_lag_features",
 })
 
 for _q in OVERFLOW_SENSITIVE:
