@@ -14304,6 +14304,204 @@ def q249_lag_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+
+def _training_build_sql(seed: int = 67, budget: int = 4096) -> str:
+    from kp_data_pipelines_spark.operators.similarity import _MERSENNE, _hash_params
+
+    (a, b) = _hash_params(1, seed)[0]
+    m = _MERSENNE
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lang, text,
+             string_split(text, ' ') AS toks,
+             CASE WHEN (({a} * (((doc_id % {m}) + {m}) % {m}) + {b}) % {m})
+                       % 10 < 8 THEN 'train'
+                  WHEN (({a} * (((doc_id % {m}) + {m}) % {m}) + {b}) % {m})
+                       % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, toks[i + 1] AS tok
+      FROM (SELECT doc_id, unnest(range(len(toks))) AS i, toks FROM d)
+    ),
+    pt AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct
+      FROM tok GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2] AS bgr
+      FROM (SELECT doc_id, unnest(range(len(toks) - 1)) AS i, toks FROM d)
+    ),
+    bs AS (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bg,
+             CAST(SUM(c) AS BIGINT) AS n_bg
+      FROM (SELECT doc_id, bgr, CAST(COUNT(*) AS BIGINT) AS c
+            FROM bg GROUP BY doc_id, bgr)
+      GROUP BY doc_id
+    ),
+    flags AS (
+      SELECT d.doc_id, d.lang, d.split, d.text, p.n_tokens,
+             CASE WHEN (p.n_tokens - p.n_distinct) * 2 > p.n_tokens
+                    OR COALESCE(b.top_bg, 0) * 5 > COALESCE(b.n_bg, 0)
+                  THEN 0 ELSE 1 END AS quality_pass
+      FROM d
+      JOIN pt p ON p.doc_id = d.doc_id
+      LEFT JOIN bs b ON b.doc_id = d.doc_id
+    ),
+    reps AS (
+      SELECT sha256(text) AS f, CAST(MIN(doc_id) AS BIGINT) AS keeper
+      FROM flags WHERE quality_pass = 1 GROUP BY sha256(text)
+    ),
+    ledger AS (
+      SELECT fl.lang, fl.split, fl.n_tokens, fl.quality_pass,
+             CASE WHEN fl.quality_pass = 1
+                   AND fl.doc_id <> r.keeper THEN 1 ELSE 0 END AS is_dup
+      FROM flags fl
+      LEFT JOIN reps r ON r.f = sha256(fl.text)
+    )
+    SELECT lang, split,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(1 - quality_pass) AS BIGINT) AS n_failed_quality,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dup_dropped,
+           CAST(SUM(quality_pass * (1 - is_dup)) AS BIGINT) AS n_kept,
+           CAST(SUM(quality_pass * (1 - is_dup) * n_tokens) AS BIGINT)
+             AS total_tokens,
+           CAST((SUM(quality_pass * (1 - is_dup) * n_tokens)
+                 + {budget} - 1) // {budget} AS BIGINT) AS n_bins,
+           CAST(((SUM(quality_pass * (1 - is_dup) * n_tokens)
+                  + {budget} - 1) // {budget}) * {budget}
+                - SUM(quality_pass * (1 - is_dup) * n_tokens) AS BIGINT)
+             AS pad_tokens
+    FROM ledger
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """
+
+
+@register("q250_training_data_build", _training_build_sql())
+def q250_training_data_build(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-4 capstone: the end-to-end TRAINING-DATA BUILD ledger,
+    composing this round's verified stages — Gopher repetition quality
+    gate (q235's integer cross-multiplied flags) -> exact dedup over the
+    survivors (sha256 keep-lowest, q23/q245 shape) -> deterministic
+    stratified split (q237's LCG, assigned per doc id so membership is
+    auditable) -> per-(lang, split) sequence-packing forecast (q239's
+    bins/pad arithmetic at 4096 tokens). Emits the full funnel
+    accounting per cell: candidates, quality drops, duplicate drops,
+    kept docs, tokens, bins, pad waste — the one-table answer to "what
+    does the corpus look like after cleaning, and what will it cost to
+    train on". Every stage is a keyed aggregate or keyed join
+    (fingerprint, doc_id); the q231 composition rule: composing verified
+    stages adds no new shuffle shapes."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        _MERSENNE,
+        _hash_params,
+    )
+
+    budget = 4096
+    (a, b) = _hash_params(1, 67)[0]
+    docs = ensure_parallelism(read_table(spark, sf, "documents"), 32)
+    bucket = (
+        (F.lit(a) * F.pmod(F.col("doc_id"), F.lit(_MERSENNE)) + F.lit(b))
+        % _MERSENNE
+    ) % 10
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    pt = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.count_distinct("tok").cast("bigint").alias("n_distinct"),
+    )
+    wlead = Window.partitionBy("doc_id").orderBy("pos")
+    bs = (
+        toks.withColumn("nxt", F.lead("tok").over(wlead))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bgr"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").cast("bigint").alias("top_bg"),
+            F.sum("c").cast("bigint").alias("n_bg"),
+        )
+    )
+    z = F.lit(0).cast("bigint")
+    flags = (
+        d.join(pt, "doc_id")
+        .join(bs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "split",
+            "n_tokens",
+            F.sha2(F.col("text"), 256).alias("f"),
+            F.when(
+                (
+                    (F.col("n_tokens") - F.col("n_distinct")) * 2
+                    > F.col("n_tokens")
+                )
+                | (F.coalesce("top_bg", z) * 5 > F.coalesce("n_bg", z)),
+                0,
+            )
+            .otherwise(1)
+            .alias("quality_pass"),
+        )
+    )
+    reps = (
+        flags.filter(F.col("quality_pass") == 1)
+        .groupBy("f")
+        .agg(F.min("doc_id").cast("bigint").alias("keeper"))
+    )
+    ledger = flags.join(reps, "f", "left").select(
+        "lang",
+        "split",
+        "n_tokens",
+        "quality_pass",
+        F.when(
+            (F.col("quality_pass") == 1) & (F.col("doc_id") != F.col("keeper")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_dup"),
+    )
+    kept_toks = F.sum(
+        F.col("quality_pass") * (1 - F.col("is_dup")) * F.col("n_tokens")
+    )
+    n_bins = F.expr(
+        f"(sum(quality_pass * (1 - is_dup) * n_tokens) + {budget} - 1)"
+        f" div {budget}"
+    )
+    return (
+        ledger.groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum(1 - F.col("quality_pass")).cast("bigint").alias(
+                "n_failed_quality"
+            ),
+            F.sum("is_dup").cast("bigint").alias("n_dup_dropped"),
+            F.sum(F.col("quality_pass") * (1 - F.col("is_dup")))
+            .cast("bigint")
+            .alias("n_kept"),
+            kept_toks.cast("bigint").alias("total_tokens"),
+            n_bins.cast("bigint").alias("n_bins"),
+            (n_bins * budget - kept_toks).cast("bigint").alias("pad_tokens"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------
