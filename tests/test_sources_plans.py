@@ -537,3 +537,31 @@ def test_xlsx_stdlib_reader_shared_strings(tmp_path):
     assert pdf["name"].tolist() == ["rich text", "ab"]
     assert pdf["n"].tolist() == [42, 2.5]
     assert pdf["flag"][0] is True and pdf["flag"].isna()[1]
+
+
+def test_xlsx_stdlib_reader_numeric_headers_and_gaps(tmp_path):
+    """Edge shapes real report workbooks hit: numeric header cells
+    (years as ints become column names via str()), a fully-empty row in
+    the middle (pads to None), and a sparse trailing cell (row padding
+    to the widest row)."""
+    from kp_data_pipelines_spark.sources.readers import xlsx_to_pandas
+    from kp_data_pipelines_spark.sources.sinks import _MiniXlsxBook
+
+    path = str(tmp_path / "edge.xlsx")
+    book = _MiniXlsxBook()
+    book.add_sheet(
+        "S",
+        [
+            [2024, 2025, "note"],
+            [1.5, 2.5, "a"],
+            [None, None, None],
+            [3.5],
+        ],
+    )
+    book.save(path)
+    pdf = xlsx_to_pandas(path)
+    assert list(pdf.columns) == ["2024", "2025", "note"]
+    assert pdf["2024"].tolist()[0] == 1.5
+    assert pdf["2024"].isna()[1] and pdf["note"].isna()[2]
+    assert pdf["2024"].tolist()[2] == 3.5
+    assert len(pdf) == 3
