@@ -439,3 +439,69 @@ def test_transition_counts_stateful_spans_batches(spark, tmp_path):
     # the boundary-crossing pairs specifically
     assert got[(1, "view", "purchase")] == 1
     assert got[(2, "click", "click")] == 2
+
+
+def test_watermark_drops_late_rows_and_reports_them(spark, tmp_path):
+    """Late-data accounting: a watermarked windowed aggregate must (a)
+    DROP rows older than the persisted watermark on a later trigger and
+    (b) REPORT the drop in StreamingQueryProgress
+    (numRowsDroppedByWatermark) — the observability contract a
+    production monitor alarms on. Two AvailableNow runs share one
+    checkpoint: run 1 advances the watermark past the late rows, run 2
+    feeds them and must count every one as dropped."""
+    import pandas as pd
+
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "ckpt_wm")
+    base = pd.Timestamp("2024-06-01 12:00:00")
+    on_time = pd.DataFrame(
+        {
+            "user_id": [1, 2, 3],
+            "ts": [base, base + pd.Timedelta(minutes=1), base + pd.Timedelta(minutes=2)],
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    spark.createDataFrame(on_time).coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        dropped = 0
+        for p in q.recentProgress:
+            for op in p["stateOperators"]:
+                dropped += op.get("numRowsDroppedByWatermark", 0)
+        return dropped
+
+    assert run_once() == 0  # on-time wave: nothing dropped
+
+    # late wave: 3 rows a full hour older than the persisted watermark,
+    # in three DISTINCT 5-minute windows — the drop metric counts the
+    # map-side PARTIALS reaching the state operator (same-window rows
+    # pre-aggregate to one partial), so distinct windows pin the count
+    late = pd.DataFrame(
+        {
+            "user_id": [4, 5, 6],
+            "ts": [
+                base - pd.Timedelta(hours=1),
+                base - pd.Timedelta(hours=1, minutes=5),
+                base - pd.Timedelta(hours=1, minutes=10),
+            ],
+            "value": [9.0, 9.0, 9.0],
+        }
+    )
+    spark.createDataFrame(late).coalesce(1).write.mode("append").parquet(src)
+    assert run_once() == 3  # every late window-partial dropped AND reported
