@@ -186,6 +186,83 @@ def _xlsx_col_index(ref: str) -> int:
     return idx - 1
 
 
+# Built-in OOXML number-format ids that render as dates/times
+# (ECMA-376 §18.8.30: 14-22 date/time, 27-36 locale date, 45-47
+# elapsed/time, 50-58 locale date). Custom formats are classified by
+# token inspection in _xlsx_is_date_format.
+_XLSX_BUILTIN_DATE_FMT_IDS = frozenset(
+    list(range(14, 23)) + list(range(27, 37)) + [45, 46, 47]
+    + list(range(50, 59))
+)
+
+
+def _xlsx_is_date_format(code: str) -> bool:
+    """True when an OOXML number-format code renders as a date/time:
+    contains y/m/d/h/s tokens OUTSIDE quoted literals, [..] sections
+    (colors, conditions — but [h]/[mm]/[ss] elapsed forms ARE dates),
+    and backslash escapes. The same heuristic xlrd/openpyxl use; a
+    format like ``0.00"m"`` must NOT classify as a date."""
+    import re
+
+    if re.search(r"^\[(h+|m+|s+)\]", code, re.IGNORECASE):
+        return True
+    stripped = re.sub(r'"[^"]*"', "", code)
+    stripped = re.sub(r"\[[^\]]*\]", "", stripped)
+    stripped = re.sub(r"\\.", "", stripped)
+    return bool(re.search(r"[dmhys]", stripped, re.IGNORECASE))
+
+
+def _xlsx_date_styles(z) -> "list[bool]":
+    """Per-cellXfs-index flags: does style s= render numerics as dates?
+
+    Parses ``xl/styles.xml`` cellXfs -> numFmtId, joining custom
+    ``numFmts`` format codes against the builtin date-id table. Missing
+    styles.xml (minimal writers) -> empty list (nothing is a date)."""
+    import xml.etree.ElementTree as ET
+
+    if "xl/styles.xml" not in z.namelist():
+        return []
+    m = f"{{{_XLSX_MAIN_NS}}}"
+    root = ET.fromstring(z.read("xl/styles.xml"))
+    custom: dict[int, str] = {}
+    fmts = root.find(f"{m}numFmts")
+    if fmts is not None:
+        for el in fmts.findall(f"{m}numFmt"):
+            custom[int(el.get("numFmtId"))] = el.get("formatCode", "")
+    flags: list[bool] = []
+    xfs = root.find(f"{m}cellXfs")
+    if xfs is not None:
+        for xf in xfs.findall(f"{m}xf"):
+            fmt_id = int(xf.get("numFmtId", "0"))
+            if fmt_id in custom:
+                flags.append(_xlsx_is_date_format(custom[fmt_id]))
+            else:
+                flags.append(fmt_id in _XLSX_BUILTIN_DATE_FMT_IDS)
+    return flags
+
+
+def _xlsx_serial_to_datetime(serial, date1904: bool = False):
+    """Excel date serial -> naive datetime, reproducing the 1900-epoch
+    lotus leap-year bug: serial 60 is the phantom 1900-02-29, so
+    serials < 60 anchor at 1899-12-31 and serials >= 60 at 1899-12-30
+    (the phantom maps to 1900-02-28, like openpyxl). 1904 workbooks
+    (``workbookPr date1904``) anchor at 1904-01-01 with no bug. Time
+    fraction is rounded to whole milliseconds — serials store time as a
+    binary day-fraction, so second-level values are not exactly
+    representable and unrounded conversion yields 86399.999... artifacts."""
+    from datetime import datetime, timedelta
+
+    if date1904:
+        base = datetime(1904, 1, 1)
+    elif serial < 60:
+        base = datetime(1899, 12, 31)
+    else:
+        base = datetime(1899, 12, 30)
+    days = int(serial)
+    ms = round((serial - days) * 86400_000)
+    return base + timedelta(days=days, milliseconds=ms)
+
+
 def _xlsx_sheet_grid(path: str, sheet_name=0) -> "list[list]":
     """Raw cell grid of one worksheet — pure stdlib (zipfile + ElementTree).
 
@@ -196,9 +273,14 @@ def _xlsx_sheet_grid(path: str, sheet_name=0) -> "list[list]":
     shared strings (``t="s"``, rich-text runs concatenated), inline
     strings (``t="inlineStr"``), booleans (``t="b"``), formula string
     results (``t="str"``), and numerics (int when the lexeme is integral,
-    else float). Styled date serials are NOT decoded (they come back as
-    the raw serial number) — the reference's date columns are re-parsed
-    downstream by the C2/C3 cascade anyway. Sparse cells pad to None;
+    else float). Date-STYLED numerics are decoded to datetimes: the
+    cell's ``s=`` style index joins ``xl/styles.xml`` cellXfs/numFmts
+    (builtin date ids + custom-code token heuristic,
+    ``_xlsx_date_styles``) and the serial converts via
+    ``_xlsx_serial_to_datetime`` with 1900-leap-bug / date1904
+    semantics — matching ``pd.read_excel``'s datetime columns
+    (reference: Financial Snapshot Preprocess.ipynb:77-86, Study
+    Startup Legacy Data merge.ipynb:22,34). Sparse cells pad to None;
     rows pad to the widest row. ``sheet_name`` is an index or a name,
     matching ``pd.read_excel`` (CTP Data Compare.ipynb:136-139
     ``sheet_name="Output"``)."""
@@ -211,6 +293,12 @@ def _xlsx_sheet_grid(path: str, sheet_name=0) -> "list[list]":
     )
     with zipfile.ZipFile(path) as z:
         wb = ET.fromstring(z.read("xl/workbook.xml"))
+        wb_pr = wb.find(f"{m}workbookPr")
+        date1904 = wb_pr is not None and wb_pr.get("date1904", "0").lower() in (
+            "1",
+            "true",
+        )
+        date_styles = _xlsx_date_styles(z)
         sheets = [
             (el.get("name"), el.get(f"{r}id"))
             for el in wb.find(f"{m}sheets")
@@ -242,13 +330,24 @@ def _xlsx_sheet_grid(path: str, sheet_name=0) -> "list[list]":
 
         ws = ET.fromstring(z.read(part))
         grid: list[list] = []
+        # OOXML makes the r= attribute OPTIONAL on both <row> and <c>:
+        # when absent the element occupies the next sequential position
+        # after the previous one (ECMA-376 §18.3.1.73/.4), so track the
+        # implied indices instead of crashing (row) or writing to
+        # row[-1] (cell).
+        next_ri = 0
         for row_el in ws.iter(f"{m}row"):
-            ri = int(row_el.get("r")) - 1
+            r_attr = row_el.get("r")
+            ri = int(r_attr) - 1 if r_attr is not None else next_ri
+            next_ri = ri + 1
             while len(grid) <= ri:
                 grid.append([])
             row = grid[ri]
+            next_ci = 0
             for c_el in row_el.findall(f"{m}c"):
-                ci = _xlsx_col_index(c_el.get("r", ""))
+                ref = c_el.get("r")
+                ci = _xlsx_col_index(ref) if ref else next_ci
+                next_ci = ci + 1
                 t = c_el.get("t", "n")
                 if t == "inlineStr":
                     is_el = c_el.find(f"{m}is")
@@ -273,6 +372,13 @@ def _xlsx_sheet_grid(path: str, sheet_name=0) -> "list[list]":
                             v = int(raw)
                         except ValueError:
                             v = float(raw)
+                        s_attr = c_el.get("s")
+                        if (
+                            s_attr is not None
+                            and int(s_attr) < len(date_styles)
+                            and date_styles[int(s_attr)]
+                        ):
+                            v = _xlsx_serial_to_datetime(v, date1904)
                 while len(row) <= ci:
                     row.append(None)
                 row[ci] = v
@@ -342,6 +448,8 @@ def xlsx_to_pandas(path: str, sheet_name=0, skiprows: int = 0, header=0):
         pdf = pd.DataFrame(data, columns=columns)
     else:
         pdf = pd.DataFrame(grid)
+    import datetime as _dt
+
     for col in pdf.columns:
         s = pdf[col]
         non_null = s.dropna()
@@ -350,6 +458,12 @@ def xlsx_to_pandas(path: str, sheet_name=0, skiprows: int = 0, header=0):
             for v in non_null
         ):
             pdf[col] = pd.to_numeric(s)
+        elif len(non_null) and all(
+            isinstance(v, _dt.datetime) for v in non_null
+        ):
+            # date-styled serials decode to datetime objects; surface
+            # them as datetime64 columns like pd.read_excel does
+            pdf[col] = pd.to_datetime(s)
     return pdf
 
 

@@ -565,3 +565,150 @@ def test_xlsx_stdlib_reader_numeric_headers_and_gaps(tmp_path):
     assert pdf["2024"].isna()[1] and pdf["note"].isna()[2]
     assert pdf["2024"].tolist()[2] == 3.5
     assert len(pdf) == 3
+
+
+def test_xlsx_stdlib_reader_date_serials(spark, tmp_path):
+    """Date-STYLED numeric cells must decode to datetimes like
+    pd.read_excel (reference date columns: Financial Snapshot
+    Preprocess.ipynb:77-86): builtin date numFmt (14), custom date
+    format code, time fraction, the 1900 leap-bug boundary (serial 59 =
+    1900-02-28, 61 = 1900-03-01), and a NON-date custom format whose
+    quoted "m" literal must NOT trigger date decoding. Decoded values
+    then survive the C2/C3 cascade unchanged (already timestamps)."""
+    import zipfile
+
+    import pandas as pd
+
+    from kp_data_pipelines_spark.sources.readers import xlsx_to_pandas
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    ns_r = "http://schemas.openxmlformats.org/package/2006/relationships"
+    ns_doc = (
+        "http://schemas.openxmlformats.org/officeDocument/2006/"
+        "relationships"
+    )
+    path = str(tmp_path / "dates.xlsx")
+    # styles: xf0 = General (not date), xf1 = builtin 14 (date),
+    # xf2 = custom 164 yyyy-mm-dd (date), xf3 = custom 165 0.00"m" (NOT)
+    styles = (
+        f'<styleSheet xmlns="{ns}">'
+        "<numFmts count=\"2\">"
+        '<numFmt numFmtId="164" formatCode="yyyy\\-mm\\-dd hh:mm"/>'
+        '<numFmt numFmtId="165" formatCode="0.00&quot;m&quot;"/>'
+        "</numFmts>"
+        "<cellXfs count=\"4\">"
+        '<xf numFmtId="0"/><xf numFmtId="14"/>'
+        '<xf numFmtId="164"/><xf numFmtId="165"/>'
+        "</cellXfs></styleSheet>"
+    )
+    # 45292 = 2024-01-01; 45292.5 = noon; 59/61 straddle the phantom
+    # 1900-02-29; 45000 with the non-date style stays numeric
+    sheet = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1">'
+        '<c r="A1" t="inlineStr"><is><t>d</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>t</t></is></c>'
+        '<c r="C1" t="inlineStr"><is><t>pre</t></is></c>'
+        '<c r="D1" t="inlineStr"><is><t>post</t></is></c>'
+        '<c r="E1" t="inlineStr"><is><t>meters</t></is></c>'
+        "</row>"
+        '<row r="2">'
+        '<c r="A2" s="1"><v>45292</v></c>'
+        '<c r="B2" s="2"><v>45292.5</v></c>'
+        '<c r="C2" s="1"><v>59</v></c>'
+        '<c r="D2" s="1"><v>61</v></c>'
+        '<c r="E2" s="3"><v>45000</v></c>'
+        "</row>"
+        "</sheetData></worksheet>"
+    )
+    workbook = (
+        f'<workbook xmlns="{ns}" xmlns:r="{ns_doc}">'
+        '<sheets><sheet name="D" sheetId="1" r:id="rId1"/></sheets>'
+        "</workbook>"
+    )
+    wb_rels = (
+        f'<Relationships xmlns="{ns_r}">'
+        '<Relationship Id="rId1" Type="x" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/styles.xml", styles)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+    pdf = xlsx_to_pandas(path)
+    assert pdf["d"].tolist() == [pd.Timestamp("2024-01-01")]
+    assert pdf["t"].tolist() == [pd.Timestamp("2024-01-01 12:00:00")]
+    assert pdf["pre"].tolist() == [pd.Timestamp("1900-02-28")]
+    assert pdf["post"].tolist() == [pd.Timestamp("1900-03-01")]
+    assert pdf["meters"].tolist() == [45000]  # quoted "m" is a literal
+
+    # C2/C3 round-trip: a decoded date column cast to string re-parses
+    # to the identical timestamp through the cascade
+    from pyspark.sql import functions as F
+
+    from kp_data_pipelines_spark.functions.dates import cascading_to_timestamp
+
+    sdf = spark.createDataFrame(pdf[["d"]])
+    out = sdf.select(
+        cascading_to_timestamp(F.col("d").cast("string")).alias("ts")
+    ).collect()
+    assert out[0]["ts"] == pdf["d"].iloc[0].to_pydatetime()
+
+
+def test_xlsx_stdlib_reader_implied_positions(tmp_path):
+    """OOXML allows omitting r= on <row> and <c> (implied sequential
+    position, ECMA-376): a row with no r= lands after the previous row,
+    and cells with no r= fill left-to-right — previously int(None)
+    crashed / row[-1] silently overwrote the prior cell."""
+    import zipfile
+
+    from kp_data_pipelines_spark.sources.readers import xlsx_to_pandas
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    ns_r = "http://schemas.openxmlformats.org/package/2006/relationships"
+    ns_doc = (
+        "http://schemas.openxmlformats.org/officeDocument/2006/"
+        "relationships"
+    )
+    path = str(tmp_path / "implied.xlsx")
+    # row 1: explicit r=; row 2: NO r= on row or cells; row 3: mixed —
+    # first cell explicit B4 (skips A4), next implied C4
+    sheet = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1">'
+        '<c r="A1" t="inlineStr"><is><t>a</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>b</t></is></c>'
+        '<c r="C1" t="inlineStr"><is><t>c</t></is></c>'
+        "</row>"
+        "<row>"
+        "<c><v>1</v></c><c><v>2</v></c><c><v>3</v></c>"
+        "</row>"
+        '<row r="4">'
+        '<c r="B4"><v>5</v></c><c><v>6</v></c>'
+        "</row>"
+        "</sheetData></worksheet>"
+    )
+    workbook = (
+        f'<workbook xmlns="{ns}" xmlns:r="{ns_doc}">'
+        '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets>'
+        "</workbook>"
+    )
+    wb_rels = (
+        f'<Relationships xmlns="{ns_r}">'
+        '<Relationship Id="rId1" Type="x" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+    pdf = xlsx_to_pandas(path)
+    assert list(pdf.columns) == ["a", "b", "c"]
+    assert pdf["a"].tolist()[0] == 1 and pdf["c"].tolist()[0] == 3
+    # row 3 (after the implied-position row 2 and an empty row 3):
+    # A empty, B=5 (explicit), C=6 (implied after B4)
+    assert pdf["a"].isna()[2]
+    assert pdf["b"].tolist()[2] == 5 and pdf["c"].tolist()[2] == 6
