@@ -14043,7 +14043,11 @@ def q246_cube_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT lang,
            CAST(MAX(n - 2 * k) AS BIGINT) AS n_kept,
-           CAST(SUM(n_chars * kw) AS DOUBLE) / CAST(MAX(n - 2 * k) AS DOUBLE)
+           (CAST(SUM(CAST((n_chars * kw) // 67108864 AS DECIMAL(38,0)))
+                 AS DOUBLE) * 67108864.0
+            + CAST(SUM(CAST((n_chars * kw) % 67108864 AS DECIMAL(38,0)))
+                   AS DOUBLE))
+             / CAST(MAX(n - 2 * k) AS DOUBLE)
              AS trimmed_mean_chars
     FROM kept GROUP BY lang ORDER BY lang
     """,
@@ -14061,7 +14065,11 @@ def q247_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
     that shape is equivalence-pinned to this query in
     test_operators.py). All integers until one final pinned double
     division; cumulative window runs over <= |length domain| histogram
-    rows per language."""
+    rows per language. The kept-char total SUM(n_chars*kw) is staged as
+    a hi/lo 2^26 split through DECIMAL(38,0) (q106/q115 rule): a
+    language's kept chars pass 2^53 long before 100 TB, where a raw
+    BIGINT sum both risks ANSI overflow and drifts 1 ulp through
+    DuckDB's HUGEINT->double cast."""
     docs = read_table(spark, sf, "documents")
     hist = docs.groupBy("lang", "n_chars").agg(
         F.count(F.lit(1)).cast("bigint").alias("w")
@@ -14085,12 +14093,16 @@ def q247_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
             - F.greatest(F.col("cum") - F.col("w"), F.col("k")),
         ),
     )
+    hi = F.sum(
+        F.expr("(n_chars * kw) div 67108864").cast("decimal(38,0)")
+    )
+    lo = F.sum(F.expr("(n_chars * kw) % 67108864").cast("decimal(38,0)"))
     return (
         kept.groupBy("lang")
         .agg(
             F.max(F.col("n") - 2 * F.col("k")).cast("bigint").alias("n_kept"),
             (
-                F.sum(F.col("n_chars") * F.col("kw")).cast("double")
+                (hi.cast("double") * F.lit(67108864.0) + lo.cast("double"))
                 / F.max(F.col("n") - 2 * F.col("k")).cast("double")
             ).alias("trimmed_mean_chars"),
         )
@@ -14166,9 +14178,14 @@ def q248_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
     NTILE sort over all users (q64's declared smell) and never a
     range-join against a threshold dim (a 4-row BNLJ). The monetary sum
     stages cents through DECIMAL(38,0) (ANSI rule); the recency anchor
-    is a broadcast_scalar 1-row aggregate. Cumulative windows run over
-    the metric histograms (domain-bounded). Emits the segment grid with
-    exact integer totals."""
+    is a broadcast_scalar 1-row aggregate. The r/f histograms are
+    domain-bounded (recency days, events-per-user), so their cumulative
+    windows run over small aggregates; the MONETARY histogram is NOT —
+    distinct total-cents values grow with user count — so its "below"
+    rank comes from the distributed two-phase prefix_sum (prefix.py)
+    instead of a single-task global window. Same exact integers (the
+    oracle's window form is the semantic spec); only the physical plan
+    differs. Emits the segment grid with exact integer totals."""
     ev = read_table(spark, sf, "events")
     u = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("f"),
@@ -14186,27 +14203,39 @@ def q248_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
     )
     nu = ur.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
 
-    def score_map(col):
-        wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-        return (
-            ur.groupBy(F.col(col).alias("v"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
-            .withColumn(
+    def score_map(col, user_cardinality=False):
+        hist = ur.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("w")
+        )
+        if user_cardinality:
+            # one histogram row per distinct user total: rank via the
+            # distributed scan, not a global single-task window
+            from kp_data_pipelines_spark.operators.prefix import prefix_sum
+
+            hist = prefix_sum(hist, "v", "w", out_col="__cum").withColumn(
+                "below", (F.col("__cum") - F.col("w")).cast("bigint")
+            )
+        else:
+            wcum = Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+            hist = hist.withColumn(
                 "below", (F.sum("w").over(wcum) - F.col("w")).cast("bigint")
             )
-            .crossJoin(broadcast_scalar(nu))
-            .select(
-                "v",
-                F.expr("CAST(1 + (5 * below) div n AS BIGINT)").alias(
-                    f"{col}_score"
-                ),
-            )
+        return hist.crossJoin(broadcast_scalar(nu)).select(
+            "v",
+            F.expr("CAST(1 + (5 * below) div n AS BIGINT)").alias(
+                f"{col}_score"
+            ),
         )
 
     scored = (
         ur.join(score_map("r").withColumnRenamed("v", "r"), "r")
         .join(score_map("f").withColumnRenamed("v", "f"), "f")
-        .join(score_map("m").withColumnRenamed("v", "m"), "m")
+        .join(
+            score_map("m", user_cardinality=True).withColumnRenamed("v", "m"),
+            "m",
+        )
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
@@ -14502,6 +14531,38 @@ def q250_training_data_build(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register("q251_streaming_training_build", _training_build_sql())
+def q251_streaming_training_build(spark: SparkSession, sf: str) -> DataFrame:
+    """q250's DEPLOY shape: the corpus arrives as a STREAM (file source,
+    AvailableNow) and each micro-batch runs the verified build stages —
+    q235 quality gate, q237 LCG split, sha256 fingerprint — then dedups
+    against a PERSISTENT fingerprint state table and emits mergeable
+    per-(lang, split) ledger partials inside ``foreachBatch``
+    (streaming/training.py). Bins/pad are derived once from the merged
+    totals (ceil-division is not mergeable). Oracle-checked against the
+    SAME SQL twin as q250: stream and batch engines must agree
+    row-for-row. Cross-batch first-seen dedup equals the batch MIN
+    keeper under ascending-doc_id arrival (the multi-wave case is
+    pinned by the stream==batch equivalence test in
+    tests/test_streaming.py); here the backlog arrives as one trigger.
+    State/checkpoints are ephemeral per invocation."""
+    from kp_data_pipelines_spark.streaming.events import _ephemeral_dir
+    from kp_data_pipelines_spark.streaming.training import (
+        training_build_stream,
+    )
+
+    docs_path = f"{sf}/documents.parquet"
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    return training_build_stream(
+        stream, state_dir=_ephemeral_dir("kp_training_state_")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------
@@ -14559,6 +14620,7 @@ OVERFLOW_SENSITIVE = frozenset({
     "q236_semantic_dedup",
     "q242_int8_quantization_error",
     "q244_cluster_purity",
+    "q247_trimmed_mean",
     "q248_rfm_segmentation",
     "q249_lag_features",
 })

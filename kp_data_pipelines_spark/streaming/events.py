@@ -337,6 +337,7 @@ def transition_counts_stateful(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    tiebreak_col: str | None = "event_id",
 ) -> DataFrame:
     """Streaming twin of the batch Markov-transition count (catalog
     q241) via ``applyInPandasWithState``: per-user state = the LAST seen
@@ -350,7 +351,14 @@ def transition_counts_stateful(
     one row per active user — bounded, the same budget as the
     sessionizer. Requires event-time-ordered arrival per user across
     batches (the kafka-partition-per-user deployment); within a batch,
-    rows are concatenated and sorted once before folding."""
+    rows are concatenated and sorted once before folding.
+
+    Ordering is DETERMINISTIC under equal timestamps: the per-batch sort
+    is a stable mergesort on (ts, tiebreak) where ``tiebreak_col``
+    (default ``event_id``, skipped when absent from the stream schema)
+    mirrors the batch twin's ``lead() OVER (ORDER BY ts, event_id)`` —
+    a ts-only default quicksort would fold equal-ts events in
+    arbitrary order and emit counts that vary run-to-run."""
     import pandas as pd
 
     def fn(key, pdf_iter, state):
@@ -362,7 +370,13 @@ def transition_counts_stateful(
         counts: dict = {}
         chunks = [pdf for pdf in pdf_iter]
         if chunks:
-            pdf = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
+            pdf = pd.concat(chunks, ignore_index=True)
+            by = [ts_col] + (
+                [tiebreak_col]
+                if tiebreak_col and tiebreak_col in pdf.columns
+                else []
+            )
+            pdf = pdf.sort_values(by, kind="mergesort")
             for ts, t in zip(pdf[ts_col], pdf[type_col]):
                 us = int(pd.Timestamp(ts).value // 1000)
                 if last_type is not None:

@@ -505,3 +505,113 @@ def test_watermark_drops_late_rows_and_reports_them(spark, tmp_path):
     )
     spark.createDataFrame(late).coalesce(1).write.mode("append").parquet(src)
     assert run_once() == 3  # every late window-partial dropped AND reported
+
+
+def test_transition_counts_stateful_equal_ts_tiebreak(spark, tmp_path):
+    """Determinism under equal timestamps: events sharing one ts must
+    fold in (ts, event_id) order — the batch twin q241's ORDER BY ts,
+    event_id — regardless of arrival order inside the micro-batch. The
+    file stores the rows SHUFFLED (c, a, b); a ts-only sort would emit
+    whatever transition sequence the physical row order happens to give."""
+    import pandas as pd
+
+    from kp_data_pipelines_spark.streaming.events import (
+        run_available_now,
+        transition_counts_stateful,
+    )
+
+    ts = pd.Timestamp("2024-03-01")
+    rows = [
+        (1, ts, 3, "c"),
+        (1, ts, 1, "a"),
+        (1, ts, 2, "b"),
+    ]
+    src = str(tmp_path / "ties")
+    cols = ["user_id", "ts", "event_id", "event_type"]
+    spark.createDataFrame(pd.DataFrame(rows, columns=cols)).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = run_available_now(
+        transition_counts_stateful(stream), str(tmp_path / "ckpt"), "append"
+    )
+    got = {
+        (r["cur"], r["nxt"]): r["n"]
+        for r in out.groupBy("cur", "nxt").agg(F.sum("n").alias("n")).collect()
+    }
+    # event_id order a(1) -> b(2) -> c(3): exactly those two transitions
+    assert got == {("a", "b"): 1, ("b", "c"): 1}
+
+
+def test_training_build_stream_equals_batch(spark, tmp_path):
+    """Stream-over-waves == batch q250: a corpus (testdata documents +
+    injected exact duplicates whose copies land in a LATER wave) split
+    into two ascending-doc_id waves (one file per trigger) through the
+    foreachBatch build — quality gate, split, cross-batch fingerprint
+    state dedup, mergeable partials — must reproduce the batch ledger
+    exactly. Testdata has no exact text duplicates, so the cross-wave
+    copies are injected with fresh doc_ids; the batch side runs the
+    REAL catalog q250 over the same synthetic corpus staged as an
+    sf-dir."""
+    from kp_data_pipelines_spark.catalog import QUERIES
+    from kp_data_pipelines_spark.streaming.training import (
+        training_build_stream,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    hi = docs.agg(F.max("doc_id")).collect()[0][0]
+    # duplicates of three QUALITY-PASSING wave-1 texts (quality-fail
+    # docs are never dedup candidates), re-keyed past the corpus max so
+    # they arrive in wave 2 (first-seen keeper == batch MIN keeper)
+    from kp_data_pipelines_spark.streaming.training import doc_flags
+
+    pass_ids = [
+        r["doc_id"]
+        for r in doc_flags(docs.filter(F.col("doc_id") <= mid))
+        .filter(F.col("quality_pass") == 1)
+        .orderBy("doc_id")
+        .limit(3)
+        .collect()
+    ]
+    dup_src = docs.filter(F.col("doc_id").isin(pass_ids))
+    dups = dup_src.withColumn(
+        "doc_id", F.col("doc_id") + F.lit(int(hi) + 1000)
+    )
+    corpus = docs.unionByName(dups)
+
+    # batch side: the real catalog q250 over the synthetic corpus,
+    # staged as an sf-dir (q250 reads {sf}/documents.parquet)
+    sf_dir = str(tmp_path / "sf")
+    corpus.write.parquet(f"{sf_dir}/documents.parquet")
+    want = QUERIES["q250_training_data_build"](spark, sf_dir).collect()
+    assert sum(r["n_dup_dropped"] for r in want) >= 3
+
+    # stream side: two ascending-doc_id waves, one file per trigger
+    src = str(tmp_path / "waves")
+    corpus.filter(F.col("doc_id") <= mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    corpus.filter(F.col("doc_id") > mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = training_build_stream(
+        stream,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    ).collect()
+    as_map = lambda rows: {
+        (r["lang"], r["split"]): tuple(r)[2:] for r in rows
+    }
+    assert as_map(got) == as_map(want)
