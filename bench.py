@@ -35,7 +35,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    from kp_data_pipelines_spark.session import get_spark
+    from kp_data_pipelines_spark.session import get_spark, release_pinned_rdds
     from kp_data_pipelines_spark.catalog import QUERIES
 
     spark = get_spark("bench")
@@ -47,13 +47,21 @@ def main() -> None:
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
-    for name, fn in QUERIES.items():
+    for i, (name, fn) in enumerate(QUERIES.items()):
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        # Session hygiene at the query boundary: release eager
+        # localCheckpoint blocks (outside the timed region) so storage
+        # doesn't accumulate across the 250x2-run session — the round-4
+        # q180 9.0s-in-bench vs 4.8s-isolated regression. Periodic JVM GC
+        # lets the ContextCleaner also reap dead broadcasts/shuffles.
+        release_pinned_rdds(spark)
+        if (i + 1) % 50 == 0:
+            spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
     ordered = sorted(timings.values())

@@ -68,3 +68,31 @@ def get_spark(
 
 def _has_active_session() -> bool:
     return SparkSession.getActiveSession() is not None
+
+
+def release_pinned_rdds(spark: SparkSession, blocking: bool = False) -> int:
+    """Unpersist every RDD the SparkContext still pins; returns the count.
+
+    Eager ``localCheckpoint`` (the graph/prefix/containment operators use
+    it to cut iterative lineage) registers its blocks in the context's
+    persistent-RDD map for the SESSION's lifetime: Python drops its
+    references when the query function returns, but the JVM-side cleanup
+    waits on Python GC -> py4j finalizers -> ContextCleaner, which lags
+    far behind a tight multi-query loop. In a long-lived session (bench
+    runs, a multi-tenant query service) the leftover blocks accumulate in
+    the storage pool and steal execution memory from later queries —
+    measured as q180 running 9.0 s mid-bench vs 4.8 s isolated (round-4
+    verdict). Calling this BETWEEN queries keeps the pool flat.
+
+    Safety: only call at query boundaries. A localCheckpoint'ed frame has
+    no lineage to recompute from, so unpersisting it mid-query would lose
+    data a still-pending action needs.
+    """
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    # py4j surfaces the java.util.Map as a dict-like view; snapshot the
+    # values first since unpersist mutates the underlying map.
+    for jrdd in list(jmap.values()):
+        jrdd.unpersist(blocking)
+        n += 1
+    return n

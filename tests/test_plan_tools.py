@@ -73,3 +73,39 @@ def test_plan_audit_limit_build_side(spark):
     )
     root = topk._jdf.queryExecution().executedPlan()
     assert _unbounded_bnlj(root) == []
+
+
+def test_release_pinned_rdds_frees_localcheckpoint_blocks(spark):
+    """Session hygiene (bench.py / session_probe.py): eager
+    localCheckpoint pins RDD blocks in the context's persistent map for
+    the session's life; release_pinned_rdds must free them all at a
+    query boundary so a long multi-query session's storage pool stays
+    flat (the round-4 q180 9.0s-in-bench vs 4.8s-isolated regression)."""
+    from kp_data_pipelines_spark.session import release_pinned_rdds
+
+    release_pinned_rdds(spark)  # clean slate from earlier tests
+    df = spark.range(100).localCheckpoint(eager=True)
+    assert df.count() == 100
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() >= 1
+    assert release_pinned_rdds(spark) >= 1
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_quadratic_oracle_twin_names_exist():
+    """The --full sweep's skip list must reference real catalog entries
+    (a renamed query would silently shrink the certification scope)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "parity_tool",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "parity.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from kp_data_pipelines_spark.catalog import ORACLE, QUERIES
+
+    for name in mod.QUADRATIC_ORACLE_TWINS:
+        assert name in QUERIES, name
+        assert name in ORACLE, name  # they DO have oracles (small-sf-only)

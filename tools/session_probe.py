@@ -1,0 +1,93 @@
+"""Session-accumulation probe: does query performance stay flat across a
+long-lived multi-query session?
+
+The round-4 verdict found q180 running 9.0 s inside the 250x2-query bench
+session vs 4.8 s isolated — eager ``localCheckpoint`` blocks (and dead
+broadcasts/shuffle files) piling up in the storage pool. bench.py now
+releases pinned RDDs between queries (session.release_pinned_rdds); this
+tool PROVES the fix holds: it runs the full catalog twice in ONE session
+(hygiene on) and asserts the K heaviest queries' second-pass times stay
+within ``threshold`` x their first-pass times. A leak makes pass 2 slower;
+a flat session makes pass 2 equal-or-faster (warm).
+
+A production multi-tenant query service has exactly this lifetime
+profile, so this is a scale gate, not a bench nicety.
+
+Usage: python tools/session_probe.py [sf_dir] [--k 10] [--threshold 1.3]
+Exit 1 when any of the K heaviest queries violates the bound.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_pass(spark, queries, sf_dir, release):
+    times = {}
+    for i, (name, fn) in enumerate(queries.items()):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = time.perf_counter() - t0
+        release(spark)
+        if (i + 1) % 50 == 0:
+            spark.sparkContext._jvm.System.gc()
+    return times
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--threshold", type=float, default=1.3)
+    # sub-second queries wobble by scheduler noise; ignore violations
+    # smaller than this absolute slack
+    ap.add_argument("--abs-slack", type=float, default=0.3)
+    args = ap.parse_args()
+
+    from kp_data_pipelines_spark.catalog import QUERIES
+    from kp_data_pipelines_spark.session import get_spark, release_pinned_rdds
+
+    spark = get_spark("session_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm file listing/codegen once, same as bench.py.
+    next(iter(QUERIES.values()))(spark, args.sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    p1 = run_pass(spark, QUERIES, args.sf_dir, release_pinned_rdds)
+    p2 = run_pass(spark, QUERIES, args.sf_dir, release_pinned_rdds)
+
+    heavies = sorted(p1.items(), key=lambda kv: -kv[1])[: args.k]
+    rows, bad = [], []
+    for name, t1 in heavies:
+        t2 = p2[name]
+        ratio = t2 / t1 if t1 > 0 else 1.0
+        ok = t2 <= args.threshold * t1 or t2 - t1 <= args.abs_slack
+        rows.append(
+            {"query": name, "pass1_sec": round(t1, 3),
+             "pass2_sec": round(t2, 3), "ratio": round(ratio, 3), "ok": ok}
+        )
+        if not ok:
+            bad.append(name)
+    out = {
+        "sf_dir": args.sf_dir,
+        "n_queries": len(p1),
+        "pass1_total_sec": round(sum(p1.values()), 2),
+        "pass2_total_sec": round(sum(p2.values()), 2),
+        "threshold": args.threshold,
+        "heaviest": rows,
+        "violations": bad,
+    }
+    print(json.dumps(out, indent=1))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
