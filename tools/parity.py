@@ -19,6 +19,16 @@ which runs every quantized/hi-lo/decimal-staged query at sf0.1, where
 ANSI long overflow and 2^53 drift actually bite (sf0.01 passes mask
 them). The tag set lives in catalog.OVERFLOW_SENSITIVE and is asserted
 complete by tests/test_catalog_parity.py.
+
+``--full`` is the scripted whole-catalog sf0.1 certification (round-4
+verdict ask): every query EXCEPT the declared quadratic-oracle-twin
+graph queries (QUADRATIC_ORACLE_TWINS below), each skipped with a
+printed reason. Those queries' SPARK plans are banded/linear and run at
+sf0.1 in the bench; it is only their DuckDB twin that re-evaluates an
+all-pairs predicate per unrolled round, so they hash-verify at
+sf0.001/sf0.01 instead. Standing use::
+
+    python tools/parity.py --full /root/testdata/sf0.1
 """
 
 from __future__ import annotations
@@ -34,6 +44,33 @@ import duckdb
 import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# Queries whose DUCKDB twin is quadratic (all-pairs band predicate
+# re-evaluated per unrolled iteration) while the Spark plan is
+# banded/linear: excluded from `--full` large-SF sweeps with a printed
+# reason; they hash-verify at sf0.001/sf0.01 (README "Correctness").
+QUADRATIC_ORACLE_TWINS = {
+    "q179_label_propagation": (
+        "DuckDB twin re-evaluates the all-pairs MinHash band predicate "
+        "per unrolled propagation round"
+    ),
+    "q184_kcore_decomposition": (
+        "DuckDB twin re-evaluates the all-pairs band predicate per peel "
+        "round"
+    ),
+    "q190_bfs_hops": (
+        "DuckDB twin re-evaluates the all-pairs band predicate per BFS "
+        "round"
+    ),
+    "q219_negative_sampling": (
+        "DuckDB twin materializes the quadratic all-pairs near-dup set "
+        "for the positive exclusion"
+    ),
+    "q227_split_leakage_audit": (
+        "DuckDB twin materializes the quadratic all-pairs near-dup set "
+        "to count straddling pairs"
+    ),
+}
 
 
 def canonical(df: pd.DataFrame) -> pd.DataFrame:
@@ -61,6 +98,9 @@ def main() -> int:
     vanilla = "--vanilla" in args
     if vanilla:
         args.remove("--vanilla")
+    full = "--full" in args
+    if full:
+        args.remove("--full")
     subset_tag = None
     if "--subset" in args:
         i = args.index("--subset")
@@ -97,9 +137,13 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-    n_pass = n_fail = n_weak = 0
+    n_pass = n_fail = n_weak = n_skip = 0
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if full and name in QUADRATIC_ORACLE_TWINS:
+            print(f"SKIP {name}: {QUADRATIC_ORACLE_TWINS[name]}")
+            n_skip += 1
             continue
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -144,7 +188,8 @@ def main() -> int:
         else:
             print(f"PASS {name} ({len(sdf)} rows)")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (no oracle)")
+    skip_note = f", {n_skip} skipped (quadratic oracle twin)" if n_skip else ""
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (no oracle){skip_note}")
     return 1 if n_fail else 0
 
 

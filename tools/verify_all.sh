@@ -17,3 +17,15 @@ python tools/parity.py --subset overflow /root/testdata/sf0.1
 echo "=== 6/6 bench probe ==="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 SPARK_GRAFT_BENCH_RUNS=1 python bench.py
 echo "ALL GATES GREEN"
+
+# Optional heavyweight stages (set FULL=1): the whole-catalog sf0.1
+# certification (~40 min — the scripted form of the round-4 "242/242 at
+# sf0.1" claim) and the session-accumulation probe (two catalog passes in
+# one session; asserts the 10 heaviest queries stay flat — q180 lesson).
+if [[ "${FULL:-0}" == "1" ]]; then
+  echo "=== FULL A: whole-catalog parity, sf0.1 ==="
+  python tools/parity.py --full /root/testdata/sf0.1
+  echo "=== FULL B: session-accumulation probe, sf0.1 ==="
+  python tools/session_probe.py /root/testdata/sf0.1
+  echo "FULL GATES GREEN"
+fi
