@@ -43,10 +43,46 @@ def _fake_model() -> Callable[[pd.Series], pd.Series]:
 
 
 def _real_model() -> Callable[[pd.Series], pd.Series]:
-    raise NotImplementedError(
-        "no inference backend in this environment; register a loader in "
-        "MODELS (e.g. returning a HF pipeline closure) to enable"
-    )
+    """Real HF causal-LM backend (the reference's model at LLM
+    Testing.ipynb:315-371), active when torch+transformers are
+    installed; raises NotImplementedError otherwise (this sandbox has
+    neither). Model name comes from ``KP_INFERENCE_MODEL`` (default a
+    tiny public test model so CI-with-deps stays fast). Satisfies the
+    same contract as the fake: ``pd.Series[str] -> pd.Series[str]``,
+    same length, one output per input — pinned by the shared contract
+    test in tests/test_multimodal_inference.py."""
+    try:
+        import torch
+        from transformers import AutoModelForCausalLM, AutoTokenizer
+    except ImportError as e:
+        raise NotImplementedError(
+            "no inference backend in this environment (torch/transformers "
+            "missing); install them or register a loader in MODELS"
+        ) from e
+    import os
+
+    name = os.environ.get("KP_INFERENCE_MODEL", "sshleifer/tiny-gpt2")
+    tok = AutoTokenizer.from_pretrained(name)
+    if tok.pad_token is None:
+        tok.pad_token = tok.eos_token
+    model = AutoModelForCausalLM.from_pretrained(name)
+    model.eval()
+
+    def generate(texts: pd.Series) -> pd.Series:
+        vals = ["" if t is None else str(t) for t in texts]
+        enc = tok(
+            vals, return_tensors="pt", padding=True, truncation=True,
+            max_length=256,
+        )
+        with torch.no_grad():
+            out = model.generate(
+                **enc, max_new_tokens=32, do_sample=False,
+                pad_token_id=tok.pad_token_id,
+            )
+        dec = tok.batch_decode(out, skip_special_tokens=True)
+        return pd.Series(dec, index=texts.index)
+
+    return generate
 
 
 MODELS: dict[str, Callable[[], Callable[[pd.Series], pd.Series]]] = {

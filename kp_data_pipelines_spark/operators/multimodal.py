@@ -61,9 +61,27 @@ def _fake_decode(content: bytes, kind: str) -> str:
 
 
 def _real_decode(content: bytes, kind: str) -> str:
+    """Real image decode via PIL when installed (this sandbox has no
+    media libraries); raises NotImplementedError otherwise. Same
+    contract as the fake — ``(bytes, kind) -> str feature token`` —
+    pinned by the shared contract test. Audio/video stay stubbed even
+    with PIL present (ffmpeg-class deps); the plumbing (schema,
+    mapInPandas batching, partitioning) is identical for all kinds."""
+    if kind == "image":
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError as e:
+            raise NotImplementedError(
+                "PIL not installed; install pillow or register a decoder "
+                "in DECODERS to enable real image decode"
+            ) from e
+        with Image.open(io.BytesIO(content)) as im:
+            return f"image:{im.width}x{im.height}:{im.mode}"
     raise NotImplementedError(
-        "media codecs are not available in this environment; register one in "
-        "DECODERS (e.g. PIL.Image.open for images) to enable real decode"
+        f"no real {kind} codec wired; register one in DECODERS "
+        "(e.g. an ffmpeg probe for audio/video)"
     )
 
 

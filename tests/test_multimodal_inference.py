@@ -14,6 +14,16 @@ from kp_data_pipelines_spark.operators.multimodal import (
 )
 
 
+def _has(mod):
+    import importlib.util
+
+    return importlib.util.find_spec(mod) is not None
+
+
+_HAS_PIL = _has("PIL")
+_HAS_TRANSFORMERS = _has("transformers") and _has("torch")
+
+
 @pytest.fixture()
 def media(spark):
     rows = [
@@ -38,8 +48,9 @@ def test_extract_media_features_fake_decoder(media):
     assert again == {k: v["feature"] for k, v in rows.items()}
 
 
+@pytest.mark.skipif(_HAS_PIL, reason="PIL installed: real image decode is live")
 def test_real_decoder_is_explicit_stub(media):
-    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+    with pytest.raises(Exception, match="NotImplementedError|codecs|PIL"):
         extract_media_features(media, decoder="real").collect()
 
 
@@ -69,6 +80,9 @@ def test_batch_inference_pipeline(spark):
     assert rows[2]["analysis"] == "tokens=50 uniq=1"
 
 
+@pytest.mark.skipif(
+    _HAS_TRANSFORMERS, reason="transformers installed: real backend is live"
+)
 def test_inference_real_backend_is_explicit_stub(spark):
     df = spark.createDataFrame([(1, "x")], ["id", "text"])
     with pytest.raises(Exception):
@@ -101,3 +115,63 @@ def test_chunk_media_roundtrip(spark):
         counts[r["media_id"]] = counts.get(r["media_id"], 0) + 1
     for mid, content in rows:
         assert counts[mid] == max(1, math.ceil(len(content) / 1000))
+
+
+def _assert_generate_contract(generate):
+    """The fake/real seam: any MODELS loader must return a callable
+    satisfying pd.Series[str] -> pd.Series[str], same length, one
+    non-null string per input, deterministic for do_sample=False."""
+    import pandas as pd
+
+    texts = pd.Series(["hello world", "", "a b c"])
+    out = generate(texts)
+    assert isinstance(out, pd.Series)
+    assert len(out) == len(texts)
+    assert all(isinstance(v, str) for v in out)
+    again = generate(texts)
+    assert out.tolist() == again.tolist()
+
+
+def test_fake_model_contract():
+    from kp_data_pipelines_spark.operators.inference import MODELS
+
+    _assert_generate_contract(MODELS["fake"]())
+
+
+@pytest.mark.skipif(
+    not _HAS_TRANSFORMERS,
+    reason="torch/transformers not installed (sandbox default)",
+)
+def test_real_model_contract_and_pipeline(spark):
+    """Env-gated real-backend integration (round-4 verdict ask): when
+    torch+transformers exist, the 'real' loader must satisfy the same
+    contract as the fake AND run end-to-end through the iterator
+    pandas_udf pipeline. Uses KP_INFERENCE_MODEL (default tiny-gpt2)."""
+    from kp_data_pipelines_spark.operators.inference import MODELS
+
+    _assert_generate_contract(MODELS["real"]())
+    df = spark.createDataFrame([(1, "the quick brown"), (2, "fox")],
+                               ["id", "text"])
+    out = batch_inference(df, "text", model="real").collect()
+    assert len(out) == 2
+    assert all(r["raw_output"] for r in out)
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="PIL not installed (sandbox default)")
+def test_real_image_decode(spark):
+    """Env-gated real image decode: a genuine PNG round-trips through
+    the mapInPandas pipeline and the feature token carries the true
+    dimensions/mode (same contract as the fake's digest token)."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (3, 2)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, "image", png, "image/png", 3, 2, -1)], MEDIA_SCHEMA
+    )
+    rows = extract_media_features(df, decoder="real").collect()
+    assert rows[0]["feature"] == "image:3x2:RGB"
+    assert rows[0]["n_bytes"] == len(png)
