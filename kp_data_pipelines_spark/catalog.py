@@ -14563,6 +14563,550 @@ def q251_streaming_training_build(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q252_embedding_centroid_drift",
+    """
+    WITH e AS (
+      SELECT vec_id % 2 AS half, label, i AS dim,
+             CAST(round(CAST(v[i + 1] AS DOUBLE) * 1000000000.0)
+                  AS BIGINT) AS qx
+      FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                   unnest(range(len(embedding))) AS i
+            FROM embeddings)
+    ),
+    g AS (
+      SELECT half, label, dim,
+             (CAST(SUM(CAST((CASE WHEN qx > 0 THEN qx ELSE 0 END)
+                            // 67108864 AS DECIMAL(38,0))) AS DOUBLE)
+                * 67108864.0
+              + CAST(SUM(CAST((CASE WHEN qx > 0 THEN qx ELSE 0 END)
+                              % 67108864 AS DECIMAL(38,0))) AS DOUBLE))
+             - (CAST(SUM(CAST((CASE WHEN qx < 0 THEN -qx ELSE 0 END)
+                              // 67108864 AS DECIMAL(38,0))) AS DOUBLE)
+                  * 67108864.0
+                + CAST(SUM(CAST((CASE WHEN qx < 0 THEN -qx ELSE 0 END)
+                                % 67108864 AS DECIMAL(38,0))) AS DOUBLE))
+             AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY half, label, dim
+    ),
+    c AS (
+      SELECT a.label, a.dim, a.s / CAST(a.n AS DOUBLE) AS ca,
+             b.s / CAST(b.n AS DOUBLE) AS cb,
+             a.n AS na_rows, b.n AS nb_rows
+      FROM (SELECT * FROM g WHERE half = 0) a
+      JOIN (SELECT * FROM g WHERE half = 1) b
+        ON b.label = a.label AND b.dim = a.dim
+    ),
+    z AS (
+      SELECT label,
+             list(ca ORDER BY dim) AS va, list(cb ORDER BY dim) AS vb,
+             CAST(MAX(na_rows) AS BIGINT) AS n_a,
+             CAST(MAX(nb_rows) AS BIGINT) AS n_b
+      FROM c GROUP BY label
+    )
+    SELECT label, n_a, n_b,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(len(va)),
+                            i -> va[i + 1] * vb[i + 1])),
+             (acc, x) -> acc + x)
+           / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(va, x -> x * x)), (acc, x) -> acc + x))
+              * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(vb, x -> x * x)), (acc, x) -> acc + x)))
+           AS centroid_cosine
+    FROM z ORDER BY label
+    """,
+)
+def q252_embedding_centroid_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space DRIFT monitor between two ingestion snapshots:
+    per-label centroid cosine between the even-vec_id half (snapshot A)
+    and the odd half (snapshot B) — the canary that catches a silently
+    retrained/mis-scaled encoder before a 100 TB re-embedding run (a
+    healthy pipeline re-embeds only deltas; cosine(cA, cB) ~ 1). The
+    scale shape: explode to (half, label, dim), ONE exact-integer keyed
+    aggregate over quantized components — signed values split into
+    non-negative pos/neg parts, each hi/lo 2^26-staged through
+    DECIMAL(38,0) (the signed twist on the q106/q115 rule: Spark `div`
+    truncates while DuckDB `//` floors, so the split must happen on
+    non-negative terms) — then a |labels| x dims grid joined half-vs-half
+    and folded dim-sequentially (the bit-identical q204 fold, never
+    numpy pairwise). Driver never sees raw vectors; the widest state is
+    2 x |labels| x dims doubles."""
+    emb = read_table(spark, sf, "embeddings")
+    e = emb.select(
+        F.pmod("vec_id", F.lit(2)).alias("half"),
+        "label",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "half",
+        "label",
+        "dim",
+        F.round(F.col("x").cast("double") * F.lit(1000000000.0))
+        .cast("bigint")
+        .alias("qx"),
+    )
+    pos = F.when(F.col("qx") > 0, F.col("qx")).otherwise(F.lit(0))
+    neg = F.when(F.col("qx") < 0, -F.col("qx")).otherwise(F.lit(0))
+
+    def _hilo(term):
+        hi = F.sum(
+            F.expr(f"({term}) div 67108864").cast("decimal(38,0)")
+        ).cast("double") * F.lit(67108864.0)
+        lo = F.sum(
+            F.expr(f"({term}) % 67108864").cast("decimal(38,0)")
+        ).cast("double")
+        return hi + lo
+
+    g = (
+        e.withColumn("qpos", pos)
+        .withColumn("qneg", neg)
+        .groupBy("half", "label", "dim")
+        .agg(
+            (_hilo("qpos") - _hilo("qneg")).alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    a = g.filter(F.col("half") == 0).select(
+        "label",
+        "dim",
+        (F.col("s") / F.col("n").cast("double")).alias("ca"),
+        F.col("n").alias("na_rows"),
+    )
+    b = g.filter(F.col("half") == 1).select(
+        "label",
+        "dim",
+        (F.col("s") / F.col("n").cast("double")).alias("cb"),
+        F.col("n").alias("nb_rows"),
+    )
+    z = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("dim", "ca", "cb"))
+            ).alias("v"),
+            F.max("na_rows").cast("bigint").alias("n_a"),
+            F.max("nb_rows").cast("bigint").alias("n_b"),
+        )
+    )
+    fold = lambda expr: F.aggregate(
+        "v", F.lit(0.0), lambda acc, s: acc + expr(s)
+    )
+    return z.select(
+        "label",
+        "n_a",
+        "n_b",
+        (
+            fold(lambda s: s["ca"] * s["cb"])
+            / (
+                F.sqrt(fold(lambda s: s["ca"] * s["ca"]))
+                * F.sqrt(fold(lambda s: s["cb"] * s["cb"]))
+            )
+        ).alias("centroid_cosine"),
+    ).orderBy("label")
+
+
+@register(
+    "q253_oov_rate_new_source",
+    """
+    WITH vocab AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS vtok
+      FROM documents WHERE source <> 'src19'
+    ),
+    nt AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE source = 'src19'
+    ),
+    j AS (
+      SELECT nt.lang, nt.tok,
+             CASE WHEN v.vtok IS NULL THEN 1 ELSE 0 END AS is_oov
+      FROM nt LEFT JOIN vocab v ON v.vtok = nt.tok
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(is_oov) AS BIGINT) AS n_oov,
+           CAST(COUNT(DISTINCT CASE WHEN is_oov = 1 THEN tok END)
+                AS BIGINT) AS n_distinct_oov,
+           CAST(SUM(is_oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS oov_rate
+    FROM j GROUP BY lang ORDER BY lang
+    """,
+)
+def q253_oov_rate_new_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Out-of-vocabulary audit for an incoming shard: what fraction of
+    the new source's tokens (per language) never appeared in the
+    existing corpus — the tokenizer-health / domain-shift gate run
+    BEFORE admitting a crawl into training (a spiking OOV rate means
+    encoding junk, a new language, or a tokenizer mismatch; complements
+    q240's vocabulary growth curve, which tracks the corpus's own
+    prefix growth). Scale shape: the vocabulary is a distinct-token set
+    (keyed aggregate, never collected), the audit is ONE token-keyed
+    left equi-join of the new shard's exploded tokens against it, then
+    a per-lang aggregate — exact integers plus one pinned double
+    division."""
+    docs = read_table(spark, sf, "documents")
+    vocab = (
+        docs.filter(F.col("source") != "src19")
+        .select(F.explode(F.split("text", " ")).alias("vtok"))
+        .distinct()
+        .withColumn("__in", F.lit(1))
+    )
+    nt = docs.filter(F.col("source") == "src19").select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    j = nt.join(vocab, nt["tok"] == vocab["vtok"], "left").select(
+        "lang",
+        "tok",
+        F.when(F.col("__in").isNull(), 1).otherwise(0).alias("is_oov"),
+    )
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("is_oov").cast("bigint").alias("n_oov"),
+            F.count_distinct(
+                F.when(F.col("is_oov") == 1, F.col("tok"))
+            )
+            .cast("bigint")
+            .alias("n_distinct_oov"),
+            (
+                F.sum("is_oov").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q254_length_drift_tvd",
+    """
+    WITH d AS (
+      SELECT lang, doc_id % 2 AS half,
+             least(n_chars // 200, 30) AS bucket
+      FROM documents
+    ),
+    g AS (
+      SELECT lang, bucket,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ca,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cb
+      FROM d GROUP BY lang, bucket
+    ),
+    z AS (
+      SELECT lang,
+             list(struct_pack(bucket := bucket, ca := ca, cb := cb)
+                  ORDER BY bucket) AS v,
+             CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(cb) AS BIGINT) AS n_b
+      FROM g GROUP BY lang
+    )
+    SELECT lang, n_a, n_b,
+           0.5 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(v, s ->
+                     abs(CAST(s.ca AS DOUBLE) / CAST(n_a AS DOUBLE)
+                         - CAST(s.cb AS DOUBLE) / CAST(n_b AS DOUBLE)))),
+                 (acc, x) -> acc + x) AS length_tvd
+    FROM z ORDER BY lang
+    """,
+)
+def q254_length_drift_tvd(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language length-distribution DRIFT between two ingestion
+    snapshots (even/odd doc_id halves): total-variation distance over
+    fixed-width 200-char buckets (capped at 30 — the histogram domain is
+    BOUNDED by construction, not user-cardinality). TVD, not PSI/KL: the
+    log-free statistic keeps the whole query in exact integers until one
+    pinned fold (the q204 rule — ln() is libm-territory and engines
+    disagree in ulps; |pa-pb| is two exact divisions and a subtraction).
+    Scale shape: ONE keyed aggregate to (lang, bucket) counts — both
+    snapshot halves as conditional sums of the same scan, no self-join —
+    then a per-lang fold over <=31 buckets in bucket order. Companion to
+    q252 (embedding-space drift): together they gate a new crawl wave on
+    both surface-length and semantic shift."""
+    docs = read_table(spark, sf, "documents")
+    d = docs.select(
+        "lang",
+        F.pmod("doc_id", F.lit(2)).alias("half"),
+        F.least(F.expr("n_chars div 200"), F.lit(30)).alias("bucket"),
+    )
+    g = d.groupBy("lang", "bucket").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    z = g.groupBy("lang").agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "ca", "cb"))).alias(
+            "v"
+        ),
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+    )
+    terms = F.transform(
+        "v",
+        lambda s: F.abs(
+            s["ca"].cast("double") / F.col("n_a").cast("double")
+            - s["cb"].cast("double") / F.col("n_b").cast("double")
+        ),
+    )
+    return z.select(
+        "lang",
+        "n_a",
+        "n_b",
+        (
+            F.lit(0.5)
+            * F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+        ).alias("length_tvd"),
+    ).orderBy("lang")
+
+
+@register(
+    "q255_mixture_temperature_weights",
+    """
+    WITH s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(
+                 list(struct_pack(source := source,
+                                  sq := sqrt(CAST(n_tokens AS DOUBLE)))
+                      ORDER BY source),
+                 x -> x.sq)),
+               (acc, x) -> acc + x) AS total_sq,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM s
+    )
+    SELECT source, n_docs, n_tokens,
+           sqrt(CAST(n_tokens AS DOUBLE)) / total_sq AS weight,
+           (sqrt(CAST(n_tokens AS DOUBLE)) / total_sq
+            * CAST(total_tokens AS DOUBLE))
+             / CAST(n_tokens AS DOUBLE) AS epochs
+    FROM s CROSS JOIN t ORDER BY source
+    """,
+)
+def q255_mixture_temperature_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled sampling weights for the training mixture:
+    per-source weight ~ n_tokens^alpha at alpha = 0.5 — the standard
+    upsample-the-tail mixture rule — plus the implied epochs over each
+    source when one corpus-sized budget is sampled at those weights
+    (epochs > 1 flags a source the schedule would repeat). alpha = 0.5
+    on purpose: sqrt is IEEE correctly-rounded on both engines, so the
+    whole statistic stays bit-deterministic where a general pow() (=
+    exp(alpha*ln)) is libm-territory. Scale shape: one keyed aggregate
+    to |sources| rows, the normalizer folded in pinned source order on
+    that tiny frame, then attached back via broadcast_scalar (provably
+    1-row — never a global window over raw rows)."""
+    docs = read_table(spark, sf, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    sq = F.sqrt(F.col("n_tokens").cast("double"))
+    t = s.groupBy().agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("source"), sq.alias("sq")))
+                ),
+                lambda x: x["sq"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("total_sq"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    return (
+        s.crossJoin(broadcast_scalar(t))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (sq / F.col("total_sq")).alias("weight"),
+            (
+                (sq / F.col("total_sq"))
+                * F.col("total_tokens").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q256_annotator_agreement_kappa",
+    """
+    WITH langs AS (
+      SELECT lang AS b_lang,
+             CAST(row_number() OVER (ORDER BY lang) - 1 AS BIGINT) AS idx
+      FROM (SELECT DISTINCT lang FROM documents)
+    ),
+    pairs AS (
+      SELECT d.lang AS a, l.b_lang AS b
+      FROM documents d
+      JOIN embeddings e ON e.vec_id = d.doc_id
+      JOIN langs l ON l.idx = e.label % 5
+    ),
+    conf AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pairs GROUP BY a, b
+    ),
+    ra AS (SELECT a, CAST(SUM(c) AS BIGINT) AS row_n FROM conf GROUP BY a),
+    cb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS col_n FROM conf GROUP BY b),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+               AS n_agree
+      FROM conf
+    ),
+    pe_terms AS (
+      SELECT CAST(SUM(CAST(ra.row_n AS DECIMAL(38,0)) * cb.col_n)
+                  AS DOUBLE) AS sum_rc
+      FROM ra JOIN cb ON cb.b = ra.a
+    )
+    SELECT n AS n_pairs,
+           CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+           sum_rc / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe,
+           (CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)
+            - sum_rc / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+           / (CAST(1.0 AS DOUBLE)
+              - sum_rc / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             AS kappa
+    FROM tot CROSS JOIN pe_terms
+    """,
+)
+def q256_annotator_agreement_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's kappa between two 'annotators' of the same corpus — the
+    heuristic language id (documents.lang) vs the model-cluster label
+    mapped onto the same 5-class space (embeddings.label % 5 -> the
+    lang at that alphabetical index) — the chance-corrected agreement
+    gate run before trusting auto-labels for curriculum or filtering
+    decisions. Scale shape: ONE doc_id equi-join, a keyed aggregate to
+    the |classes|^2 confusion matrix, and marginals re-aggregated FROM
+    the matrix (never a second corpus scan); the expected-agreement
+    cross terms row_n*col_n are staged through DECIMAL(38,0) — at 100 TB
+    each marginal can pass 2^31.5 so the BIGINT product would ANSI-trap
+    (the q106/q115 rule applied to a product instead of a sum). po, pe,
+    kappa are closed-form doubles from exact integers; 1-row scalars
+    meet via broadcast_scalar, not windows."""
+    docs = read_table(spark, sf, "documents")
+    emb = read_table(spark, sf, "embeddings")
+    w = Window.orderBy("lang")
+    # 5-row distinct frame: the row_number window is aggregate-bounded
+    langs = (
+        docs.select("lang")
+        .distinct()
+        .select(
+            F.col("lang").alias("b_lang"),
+            (F.row_number().over(w) - 1).cast("bigint").alias("idx"),
+        )
+    )
+    pairs = (
+        docs.join(emb, docs["doc_id"] == emb["vec_id"])
+        .select(F.col("lang").alias("a"), F.pmod("label", F.lit(5)).alias("bi"))
+        .join(F.broadcast(langs), F.col("bi") == F.col("idx"))
+        .select("a", F.col("b_lang").alias("b"))
+    )
+    conf = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ra = conf.groupBy("a").agg(F.sum("c").cast("bigint").alias("row_n"))
+    cb = conf.groupBy("b").agg(F.sum("c").cast("bigint").alias("col_n"))
+    tot = conf.groupBy().agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    pe_terms = (
+        ra.join(cb, ra["a"] == cb["b"])
+        .groupBy()
+        .agg(
+            F.sum(F.col("row_n").cast("decimal(38,0)") * F.col("col_n"))
+            .cast("double")
+            .alias("sum_rc")
+        )
+    )
+    n_d = F.col("n").cast("double")
+    po = F.col("n_agree").cast("double") / n_d
+    pe = F.col("sum_rc") / (n_d * n_d)
+    return tot.crossJoin(broadcast_scalar(pe_terms)).select(
+        F.col("n").alias("n_pairs"),
+        po.alias("po"),
+        pe.alias("pe"),
+        ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )
+
+
+@register(
+    "q257_retention_threshold_sweep",
+    """
+    WITH d AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    sweep AS (
+      SELECT t.thr, d.n_tokens
+      FROM d, (SELECT unnest([0, 30, 60, 90, 120, 150, 180, 210, 240,
+                              270, 300]) AS thr) t
+    )
+    SELECT CAST(thr AS BIGINT) AS thr,
+           CAST(SUM(CASE WHEN n_tokens >= thr THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_kept,
+           CAST(SUM(CASE WHEN n_tokens >= thr THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS tokens_kept,
+           CAST(SUM(CASE WHEN n_tokens >= thr THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS doc_share,
+           CAST(SUM(CASE WHEN n_tokens >= thr THEN n_tokens ELSE 0 END)
+                AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE) AS token_share
+    FROM sweep GROUP BY thr ORDER BY thr
+    """,
+)
+def q257_retention_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate-tuning sweep: for a literal grid of min-token thresholds,
+    how many documents and tokens survive — the retention curve a data
+    engineer reads before picking the quality cutoff for a 100 TB build
+    (complements q231's fixed-stage funnel; this sweeps ONE stage's
+    knob). Scale shape: explode each doc row against the 11-value
+    literal grid (bounded 11x row multiplication, no join) and compute
+    every threshold's keep-counts in ONE keyed aggregate over the single
+    scan; per-group totals (COUNT(*), SUM(n_tokens)) double as the
+    denominators because every doc lands in every threshold group —
+    no broadcast, no window, no second pass. Exact integers plus two
+    pinned double divisions."""
+    docs = read_table(spark, sf, "documents")
+    thr_grid = F.array(*[F.lit(v) for v in range(0, 301, 30)])
+    d = docs.select(F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+    sweep = d.select(F.explode(thr_grid).alias("thr"), "n_tokens")
+    kept = F.when(F.col("n_tokens") >= F.col("thr"), 1).otherwise(0)
+    kept_tok = F.when(
+        F.col("n_tokens") >= F.col("thr"), F.col("n_tokens")
+    ).otherwise(F.lit(0))
+    return (
+        sweep.groupBy(F.col("thr").cast("bigint").alias("thr"))
+        .agg(
+            F.sum(kept).cast("bigint").alias("docs_kept"),
+            F.sum(kept_tok).cast("bigint").alias("tokens_kept"),
+            (
+                F.sum(kept).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("doc_share"),
+            (
+                F.sum(kept_tok).cast("double")
+                / F.sum("n_tokens").cast("double")
+            ).alias("token_share"),
+        )
+        .orderBy("thr")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------
@@ -14623,6 +15167,8 @@ OVERFLOW_SENSITIVE = frozenset({
     "q247_trimmed_mean",
     "q248_rfm_segmentation",
     "q249_lag_features",
+    "q252_embedding_centroid_drift",
+    "q256_annotator_agreement_kappa",
 })
 
 for _q in OVERFLOW_SENSITIVE:

@@ -37,6 +37,14 @@ DEFAULT = [
     "q167_fuzzy_entity_match",
     "q168_pagerank_neardup",
     "q184_kcore_decomposition",
+    # round-4 heavies (VERDICT r4 task 7): semantic dedup, CUBE rollup,
+    # trimmed mean, RFM, capstone ledger + its streaming twin
+    "q236_semantic_dedup",
+    "q246_cube_revenue",
+    "q247_trimmed_mean",
+    "q248_rfm_segmentation",
+    "q250_training_data_build",
+    "q251_streaming_training_build",
 ]
 
 
@@ -55,6 +63,8 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
 
+    from kp_data_pipelines_spark.session import release_pinned_rdds
+
     rows = []
     for name in names:
         fn = QUERIES[name]
@@ -66,6 +76,9 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             ts.append(time.perf_counter() - t0)
+            # keep the session flat (localCheckpoint blocks) so later
+            # rows measure their plans, not accumulated storage pressure
+            release_pinned_rdds(spark)
         slopes = [
             math.log(ts[i + 1] / ts[i])
             / math.log(SFS[i + 1][1] / SFS[i][1])
