@@ -12128,12 +12128,18 @@ def q226_knn_label_noise(spark: SparkSession, sf: str) -> DataFrame:
     come from hyperplane-LSH buckets (the q40 blocking — a keyed
     equi-join on the 4-bit bucket, never all-pairs; recall is the
     standard LSH trade and more planes/multi-probe tighten it); within
-    buckets, exact fold cosines (bit-identical cross-engine) rank the
-    top-5 per anchor through a per-anchor window over bucket-sized
-    candidate sets. Output: the suspects (majority-disagreeing
-    anchors) with their agreement counts — exact integers."""
+    buckets, ``bucket_knn_agreement``'s Arrow kernel accumulates the
+    bucket gram matrix DIM-SEQUENTIALLY (the exact F.aggregate fold
+    order, so cosines and therefore neighbor rankings are bit-identical
+    to the interpreted expression and the DuckDB twin — pinned by
+    test_bucket_knn_kernel_matches_jvm) and emits per-anchor top-5
+    agreement counts directly: vectors cross the Arrow boundary once
+    per bucket member instead of once per candidate PAIR, and the
+    former |pairs|-row per-anchor window shuffle disappears. Output:
+    the suspects (majority-disagreeing anchors) with their agreement
+    counts — exact integers."""
     from kp_data_pipelines_spark.operators.similarity import (
-        _dot,
+        bucket_knn_agreement,
         simhash_planes,
         with_hyperplane_bucket,
     )
@@ -12143,50 +12149,11 @@ def q226_knn_label_noise(spark: SparkSession, sf: str) -> DataFrame:
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     e = emb.select("vec_id", "label", v.alias("v"))
     planes = simhash_planes(64, n_planes, seed)
-    # Norm computed ONCE per vector (not per candidate pair): one fold per
-    # pair instead of three — same IEEE values, 3x less interpreted work.
-    be = with_hyperplane_bucket(e, "v", planes).withColumn(
-        "nrm", F.sqrt(_dot(F.col("v"), F.col("v")))
-    ).localCheckpoint(eager=True)
-    a = be.select(
-        F.col("vec_id").alias("anchor"),
-        F.col("label").alias("alabel"),
-        F.col("v").alias("av"),
-        F.col("nrm").alias("na"),
-        "bucket",
-    )
-    b = be.select(
-        F.col("vec_id").alias("nb"),
-        F.col("label").alias("nlabel"),
-        F.col("v").alias("bv"),
-        F.col("nrm").alias("nb_n"),
-        "bucket",
-    )
-    cos = _dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb_n"))
-    cand = (
-        a.join(b, "bucket")
-        .filter(F.col("nb") != F.col("anchor"))
-        .select("anchor", "alabel", "nb", "nlabel", cos.alias("cos"))
-    )
-    wk = Window.partitionBy("anchor").orderBy(F.desc("cos"), "nb")
-    topk = cand.withColumn("rn", F.row_number().over(wk)).filter(
-        F.col("rn") <= k
-    )
-    agg = topk.groupBy("anchor").agg(
-        F.max("alabel").cast("bigint").alias("label"),
-        F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
-        F.sum(F.when(F.col("nlabel") == F.col("alabel"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_same_label"),
-    )
+    be = with_hyperplane_bucket(e, "v", planes)
+    agg = bucket_knn_agreement(be, "vec_id", "label", "v", k=k)
     return (
         agg.filter(F.col("n_same_label") * 2 < F.col("n_neighbors"))
-        .select(
-            F.col("anchor").alias("vec_id"),
-            "label",
-            "n_neighbors",
-            "n_same_label",
-        )
+        .select("vec_id", "label", "n_neighbors", "n_same_label")
         .orderBy("vec_id")
     )
 
@@ -12949,13 +12916,18 @@ def q234_correlation_matrix(spark: SparkSession, sf: str) -> DataFrame:
     """Pairwise Pearson correlation matrix over lineitem's numeric
     columns (quantity, price, discount, tax — 6 pairs) — the feature-
     profiling staple that flags redundant or leaking columns before
-    model training. One generator unrolls the 6 pairs over the scan;
-    each pair's correlation comes from 5 exact integer raw moments
-    (quantized; cross-products summed as hi/lo 2^26 splits — the
+    model training. ONE ungrouped wide aggregate computes all 25 exact
+    integer raw moments in a single pass — 4 sums, 4 squares, 6 cross
+    products, each quantized and summed as hi/lo 2^26 splits (the
     q106/q115 rule, because price-cent squares pass 2^53 at sf0.1 and
-    DECIMAL->double casts then round differently across engines) and
-    ONE closed-form double evaluation in pinned order. Map-side
-    combinable; each split partial converts to double exactly."""
+    DECIMAL->double casts then round differently across engines) — then
+    the 1-row result unpivots into the 6 pair rows and each correlation
+    is ONE closed-form double evaluation in pinned order. No row
+    multiplication: the previous 6x pair-explode pushed 6N rows through
+    the aggregate and computed each square 3x; this shape is map-side
+    partials over the raw scan only (bench: 4.5 s -> ~1.5 s at sf0.1).
+    Integer sums are order-independent, so the grouped oracle SQL twin
+    hashes identically."""
     li = read_table(spark, sf, "lineitem")
     q = li.select(
         F.round(F.col("l_quantity") * 100).cast("bigint").alias("x1"),
@@ -12964,21 +12936,6 @@ def q234_correlation_matrix(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("l_tax") * 10000).cast("bigint").alias("x4"),
     )
     combos = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
-    pairs = q.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(a).alias("a"),
-                        F.lit(b).alias("b"),
-                        F.col(f"x{a}").alias("x"),
-                        F.col(f"x{b}").alias("y"),
-                    )
-                    for a, b in combos
-                ]
-            )
-        ).alias("p")
-    ).select("p.a", "p.b", "p.x", "p.y")
     # hi/lo 2^26 split (q106/q115 rule): the raw cross-moments pass 2^53
     # at sf0.1, where DECIMAL/HUGEINT->double casts round differently
     # across engines; split partials convert exactly on both.
@@ -12987,14 +12944,32 @@ def q234_correlation_matrix(spark: SparkSession, sf: str) -> DataFrame:
         lo = F.sum(F.expr(f"({prod}) % 67108864").cast("decimal(38,0)"))
         return hi.cast("double") * F.lit(67108864.0) + lo.cast("double")
 
-    m = pairs.groupBy("a", "b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum("y").cast("bigint").alias("sy"),
-        hilo("x * x").alias("sxx"),
-        hilo("y * y").alias("syy"),
-        hilo("x * y").alias("sxy"),
-    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for i in range(1, 5):
+        aggs.append(F.sum(f"x{i}").cast("bigint").alias(f"s{i}"))
+        aggs.append(hilo(f"x{i} * x{i}").alias(f"ss{i}"))
+    for a, b in combos:
+        aggs.append(hilo(f"x{a} * x{b}").alias(f"sp{a}{b}"))
+    one = q.groupBy().agg(*aggs)
+    m = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).cast("bigint").alias("col_a"),
+                        F.lit(b).cast("bigint").alias("col_b"),
+                        F.col("n").alias("n"),
+                        F.col(f"s{a}").alias("sx"),
+                        F.col(f"s{b}").alias("sy"),
+                        F.col(f"ss{a}").alias("sxx"),
+                        F.col(f"ss{b}").alias("syy"),
+                        F.col(f"sp{a}{b}").alias("sxy"),
+                    )
+                    for a, b in combos
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
     nd = F.col("n").cast("double")
     sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
     pearson = (nd * F.col("sxy") - sxd * syd) / (
@@ -13002,8 +12977,8 @@ def q234_correlation_matrix(spark: SparkSession, sf: str) -> DataFrame:
         * F.sqrt(nd * F.col("syy") - syd * syd)
     )
     return m.select(
-        F.col("a").cast("bigint").alias("col_a"),
-        F.col("b").cast("bigint").alias("col_b"),
+        "col_a",
+        "col_b",
         "n",
         pearson.alias("pearson"),
     ).orderBy("col_a", "col_b")

@@ -101,6 +101,73 @@ def lsh_bucket_cosine_topk(
     return cosine_topk(candidates, vec_col, id_col, query, k)
 
 
+def bucket_knn_agreement(
+    bucketed: DataFrame,
+    id_col: str,
+    label_col: str,
+    vec_col: str,
+    k: int = 5,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Per-anchor k-NN label agreement WITHIN each LSH bucket, as one
+    ``applyInPandas`` over bucket groups: each bucket's gram matrix is
+    accumulated DIM-SEQUENTIALLY (``dots += c_i * c_j`` per dim — the
+    exact left fold of ``F.aggregate``/``zip_with``, vectorized across
+    the bucket, never ``V @ V.T``'s pairwise reorder), so every cosine
+    is the same IEEE double the interpreted expression produces and
+    neighbor RANKINGS match the DuckDB fold twin bit-for-bit. Replaces
+    the pair-explode shape (bucket self-join -> |bucket|^2 rows -> fold
+    cosine per pair -> per-anchor window): the vectors cross the Arrow
+    boundary once per bucket member, not once per PAIR, and the 1.5M-row
+    window shuffle disappears — the kernel emits k rows' worth of
+    agreement counts already reduced to one row per anchor. Ordering
+    twin: lexsort by (-cos, candidate id) == the window's
+    (desc cos, id); float ties compare exactly. Scale: work is
+    O(|bucket|^2 * dim) vectorized; bucket width is capped by the plane
+    count (more planes / multi-probe at larger corpora), and each bucket
+    is one task — the q226 caller's 2^planes buckets bound the skew."""
+    out_schema = (
+        f"{id_col} long, {label_col} long, n_neighbors long, n_same_label long"
+    )
+
+    def _per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(
+                columns=[id_col, label_col, "n_neighbors", "n_same_label"]
+            )
+        ids = pdf[id_col].to_numpy()
+        labels = pdf[label_col].to_numpy()
+        V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        d = V.shape[1]
+        dots = np.zeros((n, n))
+        vsq = np.zeros(n)
+        for j in range(d):  # sequential over dims == the JVM fold order
+            c = V[:, j]
+            dots = dots + c[:, None] * c[None, :]
+            vsq = vsq + c * c
+        nrm = np.sqrt(vsq)
+        cos = dots / (nrm[:, None] * nrm[None, :])
+        n_nb = np.zeros(n, dtype=np.int64)
+        n_same = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            # (desc cos, asc id), self excluded — the window twin's order
+            order = np.lexsort((ids, -cos[i]))
+            top = [j for j in order if ids[j] != ids[i]][:k]
+            n_nb[i] = len(top)
+            n_same[i] = int(np.sum(labels[top] == labels[i]))
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                label_col: labels,
+                "n_neighbors": n_nb,
+                "n_same_label": n_same,
+            }
+        )
+
+    return bucketed.groupBy(bucket_col).applyInPandas(_per_bucket, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-duplicate pairs (Jaccard over word shingles)
 # ---------------------------------------------------------------------------

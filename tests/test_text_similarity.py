@@ -501,3 +501,80 @@ def test_char_fold_kernel_matches_expression(spark):
             assert r["e1"] is None and r["e2"] is None
         else:
             assert r["k"][0] == r["e1"] and r["k"][1] == r["e2"]
+
+
+def test_bucket_knn_kernel_matches_jvm(spark):
+    """The per-bucket gram-matrix Arrow kernel (q226's engine) must
+    reproduce the interpreted pair-explode + per-anchor-window shape
+    EXACTLY: dim-sequential accumulation == the F.aggregate fold, and
+    lexsort by (-cos, id) == the window's (desc cos, id) — including
+    exact float ties from duplicated vectors, where only the id
+    tiebreak decides which neighbor makes the top-k cut."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kp_data_pipelines_spark.operators.similarity import (
+        _dot,
+        bucket_knn_agreement,
+        simhash_planes,
+        with_hyperplane_bucket,
+    )
+    from kp_data_pipelines_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select("vec_id", "label", v.alias("v"))
+    # duplicate two vectors under fresh ids: exact cosine ties by design
+    dup = e.filter(F.col("vec_id") < 2).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "label", "v"
+    )
+    e = e.unionByName(dup)
+    be = with_hyperplane_bucket(e, "v", simhash_planes(64, 4, 7))
+
+    k = 5
+    kern = {
+        r["vec_id"]: (r["n_neighbors"], r["n_same_label"])
+        for r in bucket_knn_agreement(be, "vec_id", "label", "v", k=k).collect()
+    }
+
+    # interpreted twin: bucket self-join, fold cosines, per-anchor window
+    nrm = be.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    a = nrm.select(
+        F.col("vec_id").alias("anchor"),
+        F.col("label").alias("alabel"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("na"),
+        "bucket",
+    )
+    b = nrm.select(
+        F.col("vec_id").alias("nb"),
+        F.col("label").alias("nlabel"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("nb_n"),
+        "bucket",
+    )
+    cos = _dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb_n"))
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("nb") != F.col("anchor"))
+        .select("anchor", "alabel", "nb", "nlabel", cos.alias("cos"))
+    )
+    wk = Window.partitionBy("anchor").orderBy(F.desc("cos"), "nb")
+    jvm = {
+        r["anchor"]: (r["n_neighbors"], r["n_same_label"])
+        for r in cand.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .groupBy("anchor")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
+            F.sum(
+                F.when(F.col("nlabel") == F.col("alabel"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_same_label"),
+        )
+        .collect()
+    }
+    # kernel also emits isolated anchors (0 neighbors); the join twin drops them
+    kern_nonzero = {i: t for i, t in kern.items() if t[0] > 0}
+    assert kern_nonzero == jvm
