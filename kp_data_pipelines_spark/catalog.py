@@ -15082,6 +15082,161 @@ def q257_retention_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register("q258_component_aware_split", oracles.component_split_sql())
+def q258_component_aware_split(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP-AWARE train/test split — the FIX that q227's leakage audit
+    motivates: q227 measures how many MinHash near-dup pairs straddle a
+    naive per-document hash split (each one a test doc whose near-copy
+    sits in training); this query splits by CONNECTED COMPONENT instead
+    — near-dup pairs close into clusters (q66's pointer-jumping CC),
+    every document hashes its component id (singletons their own
+    doc_id) through a TWO-round LCG (one round mod a small n preserves
+    arithmetic structure on dense ids — the q239 8/32-shard lesson),
+    and the straddling count is recomputed under the new split:
+    **zero by construction, verified not asserted**. Scale shape: the
+    banded pair generator and CC are the verified q38/q66 plans; the
+    split itself is a stateless hash — no new shuffle shapes; the
+    audit is two doc_id equi-joins + one scalar aggregate. The DuckDB
+    twin closes the same graph with a recursive CTE (two different
+    fixpoint algorithms agreeing on the partition AND the zero)."""
+    from kp_data_pipelines_spark.operators.graph import connected_components
+    from kp_data_pipelines_spark.operators.similarity import (
+        _MERSENNE,
+        _hash_params,
+        minhash_near_dups,
+    )
+
+    (a1, b1), (a2, b2) = _hash_params(2, 31)
+    docs = read_table(spark, sf, "documents")
+    pairs = minhash_near_dups(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=32, bands=16,
+        jaccard_threshold=0.4, portable_hash=True,
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    comp = connected_components(pairs, "id_a", "id_b")
+    d = docs.select("doc_id").join(
+        comp, docs["doc_id"] == comp["node"], "left"
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").alias("comp")
+    )
+    h1 = (F.lit(a1) * F.pmod(F.col("comp"), F.lit(_MERSENNE)) + F.lit(b1)) % _MERSENNE
+    h2 = (F.lit(a2) * h1 + F.lit(b2)) % _MERSENNE
+    s = d.select(
+        "doc_id",
+        "comp",
+        F.when(h2 % 10 < 8, 1).otherwise(0).alias("is_train"),
+    )
+    summary = s.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("is_train").cast("bigint").alias("n_train"),
+        (F.count(F.lit(1)) - F.sum("is_train")).cast("bigint").alias("n_test"),
+        F.count_distinct("comp").cast("bigint").alias("n_components"),
+    )
+    tagged = pairs.join(
+        s.select(F.col("doc_id").alias("id_a"), F.col("is_train").alias("ta")),
+        "id_a",
+    ).join(
+        s.select(F.col("doc_id").alias("id_b"), F.col("is_train").alias("tb")),
+        "id_b",
+    )
+    audit = tagged.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("ta") != F.col("tb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_straddling"),
+    )
+    return summary.crossJoin(broadcast_scalar(audit)).select(
+        "n_docs", "n_train", "n_test", "n_components", "n_pairs", "n_straddling"
+    )
+
+
+@register(
+    "q259_interarrival_burstiness",
+    """
+    WITH g0 AS (
+      SELECT event_type,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY epoch_us(ts), event_id)) // 1000000 AS gap_s
+      FROM events
+    ),
+    g AS (SELECT event_type, gap_s FROM g0 WHERE gap_s IS NOT NULL),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(CAST(gap_s // 67108864 AS DECIMAL(38,0)))
+                  AS DOUBLE) * 67108864.0
+               + CAST(SUM(CAST(gap_s % 67108864 AS DECIMAL(38,0)))
+                      AS DOUBLE) AS s1,
+             CAST(SUM(CAST((gap_s * gap_s) // 67108864 AS DECIMAL(38,0)))
+                  AS DOUBLE) * 67108864.0
+               + CAST(SUM(CAST((gap_s * gap_s) % 67108864 AS DECIMAL(38,0)))
+                      AS DOUBLE) AS s2
+      FROM g GROUP BY event_type
+    )
+    SELECT event_type, n_gaps,
+           s1 / CAST(n_gaps AS DOUBLE) AS mean_gap_s,
+           sqrt((CAST(n_gaps AS DOUBLE) * s2 - s1 * s1)
+                / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+             AS sd_gap_s,
+           (sqrt((CAST(n_gaps AS DOUBLE) * s2 - s1 * s1)
+                 / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+            - s1 / CAST(n_gaps AS DOUBLE))
+           / (sqrt((CAST(n_gaps AS DOUBLE) * s2 - s1 * s1)
+                   / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+              + s1 / CAST(n_gaps AS DOUBLE)) AS burstiness
+    FROM m ORDER BY event_type
+    """,
+)
+def q259_interarrival_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal data-quality screen: per event type, the BURSTINESS of
+    same-type inter-arrival times within each user's stream — B =
+    (sigma - mu)/(sigma + mu), the Goh-Barabasi statistic (B -> -1
+    periodic/bot-like, 0 Poisson, +1 bursty human) that flags scripted
+    traffic or collector clock faults before events feed sessionization
+    or lag features. Scale shape: ONE partitioned lag window (user_id x
+    event_type keys, ordered ts with event_id tiebreak — the q183
+    determinism rule), then a keyed aggregate of exact integer moments:
+    second-granular gaps (< 2^26 each) and their squares, both summed as
+    hi/lo 2^26 DECIMAL(38,0) splits (the q106/q115 rule — the square
+    sums pass 2^53 at scale where DuckDB's HUGEINT->double cast drifts
+    1 ulp; every split partial converts exactly; deeper ladders extend
+    the same trick at 100 TB row counts). mean/sd/B are closed-form
+    doubles evaluated in pinned order."""
+    ev = read_table(spark, sf, "events")
+    g = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "(unix_micros(ts) - lag(unix_micros(ts)) OVER ("
+                "PARTITION BY user_id, event_type "
+                "ORDER BY unix_micros(ts), event_id)) div 1000000"
+            ).alias("gap_s"),
+        )
+        .filter(F.col("gap_s").isNotNull())
+    )
+
+    def hilo(term):
+        hi = F.sum(F.expr(f"({term}) div 67108864").cast("decimal(38,0)"))
+        lo = F.sum(F.expr(f"({term}) % 67108864").cast("decimal(38,0)"))
+        return hi.cast("double") * F.lit(67108864.0) + lo.cast("double")
+
+    m = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        hilo("gap_s").alias("s1"),
+        hilo("gap_s * gap_s").alias("s2"),
+    )
+    nd = F.col("n_gaps").cast("double")
+    mean = F.col("s1") / nd
+    sd = F.sqrt((nd * F.col("s2") - F.col("s1") * F.col("s1")) / (nd * nd))
+    return m.select(
+        "event_type",
+        "n_gaps",
+        mean.alias("mean_gap_s"),
+        sd.alias("sd_gap_s"),
+        ((sd - mean) / (sd + mean)).alias("burstiness"),
+    ).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------
@@ -15144,6 +15299,7 @@ OVERFLOW_SENSITIVE = frozenset({
     "q249_lag_features",
     "q252_embedding_centroid_drift",
     "q256_annotator_agreement_kappa",
+    "q259_interarrival_burstiness",
 })
 
 for _q in OVERFLOW_SENSITIVE:

@@ -1795,3 +1795,68 @@ def curation_funnel_sql(
     CROSS JOIN cap p
     ORDER BY s.lang
     """
+
+
+def component_split_sql(
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.4,
+    seed: int = 31,
+) -> str:
+    """Twin of q258: GROUP-AWARE train/test split — the fix q227's
+    leakage measurement motivates. Near-dup pairs close into connected
+    components (the q66 recursive-CTE fixpoint), every document splits
+    by a two-round LCG hash of its COMPONENT id (singletons hash their
+    own doc_id), and the straddling-pair count is recomputed under the
+    new split — zero by construction, verified not asserted."""
+    (a1, b1), (a2, b2) = _hash_params(2, seed)
+    m = _MOD
+    h1 = f"(({a1} * ((comp % {m} + {m}) % {m}) + {b1}) % {m})"
+    h2 = f"(({a2} * {h1} + {b2}) % {m})"
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_core(k, num_hashes, bands, threshold)},
+    pos AS (
+      SELECT id_a, id_b FROM pairs WHERE est_jaccard >= {threshold}
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pos
+      UNION SELECT id_b, id_a FROM pos
+    ),
+    reach AS (
+      SELECT src AS node, src AS r FROM sym
+      UNION
+      SELECT rr.node, s.dst AS r FROM reach rr JOIN sym s ON rr.r = s.src
+    ),
+    cc AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    d AS (
+      SELECT doc_id, COALESCE(cc.component, doc_id) AS comp
+      FROM documents LEFT JOIN cc ON cc.node = doc_id
+    ),
+    s AS (
+      SELECT doc_id, comp,
+             CASE WHEN {h2} % 10 < 8 THEN 1 ELSE 0 END AS is_train
+      FROM d
+    ),
+    a1_ AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(is_train) AS BIGINT) AS n_train,
+             CAST(COUNT(*) - SUM(is_train) AS BIGINT) AS n_test,
+             CAST(COUNT(DISTINCT comp) AS BIGINT) AS n_components
+      FROM s
+    ),
+    tagged AS (
+      SELECT p.id_a, p.id_b, sa.is_train AS ta, sb.is_train AS tb
+      FROM pos p
+      JOIN s sa ON sa.doc_id = p.id_a
+      JOIN s sb ON sb.doc_id = p.id_b
+    ),
+    a2_ AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN ta <> tb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_straddling
+      FROM tagged
+    )
+    SELECT n_docs, n_train, n_test, n_components, n_pairs, n_straddling
+    FROM a1_ CROSS JOIN a2_
+    """

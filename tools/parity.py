@@ -70,6 +70,10 @@ QUADRATIC_ORACLE_TWINS = {
         "DuckDB twin materializes the quadratic all-pairs near-dup set "
         "to count straddling pairs"
     ),
+    "q258_component_aware_split": (
+        "DuckDB twin materializes the quadratic all-pairs near-dup set "
+        "and closes it with a recursive CTE"
+    ),
 }
 
 
