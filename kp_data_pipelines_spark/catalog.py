@@ -15237,6 +15237,69 @@ def q259_interarrival_burstiness(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+@register("q260_dup_span_coverage", oracles.dup_span_coverage_sql())
+def q260_dup_span_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicated n-gram SPAN coverage — the dedup diagnostic that
+    near-dup pair counts can't give you: for each document, the
+    fraction of its 8-token shingle POSITIONS whose gram occurs in >= 2
+    distinct documents corpus-wide (boilerplate headers, license
+    blocks, templated spans), rolled up per source with a
+    majority-duplicated doc count — the number a curation lead reads to
+    decide between doc-level dedup (q66/q146) and span-level scrubbing.
+    Distinct from q175 (novelty vs earlier docs: order-dependent prefix
+    statistic) and q127 (WITHIN-doc repetition): this is corpus-wide,
+    order-free, position-weighted. Scale shape: portable poly-shingle
+    hashes via the pinned Arrow kernel, gram doc-frequency as a
+    distinct + keyed count (32-byte keys, never gram STRINGS), one
+    gram-keyed join back to the positions, then doc- and source-level
+    keyed aggs — every stage an equi-join/agg, exact integers plus one
+    pinned double division."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        ensure_parallelism,
+    )
+    from kp_data_pipelines_spark.operators.textops import with_poly_shingles
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "source", "text"
+    )
+    sh = with_poly_shingles(ensure_parallelism(docs), "text", "g", k=8)
+    spans = sh.select("doc_id", "source", F.explode("g").alias("gram"))
+    dfreq = (
+        spans.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    per_doc = (
+        spans.join(dfreq, "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_spans").cast("bigint").alias("n_spans"),
+            F.sum("n_dup").cast("bigint").alias("n_dup_spans"),
+            (
+                F.sum("n_dup").cast("double")
+                / F.sum("n_spans").cast("double")
+            ).alias("dup_span_share"),
+            F.sum(
+                F.when(F.col("n_dup") * 2 > F.col("n_spans"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_docs_majority_dup"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------

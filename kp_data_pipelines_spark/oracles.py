@@ -1860,3 +1860,43 @@ def component_split_sql(
     SELECT n_docs, n_train, n_test, n_components, n_pairs, n_straddling
     FROM a1_ CROSS JOIN a2_
     """
+
+
+def dup_span_coverage_sql(k: int = 8) -> str:
+    """Twin of q260: duplicated k-gram SPAN coverage per source — for
+    every document, the fraction of its k-token shingle positions whose
+    gram hash occurs in >= 2 distinct documents corpus-wide (the
+    RefinedWeb-style 'duplicated n-gram coverage' dedup diagnostic),
+    rolled up per source with a majority-duplicated doc count."""
+    return f"""
+    WITH th AS (
+      SELECT doc_id, source, {_tok_hashes("text")} AS th FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, {_grams("th", k, False)} AS grams FROM th
+    ),
+    s AS (
+      SELECT doc_id, source, unnest(grams) AS gram FROM g
+    ),
+    dfreq AS (
+      SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM s GROUP BY gram
+    ),
+    per_doc AS (
+      SELECT s.doc_id, s.source,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup
+      FROM s JOIN dfreq d ON d.gram = s.gram
+      GROUP BY s.doc_id, s.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+           CAST(SUM(n_dup) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(n_dup) AS DOUBLE) / CAST(SUM(n_spans) AS DOUBLE)
+             AS dup_span_share,
+           CAST(SUM(CASE WHEN n_dup * 2 > n_spans THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_majority_dup
+    FROM per_doc GROUP BY source ORDER BY source
+    """

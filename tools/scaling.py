@@ -45,6 +45,8 @@ DEFAULT = [
     "q248_rfm_segmentation",
     "q250_training_data_build",
     "q251_streaming_training_build",
+    # round-5 rewrite (q234 already above): per-bucket kNN Arrow kernel
+    "q226_knn_label_noise",
 ]
 
 
