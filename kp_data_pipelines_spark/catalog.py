@@ -14754,9 +14754,9 @@ def q253_oov_rate_new_source(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register(
-    "q254_length_drift_tvd",
-    """
+# shared by q254 (batch) and q261 (streaming twin): stream == batch is
+# part of the contract, so both register the SAME DuckDB oracle.
+_LENGTH_DRIFT_SQL = """
     WITH d AS (
       SELECT lang, doc_id % 2 AS half,
              least(n_chars // 200, 30) AS bucket
@@ -14785,8 +14785,10 @@ def q253_oov_rate_new_source(spark: SparkSession, sf: str) -> DataFrame:
                          - CAST(s.cb AS DOUBLE) / CAST(n_b AS DOUBLE)))),
                  (acc, x) -> acc + x) AS length_tvd
     FROM z ORDER BY lang
-    """,
-)
+    """
+
+
+@register("q254_length_drift_tvd", _LENGTH_DRIFT_SQL)
 def q254_length_drift_tvd(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language length-distribution DRIFT between two ingestion
     snapshots (even/odd doc_id halves): total-variation distance over
@@ -15298,6 +15300,32 @@ def q260_dup_span_coverage(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register("q261_streaming_length_drift", _LENGTH_DRIFT_SQL)
+def q261_streaming_length_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """q254's DEPLOY shape: the corpus arrives as a STREAM (file source,
+    AvailableNow) and each micro-batch emits its (lang, half, bucket)
+    histogram partial inside ``foreachBatch`` (streaming/drift.py);
+    partials merge by keyed SUM and the per-language TVD folds once over
+    the merged histogram — q254's exact-integer-then-one-pinned-fold
+    arithmetic, so it registers the SAME DuckDB oracle as the batch
+    query. Stronger contract than q251's training-build twin: histogram
+    counts are purely mergeable, so stream-over-ANY-wave-partition
+    equals batch bit-for-bit with no state table and no arrival-order
+    assumption (pinned by the shuffled multi-wave equivalence test in
+    tests/test_streaming.py). Per-trigger state at 100 TB: |langs| x 31
+    buckets x 2 halves of longs."""
+    from kp_data_pipelines_spark.streaming.drift import length_drift_stream
+
+    docs_path = f"{sf}/documents.parquet"
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    return length_drift_stream(stream)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,102 @@
+"""Streaming twin of the q254 length-distribution drift monitor.
+
+The batch query (catalog q254) compares two ingestion snapshots' doc-length
+histograms per language (total-variation distance over fixed 200-char
+buckets). The deploy shape for live ingestion is the same statistic kept
+current as waves arrive: each micro-batch emits its (lang, half, bucket)
+COUNT partial inside ``foreachBatch``, partials merge by keyed SUM, and
+the TVD folds once over the merged histogram — q254's arithmetic exactly.
+
+Unlike the q251 training-build twin (whose cross-batch dedup needs a
+persistent fingerprint table and an ordered-arrival contract), histogram
+counts are PURELY MERGEABLE: no state table, no arrival-order assumption —
+stream-over-any-wave-partition equals the batch answer bit-for-bit, which
+``tests/test_streaming.py`` pins with shuffled multi-wave input. At 100 TB
+the per-trigger state is |langs| x 31 buckets x 2 halves of longs; the
+merge is a keyed agg over those partials, never over raw rows.
+
+Reference basis: the notebooks' re-read-and-compare refresh audits
+(snapshot preprocess notebooks) — re-expressed as an incremental stream so
+the corpus is not re-scanned per wave.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HIST_PARTIAL_SCHEMA = "lang string, half bigint, bucket bigint, c bigint"
+
+
+def hist_partial(batch: DataFrame) -> DataFrame:
+    """One trigger's histogram partial: (lang, half, bucket) counts over
+    the batch — q254's bucketing (200-char width, capped at 30; halves =
+    even/odd doc_id snapshots). Stateless and mergeable by SUM."""
+    return (
+        batch.select(
+            "lang",
+            F.pmod("doc_id", F.lit(2)).cast("bigint").alias("half"),
+            F.least(F.expr("n_chars div 200"), F.lit(30))
+            .cast("bigint")
+            .alias("bucket"),
+        )
+        .groupBy("lang", "half", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+def finalize_tvd(partials: DataFrame) -> DataFrame:
+    """Merge per-batch histogram partials and fold the per-language TVD —
+    the identical exact-integer-then-one-pinned-fold arithmetic as batch
+    q254 (counts merge by keyed SUM before any division, so wave
+    boundaries cannot perturb a single bit of the output)."""
+    g = (
+        partials.groupBy("lang", "bucket")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("ca"),
+            F.sum(F.when(F.col("half") == 1, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("cb"),
+        )
+    )
+    z = g.groupBy("lang").agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "ca", "cb"))).alias(
+            "v"
+        ),
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+    )
+    terms = F.transform(
+        "v",
+        lambda s: F.abs(
+            s["ca"].cast("double") / F.col("n_a").cast("double")
+            - s["cb"].cast("double") / F.col("n_b").cast("double")
+        ),
+    )
+    return z.select(
+        "lang",
+        "n_a",
+        "n_b",
+        (
+            F.lit(0.5)
+            * F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+        ).alias("length_tvd"),
+    ).orderBy("lang")
+
+
+def length_drift_stream(
+    stream_df: DataFrame, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Run the streaming drift monitor over the current backlog
+    (AvailableNow) and return the q254-shaped per-language TVD table."""
+    from kp_data_pipelines_spark.streaming.events import (
+        run_available_now_foreach_batch,
+    )
+
+    partials = run_available_now_foreach_batch(
+        stream_df, hist_partial, HIST_PARTIAL_SCHEMA,
+        checkpoint_dir=checkpoint_dir,
+    )
+    return finalize_tvd(partials)

@@ -615,3 +615,40 @@ def test_training_build_stream_equals_batch(spark, tmp_path):
         (r["lang"], r["split"]): tuple(r)[2:] for r in rows
     }
     assert as_map(got) == as_map(want)
+
+
+def test_length_drift_stream_equals_batch_any_wave_order(spark, tmp_path):
+    """Stream-over-SHUFFLED-waves == batch q254: histogram count
+    partials are purely mergeable, so unlike the training-build twin
+    (ordered-arrival contract for its MIN-keeper dedup) the drift
+    monitor must reproduce the batch TVD bit-for-bit under ANY wave
+    partition — here three waves split by doc_id % 3, deliberately
+    interleaving the even/odd snapshot halves across triggers."""
+    from kp_data_pipelines_spark.catalog import QUERIES
+    from kp_data_pipelines_spark.streaming.drift import length_drift_stream
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = {
+        r["lang"]: tuple(r)[1:]
+        for r in QUERIES["q254_length_drift_tvd"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+
+    src = str(tmp_path / "waves")
+    for wave in range(3):  # doc_id % 3: NOT aligned with the %2 halves
+        docs.filter(F.pmod("doc_id", F.lit(3)) == wave).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = {
+        r["lang"]: tuple(r)[1:]
+        for r in length_drift_stream(
+            stream, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert got == want  # exact, including the float TVD bits
