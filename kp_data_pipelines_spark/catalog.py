@@ -15328,6 +15328,52 @@ def q261_streaming_length_drift(spark: SparkSession, sf: str) -> DataFrame:
     return length_drift_stream(stream)
 
 
+@register("q262_quality_gate_agreement", oracles.gate_agreement_sql())
+def q262_quality_gate_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate A/B audit run before SWAPPING quality filters in a live
+    pipeline: per source, the 2x2 agreement between the q22 composite
+    SCORE gate (>= 0.7, q231's threshold) and the q235 Gopher
+    REPETITION gate — computed by reusing the streaming build's
+    ``doc_flags`` verbatim (the q251 trigger stage audited against the
+    batch score gate; only-A/only-B counts show which sources each gate
+    uniquely kills, the number that decides whether a filter swap
+    silently changes the mixture). Scale shape: both gates are
+    one-scan keyed aggregates the catalog already verifies separately;
+    the audit adds one doc_id equi-join and one per-source aggregate —
+    exact integers plus one pinned double division."""
+    from kp_data_pipelines_spark.operators.textops import quality_score
+    from kp_data_pipelines_spark.streaming.training import doc_flags
+
+    docs = ensure_parallelism(read_table(spark, sf, "documents"), 32)
+    gate_b = doc_flags(docs).select(
+        "doc_id", F.col("quality_pass").alias("pass_b")
+    )
+    gate_a = docs.select(
+        "doc_id",
+        "source",
+        F.when(quality_score("text") >= 0.7, 1).otherwise(0).alias("pass_a"),
+    )
+    j = gate_a.join(gate_b, "doc_id")
+    pa, pb = F.col("pass_a"), F.col("pass_b")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(pa).cast("bigint").alias("n_pass_score"),
+            F.sum(pb).cast("bigint").alias("n_pass_repetition"),
+            F.sum(pa * pb).cast("bigint").alias("n_both"),
+            F.sum(pa * (1 - pb)).cast("bigint").alias("n_only_score"),
+            F.sum((1 - pa) * pb).cast("bigint").alias("n_only_repetition"),
+            F.sum((1 - pa) * (1 - pb)).cast("bigint").alias("n_neither"),
+            (
+                F.sum(pa * pb + (1 - pa) * (1 - pb)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("agreement_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------

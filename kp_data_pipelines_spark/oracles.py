@@ -1900,3 +1900,64 @@ def dup_span_coverage_sql(k: int = 8) -> str:
                 AS BIGINT) AS n_docs_majority_dup
     FROM per_doc GROUP BY source ORDER BY source
     """
+
+
+def gate_agreement_sql(q_min: str = "0.7") -> str:
+    """Twin of q262: 2x2 agreement between the two quality gates the
+    catalog already verifies separately — the q22 composite SCORE gate
+    (>= q_min) and the q235 Gopher REPETITION gate (distinct-token and
+    top-bigram integer cross-multiplications, exactly the streaming
+    build's ``doc_flags`` quality_pass) — per source."""
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source, text FROM documents
+    ),
+    d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM base),
+    tok AS (
+      SELECT doc_id, toks[i + 1] AS tok
+      FROM (SELECT doc_id, unnest(range(len(toks))) AS i, toks FROM d)
+    ),
+    pt AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+      FROM tok GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2] AS bg
+      FROM (SELECT doc_id, unnest(range(len(toks) - 1)) AS i, toks FROM d)
+    ),
+    bgc AS (
+      SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bg GROUP BY doc_id, bg
+    ),
+    bs AS (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+             CAST(SUM(c) AS BIGINT) AS n_bigrams
+      FROM bgc GROUP BY doc_id
+    ),
+    gates AS (
+      SELECT b.source,
+             CASE WHEN {_QUALITY_SQL} >= {q_min} THEN 1 ELSE 0 END
+               AS pass_a,
+             CASE WHEN ((p.n_tokens - p.n_distinct_tokens) * 2
+                        > p.n_tokens)
+                    OR (COALESCE(s.top_bigram_n, 0) * 5
+                        > COALESCE(s.n_bigrams, 0))
+                  THEN 0 ELSE 1 END AS pass_b
+      FROM base b
+      JOIN pt p ON p.doc_id = b.doc_id
+      LEFT JOIN bs s ON s.doc_id = b.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(pass_a) AS BIGINT) AS n_pass_score,
+           CAST(SUM(pass_b) AS BIGINT) AS n_pass_repetition,
+           CAST(SUM(pass_a * pass_b) AS BIGINT) AS n_both,
+           CAST(SUM(pass_a * (1 - pass_b)) AS BIGINT) AS n_only_score,
+           CAST(SUM((1 - pass_a) * pass_b) AS BIGINT) AS n_only_repetition,
+           CAST(SUM((1 - pass_a) * (1 - pass_b)) AS BIGINT) AS n_neither,
+           CAST(SUM(pass_a * pass_b + (1 - pass_a) * (1 - pass_b))
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS agreement_rate
+    FROM gates GROUP BY source ORDER BY source
+    """
