@@ -7794,9 +7794,13 @@ def q180_containment_join(spark: SparkSession, sf: str) -> DataFrame:
     logic, containment-flavoured). Rarity ordering is (df, gram)
     INSIDE each doc's window — the per-doc prefix is identical to what
     a global rarity rank selects, with no vocabulary-wide sort
-    anywhere (df is one keyed agg); the verify step recounts the exact overlap
-    with two (doc, gram) equi-joins; the threshold test is exact
-    integer arithmetic (overlap*5 >= 4*|Ta|)."""
+    anywhere (df is one keyed agg); the verify step intersects the two
+    docs' DISTINCT-gram arrays (`array_intersect` on two id-keyed
+    joins — candidate-bounded work on ~|Ta|-element arrays, replacing
+    the explode-recount's two fact-scale (doc, gram) joins; the
+    overlap is the same exact integer, which the oracle twin still
+    RECOUNTS with equi-joins — two algorithms, one number); the
+    threshold test is exact integer arithmetic (overlap*5 >= 4*|Ta|)."""
     from kp_data_pipelines_spark.operators.similarity import ensure_parallelism
     from kp_data_pipelines_spark.operators.textops import with_poly_shingles
 
@@ -7804,18 +7808,17 @@ def q180_containment_join(spark: SparkSession, sf: str) -> DataFrame:
     docs = ensure_parallelism(
         read_table(spark, sf, "documents").select("doc_id", "text"), 32
     )
-    # sz travels WITH the exploded rows (computed once on the distinct-gram
-    # array) — no per-doc COUNT window needed downstream.
-    ex = (
+    # The checkpoint holds ARRAYS (one row per doc), not exploded rows:
+    # every consumer below — the exploded index, the prefix window, and
+    # the array-intersect verify — re-derives from the same materialized
+    # per-doc gram arrays; sz is computed once on the distinct-gram array.
+    base = (
         with_poly_shingles(docs, "text", out="grams", k=3)
         .withColumn("grams", F.array_distinct("grams"))
-        .select(
-            "doc_id",
-            F.size("grams").cast("long").alias("sz"),
-            F.explode("grams").alias("gram"),
-        )
+        .withColumn("sz", F.size("grams").cast("long"))
         .localCheckpoint(eager=True)
     )
+    ex = base.select("doc_id", "sz", F.explode("grams").alias("gram"))
     dfc = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     # Rarity prefix = the k smallest grams by (df, gram) PER DOC — ordering
     # by (df, gram) inside the doc window selects the identical prefix a
@@ -7844,18 +7847,21 @@ def q180_containment_join(spark: SparkSession, sf: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    ta = ex.select(F.col("doc_id").alias("id_a"), "gram")
-    tb = ex.select(F.col("doc_id").alias("id_b"), "gram")
-    ov = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "gram"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("overlap"))
+    ga = base.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("grams").alias("ga"),
+        F.col("sz").alias("size_a"),
     )
-    sz = ex.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("size_a")).distinct()
+    gb = base.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    ov = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn(
+            "overlap", F.size(F.array_intersect("ga", "gb")).cast("long")
+        )
+    )
     return (
-        ov.join(sz, "id_a")
-        .filter(F.col("overlap") * t_den >= t_num * F.col("size_a"))
+        ov.filter(F.col("overlap") * t_den >= t_num * F.col("size_a"))
         .select(
             "id_a",
             "id_b",
