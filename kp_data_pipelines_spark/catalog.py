@@ -15380,6 +15380,75 @@ def q262_quality_gate_agreement(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register("q263_quality_dup_association", oracles.quality_dup_association_sql())
+def q263_quality_dup_association(spark: SparkSession, sf: str) -> DataFrame:
+    """Selection-bias audit: is LOW quality associated with NEAR-
+    duplication? Per quality decile (q22's score, fixed [0,1] domain ->
+    bounded 10-bucket grid), the rate of docs that appear in any
+    MinHash near-dup pair (q38's verified banded generator) and its
+    lift over the corpus rate — if cheap-to-copy boilerplate
+    concentrates in the low deciles, dedup REWEIGHTS the mixture and a
+    quality threshold chosen on raw data is wrong post-dedup; this is
+    the number that says so before a 100 TB build bakes it in. Scale
+    shape: near-dup membership is the banded equi-join's pair ids,
+    distinct-projected and left-joined back on doc_id (never a window
+    over docs); the decile grid is domain-bounded; the corpus scalar
+    attaches via broadcast_scalar with a NULL-guarded lift (dup-free
+    corpora yield NULL, identically on both engines). Bucket edges use
+    the SAME double ops on both engines (floor(q*10) — deterministic
+    even where 0.x*10 rounds below the integer)."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        minhash_near_dups,
+    )
+    from kp_data_pipelines_spark.operators.textops import quality_score
+
+    docs = read_table(spark, sf, "documents")
+    pairs = minhash_near_dups(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=32, bands=16,
+        jaccard_threshold=0.4, portable_hash=True,
+    )
+    dup = (
+        pairs.select(
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("doc_id")
+        )
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    q = docs.select(
+        "doc_id",
+        F.least(
+            F.floor(quality_score("text") * 10).cast("bigint"), F.lit(9)
+        ).alias("bucket"),
+    )
+    d = q.join(dup, "doc_id", "left").select(
+        "bucket",
+        F.when(F.col("__dup").isNotNull(), 1).otherwise(0).alias("is_dup"),
+    )
+    b = d.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("is_dup").cast("bigint").alias("n_dup"),
+    )
+    tot = b.groupBy().agg(
+        F.sum("n_docs").cast("bigint").alias("n_all"),
+        F.sum("n_dup").cast("bigint").alias("n_dup_all"),
+    )
+    rate = F.col("n_dup").cast("double") / F.col("n_docs").cast("double")
+    overall = (
+        F.col("n_dup_all").cast("double") / F.col("n_all").cast("double")
+    )
+    return (
+        b.crossJoin(broadcast_scalar(tot))
+        .select(
+            "bucket",
+            "n_docs",
+            "n_dup",
+            rate.alias("dup_rate"),
+            F.when(F.col("n_dup_all") > 0, rate / overall).alias("lift"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------

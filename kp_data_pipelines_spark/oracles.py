@@ -1961,3 +1961,54 @@ def gate_agreement_sql(q_min: str = "0.7") -> str:
                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS agreement_rate
     FROM gates GROUP BY source ORDER BY source
     """
+
+
+def quality_dup_association_sql(
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.4,
+) -> str:
+    """Twin of q263: per quality decile, the NEAR-duplicate membership
+    rate (docs appearing in any MinHash pair) and its lift over the
+    corpus rate — lift NULL-guarded for dup-free corpora."""
+    return f"""
+    WITH {_minhash_pairs_core(k, num_hashes, bands, threshold)},
+    pos AS (
+      SELECT id_a, id_b FROM pairs WHERE est_jaccard >= {threshold}
+    ),
+    dup AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT id_a AS doc_id FROM pos
+        UNION ALL SELECT id_b AS doc_id FROM pos
+      )
+    ),
+    q AS (
+      SELECT doc_id,
+             least(CAST(floor({_QUALITY_SQL} * 10) AS BIGINT), 9) AS bucket
+      FROM documents
+    ),
+    d AS (
+      SELECT q.bucket,
+             CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup
+      FROM q LEFT JOIN dup ON dup.doc_id = q.doc_id
+    ),
+    b AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(is_dup) AS BIGINT) AS n_dup
+      FROM d GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS n_all,
+             CAST(SUM(n_dup) AS BIGINT) AS n_dup_all
+      FROM b
+    )
+    SELECT bucket, n_docs, n_dup,
+           CAST(n_dup AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate,
+           CASE WHEN n_dup_all = 0 THEN NULL
+                ELSE (CAST(n_dup AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                     / (CAST(n_dup_all AS DOUBLE) / CAST(n_all AS DOUBLE))
+           END AS lift
+    FROM b CROSS JOIN tot ORDER BY bucket
+    """
