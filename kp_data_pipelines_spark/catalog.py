@@ -15449,6 +15449,81 @@ def q263_quality_dup_association(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q264_context_length_sweep",
+    """
+    WITH d AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    sweep AS (
+      SELECT l.ctx, d.n_tokens
+      FROM d, (SELECT unnest([128, 256, 512, 1024, 2048]) AS ctx) l
+    ),
+    a AS (
+      SELECT CAST(ctx AS BIGINT) AS ctx,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(SUM((n_tokens + ctx - 1) // ctx) AS BIGINT)
+               AS seqs_padded
+      FROM sweep GROUP BY ctx
+    )
+    SELECT ctx, total_tokens,
+           CAST((total_tokens + ctx - 1) // ctx AS BIGINT) AS seqs_concat,
+           seqs_padded,
+           CAST(total_tokens AS DOUBLE)
+             / (CAST((total_tokens + ctx - 1) // ctx AS DOUBLE)
+                * CAST(ctx AS DOUBLE)) AS eff_concat,
+           CAST(total_tokens AS DOUBLE)
+             / (CAST(seqs_padded AS DOUBLE) * CAST(ctx AS DOUBLE))
+             AS eff_padded
+    FROM a ORDER BY ctx
+    """,
+)
+def q264_context_length_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-length planning sweep: for a literal grid of sequence
+    lengths, the packing efficiency under the two standard policies —
+    CONCAT-AND-SPLIT (documents concatenated then cut every ctx tokens:
+    ceil(total/ctx) sequences, no padding, but documents cross sequence
+    boundaries) vs ONE-DOC-PER-SEQUENCE (each doc padded up:
+    sum(ceil(n/ctx)) sequences, no boundary crossings, efficiency =
+    useful-token fraction). The gap between the two curves is the token
+    budget document-boundary preservation costs at each context length
+    — the number that picks ctx for a 100 TB build (complements q239's
+    per-shard bin forecast at a FIXED budget and q257's quality-knob
+    sweep). Scale shape: the q257 pattern — bounded 5x literal-grid
+    explode, ONE keyed aggregate of exact ceil-division integers
+    (numerators non-negative so DuckDB `//` floor == Spark `div`
+    trunc), two pinned double divisions post-agg."""
+    docs = read_table(spark, sf, "documents")
+    grid = F.array(*[F.lit(v) for v in (128, 256, 512, 1024, 2048)])
+    d = docs.select(
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    sweep = d.select(F.explode(grid).alias("ctx"), "n_tokens")
+    a = sweep.groupBy(F.col("ctx").cast("bigint").alias("ctx")).agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.expr("(n_tokens + ctx - 1) div ctx"))
+        .cast("bigint")
+        .alias("seqs_padded"),
+    )
+    seqs_concat = F.expr("(total_tokens + ctx - 1) div ctx")
+    ctx_d = F.col("ctx").cast("double")
+    return a.select(
+        "ctx",
+        "total_tokens",
+        seqs_concat.cast("bigint").alias("seqs_concat"),
+        "seqs_padded",
+        (
+            F.col("total_tokens").cast("double")
+            / (seqs_concat.cast("double") * ctx_d)
+        ).alias("eff_concat"),
+        (
+            F.col("total_tokens").cast("double")
+            / (F.col("seqs_padded").cast("double") * ctx_d)
+        ).alias("eff_padded"),
+    ).orderBy("ctx")
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------
