@@ -15524,6 +15524,135 @@ def q264_context_length_sweep(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("ctx")
 
 
+@register("q265_ann_recall_audit", oracles.ann_recall_sql())
+def q265_ann_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN quality gate: recall@10 of the IVF probe path (q45's index
+    machinery) against the exact brute-force ranking, per anchor — the
+    number that says whether n_centroids/nprobe are tuned right BEFORE
+    an index is baked into a 100 TB corpus. Eight anchor queries
+    (vec_id < 8, an 8-row bounded collect like q24/q45's seeds) score
+    against all candidates in ONE scan: per row an array of (qid, cos)
+    structs is exploded, so evaluation cost is O(Q*N) with Q fixed —
+    linear, never pairwise. Exact and probe-filtered top-10 both come
+    from the two-stage top-k shape (shard-local row_number, then a
+    final row_number over <=32*k survivors per anchor — every window
+    partitioned, no global sort over raw rows). Centroid seed,
+    assignment kernel (cos DESC, cid DESC ties), probe score (dot/ncv,
+    stable cid ASC ties) and fold cosines replicate q45 exactly, so the
+    DuckDB twin's rankings match bit-for-bit. Output is integer hit
+    counts plus their exact small-integer ratio."""
+    import math as _math
+
+    from kp_data_pipelines_spark.operators.similarity import (
+        _dot,
+        _nearest_centroid_kernel,
+        ivf_centroids,
+    )
+
+    n_queries, n_centroids, nprobe, kk = 8, 16, 4, 10
+    emb = read_table(spark, sf, "embeddings")
+    anchors = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in anchors
+    ]
+    cand = ensure_parallelism(emb.filter(F.col("vec_id") >= n_queries))
+    centroids = ivf_centroids(cand, "embedding", n_centroids, id_col="vec_id")
+
+    # Probe cells per anchor: driver-side over k tiny centroids, the
+    # ivf_topk scoring (dot / centroid norm, stable sort -> cid ASC ties).
+    probe = {
+        qid: [
+            cid
+            for cid, _ in sorted(
+                centroids,
+                key=lambda c: -(
+                    sum(a * b for a, b in zip(qv, c[1]))
+                    / (_math.sqrt(sum(x * x for x in c[1])) or 1.0)
+                ),
+            )[:nprobe]
+        ]
+        for qid, qv in queries
+    }
+    probe_entries = []
+    for qid, cells in probe.items():
+        probe_entries.append(F.lit(qid).cast("bigint"))
+        probe_entries.append(F.array(*[F.lit(int(c)) for c in cells]))
+    probe_map = F.create_map(*probe_entries)
+
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vn = F.sqrt(_dot(v, v))
+    per_q = F.array(
+        *[
+            F.struct(
+                F.lit(qid).cast("bigint").alias("qid"),
+                (
+                    _dot(v, F.array(*[F.lit(x) for x in qv]))
+                    / (vn * F.lit(_math.sqrt(sum(x * x for x in qv))))
+                ).alias("cos"),
+            )
+            for qid, qv in queries
+        ]
+    )
+    cell = _nearest_centroid_kernel(centroids)(F.col("embedding"))
+    scored = (
+        cand.select("vec_id", cell.alias("cell"), F.explode(per_q).alias("s"))
+        .select("vec_id", F.col("cell").cast("int").alias("cell"), "s.qid", "s.cos")
+    )
+
+    def _topk(df: DataFrame) -> DataFrame:
+        w1 = Window.partitionBy("qid", "shard").orderBy(
+            F.desc("cos"), F.col("vec_id")
+        )
+        w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.col("vec_id"))
+        local = (
+            df.withColumn("shard", F.pmod(F.hash("vec_id"), F.lit(32)))
+            .withColumn("rn", F.row_number().over(w1))
+            .filter(F.col("rn") <= kk)
+            .drop("rn", "shard")
+        )
+        return (
+            local.withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") <= kk)
+            .select("qid", "vec_id", "cos")
+        )
+
+    exact = _topk(scored)
+    approx = _topk(
+        scored.filter(
+            F.array_contains(probe_map[F.col("qid")], F.col("cell"))
+        )
+    )
+    return (
+        exact.join(
+            approx.select("qid", "vec_id", F.lit(1).alias("__hit")),
+            ["qid", "vec_id"],
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .select(
+            "qid",
+            "n_exact",
+            "n_hits",
+            (
+                F.col("n_hits").cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall_at_k"),
+        )
+        .orderBy("qid")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------

@@ -2012,3 +2012,90 @@ def quality_dup_association_sql(
            END AS lift
     FROM b CROSS JOIN tot ORDER BY bucket
     """
+
+
+def ann_recall_sql(
+    n_queries: int = 8, n_centroids: int = 16, nprobe: int = 4, kk: int = 10
+) -> str:
+    """Twin of q265: per-anchor recall@k of the IVF probe path against the
+    exact brute-force ranking. Mirrors q45's machinery exactly — centroid
+    seed = first ``n_centroids`` candidates by vec_id, assignment
+    tie-break (cos DESC, cid DESC) = the kernel's
+    reverse(array_sort(struct(cos, cid))), probe score = dot/ncv with
+    tie-break cid ASC (Python's stable sorted), exact/approx top-k
+    ordering (cos DESC, vec_id ASC). Every cosine is the sequential left
+    fold (``_dot``), so rankings match Spark bit-for-bit."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id >= {n_queries}
+    ),
+    q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {n_queries}
+    ),
+    c AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             v AS cv
+      FROM e ORDER BY vec_id LIMIT {n_centroids}
+    ),
+    cn AS (
+      SELECT cid, cv,
+             CASE WHEN sqrt({_dot("cv", "cv")}) = 0 THEN 1.0
+                  ELSE sqrt({_dot("cv", "cv")}) END AS ncv
+      FROM c
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, cn.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_dot("e.v", "cn.cv")}
+                   / (sqrt({_dot("e.v", "e.v")}) * cn.ncv) DESC,
+                 cn.cid DESC) AS rn
+        FROM e CROSS JOIN cn
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, cn.cid,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {_dot("q.qv", "cn.cv")} / cn.ncv DESC, cn.cid)
+                 AS prn
+        FROM q CROSS JOIN cn
+      ) WHERE prn <= {nprobe}
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             {_dot("e.v", "q.qv")}
+               / (sqrt({_dot("e.v", "e.v")}) * sqrt({_dot("q.qv", "q.qv")}))
+               AS cos
+      FROM e CROSS JOIN q
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= {kk}
+    ),
+    approx AS (
+      SELECT qid, vec_id FROM (
+        SELECT s.qid, s.vec_id,
+               row_number() OVER (PARTITION BY s.qid
+                                  ORDER BY s.cos DESC, s.vec_id) AS rn
+        FROM scored s
+        JOIN assign a ON s.vec_id = a.vec_id
+        JOIN probe p ON p.qid = s.qid AND p.cid = a.cid
+      ) WHERE rn <= {kk}
+    )
+    SELECT x.qid AS qid,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN ap.vec_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN ap.vec_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS recall_at_k
+    FROM exact x
+    LEFT JOIN approx ap ON x.qid = ap.qid AND x.vec_id = ap.vec_id
+    GROUP BY x.qid ORDER BY qid
+    """
