@@ -15653,6 +15653,157 @@ def q265_ann_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register("q266_silhouette_score", oracles.silhouette_sql())
+def q266_silhouette_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-quality gate: simplified silhouette per cluster, using
+    centroid distances (a = 1-cos to own centroid, b = 1-cos to the
+    best OTHER centroid, s = (b-a)/max(a,b) = (cos1-cos2)/(1-cos2))
+    — the standard O(N*k) silhouette approximation that replaces the
+    O(N^2) point-pairwise form at scale; it is the accept/reject
+    number for a clustering (q105/q45's index cells, q236's SemDeDup
+    blocks) before it partitions a 100 TB corpus. Scale shape: ONE
+    scan; the k=16 scored structs are a literal fold per row
+    (materialized in their own projection so the interpreted HOF
+    evaluates once; at larger k the q45 Arrow kernel extends to top-2),
+    top-2 via reverse(array_sort) — no joins, no windows over raw
+    rows; ONE keyed agg. The cluster mean aggregates QUANTIZED
+    (round(s*1e6) staged through DECIMAL(38,0) — order-independent,
+    cross-engine exact while clusters hold < ~9e9 rows). Seed and
+    tie-breaks replicate q45's deterministic index machinery, so every
+    cosine and assignment matches the DuckDB twin bit-for-bit."""
+    import math as _math
+
+    from kp_data_pipelines_spark.operators.similarity import (
+        _dot,
+        ivf_centroids,
+    )
+
+    emb = ensure_parallelism(read_table(spark, sf, "embeddings"))
+    centroids = ivf_centroids(emb, "embedding", 16, id_col="vec_id")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vn = F.sqrt(_dot(v, v))
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    _dot(v, F.array(*[F.lit(float(x)) for x in cvec]))
+                    / (
+                        vn
+                        * F.lit(
+                            _math.sqrt(sum(x * x for x in cvec)) or 1.0
+                        )
+                    )
+                ).alias("cos"),
+                F.lit(int(cid)).cast("int").alias("cid"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    top2 = F.slice(F.reverse(F.array_sort(scored)), 1, 2)
+    d = emb.select(top2.alias("t2")).select(
+        F.col("t2")[0]["cid"].alias("cid"),
+        F.col("t2")[0]["cos"].alias("cos1"),
+        F.col("t2")[1]["cos"].alias("cos2"),
+    )
+    denom = F.lit(1.0) - F.col("cos2")
+    sil = F.when(denom == 0, F.lit(0.0)).otherwise(
+        (F.col("cos1") - F.col("cos2")) / denom
+    )
+    return (
+        d.select("cid", sil.alias("sil"))
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            (
+                F.sum(
+                    F.round(F.col("sil") * F.lit(1000000.0)).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1000000.0)
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("cid")
+    )
+
+
+@register("q267_dsir_importance", oracles.dsir_importance_sql())
+def q267_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, public method):
+    importance-rank documents by how much their hashed-unigram
+    distribution resembles a target slice (lang='en') vs the whole
+    corpus. The classic formulation sums log-likelihood ratios; a
+    hashed float-log sum is not cross-engine hashable, so this uses the
+    integer-exact linear variant — per hashed bucket the weight is the
+    QUANTIZED probability gap round(1e9*(p_target - p_background))
+    computed as two identical double divides+rounds, and a doc's score
+    is the exact BIGINT sum of its token-bucket weights (same top-k
+    ranking contract as the log form for the quantization grid). Scale
+    shape: one explode to (doc, bucket) rows — token hashes are the
+    vectorized Arrow char fold (char_fold_hashes, pinned bit-for-bit to
+    the JVM/DuckDB fold); bucket stats are ONE keyed agg with a
+    conditional target lane (never two corpus passes); the 1024-row
+    weight table broadcasts back onto the token stream (domain-bounded
+    — never a shuffle keyed on doc volume); corpus totals attach via
+    broadcast_scalar. |w| <= 1e9 and 100 TB ~ 2.5e13 tokens keep every
+    sum far below 2^53/ANSI limits; tagged overflow so the sf0.1 sweep
+    covers the quantized lane."""
+    from kp_data_pipelines_spark.operators.textops import char_fold_hashes
+
+    n_buckets, kk = 1024, 20
+    docs = ensure_parallelism(read_table(spark, sf, "documents"))
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    )
+    tb = toks.select(
+        "doc_id",
+        "lang",
+        F.pmod(
+            F.element_at(char_fold_hashes("tok", (31,)), 1),
+            F.lit(n_buckets),
+        ).alias("bucket"),
+    )
+    b = tb.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_bg"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_t"),
+    )
+    tot = b.groupBy().agg(
+        F.sum("n_bg").cast("bigint").alias("tot_bg"),
+        F.sum("n_t").cast("bigint").alias("tot_t"),
+    )
+    qd = F.lit(1000000000.0)
+    w = b.crossJoin(broadcast_scalar(tot)).select(
+        "bucket",
+        (
+            F.round(
+                F.col("n_t").cast("double")
+                / F.col("tot_t").cast("double")
+                * qd
+            ).cast("bigint")
+            - F.round(
+                F.col("n_bg").cast("double")
+                / F.col("tot_bg").cast("double")
+                * qd
+            ).cast("bigint")
+        ).alias("w"),
+    )
+    return (
+        tb.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w").cast("bigint").alias("dsir_score"),
+        )
+        .orderBy(F.desc("dsir_score"), "doc_id")
+        .limit(kk)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------
@@ -15716,6 +15867,8 @@ OVERFLOW_SENSITIVE = frozenset({
     "q252_embedding_centroid_drift",
     "q256_annotator_agreement_kappa",
     "q259_interarrival_burstiness",
+    "q266_silhouette_score",
+    "q267_dsir_importance",
 })
 
 for _q in OVERFLOW_SENSITIVE:

@@ -2099,3 +2099,105 @@ def ann_recall_sql(
     LEFT JOIN approx ap ON x.qid = ap.qid AND x.vec_id = ap.vec_id
     GROUP BY x.qid ORDER BY qid
     """
+
+
+def silhouette_sql(n_centroids: int = 16) -> str:
+    """Twin of q266: simplified (centroid-distance) silhouette per
+    cluster. Same deterministic seed + assignment ordering as q45/q265
+    (first ``n_centroids`` by vec_id; cos DESC, cid DESC ties); the
+    per-point score s = (cos1-cos2)/(1-cos2) is the same IEEE double on
+    both engines, and the cluster mean aggregates QUANTIZED
+    (round(s*1e6) through DECIMAL(38,0)) so the sum is order-independent
+    and cross-engine exact below 2^53."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             v AS cv
+      FROM e ORDER BY vec_id LIMIT {n_centroids}
+    ),
+    cn AS (
+      SELECT cid, cv,
+             CASE WHEN sqrt({_dot("cv", "cv")}) = 0 THEN 1.0
+                  ELSE sqrt({_dot("cv", "cv")}) END AS ncv
+      FROM c
+    ),
+    sc AS (
+      SELECT e.vec_id, cn.cid,
+             {_dot("e.v", "cn.cv")}
+               / (sqrt({_dot("e.v", "e.v")}) * cn.ncv) AS cos
+      FROM e CROSS JOIN cn
+    ),
+    r AS (
+      SELECT vec_id, cid, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cid DESC) AS rn
+      FROM sc
+    ),
+    p AS (
+      SELECT a.vec_id, a.cid, a.cos AS cos1, b.cos AS cos2
+      FROM r a JOIN r b ON a.vec_id = b.vec_id AND b.rn = 2
+      WHERE a.rn = 1
+    ),
+    s AS (
+      SELECT cid,
+             CASE WHEN CAST(1 AS DOUBLE) - cos2 = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE (cos1 - cos2) / (CAST(1 AS DOUBLE) - cos2)
+             END AS sil
+      FROM p
+    )
+    SELECT CAST(cid AS INTEGER) AS cid,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(CAST(round(sil * 1000000.0) AS DECIMAL(38,0)))
+                AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mean_silhouette
+    FROM s GROUP BY cid ORDER BY cid
+    """
+
+
+def dsir_importance_sql(
+    n_buckets: int = 1024, target_lang: str = "en", kk: int = 20
+) -> str:
+    """Twin of q267: hashed-unigram DSIR-style importance scores. Token
+    hashes are the portable char fold (``_tok_hashes`` ==
+    textops.poly_token_hashes bit-for-bit); bucket weights quantize the
+    target/background probability gap to integers (round(p*1e9), the
+    same double divide+multiply+round on both engines), so every score
+    is an exact BIGINT sum."""
+    q = "CAST(1000000000 AS DOUBLE)"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_tok_hashes("text")}) AS th
+      FROM documents
+    ),
+    tb AS (SELECT doc_id, lang, th % {n_buckets} AS bucket FROM toks),
+    b AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_bg,
+             CAST(SUM(CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_t
+      FROM tb GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_bg) AS BIGINT) AS tot_bg,
+             CAST(SUM(n_t) AS BIGINT) AS tot_t
+      FROM b
+    ),
+    w AS (
+      SELECT bucket,
+             CAST(round(CAST(n_t AS DOUBLE) / CAST(tot_t AS DOUBLE) * {q})
+                  AS BIGINT)
+           - CAST(round(CAST(n_bg AS DOUBLE) / CAST(tot_bg AS DOUBLE) * {q})
+                  AS BIGINT) AS w
+      FROM b CROSS JOIN tot
+    )
+    SELECT tb.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(w.w) AS BIGINT) AS dsir_score
+    FROM tb JOIN w USING (bucket)
+    GROUP BY tb.doc_id
+    ORDER BY dsir_score DESC, doc_id
+    LIMIT {kk}
+    """
