@@ -15804,6 +15804,149 @@ def q267_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register("q268_ivf_nprobe_sweep", oracles.ann_nprobe_sweep_sql())
+def q268_ivf_nprobe_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF tuning curve: mean recall@10 over the anchor set for each
+    nprobe in a literal grid {1,2,4,8} — the one chart that picks the
+    recall/cost point before an index partitions a 100 TB corpus
+    (q265 is the fixed-nprobe audit; this is the sweep that justifies
+    the fixed value). Scale shape: identical to q265 — ONE candidate
+    scan scores all 8 anchors; the candidate's cell RANK within each
+    anchor's centroid ranking is an array_position over an 8-entry
+    literal map (driver holds 8x16 ints), so the grid explode is a
+    bounded 4x on rows that already exist; exact and per-nprobe
+    top-10s use the two-stage sharded top-k (every window
+    partitioned); hit counting is a keyed equi-join. Output is exact
+    integer hit totals and their small-rational mean."""
+    import math as _math
+
+    from kp_data_pipelines_spark.operators.similarity import (
+        _dot,
+        _nearest_centroid_kernel,
+        ivf_centroids,
+    )
+
+    n_queries, n_centroids, kk = 8, 16, 10
+    grid = [1, 2, 4, 8]
+    emb = read_table(spark, sf, "embeddings")
+    anchors = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in anchors
+    ]
+    cand = ensure_parallelism(emb.filter(F.col("vec_id") >= n_queries))
+    centroids = ivf_centroids(cand, "embedding", n_centroids, id_col="vec_id")
+
+    # Full probe RANKING per anchor (not a fixed cut): ivf_topk's scoring
+    # (dot / centroid norm, stable sort -> cid ASC ties), all 16 cells.
+    ranked = {
+        qid: [
+            cid
+            for cid, _ in sorted(
+                centroids,
+                key=lambda c: -(
+                    sum(a * b for a, b in zip(qv, c[1]))
+                    / (_math.sqrt(sum(x * x for x in c[1])) or 1.0)
+                ),
+            )
+        ]
+        for qid, qv in queries
+    }
+    rank_entries = []
+    for qid, cells in ranked.items():
+        rank_entries.append(F.lit(qid).cast("bigint"))
+        rank_entries.append(F.array(*[F.lit(int(c)) for c in cells]))
+    rank_map = F.create_map(*rank_entries)
+
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vn = F.sqrt(_dot(v, v))
+    per_q = F.array(
+        *[
+            F.struct(
+                F.lit(qid).cast("bigint").alias("qid"),
+                (
+                    _dot(v, F.array(*[F.lit(x) for x in qv]))
+                    / (vn * F.lit(_math.sqrt(sum(x * x for x in qv))))
+                ).alias("cos"),
+            )
+            for qid, qv in queries
+        ]
+    )
+    cell = _nearest_centroid_kernel(centroids)(F.col("embedding"))
+    scored = (
+        cand.select("vec_id", cell.alias("cell"), F.explode(per_q).alias("s"))
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            "s.qid",
+            "s.cos",
+        )
+        .withColumn(
+            "cell_rank", F.array_position(rank_map[F.col("qid")], F.col("cell"))
+        )
+    )
+
+    def _topk(df: DataFrame, keys: list) -> DataFrame:
+        w1 = Window.partitionBy(*keys, "shard").orderBy(
+            F.desc("cos"), F.col("vec_id")
+        )
+        w2 = Window.partitionBy(*keys).orderBy(F.desc("cos"), F.col("vec_id"))
+        local = (
+            df.withColumn("shard", F.pmod(F.hash("vec_id"), F.lit(32)))
+            .withColumn("rn", F.row_number().over(w1))
+            .filter(F.col("rn") <= kk)
+            .drop("rn", "shard")
+        )
+        return (
+            local.withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") <= kk)
+            .select(*keys, "vec_id")
+        )
+
+    grid_arr = F.array(*[F.lit(n).cast("bigint") for n in grid])
+    exact = _topk(scored, ["qid"]).select(
+        "qid", "vec_id", F.explode(grid_arr).alias("nprobe")
+    )
+    approx = _topk(
+        scored.select(
+            "vec_id",
+            "qid",
+            "cos",
+            "cell_rank",
+            F.explode(grid_arr).alias("nprobe"),
+        ).filter(F.col("cell_rank") <= F.col("nprobe")),
+        ["qid", "nprobe"],
+    )
+    return (
+        exact.join(
+            approx.select("qid", "nprobe", "vec_id", F.lit(1).alias("__hit")),
+            ["qid", "nprobe", "vec_id"],
+            "left",
+        )
+        .groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .select(
+            "nprobe",
+            "n_exact",
+            "n_hits",
+            (
+                F.col("n_hits").cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("mean_recall"),
+        )
+        .orderBy("nprobe")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------

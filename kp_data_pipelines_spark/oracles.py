@@ -2201,3 +2201,91 @@ def dsir_importance_sql(
     ORDER BY dsir_score DESC, doc_id
     LIMIT {kk}
     """
+
+
+def ann_nprobe_sweep_sql(
+    n_queries: int = 8, n_centroids: int = 16, kk: int = 10
+) -> str:
+    """Twin of q268: mean recall@k over the anchor set for each nprobe in
+    a literal grid — q265's machinery with the probe rank kept as a
+    column instead of filtered at a fixed nprobe. Same seed, folds and
+    tie-breaks as q45/q265."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id >= {n_queries}
+    ),
+    q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {n_queries}
+    ),
+    c AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             v AS cv
+      FROM e ORDER BY vec_id LIMIT {n_centroids}
+    ),
+    cn AS (
+      SELECT cid, cv,
+             CASE WHEN sqrt({_dot("cv", "cv")}) = 0 THEN 1.0
+                  ELSE sqrt({_dot("cv", "cv")}) END AS ncv
+      FROM c
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, cn.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_dot("e.v", "cn.cv")}
+                   / (sqrt({_dot("e.v", "e.v")}) * cn.ncv) DESC,
+                 cn.cid DESC) AS rn
+        FROM e CROSS JOIN cn
+      ) WHERE rn = 1
+    ),
+    prank AS (
+      SELECT q.qid, cn.cid,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY {_dot("q.qv", "cn.cv")} / cn.ncv DESC, cn.cid)
+               AS prn
+      FROM q CROSS JOIN cn
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             {_dot("e.v", "q.qv")}
+               / (sqrt({_dot("e.v", "e.v")}) * sqrt({_dot("q.qv", "q.qv")}))
+               AS cos
+      FROM e CROSS JOIN q
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= {kk}
+    ),
+    grid AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+    approx AS (
+      SELECT nprobe, qid, vec_id FROM (
+        SELECT g.nprobe, s.qid, s.vec_id,
+               row_number() OVER (PARTITION BY s.qid, g.nprobe
+                                  ORDER BY s.cos DESC, s.vec_id) AS rn
+        FROM scored s
+        JOIN assign a ON s.vec_id = a.vec_id
+        JOIN prank p ON p.qid = s.qid AND p.cid = a.cid
+        JOIN grid g ON p.prn <= g.nprobe
+      ) WHERE rn <= {kk}
+    ),
+    xg AS (
+      SELECT x.qid, x.vec_id, g.nprobe
+      FROM exact x CROSS JOIN grid g
+    )
+    SELECT CAST(xg.nprobe AS BIGINT) AS nprobe,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN ap.vec_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN ap.vec_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_recall
+    FROM xg
+    LEFT JOIN approx ap
+      ON xg.qid = ap.qid AND xg.vec_id = ap.vec_id AND xg.nprobe = ap.nprobe
+    GROUP BY xg.nprobe ORDER BY nprobe
+    """
