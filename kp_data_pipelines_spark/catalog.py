@@ -15947,6 +15947,35 @@ def q268_ivf_nprobe_sweep(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register("q269_hard_negative_mining", oracles.hard_negative_sql())
+def q269_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive-training hard negatives: for every anchor embedding,
+    the 3 nearest neighbors carrying a DIFFERENT label — the standard
+    in-batch-negative upgrade for retrieval/embedding training, mined
+    corpus-wide. Candidates come from hyperplane-LSH buckets (q40's
+    planes — a keyed equi-join domain, never all-pairs; recall is the
+    usual LSH trade and more planes/multi-probe tighten bucket width
+    at 100 TB). Inside each bucket the bucket_hard_negatives Arrow
+    kernel (q226's gram-matrix engine, dim-sequential accumulation ==
+    the JVM fold, pinned by test) emits the k=3 (anchor, negative,
+    rank) rows per anchor directly — vectors cross the Arrow boundary
+    once per bucket member and the |bucket|^2 pair explode never
+    materializes. Output is ids + integer ranks only — no floats to
+    hash."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        bucket_hard_negatives,
+        simhash_planes,
+        with_hyperplane_bucket,
+    )
+
+    emb = read_table(spark, sf, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select("vec_id", "label", v.alias("v"))
+    be = with_hyperplane_bucket(e, "v", simhash_planes(64, 4, 7))
+    out = bucket_hard_negatives(be, "vec_id", "label", "v", k=3)
+    return out.orderBy("vec_id", "neg_rank")
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------

@@ -168,6 +168,61 @@ def bucket_knn_agreement(
     return bucketed.groupBy(bucket_col).applyInPandas(_per_bucket, out_schema)
 
 
+def bucket_hard_negatives(
+    bucketed: DataFrame,
+    id_col: str,
+    label_col: str,
+    vec_col: str,
+    k: int = 3,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Per-anchor top-k nearest DIFFERENT-label neighbors within each
+    LSH bucket — contrastive-training hard negatives, emitted directly
+    as (anchor, negative, rank) rows. Same gram-matrix kernel as
+    ``bucket_knn_agreement``: the bucket's cosine matrix accumulates
+    DIM-SEQUENTIALLY (the exact F.aggregate fold order, so every cosine
+    is the identical IEEE double the interpreted pair-explode produces
+    and neighbor RANKINGS match the DuckDB twin bit-for-bit — pinned by
+    test_hard_negative_kernel_matches_jvm), ranking is lexsort by
+    (-cos, id) == the window's (desc cos, id). Emits k rows per anchor,
+    never the |bucket|^2 pair explode; bucket width is capped by the
+    plane count at larger corpora."""
+    out_schema = (
+        f"{id_col} long, {label_col} long, neg_id long, neg_label long, "
+        "neg_rank long"
+    )
+    cols = [id_col, label_col, "neg_id", "neg_label", "neg_rank"]
+
+    def _per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(columns=cols)
+        ids = pdf[id_col].to_numpy()
+        labels = pdf[label_col].to_numpy()
+        V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        d = V.shape[1]
+        dots = np.zeros((n, n))
+        vsq = np.zeros(n)
+        for j in range(d):  # sequential over dims == the JVM fold order
+            c = V[:, j]
+            dots = dots + c[:, None] * c[None, :]
+            vsq = vsq + c * c
+        nrm = np.sqrt(vsq)
+        cos = dots / (nrm[:, None] * nrm[None, :])
+        rows = []
+        for i in range(n):
+            # (desc cos, asc id) — the window twin's order
+            order = np.lexsort((ids, -cos[i]))
+            negs = [j for j in order if labels[j] != labels[i]][:k]
+            for r, j in enumerate(negs, start=1):
+                rows.append(
+                    (int(ids[i]), int(labels[i]), int(ids[j]), int(labels[j]), r)
+                )
+        return pd.DataFrame(rows, columns=cols)
+
+    return bucketed.groupBy(bucket_col).applyInPandas(_per_bucket, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-duplicate pairs (Jaccard over word shingles)
 # ---------------------------------------------------------------------------

@@ -2289,3 +2289,38 @@ def ann_nprobe_sweep_sql(
       ON xg.qid = ap.qid AND xg.vec_id = ap.vec_id AND xg.nprobe = ap.nprobe
     GROUP BY xg.nprobe ORDER BY nprobe
     """
+
+
+def hard_negative_sql(n_planes: int = 4, seed: int = 7, k: int = 3) -> str:
+    """Twin of q269: per-anchor top-k different-label neighbors inside
+    hyperplane-LSH buckets (the q40/q226 planes), as a bucket self-join
+    + per-anchor window — rankings match the Spark kernel's
+    dim-sequential gram matrix bit-for-bit."""
+    planes = simhash_planes(EMBEDDING_DIM, n_planes, seed)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    be AS (
+      SELECT vec_id, label, v, {_bucket_expr("v", planes)} AS bucket,
+             sqrt({_dot("v", "v")}) AS nrm
+      FROM e
+    ),
+    pairs AS (
+      SELECT a.vec_id, a.label, b.vec_id AS neg_id, b.label AS neg_label,
+             {_dot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+      FROM be a JOIN be b ON a.bucket = b.bucket AND a.label <> b.label
+    ),
+    r AS (
+      SELECT vec_id, label, neg_id, neg_label,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, neg_id) AS neg_rank
+      FROM pairs
+    )
+    SELECT vec_id, CAST(label AS BIGINT) AS label, neg_id,
+           CAST(neg_label AS BIGINT) AS neg_label,
+           CAST(neg_rank AS BIGINT) AS neg_rank
+    FROM r WHERE neg_rank <= {k}
+    ORDER BY vec_id, neg_rank
+    """

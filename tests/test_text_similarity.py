@@ -578,3 +578,73 @@ def test_bucket_knn_kernel_matches_jvm(spark):
     # kernel also emits isolated anchors (0 neighbors); the join twin drops them
     kern_nonzero = {i: t for i, t in kern.items() if t[0] > 0}
     assert kern_nonzero == jvm
+
+
+def test_hard_negative_kernel_matches_jvm(spark):
+    """q269's bucket_hard_negatives kernel must reproduce the interpreted
+    pair-explode + per-anchor-window shape EXACTLY (dim-sequential gram
+    accumulation == the F.aggregate fold; lexsort by (-cos, id) == the
+    window's (desc cos, id)) — including exact float ties from
+    duplicated vectors, where only the id tiebreak decides rank order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kp_data_pipelines_spark.operators.similarity import (
+        _dot,
+        bucket_hard_negatives,
+        simhash_planes,
+        with_hyperplane_bucket,
+    )
+    from kp_data_pipelines_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select("vec_id", "label", v.alias("v"))
+    # duplicate two vectors under fresh ids AND a different label:
+    # exact cosine ties that land in the different-label top-k by design
+    dup = e.filter(F.col("vec_id") < 2).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        (F.col("label") + 1).alias("label"),
+        "v",
+    )
+    e = e.unionByName(dup)
+    be = with_hyperplane_bucket(e, "v", simhash_planes(64, 4, 7))
+
+    k = 3
+    kern = {
+        (r["vec_id"], r["neg_rank"]): (r["neg_id"], r["neg_label"])
+        for r in bucket_hard_negatives(be, "vec_id", "label", "v", k=k).collect()
+    }
+
+    # interpreted twin: bucket self-join on different labels, fold
+    # cosines, per-anchor window
+    nrm = be.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    a = nrm.select(
+        F.col("vec_id").alias("anchor"),
+        F.col("label").alias("alabel"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("na"),
+        "bucket",
+    )
+    b = nrm.select(
+        F.col("vec_id").alias("nb"),
+        F.col("label").alias("nlabel"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("nb_n"),
+        "bucket",
+    )
+    cos = _dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb_n"))
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("nlabel") != F.col("alabel"))
+        .select("anchor", "nb", "nlabel", cos.alias("cos"))
+    )
+    wk = Window.partitionBy("anchor").orderBy(F.desc("cos"), "nb")
+    jvm = {
+        (r["anchor"], r["rn"]): (r["nb"], r["nlabel"])
+        for r in cand.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .collect()
+    }
+    assert kern == jvm
+    assert len(kern) > 0
