@@ -15976,6 +15976,88 @@ def q269_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("vec_id", "neg_rank")
 
 
+@register("q270_jl_projection_audit", oracles.jl_projection_sql())
+def q270_jl_projection_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection distortion audit: project the
+    64-dim embeddings onto 16 fixed pseudo-random hyperplanes (the
+    deterministic LCG planes of q40's LSH, fresh seed) and histogram
+    the squared-distance ratio (3/k)*||Pa-Pb||^2 / ||a-b||^2 over a
+    linear pair sample (consecutive vec_ids — an equi-join on
+    vec_id+1, never all-pairs). The E[ratio]=1 concentration is what
+    certifies a cheap k-dim sketch can front ANN / dedup at 100 TB
+    (project once at ingest, search in k dims); a fat or off-center
+    histogram says k is too small. Scale shape: ONE scan computes the
+    projection (16x64 literal fold per row — at larger dims the
+    char_fold/centroid Arrow-kernel pattern applies), one keyed
+    self-join for pairs, one bounded-domain histogram agg. Squared
+    distances are sequential element-difference folds (bit-identical
+    to the DuckDB list_reduce twin); the per-bucket mean ratio
+    aggregates QUANTIZED (round(r*1e6) staged through DECIMAL(38,0))."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        _dot,
+        simhash_planes,
+    )
+
+    k_proj = 16
+    planes = simhash_planes(64, k_proj, 13)
+    emb = ensure_parallelism(read_table(spark, sf, "embeddings"))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    pv = F.array(
+        *[_dot(v, F.array(*[F.lit(float(x)) for x in p])) for p in planes]
+    )
+    p = emb.select("vec_id", v.alias("v"), pv.alias("pv"))
+    a = p.select(
+        F.col("vec_id").alias("pair_id"),
+        F.col("v").alias("va"),
+        F.col("pv").alias("pa"),
+    )
+    b = p.select(
+        (F.col("vec_id") - 1).alias("pair_id"),
+        F.col("v").alias("vb"),
+        F.col("pv").alias("pb"),
+    )
+
+    def _sq_diff(x, y):
+        return F.aggregate(
+            F.zip_with(F.col(x), F.col(y), lambda u, w: (u - w) * (u - w)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    pairs = a.join(b, "pair_id").select(
+        _sq_diff("va", "vb").alias("sq_orig"),
+        _sq_diff("pa", "pb").alias("sq_proj"),
+    )
+    ratio = (
+        F.col("sq_proj")
+        * F.lit(3.0)
+        / F.lit(float(k_proj))
+        / F.col("sq_orig")
+    )
+    r = pairs.filter(F.col("sq_orig") > 0).select(ratio.alias("ratio"))
+    bucket = F.least(
+        F.floor(F.col("ratio") * F.lit(10.0)).cast("bigint"),
+        F.lit(29).cast("bigint"),
+    )
+    return (
+        r.select(bucket.alias("bucket"), "ratio")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (
+                F.sum(
+                    F.round(F.col("ratio") * F.lit(1000000.0)).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1000000.0)
+            ).alias("mean_ratio"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------
@@ -16041,6 +16123,7 @@ OVERFLOW_SENSITIVE = frozenset({
     "q259_interarrival_burstiness",
     "q266_silhouette_score",
     "q267_dsir_importance",
+    "q270_jl_projection_audit",
 })
 
 for _q in OVERFLOW_SENSITIVE:

@@ -2324,3 +2324,61 @@ def hard_negative_sql(n_planes: int = 4, seed: int = 7, k: int = 3) -> str:
     FROM r WHERE neg_rank <= {k}
     ORDER BY vec_id, neg_rank
     """
+
+
+def jl_projection_sql(k_proj: int = 16, seed: int = 13) -> str:
+    """Twin of q270: Johnson-Lindenstrauss distortion audit. The
+    projection planes are the deterministic LCG constants of
+    similarity.simhash_planes(EMBEDDING_DIM, k_proj, seed); squared
+    distances are sequential left folds over explicit element
+    differences (list_reduce == F.aggregate bit-for-bit); the per-bucket
+    mean ratio aggregates QUANTIZED (round(r*1e6) through
+    DECIMAL(38,0))."""
+    planes = simhash_planes(EMBEDDING_DIM, k_proj, seed)
+    proj_items = ", ".join(_dot("v", _plane_lit(p)) for p in planes)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    p AS (
+      SELECT vec_id, v, [{proj_items}] AS pv FROM e
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_sq_diff_fold("a.v", "b.v", "len(a.v)")} AS sq_orig,
+             {_sq_diff_fold("a.pv", "b.pv", str(k_proj))} AS sq_proj
+      FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
+    ),
+    r AS (
+      SELECT sq_proj * CAST(3 AS DOUBLE) / CAST({k_proj} AS DOUBLE)
+               / sq_orig AS ratio
+      FROM pairs WHERE sq_orig > 0
+    ),
+    b AS (
+      SELECT least(CAST(floor(ratio * CAST(10 AS DOUBLE)) AS BIGINT),
+                   29) AS bucket,
+             ratio
+      FROM r
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(round(ratio * 1000000.0) AS DECIMAL(38,0)))
+                AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mean_ratio
+    FROM b GROUP BY bucket ORDER BY bucket
+    """
+
+
+def _plane_lit(p) -> str:
+    return "(" + "[" + ", ".join(repr(float(x)) for x in p) + "]" + ")"
+
+
+def _sq_diff_fold(a: str, b: str, n: str) -> str:
+    """Sequential left fold of squared element differences — the DuckDB
+    twin of F.aggregate(zip_with(a, b, (x,y)->(x-y)*(x-y)), 0.0, +)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {n}+1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+        f"(acc, x) -> acc + x)"
+    )
