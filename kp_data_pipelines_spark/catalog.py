@@ -16058,6 +16058,102 @@ def q270_jl_projection_audit(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register("q271_ks_drift_test", oracles.ks_drift_sql())
+def q271_ks_drift_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source two-sample Kolmogorov-Smirnov drift test: the sup-CDF
+    gap between each source's doc-length distribution and the REST of
+    the corpus — the distribution-shape complement to q254's TVD (TVD
+    sees mass displacement, KS sees where in the distribution it
+    concentrates; both are standard ingest gates before a source joins
+    a 100 TB mixture). Exactness: the supremum is taken over EXACT
+    cross-multiplied integers |cum_s*n_rest - cum_rest*n_s| staged in
+    DECIMAL(19,0)x(19,0) products (order-free max on both engines; at
+    sf0.1 the max numerator ~1e10, far under the 2^53 double-cast
+    bound — beyond ~3e6 docs/source x 3e9 corpus the final cast needs
+    the q106 hi/lo treatment, documented not hidden); only the final
+    normalization divides in double. Scale shape: histogram-first — a
+    bounded 50-bucket grid per source (explode of a LITERAL sequence,
+    never a data-sized join), cumulative windows partitioned by source
+    over the 50-row-per-source aggregate, corpus totals attached by
+    the same windows. ONE scan, one keyed agg, no raw-row windows."""
+    n_buckets, width = 50, 100
+    docs = read_table(spark, sf, "documents")
+    d = docs.select(
+        "source",
+        F.least(
+            F.expr(f"n_chars div {width}"),
+            F.lit(n_buckets - 1).cast("bigint"),
+        ).alias("bucket"),
+    )
+    h = d.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tb = h.groupBy("bucket").agg(F.sum("n").cast("bigint").alias("n_all"))
+    grid = (
+        h.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias(
+                "__b"
+            ),
+        )
+        .select("source", F.col("__b").cast("bigint").alias("bucket"))
+    )
+    dense = (
+        grid.join(h, ["source", "bucket"], "left")
+        .join(tb, ["bucket"], "left")
+        .select(
+            "source",
+            "bucket",
+            F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n"),
+            F.coalesce(F.col("n_all"), F.lit(0).cast("bigint")).alias(
+                "n_all"
+            ),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    cum = dense.select(
+        "source",
+        F.sum("n").over(w_cum).cast("bigint").alias("cum_s"),
+        F.sum("n_all").over(w_cum).cast("bigint").alias("cum_all"),
+        F.sum("n").over(w_all).cast("bigint").alias("n_s"),
+        F.sum("n_all").over(w_all).cast("bigint").alias("n_tot"),
+    )
+    dec = "decimal(19,0)"
+    num = F.abs(
+        F.col("cum_s").cast(dec) * (F.col("n_tot") - F.col("n_s")).cast(dec)
+        - (F.col("cum_all") - F.col("cum_s")).cast(dec)
+        * F.col("n_s").cast(dec)
+    )
+    diffs = cum.select(
+        "source",
+        "n_s",
+        (F.col("n_tot") - F.col("n_s")).alias("n_rest"),
+        num.alias("num"),
+    )
+    return (
+        diffs.filter(F.col("n_rest") > 0)
+        .groupBy("source", "n_s", "n_rest")
+        .agg(
+            (
+                F.max("num").cast("double")
+                / (
+                    F.col("n_s").cast("double")
+                    * F.col("n_rest").cast("double")
+                )
+            ).alias("ks_stat")
+        )
+        .select("source", F.col("n_s").alias("n_docs"), "ks_stat")
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------
@@ -16124,6 +16220,7 @@ OVERFLOW_SENSITIVE = frozenset({
     "q266_silhouette_score",
     "q267_dsir_importance",
     "q270_jl_projection_audit",
+    "q271_ks_drift_test",
 })
 
 for _q in OVERFLOW_SENSITIVE:

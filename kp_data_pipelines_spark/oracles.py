@@ -2382,3 +2382,65 @@ def _sq_diff_fold(a: str, b: str, n: str) -> str:
         f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
         f"(acc, x) -> acc + x)"
     )
+
+
+def ks_drift_sql(n_buckets: int = 50, width: int = 100) -> str:
+    """Twin of q271: per-source two-sample Kolmogorov-Smirnov statistic
+    (source vs rest-of-corpus) over the doc-length histogram. The sup
+    |CDF gap| maximizes EXACT cross-multiplied integers
+    (|cum_s*n_rest - cum_rest*n_s| in DECIMAL(38,0)) so the argmax is
+    order-free on both engines; only the final normalization divides in
+    double."""
+    return f"""
+    WITH d AS (
+      SELECT source,
+             least(n_chars // {width}, {n_buckets - 1}) AS bucket
+      FROM documents
+    ),
+    h AS (
+      SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n
+      FROM d GROUP BY source, bucket
+    ),
+    tb AS (
+      SELECT bucket, CAST(SUM(n) AS BIGINT) AS n_all FROM h GROUP BY bucket
+    ),
+    grid AS (
+      SELECT s.source, g.bucket
+      FROM (SELECT DISTINCT source FROM h) s
+      CROSS JOIN (SELECT unnest(range(0, {n_buckets})) AS bucket) g
+    ),
+    dense AS (
+      SELECT grid.source, grid.bucket,
+             COALESCE(h.n, 0) AS n,
+             COALESCE(tb.n_all, 0) AS n_all
+      FROM grid
+      LEFT JOIN h ON h.source = grid.source AND h.bucket = grid.bucket
+      LEFT JOIN tb ON tb.bucket = grid.bucket
+    ),
+    cum AS (
+      SELECT source, bucket,
+             CAST(SUM(n) OVER (PARTITION BY source ORDER BY bucket)
+                  AS BIGINT) AS cum_s,
+             CAST(SUM(n_all) OVER (PARTITION BY source ORDER BY bucket)
+                  AS BIGINT) AS cum_all,
+             CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+             CAST(SUM(n_all) OVER (PARTITION BY source) AS BIGINT) AS n_tot
+      FROM dense
+    ),
+    diffs AS (
+      SELECT source, n_s, n_tot - n_s AS n_rest,
+             abs(CAST(cum_s AS DECIMAL(19,0))
+                   * CAST(n_tot - n_s AS DECIMAL(19,0))
+                 - CAST(cum_all - cum_s AS DECIMAL(19,0))
+                   * CAST(n_s AS DECIMAL(19,0))) AS num
+      FROM cum
+    )
+    SELECT source,
+           CAST(n_s AS BIGINT) AS n_docs,
+           CAST(MAX(num) AS DOUBLE)
+             / (CAST(n_s AS DOUBLE) * CAST(n_rest AS DOUBLE)) AS ks_stat
+    FROM diffs
+    WHERE n_rest > 0
+    GROUP BY source, n_s, n_rest
+    ORDER BY source
+    """
