@@ -16154,6 +16154,63 @@ def q271_ks_drift_test(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register("q272_dedup_threshold_sweep", oracles.dedup_threshold_sweep_sql())
+def q272_dedup_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-aggressiveness curve: near-dup pair volume and
+    affected-document counts at a grid of Jaccard cuts, all read off
+    ONE banded MinHash pass run at a low base threshold — the chart
+    that picks the dedup threshold for a 100 TB build (too low removes
+    genuine diversity, too high leaves boilerplate; q272 shows the
+    knee) without re-running candidate generation per setting. The
+    signature-agreement estimate is an exact dyadic rational
+    (matches/32), so every grid comparison is exact on both engines
+    and the whole sweep is integer counts. Scale shape: the q38 banded
+    equi-join generates candidates ONCE; the 6-cut grid is a bounded
+    literal explode over the (already small) pair set; affected-doc
+    counts are a distinct-project per cut — never a second pass over
+    documents."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        minhash_near_dups,
+    )
+
+    num_hashes, cuts = 32, [8, 12, 16, 20, 24, 28]
+    docs = read_table(spark, sf, "documents")
+    pairs = minhash_near_dups(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=num_hashes,
+        bands=16, jaccard_threshold=0.25, portable_hash=True,
+    )
+    grid = F.array(*[F.lit(c).cast("bigint") for c in cuts])
+    pt = pairs.select(
+        "id_a", "id_b", "est_jaccard", F.explode(grid).alias("cut")
+    ).filter(
+        F.col("est_jaccard")
+        >= F.col("cut").cast("double") / F.lit(float(num_hashes))
+    )
+    np_ = pt.groupBy("cut").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    nd = (
+        pt.select(
+            "cut", F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id")
+        )
+        .distinct()
+        .groupBy("cut")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    return (
+        np_.join(nd, "cut")
+        .select(
+            "cut",
+            (F.col("cut").cast("double") / F.lit(float(num_hashes))).alias(
+                "threshold"
+            ),
+            "n_pairs",
+            "n_docs",
+        )
+        .orderBy("cut")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------

@@ -2444,3 +2444,44 @@ def ks_drift_sql(n_buckets: int = 50, width: int = 100) -> str:
     GROUP BY source, n_s, n_rest
     ORDER BY source
     """
+
+
+def dedup_threshold_sweep_sql(
+    k: int = 3, num_hashes: int = 32, bands: int = 16, base: float = 0.25
+) -> str:
+    """Twin of q272: near-dup pair volume and affected-doc counts at a
+    grid of Jaccard cuts, all read off ONE banded MinHash pass (q38's
+    machinery at a low base threshold). Estimates are exact dyadic
+    rationals (matches/32), so every cut comparison is exact on both
+    engines."""
+    cuts = "[8, 12, 16, 20, 24, 28]"
+    return f"""
+    WITH {_minhash_pairs_core(k, num_hashes, bands, base)},
+    kept AS (
+      SELECT id_a, id_b, est_jaccard FROM pairs
+      WHERE est_jaccard >= {base}
+    ),
+    grid AS (SELECT unnest({cuts}) AS cut),
+    pt AS (
+      SELECT g.cut, kp.id_a, kp.id_b
+      FROM kept kp JOIN grid g
+        ON kp.est_jaccard >= CAST(g.cut AS DOUBLE)
+                               / CAST({num_hashes} AS DOUBLE)
+    ),
+    np AS (
+      SELECT cut, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pt GROUP BY cut
+    ),
+    nd AS (
+      SELECT cut, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+        SELECT DISTINCT cut, id FROM (
+          SELECT cut, unnest([id_a, id_b]) AS id FROM pt
+        )
+      ) GROUP BY cut
+    )
+    SELECT CAST(np.cut AS BIGINT) AS cut,
+           CAST(np.cut AS DOUBLE) / CAST({num_hashes} AS DOUBLE)
+             AS threshold,
+           np.n_pairs, nd.n_docs
+    FROM np JOIN nd ON np.cut = nd.cut
+    ORDER BY cut
+    """
