@@ -15538,15 +15538,18 @@ def q265_ann_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
     final row_number over <=32*k survivors per anchor — every window
     partitioned, no global sort over raw rows). Centroid seed,
     assignment kernel (cos DESC, cid DESC ties), probe score (dot/ncv,
-    stable cid ASC ties) and fold cosines replicate q45 exactly, so the
-    DuckDB twin's rankings match bit-for-bit. Output is integer hit
-    counts plus their exact small-integer ratio."""
+    stable cid ASC ties) and fold cosines replicate q45 exactly, so
+    the DuckDB twin's rankings match bit-for-bit — the anchor cosines
+    come from the Arrow multi_cosine_kernel (dim-sequential
+    accumulation == the JVM fold, pinned by test), not the
+    8x64-interpreted-lambda expression. Output is integer hit counts
+    plus their exact small-integer ratio."""
     import math as _math
 
     from kp_data_pipelines_spark.operators.similarity import (
-        _dot,
         _nearest_centroid_kernel,
         ivf_centroids,
+        multi_cosine_kernel,
     )
 
     n_queries, n_centroids, nprobe, kk = 8, 16, 4, 10
@@ -15584,24 +15587,25 @@ def q265_ann_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
         probe_entries.append(F.array(*[F.lit(int(c)) for c in cells]))
     probe_map = F.create_map(*probe_entries)
 
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    vn = F.sqrt(_dot(v, v))
-    per_q = F.array(
-        *[
-            F.struct(
-                F.lit(qid).cast("bigint").alias("qid"),
-                (
-                    _dot(v, F.array(*[F.lit(x) for x in qv]))
-                    / (vn * F.lit(_math.sqrt(sum(x * x for x in qv))))
-                ).alias("cos"),
-            )
-            for qid, qv in queries
-        ]
+    qid_arr = F.array(
+        *[F.lit(qid).cast("bigint") for qid, _ in queries]
+    )
+    cosarr = multi_cosine_kernel([qv for _, qv in queries])(
+        F.col("embedding")
     )
     cell = _nearest_centroid_kernel(centroids)(F.col("embedding"))
     scored = (
-        cand.select("vec_id", cell.alias("cell"), F.explode(per_q).alias("s"))
-        .select("vec_id", F.col("cell").cast("int").alias("cell"), "s.qid", "s.cos")
+        cand.select(
+            "vec_id",
+            cell.alias("cell"),
+            F.posexplode(cosarr).alias("pos", "cos"),
+        )
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.element_at(qid_arr, F.col("pos") + 1).alias("qid"),
+            "cos",
+        )
     )
 
     def _topk(df: DataFrame) -> DataFrame:
@@ -15662,42 +15666,30 @@ def q266_silhouette_score(spark: SparkSession, sf: str) -> DataFrame:
     O(N^2) point-pairwise form at scale; it is the accept/reject
     number for a clustering (q105/q45's index cells, q236's SemDeDup
     blocks) before it partitions a 100 TB corpus. Scale shape: ONE
-    scan; the k=16 scored structs are a literal fold per row
-    (materialized in their own projection so the interpreted HOF
-    evaluates once; at larger k the q45 Arrow kernel extends to top-2),
+    scan; the k=16 cosines per row come from the Arrow
+    multi_cosine_kernel (dim-sequential accumulation == the JVM fold,
+    pinned by test — the interpreted 16x64-lambda expression twin),
     top-2 via reverse(array_sort) — no joins, no windows over raw
     rows; ONE keyed agg. The cluster mean aggregates QUANTIZED
     (round(s*1e6) staged through DECIMAL(38,0) — order-independent,
     cross-engine exact while clusters hold < ~9e9 rows). Seed and
     tie-breaks replicate q45's deterministic index machinery, so every
     cosine and assignment matches the DuckDB twin bit-for-bit."""
-    import math as _math
-
     from kp_data_pipelines_spark.operators.similarity import (
-        _dot,
         ivf_centroids,
+        multi_cosine_kernel,
     )
 
     emb = ensure_parallelism(read_table(spark, sf, "embeddings"))
     centroids = ivf_centroids(emb, "embedding", 16, id_col="vec_id")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    vn = F.sqrt(_dot(v, v))
-    scored = F.array(
-        *[
-            F.struct(
-                (
-                    _dot(v, F.array(*[F.lit(float(x)) for x in cvec]))
-                    / (
-                        vn
-                        * F.lit(
-                            _math.sqrt(sum(x * x for x in cvec)) or 1.0
-                        )
-                    )
-                ).alias("cos"),
-                F.lit(int(cid)).cast("int").alias("cid"),
-            )
-            for cid, cvec in centroids
-        ]
+    cosarr = multi_cosine_kernel(
+        [cvec for _, cvec in centroids], guard_norms=True
+    )(F.col("embedding"))
+    cid_arr = F.array(*[F.lit(int(cid)).cast("int") for cid, _ in centroids])
+    scored = F.zip_with(
+        cosarr,
+        cid_arr,
+        lambda cos, cid: F.struct(cos.alias("cos"), cid.alias("cid")),
     )
     top2 = F.slice(F.reverse(F.array_sort(scored)), 1, 2)
     d = emb.select(top2.alias("t2")).select(
@@ -15821,9 +15813,9 @@ def q268_ivf_nprobe_sweep(spark: SparkSession, sf: str) -> DataFrame:
     import math as _math
 
     from kp_data_pipelines_spark.operators.similarity import (
-        _dot,
         _nearest_centroid_kernel,
         ivf_centroids,
+        multi_cosine_kernel,
     )
 
     n_queries, n_centroids, kk = 8, 16, 10
@@ -15862,28 +15854,24 @@ def q268_ivf_nprobe_sweep(spark: SparkSession, sf: str) -> DataFrame:
         rank_entries.append(F.array(*[F.lit(int(c)) for c in cells]))
     rank_map = F.create_map(*rank_entries)
 
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    vn = F.sqrt(_dot(v, v))
-    per_q = F.array(
-        *[
-            F.struct(
-                F.lit(qid).cast("bigint").alias("qid"),
-                (
-                    _dot(v, F.array(*[F.lit(x) for x in qv]))
-                    / (vn * F.lit(_math.sqrt(sum(x * x for x in qv))))
-                ).alias("cos"),
-            )
-            for qid, qv in queries
-        ]
+    qid_arr = F.array(
+        *[F.lit(qid).cast("bigint") for qid, _ in queries]
+    )
+    cosarr = multi_cosine_kernel([qv for _, qv in queries])(
+        F.col("embedding")
     )
     cell = _nearest_centroid_kernel(centroids)(F.col("embedding"))
     scored = (
-        cand.select("vec_id", cell.alias("cell"), F.explode(per_q).alias("s"))
+        cand.select(
+            "vec_id",
+            cell.alias("cell"),
+            F.posexplode(cosarr).alias("pos", "cos"),
+        )
         .select(
             "vec_id",
             F.col("cell").cast("int").alias("cell"),
-            "s.qid",
-            "s.cos",
+            F.element_at(qid_arr, F.col("pos") + 1).alias("qid"),
+            "cos",
         )
         .withColumn(
             "cell_rank", F.array_position(rank_map[F.col("qid")], F.col("cell"))

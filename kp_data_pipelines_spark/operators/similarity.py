@@ -1136,6 +1136,55 @@ def _nearest_centroid_kernel(centroids):
     return _assign
 
 
+def multi_cosine_kernel(ref_vecs, guard_norms: bool = False):
+    """Vectorized cosine-vs-k-reference-vectors: returns array<double>
+    with one cosine per reference vector (in ``ref_vecs`` order),
+    bit-identical to the interpreted expression
+    ``_dot(v, lit(ref)) / (sqrt(_dot(v, v)) * lit(norm(ref)))``: every
+    dot product and the row norm accumulate DIM-SEQUENTIALLY
+    (acc = acc + v_d*r_d — the exact left fold of F.aggregate/zip_with,
+    vectorized across the batch), and the reference norms are the same
+    driver-side ``math.sqrt(sum(x*x))`` Python fold the expression
+    embeds as a literal — so per-(row, ref) cosines equal the JVM fold
+    and the DuckDB ``list_reduce`` twin exactly (pinned by
+    test_multi_cosine_kernel_matches_jvm). The expression form pays
+    k*dim interpreted lambda calls per row; this kernel none. Unlike
+    ``_nearest_centroid_kernel`` the reference norms are UNGUARDED
+    (no ``or 1.0``) — the twin of the per-anchor query expression, not
+    of centroid assignment — pass ``guard_norms=True`` for the
+    centroid-style ``or 1.0`` zero-norm guard."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    R = np.array([list(v) for v in ref_vecs], dtype=np.float64)
+    rns = np.array(
+        [
+            (math.sqrt(sum(x * x for x in v)) or 1.0)
+            if guard_norms
+            else math.sqrt(sum(x * x for x in v))
+            for v in ref_vecs
+        ]
+    )
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _cos(batch: pd.Series) -> pd.Series:
+        if batch.empty:
+            return pd.Series([], dtype=object)
+        V = np.array([np.asarray(v, dtype=np.float64) for v in batch])
+        n, d = V.shape
+        k = R.shape[0]
+        dots = np.zeros((n, k))
+        vsq = np.zeros(n)
+        for j in range(d):  # sequential over dims == the JVM fold order
+            col = V[:, j]
+            dots = dots + col[:, None] * R[None, :, j]
+            vsq = vsq + col * col
+        cos = dots / (np.sqrt(vsq)[:, None] * rns[None, :])
+        return pd.Series([[float(x) for x in row] for row in cos])
+
+    return _cos
+
+
 def _nearest_centroids_expr(vec_col: str, centroids, nprobe: int):
     """Array of the ``nprobe`` nearest centroid ids (by cosine) as a literal
     fold — centroids are tiny driver constants, broadcast in the plan."""

@@ -648,3 +648,60 @@ def test_hard_negative_kernel_matches_jvm(spark):
     }
     assert kern == jvm
     assert len(kern) > 0
+
+
+def test_multi_cosine_kernel_matches_jvm(spark):
+    """multi_cosine_kernel (q265/q266/q268's engine) must equal the
+    interpreted expression _dot(v, lit(ref)) / (sqrt(_dot(v,v)) *
+    lit(norm_ref)) BIT-FOR-BIT for every (row, ref) — dim-sequential
+    accumulation == the F.aggregate fold, reference norms the same
+    driver-side Python fold, guarded and unguarded variants both."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kp_data_pipelines_spark.operators.similarity import (
+        _dot,
+        multi_cosine_kernel,
+    )
+    from kp_data_pipelines_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    refs = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 3)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    for guard in (False, True):
+        kern = {
+            r["vec_id"]: list(r["k"])
+            for r in emb.select(
+                "vec_id",
+                multi_cosine_kernel(refs, guard_norms=guard)(
+                    F.col("embedding")
+                ).alias("k"),
+            ).collect()
+        }
+        v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        vn = F.sqrt(_dot(v, v))
+        exprs = [
+            (
+                _dot(v, F.array(*[F.lit(x) for x in ref]))
+                / (
+                    vn
+                    * F.lit(
+                        (math.sqrt(sum(x * x for x in ref)) or 1.0)
+                        if guard
+                        else math.sqrt(sum(x * x for x in ref))
+                    )
+                )
+            ).alias(f"c{i}")
+            for i, ref in enumerate(refs)
+        ]
+        jvm = {
+            r["vec_id"]: [r[f"c{i}"] for i in range(len(refs))]
+            for r in emb.select("vec_id", *exprs).collect()
+        }
+        assert kern == jvm
