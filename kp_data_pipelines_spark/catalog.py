@@ -16199,6 +16199,88 @@ def q272_dedup_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register("q273_source_neardup_matrix", oracles.source_neardup_matrix_sql())
+def q273_source_neardup_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-to-source near-duplication FLOW matrix: q38's banded
+    MinHash pairs mapped to their unordered source pair, with lift
+    over the expected pair share under independence (source-size
+    product, doubled off-diagonal) — q245 answers "which exact bytes
+    cross sources"; this answers "which sources share BOILERPLATE",
+    the matrix that decides whether to dedup within-source first (hot
+    diagonal) or globally (hot off-diagonal) before a 100 TB build.
+    Scale shape: the verified banded equi-join generates pairs once;
+    two keyed joins attach sources (dimension-sized maps at any
+    corpus); the matrix is source-cardinality-bounded (<= |S|^2 rows);
+    pair totals and corpus size attach via broadcast_scalar-style
+    1-row aggregates. Counts are exact integers; lift divides exact
+    doubles in pinned order on both engines."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        minhash_near_dups,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    pairs = minhash_near_dups(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=32, bands=16,
+        jaccard_threshold=0.4, portable_hash=True,
+    )
+    src = docs.select("doc_id", "source")
+    sp = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("src_lo"),
+            F.greatest("sa", "sb").alias("src_hi"),
+        )
+    )
+    m = sp.groupBy("src_lo", "src_hi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    tot = m.groupBy().agg(F.sum("n_pairs").cast("bigint").alias("n_all"))
+    sz = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    corpus = sz.groupBy().agg(
+        F.sum("n_docs").cast("bigint").alias("n_corpus")
+    )
+    a = sz.select(F.col("source").alias("src_lo"), F.col("n_docs").alias("na"))
+    b = sz.select(F.col("source").alias("src_hi"), F.col("n_docs").alias("nb"))
+    pair_factor = F.when(
+        F.col("src_lo") == F.col("src_hi"), F.lit(1.0)
+    ).otherwise(F.lit(2.0))
+    expected = (
+        (F.col("na").cast("double") / F.col("n_corpus").cast("double"))
+        * (F.col("nb").cast("double") / F.col("n_corpus").cast("double"))
+        * pair_factor
+    )
+    return (
+        m.join(F.broadcast(a), "src_lo")
+        .join(F.broadcast(b), "src_hi")
+        .crossJoin(broadcast_scalar(tot))
+        .crossJoin(broadcast_scalar(corpus))
+        .select(
+            "src_lo",
+            "src_hi",
+            "n_pairs",
+            (
+                F.col("n_pairs").cast("double")
+                / F.col("n_all").cast("double")
+                / expected
+            ).alias("lift"),
+        )
+        .orderBy("src_lo", "src_hi")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------

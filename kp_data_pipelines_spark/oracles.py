@@ -2485,3 +2485,52 @@ def dedup_threshold_sweep_sql(
     FROM np JOIN nd ON np.cut = nd.cut
     ORDER BY cut
     """
+
+
+def source_neardup_matrix_sql(
+    k: int = 3, num_hashes: int = 32, bands: int = 16, threshold: float = 0.4
+) -> str:
+    """Twin of q273: the source-to-source near-duplication flow matrix
+    (q38's banded pairs, each mapped to its unordered source pair) with
+    expected-count lift. Counts are exact integers; lift divides exact
+    doubles in pinned order."""
+    return f"""
+    WITH {_minhash_pairs_core(k, num_hashes, bands, threshold)},
+    kept AS (
+      SELECT id_a, id_b FROM pairs WHERE est_jaccard >= {threshold}
+    ),
+    sp AS (
+      SELECT least(da.source, db.source) AS src_lo,
+             greatest(da.source, db.source) AS src_hi
+      FROM kept
+      JOIN documents da ON da.doc_id = kept.id_a
+      JOIN documents db ON db.doc_id = kept.id_b
+    ),
+    m AS (
+      SELECT src_lo, src_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM sp GROUP BY src_lo, src_hi
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_all FROM m
+    ),
+    sz AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    corpus AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS n_corpus FROM sz
+    )
+    SELECT m.src_lo, m.src_hi, m.n_pairs,
+           CAST(m.n_pairs AS DOUBLE) / CAST(tot.n_all AS DOUBLE)
+             / (
+               (CAST(a.n_docs AS DOUBLE) / CAST(corpus.n_corpus AS DOUBLE))
+                 * (CAST(b.n_docs AS DOUBLE) / CAST(corpus.n_corpus AS DOUBLE))
+                 * (CASE WHEN m.src_lo = m.src_hi THEN CAST(1 AS DOUBLE)
+                         ELSE CAST(2 AS DOUBLE) END)
+             ) AS lift
+    FROM m
+    JOIN sz a ON a.source = m.src_lo
+    JOIN sz b ON b.source = m.src_hi
+    CROSS JOIN tot CROSS JOIN corpus
+    ORDER BY src_lo, src_hi
+    """
