@@ -16281,6 +16281,93 @@ def q273_source_neardup_matrix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register("q274_dedup_mixture_shift", oracles.dedup_mixture_shift_sql())
+def q274_dedup_mixture_shift(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup x mixture interaction: recompute q255's temperature-scaled
+    mixture weights AFTER exact dedup (q23's normalized sha256 key,
+    keep the min-doc_id representative) and report the per-source
+    weight shift — dedup removes mass non-uniformly, so sampling
+    weights tuned on raw counts are wrong post-dedup (q263 showed the
+    quality-side of this; here it is the mixture-side, the number that
+    says recompute your weights AFTER the dedup stage of a 100 TB
+    build). Cross-source duplicate groups attribute their kept tokens
+    to the representative's source (min doc_id — deterministic).
+    Scale shape: one fingerprint groupBy (32-byte keys), a keyed
+    join-back for the kept set, two |S|-row aggregates; both sqrt
+    normalizers fold in pinned source order on the tiny source frame
+    (the q255 contract — sqrt is correctly-rounded on both engines,
+    never pow())."""
+    docs = read_table(spark, sf, "documents")
+    fp = F.sha2(
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), 256
+    )
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
+        fp.alias("fp"),
+    )
+    rep = d.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = d.join(rep.select("doc_id"), "doc_id")
+    raw = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_raw"),
+        F.sum("n_toks").cast("bigint").alias("tok_raw"),
+    )
+    kp = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_kept"),
+        F.sum("n_toks").cast("bigint").alias("tok_kept"),
+    )
+    s = raw.join(kp, "source", "left").select(
+        "source",
+        "n_docs_raw",
+        F.coalesce(F.col("n_docs_kept"), F.lit(0).cast("bigint")).alias(
+            "n_docs_kept"
+        ),
+        "tok_raw",
+        F.coalesce(F.col("tok_kept"), F.lit(0).cast("bigint")).alias(
+            "tok_kept"
+        ),
+    )
+
+    def _fold(col: str):
+        return F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("source"),
+                            F.sqrt(F.col(col).cast("double")).alias("sq"),
+                        )
+                    )
+                ),
+                lambda x: x["sq"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    t = s.groupBy().agg(
+        _fold("tok_raw").alias("tot_raw"),
+        _fold("tok_kept").alias("tot_kept"),
+    )
+    w_raw = F.sqrt(F.col("tok_raw").cast("double")) / F.col("tot_raw")
+    w_kept = F.sqrt(F.col("tok_kept").cast("double")) / F.col("tot_kept")
+    return (
+        s.crossJoin(broadcast_scalar(t))
+        .select(
+            "source",
+            "n_docs_raw",
+            "n_docs_kept",
+            "tok_raw",
+            "tok_kept",
+            w_raw.alias("w_raw"),
+            w_kept.alias("w_kept"),
+            (w_kept - w_raw).alias("w_delta"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------

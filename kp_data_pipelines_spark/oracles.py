@@ -2534,3 +2534,54 @@ def source_neardup_matrix_sql(
     CROSS JOIN tot CROSS JOIN corpus
     ORDER BY src_lo, src_hi
     """
+
+
+def dedup_mixture_shift_sql() -> str:
+    """Twin of q274: how exact dedup (q23's normalized sha256, keep
+    min-doc_id representative) moves the temperature-scaled mixture
+    weights (q255's sqrt-exact alpha=0.5 machinery, normalizers folded
+    in pinned source order)."""
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list(struct_pack(source := source, "
+        "sq := sqrt(CAST({col} AS DOUBLE))) ORDER BY source), "
+        "x -> x.sq)), (acc, x) -> acc + x)"
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+             sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+               AS fp
+      FROM documents
+    ),
+    rep AS (SELECT MIN(doc_id) AS doc_id FROM d GROUP BY fp),
+    kept AS (SELECT d.* FROM d JOIN rep ON d.doc_id = rep.doc_id),
+    raw AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_raw,
+             CAST(SUM(n_toks) AS BIGINT) AS tok_raw
+      FROM d GROUP BY source
+    ),
+    kp AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+             CAST(SUM(n_toks) AS BIGINT) AS tok_kept
+      FROM kept GROUP BY source
+    ),
+    s AS (
+      SELECT raw.source, raw.n_docs_raw,
+             COALESCE(kp.n_docs_kept, 0) AS n_docs_kept,
+             raw.tok_raw, COALESCE(kp.tok_kept, 0) AS tok_kept
+      FROM raw LEFT JOIN kp ON raw.source = kp.source
+    ),
+    t AS (
+      SELECT {fold.format(col="tok_raw")} AS tot_raw,
+             {fold.format(col="tok_kept")} AS tot_kept
+      FROM s
+    )
+    SELECT source, n_docs_raw, n_docs_kept, tok_raw, tok_kept,
+           sqrt(CAST(tok_raw AS DOUBLE)) / tot_raw AS w_raw,
+           sqrt(CAST(tok_kept AS DOUBLE)) / tot_kept AS w_kept,
+           sqrt(CAST(tok_kept AS DOUBLE)) / tot_kept
+             - sqrt(CAST(tok_raw AS DOUBLE)) / tot_raw AS w_delta
+    FROM s CROSS JOIN t ORDER BY source
+    """
