@@ -16368,6 +16368,90 @@ def q274_dedup_mixture_shift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q275_langid_confusion",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             (CASE WHEN contains(' '||lower(text)||' ', ' the ') THEN 1 ELSE 0 END +
+              CASE WHEN contains(' '||lower(text)||' ', ' and ') THEN 1 ELSE 0 END +
+              CASE WHEN contains(' '||lower(text)||' ', ' of ') THEN 1 ELSE 0 END) AS s_en,
+             (CASE WHEN contains(' '||lower(text)||' ', ' der ') THEN 1 ELSE 0 END +
+              CASE WHEN contains(' '||lower(text)||' ', ' die ') THEN 1 ELSE 0 END +
+              CASE WHEN contains(' '||lower(text)||' ', ' und ') THEN 1 ELSE 0 END) AS s_de,
+             (CASE WHEN contains(' '||lower(text)||' ', ' le ') THEN 1 ELSE 0 END +
+              CASE WHEN contains(' '||lower(text)||' ', ' la ') THEN 1 ELSE 0 END +
+              CASE WHEN contains(' '||lower(text)||' ', ' et ') THEN 1 ELSE 0 END) AS s_fr,
+             (CASE WHEN contains(' '||lower(text)||' ', ' el ') THEN 1 ELSE 0 END +
+              CASE WHEN contains(' '||lower(text)||' ', ' los ') THEN 1 ELSE 0 END +
+              CASE WHEN contains(' '||lower(text)||' ', ' que ') THEN 1 ELSE 0 END) AS s_es
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang AS lang_true,
+             CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+             END AS lang_pred
+      FROM scored
+    ),
+    m AS (
+      SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM pred GROUP BY lang_true, lang_pred
+    ),
+    t AS (
+      SELECT lang_true, CAST(SUM(n_docs) AS BIGINT) AS n_true
+      FROM m GROUP BY lang_true
+    )
+    SELECT m.lang_true AS lang_true, m.lang_pred, m.n_docs,
+           CAST(m.n_docs AS DOUBLE) / CAST(t.n_true AS DOUBLE) AS row_share
+    FROM m JOIN t ON m.lang_true = t.lang_true
+    ORDER BY m.lang_true, m.lang_pred
+    """,
+)
+def q275_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Component self-evaluation for the q20 language-ID heuristic: the
+    confusion matrix of predicted vs stored language labels, with each
+    row's share of its true-language total — the q265 pattern (evaluate
+    your own operator with the engine itself) applied to the text side;
+    the matrix says exactly where the cheap stopword classifier is safe
+    to gate a 100 TB mixture (e.g. zh has no markers and lands in
+    'und' — a coverage gap made visible, not averaged away). Scale
+    shape: ONE scan, one (|L|x|L'|)-bounded keyed agg; the row
+    normalizer is a second agg over the tiny matrix joined back on the
+    key — all counts exact integers, the share an exact small-rational
+    division."""
+    from kp_data_pipelines_spark.operators.textops import lang_id
+
+    docs = read_table(spark, sf, "documents")
+    m = (
+        docs.select(
+            F.col("lang").alias("lang_true"),
+            lang_id("text").alias("lang_pred"),
+        )
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    t = m.groupBy("lang_true").agg(
+        F.sum("n_docs").cast("bigint").alias("n_true")
+    )
+    return (
+        m.join(F.broadcast(t), "lang_true")
+        .select(
+            "lang_true",
+            "lang_pred",
+            "n_docs",
+            (
+                F.col("n_docs").cast("double")
+                / F.col("n_true").cast("double")
+            ).alias("row_share"),
+        )
+        .orderBy("lang_true", "lang_pred")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------
