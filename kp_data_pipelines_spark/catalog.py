@@ -16452,6 +16452,111 @@ def q275_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q276_spearman_quality_length", oracles.spearman_quality_length_sql()
+)
+def q276_spearman_quality_length(spark: SparkSession, sf: str) -> DataFrame:
+    """Tie-corrected Spearman rank correlation between quality score
+    (q22, bucketed to q263's decile grid) and doc length (q271's
+    100-char grid) — the monotone-association number that says whether
+    a length cut silently acts as a quality cut on a 100 TB corpus
+    (Pearson q234 sees only linear effects; rank correlation survives
+    the score's saturating bands). EXACT with ties: midranks come from
+    the bucketed joint histogram as 2x-scaled INTEGERS
+    (2*cum_before + n + 1 — no fractional .5s), the Pearson-on-
+    midranks moments are integer products summed through DECIMAL(38,0)
+    (order-free; every sum < 2^53 at sf0.1 so the double casts are
+    cross-engine exact — the per-cell BIGINT terms bound the corpus at
+    ~2e18/rank^2 rows, documented not hidden), and only the final
+    closed form divides in double. Scale shape: histogram-first
+    throughout — one scan to the 10x50 cell grid, marginals and
+    cumulative midranks on 10- and 50-row aggregates (agg-bounded
+    windows), two broadcast joins back onto cells, ONE moment
+    aggregate."""
+    from kp_data_pipelines_spark.operators.textops import quality_score
+
+    docs = read_table(spark, sf, "documents")
+    d = docs.select(
+        F.least(
+            F.floor(quality_score("text") * 10).cast("bigint"), F.lit(9)
+        ).alias("qb"),
+        F.least(
+            F.expr("n_chars div 100"), F.lit(49).cast("bigint")
+        ).alias("lb"),
+    )
+    cells = d.groupBy("qb", "lb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w_qb = (
+        Window.orderBy("qb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_lb = (
+        Window.orderBy("lb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rx = (
+        cells.groupBy("qb")
+        .agg(F.sum("n").cast("bigint").alias("nq"))
+        .select(
+            "qb",
+            (
+                F.lit(2)
+                * F.coalesce(
+                    F.sum("nq").over(w_qb), F.lit(0).cast("bigint")
+                )
+                + F.col("nq")
+                + F.lit(1)
+            ).alias("rx2"),
+        )
+    )
+    ry = (
+        cells.groupBy("lb")
+        .agg(F.sum("n").cast("bigint").alias("nl"))
+        .select(
+            "lb",
+            (
+                F.lit(2)
+                * F.coalesce(
+                    F.sum("nl").over(w_lb), F.lit(0).cast("bigint")
+                )
+                + F.col("nl")
+                + F.lit(1)
+            ).alias("ry2"),
+        )
+    )
+    dec = "decimal(38,0)"
+    j = cells.join(F.broadcast(rx), "qb").join(F.broadcast(ry), "lb")
+    m = j.agg(
+        F.sum(F.col("n").cast(dec)).cast("double").alias("nn"),
+        F.sum((F.col("n") * F.col("rx2")).cast(dec))
+        .cast("double")
+        .alias("sx"),
+        F.sum((F.col("n") * F.col("ry2")).cast(dec))
+        .cast("double")
+        .alias("sy"),
+        F.sum((F.col("n") * F.col("rx2") * F.col("rx2")).cast(dec))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("n") * F.col("ry2") * F.col("ry2")).cast(dec))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("n") * F.col("rx2") * F.col("ry2")).cast(dec))
+        .cast("double")
+        .alias("sxy"),
+    )
+    rho = (
+        F.col("nn") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / F.sqrt(
+        (F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("nn") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        F.col("nn").cast("bigint").alias("n_docs"),
+        rho.alias("spearman_rho"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------
@@ -16519,6 +16624,7 @@ OVERFLOW_SENSITIVE = frozenset({
     "q267_dsir_importance",
     "q270_jl_projection_audit",
     "q271_ks_drift_test",
+    "q276_spearman_quality_length",
 })
 
 for _q in OVERFLOW_SENSITIVE:

@@ -2585,3 +2585,59 @@ def dedup_mixture_shift_sql() -> str:
              - sqrt(CAST(tok_raw AS DOUBLE)) / tot_raw AS w_delta
     FROM s CROSS JOIN t ORDER BY source
     """
+
+
+def spearman_quality_length_sql() -> str:
+    """Twin of q276: tie-corrected Spearman over the bucketed joint
+    histogram — 2x-scaled integer midranks, DECIMAL(38,0)-staged integer
+    moments, one closed-form double at the end. Quality is the canonical
+    q22 expression (``_QUALITY_SQL``)."""
+    return f"""
+    WITH d AS (
+      SELECT least(CAST(floor({_QUALITY_SQL} * 10) AS BIGINT), 9) AS qb,
+             least(n_chars // 100, 49) AS lb
+      FROM documents
+    ),
+    cells AS (
+      SELECT qb, lb, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY qb, lb
+    ),
+    mx AS (
+      SELECT qb, CAST(SUM(n) AS BIGINT) AS nq FROM cells GROUP BY qb
+    ),
+    rx AS (
+      SELECT qb,
+             2 * CAST(COALESCE(SUM(nq) OVER (ORDER BY qb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) + nq + 1 AS rx2
+      FROM mx
+    ),
+    my AS (
+      SELECT lb, CAST(SUM(n) AS BIGINT) AS nl FROM cells GROUP BY lb
+    ),
+    ry AS (
+      SELECT lb,
+             2 * CAST(COALESCE(SUM(nl) OVER (ORDER BY lb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) + nl + 1 AS ry2
+      FROM my
+    ),
+    m AS (
+      SELECT CAST(SUM(CAST(c.n AS DECIMAL(38,0))) AS DOUBLE) AS nn,
+             CAST(SUM(CAST(c.n * rx.rx2 AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(c.n * ry.ry2 AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(c.n * rx.rx2 * rx.rx2 AS DECIMAL(38,0)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(c.n * ry.ry2 * ry.ry2 AS DECIMAL(38,0)))
+                  AS DOUBLE) AS syy,
+             CAST(SUM(CAST(c.n * rx.rx2 * ry.ry2 AS DECIMAL(38,0)))
+                  AS DOUBLE) AS sxy
+      FROM cells c
+      JOIN rx ON rx.qb = c.qb
+      JOIN ry ON ry.lb = c.lb
+    )
+    SELECT CAST(nn AS BIGINT) AS n_docs,
+           (nn * sxy - sx * sy)
+             / sqrt((nn * sxx - sx * sx) * (nn * syy - sy * sy))
+             AS spearman_rho
+    FROM m
+    """
