@@ -41,13 +41,31 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Bisect knobs (round-6 drift attribution, normally unset):
+    #   SPARK_GRAFT_NO_HYGIENE=1      skip release_pinned_rdds/System.gc
+    #   SPARK_GRAFT_BENCH_ONLY=<path> JSON list (or comma list) of query
+    #                                 names to run; result goes to
+    #                                 BENCH_probe.json, never BENCH.json
+    no_hygiene = os.environ.get("SPARK_GRAFT_NO_HYGIENE") == "1"
+    only_spec = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    only: set[str] | None = None
+    if only_spec:
+        if os.path.isfile(only_spec):
+            with open(only_spec) as f:
+                only = set(json.load(f))
+        else:
+            only = {n.strip() for n in only_spec.split(",") if n.strip()}
+
     # Warm the JVM + parquet footers once so per-query timings measure the
     # plans, not session startup.
     next(iter(QUERIES.values()))(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
-    for i, (name, fn) in enumerate(QUERIES.items()):
+    items = [
+        (n, f) for n, f in QUERIES.items() if only is None or n in only
+    ]
+    for i, (name, fn) in enumerate(items):
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -59,9 +77,10 @@ def main() -> None:
         # doesn't accumulate across the 250x2-run session — the round-4
         # q180 9.0s-in-bench vs 4.8s-isolated regression. Periodic JVM GC
         # lets the ContextCleaner also reap dead broadcasts/shuffles.
-        release_pinned_rdds(spark)
-        if (i + 1) % 50 == 0:
-            spark.sparkContext._jvm.System.gc()
+        if not no_hygiene:
+            release_pinned_rdds(spark)
+            if (i + 1) % 50 == 0:
+                spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
     ordered = sorted(timings.values())
@@ -77,7 +96,9 @@ def main() -> None:
     # BENCH.json is the headline sf0.1 artifact; probes at other scale
     # factors write BENCH_probe.json so a fast sf0.001 run (e.g. inside
     # tools/verify_all.sh) can't clobber the round's benchmark record.
-    out_name = "BENCH.json" if sf == 0.1 else "BENCH_probe.json"
+    out_name = (
+        "BENCH.json" if sf == 0.1 and only is None else "BENCH_probe.json"
+    )
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), out_name), "w"
     ) as f:

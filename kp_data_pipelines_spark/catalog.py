@@ -16557,6 +16557,297 @@ def q276_spearman_quality_length(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register("q277_lsh_multiprobe_sweep", oracles.lsh_multiprobe_sweep_sql())
+def q277_lsh_multiprobe_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-probe LSH tuning curve: recall@10 of hyperplane-LSH
+    retrieval as the probe count m rises over {1, 2, 4} at a FIXED
+    6-plane index — the MITIGATION the q265/q268 recall audits call
+    for: at 100 TB, when recall is too low you probe more buckets on
+    the query side (flip the lowest-|margin| planes — standard
+    multi-probe LSH), you do not re-bucket the corpus.
+    ``with_hyperplane_bucket(multiprobe=4)`` emits each anchor's 4
+    probe codes, exploded to a 32-row (qid, prn, code) broadcast
+    domain; candidates carry their single exact code, so probing is a
+    broadcast EQUI-join on (qid, code), never a scan widening. Scale
+    shape: ONE candidate scan computes code + all 8 anchor cosines
+    (Arrow multi_cosine_kernel — dim-sequential, bit-identical to the
+    fold); the m-grid is a bounded <=3x explode via a literal
+    prn->grid lookup; exact and per-m top-10s use the two-stage
+    sharded top-k (every window partitioned); n_cand counts the
+    scanned candidate pairs, making the recall/cost tradeoff explicit.
+    Margins and cosines are sequential folds, so probe codes and
+    rankings match the DuckDB twin bit-for-bit."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        multi_cosine_kernel,
+        simhash_planes,
+        with_hyperplane_bucket,
+    )
+
+    n_queries, n_planes, kk, max_m = 8, 6, 10, 4
+    grid = [1, 2, 4]
+    emb = read_table(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    planes = simhash_planes(dim, n_planes, seed=7)
+
+    anchors_df = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").cast("bigint").alias("qid"), "embedding"
+    )
+    anchors = anchors_df.orderBy("qid").collect()
+    queries = [
+        (int(r["qid"]), [float(x) for x in r["embedding"]]) for r in anchors
+    ]
+    probes = (
+        with_hyperplane_bucket(
+            anchors_df, "embedding", planes, out="probes", multiprobe=max_m
+        )
+        .select("qid", F.posexplode("probes").alias("pos", "code"))
+        .select("qid", (F.col("pos") + 1).cast("bigint").alias("prn"), "code")
+    )
+
+    cand = ensure_parallelism(emb.filter(F.col("vec_id") >= n_queries))
+    qid_arr = F.array(*[F.lit(qid).cast("bigint") for qid, _ in queries])
+    cosarr = multi_cosine_kernel([qv for _, qv in queries])(
+        F.col("embedding")
+    )
+    scored = (
+        with_hyperplane_bucket(cand, "embedding", planes, out="code")
+        .select("vec_id", "code", F.posexplode(cosarr).alias("pos", "cos"))
+        .select(
+            "vec_id",
+            "code",
+            F.element_at(qid_arr, F.col("pos") + 1).alias("qid"),
+            "cos",
+        )
+    )
+
+    def _topk(df: DataFrame, keys: list) -> DataFrame:
+        w1 = Window.partitionBy(*keys, "shard").orderBy(
+            F.desc("cos"), F.col("vec_id")
+        )
+        w2 = Window.partitionBy(*keys).orderBy(F.desc("cos"), F.col("vec_id"))
+        local = (
+            df.withColumn("shard", F.pmod(F.hash("vec_id"), F.lit(32)))
+            .withColumn("rn", F.row_number().over(w1))
+            .filter(F.col("rn") <= kk)
+            .drop("rn", "shard")
+        )
+        return (
+            local.withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") <= kk)
+            .select(*keys, "vec_id")
+        )
+
+    # candidate pairs within probe depth prn, equi-joined on (qid, code)
+    joined = scored.join(F.broadcast(probes), ["qid", "code"]).select(
+        "qid", "vec_id", "cos", "prn"
+    )
+    # bounded explode: prn p belongs to every grid m >= p
+    ms_for_prn = F.array(
+        *[
+            F.array(
+                *[F.lit(m).cast("bigint") for m in grid if m >= p]
+            )
+            for p in range(1, max_m + 1)
+        ]
+    )
+    jm = joined.withColumn(
+        "m", F.explode(F.element_at(ms_for_prn, F.col("prn").cast("int")))
+    )
+    ncand = jm.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand")
+    )
+    grid_arr = F.array(*[F.lit(m).cast("bigint") for m in grid])
+    exact = _topk(scored, ["qid"]).select(
+        "qid", "vec_id", F.explode(grid_arr).alias("m")
+    )
+    approx = _topk(jm, ["qid", "m"])
+    return (
+        exact.join(
+            approx.select("qid", "m", "vec_id", F.lit(1).alias("__hit")),
+            ["qid", "m", "vec_id"],
+            "left",
+        )
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .join(ncand, "m", "left")
+        .select(
+            "m",
+            F.coalesce("n_cand", F.lit(0).cast("bigint")).alias("n_cand"),
+            "n_exact",
+            "n_hits",
+            (
+                F.col("n_hits").cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("mean_recall"),
+        )
+        .orderBy("m")
+    )
+
+
+@register(
+    "q278_dedup_threshold_decision", oracles.dedup_threshold_decision_sql()
+)
+def q278_dedup_threshold_decision(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-economics CAPSTONE: given a token budget (4/5 of raw corpus
+    tokens), pick the MOST AGGRESSIVE Jaccard cut whose near-dup dedup
+    still keeps at least the budget, and emit the post-dedup temperature
+    mixture weights at that cut — the one decision query that turns
+    q272's threshold sweep and q274's mixture shift into "run THIS
+    dedup, then sample with THESE weights" before committing 100 TB of
+    compute. Composition of verified stages only: q272's ONE banded
+    MinHash pass (exact dyadic signature-agreement estimates) prices
+    every cut; the drop rule is keep-min-neighbor (doc dropped iff it
+    is the greater id of any pair at the cut — deterministic, one
+    distinct-project per cut, never a per-cut component pass); kept
+    tokens per cut are integer subtractions off 1-row scalars
+    (broadcast_scalar lineage); the chosen cut is an integer argmin
+    scalar; the mixture weights are q274's pinned sqrt folds over the
+    source frame. Scale shape: candidates generated once, 6-cut
+    bounded explode, keyed joins, |S|-row aggregates — nothing in the
+    plan scales with the pair count beyond the verified q272 stages."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        minhash_near_dups,
+    )
+
+    num_hashes, cuts, base = 32, [8, 12, 16, 20, 24, 28], 0.25
+    budget_num, budget_den = 4, 5
+    max_cut = max(cuts)
+    docs = read_table(spark, sf, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
+    )
+    tot = d.agg(F.sum("n_toks").cast("bigint").alias("t"))
+    pairs = minhash_near_dups(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=num_hashes,
+        bands=16, jaccard_threshold=base, portable_hash=True,
+    )
+    grid_arr = F.array(*[F.lit(c).cast("bigint") for c in cuts])
+    dropped = (
+        pairs.select("id_b", "est_jaccard", F.explode(grid_arr).alias("cut"))
+        .filter(
+            F.col("est_jaccard")
+            >= F.col("cut").cast("double") / F.lit(float(num_hashes))
+        )
+        .select("cut", F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    dtok = dropped.join(d.select("doc_id", "n_toks"), "doc_id").groupBy(
+        "cut"
+    ).agg(F.sum("n_toks").cast("bigint").alias("drop_tok"))
+    grid_df = spark.range(1).select(F.explode(grid_arr).alias("cut"))
+    ktab = (
+        grid_df.join(dtok, "cut", "left")
+        .crossJoin(broadcast_scalar(tot))
+        .select(
+            "cut",
+            (
+                F.col("t")
+                - F.coalesce(F.col("drop_tok"), F.lit(0).cast("bigint"))
+            )
+            .cast("bigint")
+            .alias("kept_tok"),
+        )
+    )
+    budget = tot.select(
+        F.expr(f"CAST(({budget_num} * t) div {budget_den} AS BIGINT)").alias(
+            "b"
+        )
+    )
+    chosen = (
+        ktab.crossJoin(broadcast_scalar(budget))
+        .agg(
+            F.coalesce(
+                F.min(
+                    F.when(F.col("kept_tok") >= F.col("b"), F.col("cut"))
+                ),
+                F.lit(max_cut).cast("bigint"),
+            ).alias("chosen_cut")
+        )
+    )
+    drop_c = (
+        dropped.crossJoin(broadcast_scalar(chosen))
+        .filter(F.col("cut") == F.col("chosen_cut"))
+        .select("doc_id")
+    )
+    kept = d.join(drop_c, "doc_id", "left_anti")
+    raw = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_raw"),
+        F.sum("n_toks").cast("bigint").alias("tok_raw"),
+    )
+    kp = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_kept"),
+        F.sum("n_toks").cast("bigint").alias("tok_kept"),
+    )
+    s = raw.join(kp, "source", "left").select(
+        "source",
+        "n_docs_raw",
+        F.coalesce(F.col("n_docs_kept"), F.lit(0).cast("bigint")).alias(
+            "n_docs_kept"
+        ),
+        "tok_raw",
+        F.coalesce(F.col("tok_kept"), F.lit(0).cast("bigint")).alias(
+            "tok_kept"
+        ),
+    )
+
+    def _fold(col: str):
+        return F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("source"),
+                            F.sqrt(F.col(col).cast("double")).alias("sq"),
+                        )
+                    )
+                ),
+                lambda x: x["sq"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    t2 = s.groupBy().agg(
+        _fold("tok_raw").alias("tot_raw"),
+        _fold("tok_kept").alias("tot_kept"),
+    )
+    ksum = s.agg(F.sum("tok_kept").cast("bigint").alias("kept_total"))
+    return (
+        s.crossJoin(broadcast_scalar(t2))
+        .crossJoin(broadcast_scalar(chosen))
+        .crossJoin(broadcast_scalar(budget))
+        .crossJoin(broadcast_scalar(ksum))
+        .select(
+            "source",
+            "n_docs_raw",
+            "n_docs_kept",
+            "tok_raw",
+            "tok_kept",
+            (F.sqrt(F.col("tok_raw").cast("double")) / F.col("tot_raw")).alias(
+                "w_raw"
+            ),
+            (
+                F.sqrt(F.col("tok_kept").cast("double")) / F.col("tot_kept")
+            ).alias("w_kept"),
+            "chosen_cut",
+            (
+                F.col("chosen_cut").cast("double")
+                / F.lit(float(num_hashes))
+            ).alias("threshold"),
+            F.col("b").alias("budget_tokens"),
+            F.col("kept_total").alias("kept_tokens_total"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------

@@ -73,15 +73,70 @@ def simhash_planes(dim: int, n_planes: int = 16, seed: int = 7) -> list[list[flo
 
 
 def with_hyperplane_bucket(
-    df: DataFrame, vec_col: str, planes: list[list[float]], out: str = "bucket"
+    df: DataFrame,
+    vec_col: str,
+    planes: list[list[float]],
+    out: str = "bucket",
+    multiprobe: int = 1,
 ) -> DataFrame:
-    """Random-hyperplane LSH bucket id: sign-bit string over the planes."""
+    """Random-hyperplane LSH bucket id: sign-bit string over the planes.
+
+    ``multiprobe=1`` (default): one string code per row, unchanged.
+    ``multiprobe=m > 1``: ``out`` becomes ``array<string>`` of the m
+    probe codes nearest the row's vector — the exact code first, then
+    the codes obtained by flipping the plane with the j-th SMALLEST
+    |margin| (|dot(v, plane)|), j = 1..m-1, ascending margin with
+    plane-index tie-break. This is standard multi-probe LSH: when a
+    recall audit (q265/q268 pattern) says a single bucket misses too
+    many true neighbors, the query side probes the m most likely
+    buckets — an exploded equi-join domain — instead of re-indexing
+    the corpus with fewer planes. The margin folds are the same
+    sequential ``F.aggregate`` dots as the bucket bits, so probe order
+    is bit-identical to a DuckDB list_reduce twin. The per-plane dot
+    array is materialized ONCE in its own projection (interpreted-HOF
+    rule) and derived columns come off it."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    bits = [
-        F.when(_dot(v, F.array(*[F.lit(p) for p in plane])) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for plane in planes
-    ]
-    return df.withColumn(out, F.concat(*bits))
+    dots = [_dot(v, F.array(*[F.lit(p) for p in plane])) for plane in planes]
+    if multiprobe <= 1:
+        bits = [
+            F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")) for d in dots
+        ]
+        return df.withColumn(out, F.concat(*bits))
+    n = len(planes)
+    staged = df.withColumn("__mp_dots", F.array(*dots))
+    d = F.col("__mp_dots")
+    exact = F.concat_ws(
+        "",
+        F.transform(
+            d, lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0"))
+        ),
+    )
+    ranked = F.transform(
+        d, lambda x, i: F.struct(F.abs(x).alias("mg"), i.alias("ix"))
+    )
+    flips = F.transform(
+        F.slice(F.array_sort(ranked), 1, multiprobe - 1), lambda s: s["ix"]
+    )
+    staged = (
+        staged.withColumn("__mp_exact", exact).withColumn("__mp_flips", flips)
+    )
+    e = F.col("__mp_exact")
+    probes = F.concat(
+        F.array(e),
+        F.transform(
+            F.col("__mp_flips"),
+            lambda ix: F.concat(
+                F.substring(e, F.lit(1), ix),
+                F.when(
+                    F.substring(e, ix + 1, F.lit(1)) == "1", F.lit("0")
+                ).otherwise(F.lit("1")),
+                F.substring(e, ix + 2, F.lit(n)),
+            ),
+        ),
+    )
+    return staged.withColumn(out, probes).drop(
+        "__mp_dots", "__mp_exact", "__mp_flips"
+    )
 
 
 def lsh_bucket_cosine_topk(
@@ -99,6 +154,12 @@ def lsh_bucket_cosine_topk(
     )
     candidates = bucketed.filter(F.col("bucket") == qbits).drop("bucket")
     return cosine_topk(candidates, vec_col, id_col, query, k)
+
+
+# Anchor-block width for the per-bucket gram kernels below: per-task peak
+# is block x |bucket| float64s (~32 MB per 1k bucket members at 4096), so
+# memory stays flat as buckets widen instead of growing |bucket|^2.
+_GRAM_BLOCK = 4096
 
 
 def bucket_knn_agreement(
@@ -125,7 +186,16 @@ def bucket_knn_agreement(
     (desc cos, id); float ties compare exactly. Scale: work is
     O(|bucket|^2 * dim) vectorized; bucket width is capped by the plane
     count (more planes / multi-probe at larger corpora), and each bucket
-    is one task — the q226 caller's 2^planes buckets bound the skew."""
+    is one task — the q226 caller's 2^planes buckets bound the skew.
+    Memory is bounded: the gram matrix is computed in ANCHOR BLOCKS of
+    ``_GRAM_BLOCK`` rows (block x |bucket| floats per block, ~32 MB at
+    4096 x 1M/2^16 — never |bucket|^2 at once); each block still
+    accumulates dim-sequentially so every cosine is the identical IEEE
+    double. Zero-norm rows get the centroid-style ``or 1.0`` norm guard
+    (cosine 0, ranks last deterministically) so NaN can never enter the
+    lexsort — the fold twin would produce NaN there, so keep zero
+    vectors out of oracle-compared inputs (testdata embeddings have
+    none)."""
     out_schema = (
         f"{id_col} long, {label_col} long, n_neighbors long, n_same_label long"
     )
@@ -140,22 +210,27 @@ def bucket_knn_agreement(
         labels = pdf[label_col].to_numpy()
         V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
         d = V.shape[1]
-        dots = np.zeros((n, n))
         vsq = np.zeros(n)
         for j in range(d):  # sequential over dims == the JVM fold order
             c = V[:, j]
-            dots = dots + c[:, None] * c[None, :]
             vsq = vsq + c * c
         nrm = np.sqrt(vsq)
-        cos = dots / (nrm[:, None] * nrm[None, :])
+        nrm[nrm == 0.0] = 1.0  # zero-norm guard: cos 0, never NaN
         n_nb = np.zeros(n, dtype=np.int64)
         n_same = np.zeros(n, dtype=np.int64)
-        for i in range(n):
-            # (desc cos, asc id), self excluded — the window twin's order
-            order = np.lexsort((ids, -cos[i]))
-            top = [j for j in order if ids[j] != ids[i]][:k]
-            n_nb[i] = len(top)
-            n_same[i] = int(np.sum(labels[top] == labels[i]))
+        for lo in range(0, n, _GRAM_BLOCK):
+            hi = min(lo + _GRAM_BLOCK, n)
+            dots = np.zeros((hi - lo, n))
+            for j in range(d):  # dim-sequential per block == the fold
+                c = V[:, j]
+                dots = dots + c[lo:hi, None] * c[None, :]
+            cos = dots / (nrm[lo:hi, None] * nrm[None, :])
+            for bi, i in enumerate(range(lo, hi)):
+                # (desc cos, asc id), self excluded — the window twin
+                order = np.lexsort((ids, -cos[bi]))
+                top = [j for j in order if ids[j] != ids[i]][:k]
+                n_nb[i] = len(top)
+                n_same[i] = int(np.sum(labels[top] == labels[i]))
         return pd.DataFrame(
             {
                 id_col: ids,
@@ -186,7 +261,11 @@ def bucket_hard_negatives(
     test_hard_negative_kernel_matches_jvm), ranking is lexsort by
     (-cos, id) == the window's (desc cos, id). Emits k rows per anchor,
     never the |bucket|^2 pair explode; bucket width is capped by the
-    plane count at larger corpora."""
+    plane count at larger corpora. Gram matrix is computed in ANCHOR
+    BLOCKS of ``_GRAM_BLOCK`` rows (memory O(block x |bucket|), never
+    |bucket|^2 at once; dim-sequential per block so cosines stay
+    bit-identical) and norms carry the ``or 1.0`` zero-norm guard
+    (cosine 0, never NaN in the lexsort)."""
     out_schema = (
         f"{id_col} long, {label_col} long, neg_id long, neg_label long, "
         "neg_rank long"
@@ -201,23 +280,29 @@ def bucket_hard_negatives(
         labels = pdf[label_col].to_numpy()
         V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
         d = V.shape[1]
-        dots = np.zeros((n, n))
         vsq = np.zeros(n)
         for j in range(d):  # sequential over dims == the JVM fold order
             c = V[:, j]
-            dots = dots + c[:, None] * c[None, :]
             vsq = vsq + c * c
         nrm = np.sqrt(vsq)
-        cos = dots / (nrm[:, None] * nrm[None, :])
+        nrm[nrm == 0.0] = 1.0  # zero-norm guard: cos 0, never NaN
         rows = []
-        for i in range(n):
-            # (desc cos, asc id) — the window twin's order
-            order = np.lexsort((ids, -cos[i]))
-            negs = [j for j in order if labels[j] != labels[i]][:k]
-            for r, j in enumerate(negs, start=1):
-                rows.append(
-                    (int(ids[i]), int(labels[i]), int(ids[j]), int(labels[j]), r)
-                )
+        for lo in range(0, n, _GRAM_BLOCK):
+            hi = min(lo + _GRAM_BLOCK, n)
+            dots = np.zeros((hi - lo, n))
+            for j in range(d):  # dim-sequential per block == the fold
+                c = V[:, j]
+                dots = dots + c[lo:hi, None] * c[None, :]
+            cos = dots / (nrm[lo:hi, None] * nrm[None, :])
+            for bi, i in enumerate(range(lo, hi)):
+                # (desc cos, asc id) — the window twin's order
+                order = np.lexsort((ids, -cos[bi]))
+                negs = [j for j in order if labels[j] != labels[i]][:k]
+                for r, j in enumerate(negs, start=1):
+                    rows.append(
+                        (int(ids[i]), int(labels[i]), int(ids[j]),
+                         int(labels[j]), r)
+                    )
         return pd.DataFrame(rows, columns=cols)
 
     return bucketed.groupBy(bucket_col).applyInPandas(_per_bucket, out_schema)

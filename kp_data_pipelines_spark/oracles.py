@@ -2641,3 +2641,215 @@ def spearman_quality_length_sql() -> str:
              AS spearman_rho
     FROM m
     """
+
+
+def lsh_multiprobe_sweep_sql(
+    n_queries: int = 8, n_planes: int = 6, kk: int = 10, seed: int = 7
+) -> str:
+    """Twin of q277: recall@k of hyperplane-LSH retrieval as the probe
+    count m rises over a literal grid {1, 2, 4} at a FIXED index
+    (6 planes) — the multi-probe mitigation for a failing q265-style
+    recall audit. Probe j>1 flips the plane with the (j-1)-th smallest
+    |margin| (|dot(qv, plane)|, plane-index ties) in the anchor's exact
+    code — `with_hyperplane_bucket(multiprobe=m)`'s order. Every margin
+    and cosine is the sequential left fold (`_dot`), so probe codes and
+    rankings match Spark bit-for-bit."""
+    planes = simhash_planes(EMBEDDING_DIM, n_planes, seed)
+    planes_lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes
+        )
+        + "]"
+    )
+    max_flips = 3  # max(grid) - 1
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id >= {n_queries}
+    ),
+    q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {n_queries}
+    ),
+    be AS (
+      SELECT vec_id, {_bucket_expr("v", planes)} AS code FROM e
+    ),
+    qd AS (
+      SELECT qid, qv, {_bucket_expr("qv", planes)} AS code FROM q
+    ),
+    pd AS (
+      SELECT unnest(range(0, {n_planes})) AS ix,
+             unnest({planes_lit}) AS pl
+    ),
+    fr AS (
+      SELECT qid, ix,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY abs({_dot("qv", "pl")}), ix) AS frank
+      FROM qd CROSS JOIN pd
+    ),
+    prb AS (
+      SELECT qid, CAST(1 AS BIGINT) AS prn, code FROM qd
+      UNION ALL
+      SELECT fr.qid, CAST(fr.frank + 1 AS BIGINT) AS prn,
+             substr(qd.code, 1, CAST(fr.ix AS INTEGER))
+               || (CASE WHEN substr(qd.code, CAST(fr.ix + 1 AS INTEGER), 1)
+                             = '1'
+                        THEN '0' ELSE '1' END)
+               || substr(qd.code, CAST(fr.ix + 2 AS INTEGER)) AS code
+      FROM fr JOIN qd ON qd.qid = fr.qid
+      WHERE fr.frank <= {max_flips}
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             {_dot("e.v", "q.qv")}
+               / (sqrt({_dot("e.v", "e.v")}) * sqrt({_dot("q.qv", "q.qv")}))
+               AS cos
+      FROM e CROSS JOIN q
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= {kk}
+    ),
+    candm AS (
+      SELECT p.prn, s.qid, s.vec_id, s.cos
+      FROM scored s
+      JOIN be ON be.vec_id = s.vec_id
+      JOIN prb p ON p.qid = s.qid AND p.code = be.code
+    ),
+    grid AS (SELECT unnest([1, 2, 4]) AS m),
+    approx AS (
+      SELECT m, qid, vec_id FROM (
+        SELECT g.m, c.qid, c.vec_id,
+               row_number() OVER (PARTITION BY c.qid, g.m
+                                  ORDER BY c.cos DESC, c.vec_id) AS rn
+        FROM candm c JOIN grid g ON c.prn <= g.m
+      ) WHERE rn <= {kk}
+    ),
+    ncand AS (
+      SELECT g.m, CAST(COUNT(*) AS BIGINT) AS n_cand
+      FROM candm c JOIN grid g ON c.prn <= g.m GROUP BY g.m
+    ),
+    xg AS (SELECT x.qid, x.vec_id, g.m FROM exact x CROSS JOIN grid g)
+    SELECT CAST(xg.m AS BIGINT) AS m,
+           COALESCE(nc.n_cand, 0) AS n_cand,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN ap.vec_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN ap.vec_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_recall
+    FROM xg
+    LEFT JOIN approx ap
+      ON ap.qid = xg.qid AND ap.vec_id = xg.vec_id AND ap.m = xg.m
+    LEFT JOIN ncand nc ON nc.m = xg.m
+    GROUP BY xg.m, nc.n_cand
+    ORDER BY m
+    """
+
+
+def dedup_threshold_decision_sql(
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    base: float = 0.25,
+    budget_num: int = 4,
+    budget_den: int = 5,
+) -> str:
+    """Twin of q278: the dedup-economics CAPSTONE — pick the most
+    aggressive Jaccard cut whose near-dup dedup still keeps at least
+    the token budget (budget_num/budget_den of raw tokens), then emit
+    the post-dedup temperature mixture weights at that cut. Composition
+    of verified stages: q272's one-pass banded MinHash sweep (exact
+    dyadic estimates), the keep-min-neighbor drop rule (doc dropped iff
+    it is the GREATER id of any pair at the cut), q274's sqrt-fold
+    mixture weights. Every decision comparison is integer-exact."""
+    cuts = [8, 12, 16, 20, 24, 28]
+    cuts_lit = "[" + ", ".join(str(c) for c in cuts) + "]"
+    max_cut = max(cuts)
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list(struct_pack(source := source, "
+        "sq := sqrt(CAST({col} AS DOUBLE))) ORDER BY source), "
+        "x -> x.sq)), (acc, x) -> acc + x)"
+    )
+    return f"""
+    WITH {_minhash_pairs_core(k, num_hashes, bands, base)},
+    d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      FROM documents
+    ),
+    tot AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS t FROM d),
+    grid AS (SELECT unnest({cuts_lit}) AS cut),
+    pt AS (
+      SELECT g.cut, p.id_b
+      FROM pairs p JOIN grid g
+        ON p.est_jaccard >= CAST(g.cut AS DOUBLE)
+                              / CAST({num_hashes} AS DOUBLE)
+      WHERE p.est_jaccard >= {base}
+    ),
+    dropped AS (SELECT DISTINCT cut, id_b AS doc_id FROM pt),
+    dtok AS (
+      SELECT dr.cut, CAST(SUM(d.n_toks) AS BIGINT) AS drop_tok
+      FROM dropped dr JOIN d ON d.doc_id = dr.doc_id GROUP BY dr.cut
+    ),
+    ktab AS (
+      SELECT g.cut,
+             CAST(tot.t - COALESCE(dt.drop_tok, 0) AS BIGINT) AS kept_tok
+      FROM grid g LEFT JOIN dtok dt ON dt.cut = g.cut CROSS JOIN tot
+    ),
+    budget AS (
+      SELECT CAST(({budget_num} * t) // {budget_den} AS BIGINT) AS b
+      FROM tot
+    ),
+    chosen AS (
+      SELECT COALESCE(
+               MIN(CASE WHEN kt.kept_tok >= budget.b THEN kt.cut END),
+               {max_cut}) AS cut
+      FROM ktab kt CROSS JOIN budget
+    ),
+    drop_c AS (
+      SELECT dr.doc_id FROM dropped dr JOIN chosen c ON dr.cut = c.cut
+    ),
+    kept AS (
+      SELECT d.* FROM d LEFT JOIN drop_c ON d.doc_id = drop_c.doc_id
+      WHERE drop_c.doc_id IS NULL
+    ),
+    raw AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_raw,
+             CAST(SUM(n_toks) AS BIGINT) AS tok_raw
+      FROM d GROUP BY source
+    ),
+    kp AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+             CAST(SUM(n_toks) AS BIGINT) AS tok_kept
+      FROM kept GROUP BY source
+    ),
+    s AS (
+      SELECT raw.source, raw.n_docs_raw,
+             COALESCE(kp.n_docs_kept, 0) AS n_docs_kept,
+             raw.tok_raw, COALESCE(kp.tok_kept, 0) AS tok_kept
+      FROM raw LEFT JOIN kp ON raw.source = kp.source
+    ),
+    t2 AS (
+      SELECT {fold.format(col="tok_raw")} AS tot_raw,
+             {fold.format(col="tok_kept")} AS tot_kept
+      FROM s
+    ),
+    ksum AS (SELECT CAST(SUM(tok_kept) AS BIGINT) AS kept_total FROM s)
+    SELECT s.source, s.n_docs_raw, s.n_docs_kept, s.tok_raw, s.tok_kept,
+           sqrt(CAST(s.tok_raw AS DOUBLE)) / t2.tot_raw AS w_raw,
+           sqrt(CAST(s.tok_kept AS DOUBLE)) / t2.tot_kept AS w_kept,
+           CAST(chosen.cut AS BIGINT) AS chosen_cut,
+           CAST(chosen.cut AS DOUBLE) / CAST({num_hashes} AS DOUBLE)
+             AS threshold,
+           budget.b AS budget_tokens,
+           ksum.kept_total AS kept_tokens_total
+    FROM s CROSS JOIN t2 CROSS JOIN chosen CROSS JOIN budget
+    CROSS JOIN ksum
+    ORDER BY source
+    """

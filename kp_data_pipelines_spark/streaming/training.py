@@ -33,6 +33,7 @@ per wave.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -120,8 +121,21 @@ def _ledger_partial(
     spark = flags.sparkSession
     flags = flags.localCheckpoint(eager=True)  # two consumers below
     try:
-        seen = spark.read.parquet(state_dir).select("f").distinct()
-    except Exception:  # first batch: no state yet
+        # Explicit schema: an existing-but-empty state dir (first batch
+        # under a pre-created checkpoint root) reads as an empty frame
+        # instead of raising UNABLE_TO_INFER_SCHEMA.
+        seen = (
+            spark.read.schema("f string").parquet(state_dir)
+            .select("f").distinct()
+        )
+    except AnalysisException as exc:
+        # ONLY the missing-path case means "first batch, no state yet".
+        # Anything else (corrupt footer, permission, transient IO) must
+        # fail loudly — silently resetting state would let cross-batch
+        # duplicates into the ledger.
+        msg = str(exc)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
         seen = spark.createDataFrame([], "f string")
     reps = (
         flags.filter(F.col("quality_pass") == 1)

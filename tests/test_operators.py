@@ -633,3 +633,47 @@ def test_trimmed_mean_histogram_matches_grouped_agg_udaf(spark):
     assert set(udaf_result) == set(hist_result)
     for lang, tm in udaf_result.items():
         assert tm == hist_result[lang][1], lang
+
+
+def test_q248_rf_histogram_cardinality_is_domain_bounded(spark):
+    """Guard for q248's single-task cumulative windows: the r (recency
+    days) and f (events/user) histograms must be DOMAIN-bounded — their
+    distinct-value counts must stay ~flat while user count grows 10x —
+    while the monetary histogram is USER-cardinality (grows with users)
+    and therefore must keep using the distributed prefix_sum. If the data
+    generator ever changes so r/f cardinality scales with users, this
+    fails and q248's r/f score_map must switch to user_cardinality=True
+    (catalog.py q248 docstring carries the matching claim)."""
+    from kp_data_pipelines_spark.sources.readers import read_table
+
+    def rfm_cards(sf):
+        ev = read_table(spark, sf, "events")
+        u = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("f"),
+            F.sum(F.expr("CAST(round(value * 100) AS DECIMAL(38,0))"))
+            .cast("bigint")
+            .alias("m"),
+            F.max(F.unix_micros(F.col("ts"))).alias("last_us"),
+        )
+        anchor = u.agg(F.max("last_us").alias("a")).collect()[0]["a"]
+        ur = u.withColumn(
+            "r",
+            F.expr(f"CAST(({anchor} - last_us) div 86400000000 AS BIGINT)"),
+        )
+        row = ur.agg(
+            F.countDistinct("r").alias("r"),
+            F.countDistinct("f").alias("f"),
+            F.countDistinct("m").alias("m"),
+            F.count(F.lit(1)).alias("users"),
+        ).collect()[0]
+        return row["r"], row["f"], row["m"], row["users"]
+
+    r1, f1, m1, u1 = rfm_cards("/root/testdata/sf0.001")
+    r2, f2, m2, u2 = rfm_cards("/root/testdata/sf0.01")
+    user_ratio = u2 / u1
+    assert user_ratio >= 5, "testdata SFs no longer differ in user count"
+    # r/f: domain-bounded — cardinality must NOT track user growth
+    assert r2 / r1 <= 4 and r2 / max(r1, 1) < user_ratio / 2, (r1, r2, u1, u2)
+    assert f2 / f1 <= 4 and f2 / max(f1, 1) < user_ratio / 2, (f1, f2, u1, u2)
+    # m: user-cardinality — MUST keep the distributed prefix_sum path
+    assert m2 / m1 >= user_ratio * 0.8, (m1, m2, u1, u2)

@@ -705,3 +705,54 @@ def test_multi_cosine_kernel_matches_jvm(spark):
             for r in emb.select("vec_id", *exprs).collect()
         }
         assert kern == jvm
+
+
+def test_multiprobe_buckets_flip_lowest_margin_planes(spark):
+    """with_hyperplane_bucket(multiprobe=m): probe 1 is the exact code;
+    probe j>1 flips the plane with the (j-1)-th smallest |margin|
+    (ascending |dot|, plane-index ties) — pinned against a pure-Python
+    sequential-fold reference, and probe 1 must equal the single-probe
+    column (backward compatibility)."""
+    import random
+
+    from kp_data_pipelines_spark.operators.similarity import (
+        simhash_planes,
+        with_hyperplane_bucket,
+    )
+
+    random.seed(3)
+    dim, n_planes, m = 8, 6, 4
+    planes = simhash_planes(dim, n_planes, seed=7)
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(dim)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {
+        r["vec_id"]: r["probes"]
+        for r in with_hyperplane_bucket(
+            df, "embedding", planes, out="probes", multiprobe=m
+        ).collect()
+    }
+    single = {
+        r["vec_id"]: r["bucket"]
+        for r in with_hyperplane_bucket(df, "embedding", planes).collect()
+    }
+
+    def seqdot(v, p):
+        acc = 0.0
+        for a, b in zip(v, p):
+            acc = acc + a * b
+        return acc
+
+    for vid, v in rows:
+        dots = [seqdot(v, p) for p in planes]
+        exact = "".join("1" if d >= 0 else "0" for d in dots)
+        order = sorted(range(n_planes), key=lambda i: (abs(dots[i]), i))
+        want = [exact]
+        for ix in order[: m - 1]:
+            c = list(exact)
+            c[ix] = "0" if c[ix] == "1" else "1"
+            want.append("".join(c))
+        assert got[vid] == want, vid
+        assert single[vid] == exact, vid
+        assert len(set(got[vid])) == m  # probes pairwise distinct
