@@ -16848,6 +16848,716 @@ def q278_dedup_threshold_decision(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q279_tokenizer_fertility",
+    """
+    WITH d AS (
+      SELECT source, lang,
+             CAST(octet_length(encode(text)) AS BIGINT) AS b,
+             CAST(length(text) AS BIGINT) AS c,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END
+                  AS BIGINT) AS w,
+             CAST(len(regexp_extract_all(text,
+                  '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS t
+      FROM documents
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(b) AS BIGINT) AS tot_bytes,
+           CAST(SUM(c) AS BIGINT) AS tot_chars,
+           CAST(SUM(w) AS BIGINT) AS tot_words,
+           CAST(SUM(t) AS BIGINT) AS tot_bpe_tokens,
+           CAST(CAST(SUM(b) AS BIGINT) AS DOUBLE)
+             / CAST(greatest(CAST(SUM(t) AS BIGINT), 1) AS DOUBLE)
+             AS bytes_per_token,
+           CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)
+             / CAST(greatest(CAST(SUM(t) AS BIGINT), 1) AS DOUBLE)
+             AS chars_per_token,
+           CAST(CAST(SUM(t) AS BIGINT) AS DOUBLE)
+             / CAST(greatest(CAST(SUM(w) AS BIGINT), 1) AS DOUBLE)
+             AS fertility
+    FROM d GROUP BY source, lang ORDER BY source, lang
+    """,
+)
+def q279_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility audit per (source, lang): bytes / chars /
+    whitespace words / BPE-ish tokens, and the three ratios a tokenizer
+    budget model needs — bytes-per-token (compression), chars-per-token,
+    and fertility (subword tokens per word). This is the table that
+    decides how a 100 TB byte budget converts to a token budget per
+    source and language BEFORE committing tokenization compute, and it
+    flags languages the tokenizer fragments (fertility outliers cost
+    context window and training FLOPs). Scale shape: one scan, all four
+    counters are JVM-side built-ins (octet_length / length / split /
+    regexp_count), partial-aggregated map-side into a
+    |sources|x|langs|-row result; ratios are single divisions of exact
+    BIGINT sums (IEEE-identical on both engines)."""
+    docs = read_table(spark, sf, "documents")
+    d = docs.select(
+        "source",
+        "lang",
+        F.octet_length("text").cast("bigint").alias("b"),
+        F.length("text").cast("bigint").alias("c"),
+        whitespace_token_count("text").cast("bigint").alias("w"),
+        regex_token_count("text").cast("bigint").alias("t"),
+    )
+    g = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("b").cast("bigint").alias("tot_bytes"),
+        F.sum("c").cast("bigint").alias("tot_chars"),
+        F.sum("w").cast("bigint").alias("tot_words"),
+        F.sum("t").cast("bigint").alias("tot_bpe_tokens"),
+    )
+    return g.select(
+        "source",
+        "lang",
+        "n_docs",
+        "tot_bytes",
+        "tot_chars",
+        "tot_words",
+        "tot_bpe_tokens",
+        (
+            F.col("tot_bytes").cast("double")
+            / F.greatest(F.col("tot_bpe_tokens"), F.lit(1)).cast("double")
+        ).alias("bytes_per_token"),
+        (
+            F.col("tot_chars").cast("double")
+            / F.greatest(F.col("tot_bpe_tokens"), F.lit(1)).cast("double")
+        ).alias("chars_per_token"),
+        (
+            F.col("tot_bpe_tokens").cast("double")
+            / F.greatest(F.col("tot_words"), F.lit(1)).cast("double")
+        ).alias("fertility"),
+    ).orderBy("source", "lang")
+
+
+@register(
+    "q280_curriculum_schedule",
+    """
+    WITH q AS (
+      SELECT doc_id,
+             CAST(round(
+               round(0.4 * (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.5 END)
+                   + 0.4 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                            / greatest(CAST(length(text) AS DOUBLE), 1.0))
+                   + 0.2 * (CASE WHEN (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                                       / greatest(CASE WHEN trim(text) = '' THEN 0
+                                                       ELSE len(string_split_regex(trim(text), '\\s+')) END, 1))
+                                 BETWEEN 2.0 AND 12.0
+                            THEN 1.0 ELSE 0.5 END), 6) * 1.0e6
+             ) AS BIGINT) AS qk,
+             CAST(len(regexp_extract_all(text,
+                  '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS toks
+      FROM documents
+    ),
+    r AS (
+      SELECT qk, toks,
+             RANK() OVER (ORDER BY qk DESC) - 1 AS above,
+             (SELECT COUNT(*) FROM q) AS n
+      FROM q
+    ),
+    a AS (
+      SELECT CAST(1 + ((4 * above) // n) AS BIGINT) AS phase,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(toks) AS BIGINT) AS tot_tokens,
+             CAST(SUM(qk) AS BIGINT) AS sum_qk
+      FROM r GROUP BY 1
+    )
+    SELECT phase, n_docs, tot_tokens,
+           (CAST(sum_qk AS DOUBLE) / 1.0e6) / CAST(n_docs AS DOUBLE)
+             AS mean_quality,
+           CAST(SUM(tot_tokens) OVER (ORDER BY phase) AS BIGINT)
+             AS cum_tokens,
+           CAST(CAST(SUM(tot_tokens) OVER (ORDER BY phase) AS BIGINT) AS DOUBLE)
+             / CAST((SELECT CAST(SUM(toks) AS BIGINT) FROM q) AS DOUBLE)
+             AS cum_token_share
+    FROM a ORDER BY phase
+    """,
+)
+def q280_curriculum_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum schedule: split the corpus into 4 quality-ranked
+    training phases (phase 1 = cleanest quartile first — the standard
+    easy-to-hard curriculum) and emit each phase's doc count, token
+    budget, mean quality, and cumulative token share — the table a
+    trainer consumes as its data schedule. Scale shape: quality rank is
+    HISTOGRAM-FIRST (group by the 6-dp-quantized score, then the
+    distributed two-phase ``prefix_sum`` over the DESCENDING key — the
+    q248 monetary lesson: score cardinality grows with corpus size, so
+    no single-task global window anywhere); docs pick up their phase by
+    equi-joining on the quantized score; the only window runs over the
+    4-row phase aggregate. The quantized score key makes ranks exact
+    integers, so phase boundaries are bit-identical to the oracle's
+    RANK() form; mean quality divides two exact integers."""
+    from kp_data_pipelines_spark.operators.prefix import prefix_sum
+
+    docs = read_table(spark, sf, "documents")
+    d = docs.select(
+        "doc_id",
+        F.round(quality_score("text") * F.lit(1.0e6))
+        .cast("bigint")
+        .alias("qk"),
+        regex_token_count("text").cast("bigint").alias("toks"),
+    )
+    hist = (
+        d.groupBy("qk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .withColumn("nk", (-F.col("qk")).cast("bigint"))
+    )
+    nu = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    phases = (
+        prefix_sum(hist, "nk", "w", out_col="__cum")
+        .crossJoin(broadcast_scalar(nu))
+        .select(
+            "qk",
+            F.expr(
+                "CAST(1 + (4 * (__cum - w)) div n AS BIGINT)"
+            ).alias("phase"),
+        )
+    )
+    a = (
+        d.join(phases, "qk")
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("tot_tokens"),
+            F.sum("qk").cast("bigint").alias("sum_qk"),
+        )
+    )
+    tot = d.agg(F.sum("toks").cast("bigint").alias("t"))
+    w4 = Window.orderBy("phase").rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # 4-row phase aggregate — agg-bounded
+    return (
+        a.withColumn(
+            "cum_tokens", F.sum("tot_tokens").over(w4).cast("bigint")
+        )
+        .crossJoin(broadcast_scalar(tot))
+        .select(
+            "phase",
+            "n_docs",
+            "tot_tokens",
+            (
+                (F.col("sum_qk").cast("double") / F.lit(1.0e6))
+                / F.col("n_docs").cast("double")
+            ).alias("mean_quality"),
+            "cum_tokens",
+            (
+                F.col("cum_tokens").cast("double") / F.col("t").cast("double")
+            ).alias("cum_token_share"),
+        )
+        .orderBy("phase")
+    )
+
+
+@register(
+    "q281_crosslingual_neardups", oracles.crosslingual_neardup_sql()
+)
+def q281_crosslingual_neardups(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-lingual near-duplicate mining: same-meaning documents in
+    DIFFERENT languages (translations, mirrored pages) share an
+    embedding neighborhood even though token-level dedup (MinHash,
+    SimHash) is blind to them — at 100 TB multilingual scale this is the
+    dedup pass that catches the translated-mirror mass a text-hash pass
+    leaves in. Candidates come from a random-hyperplane LSH bucket
+    EQUI-join restricted to different-language pairs (never all-pairs);
+    verification is the exact sequential-fold cosine of
+    ``cosine_pairs_blocked`` (per-row norms, bit-identical to the
+    DuckDB twin). Output: per ordered language pair, the candidate
+    count, counts above the 0.80/0.90/0.95 rounded-cosine cuts, and the
+    DECIMAL-staged mean candidate cosine — the table that prices a
+    translation-dedup threshold per language pair. At larger corpora
+    raise n_planes (buckets shrink) and add multiprobe on the query
+    side (q277); the pair stage's shuffle key stays the bucket."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        cosine_pairs_blocked,
+        simhash_planes,
+        with_hyperplane_bucket,
+    )
+
+    docs = read_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"), "lang"
+    )
+    emb = read_table(spark, sf, "embeddings")
+    e = emb.join(docs, emb["vec_id"] == docs["id"]).select(
+        "id", "lang", "embedding"
+    )
+    dim = len(emb.select("embedding").head()[0])
+    planes = simhash_planes(dim, 4, seed=7)
+    b = with_hyperplane_bucket(
+        ensure_parallelism(e), "embedding", planes, "bucket"
+    )
+    pairs = cosine_pairs_blocked(
+        b, "id", "embedding", "bucket", threshold=-1.0
+    ).select("id_a", "id_b", F.col("cosine").alias("cos"))
+    lang = docs
+    p = (
+        pairs.join(
+            lang.select(
+                F.col("id").alias("id_a"), F.col("lang").alias("lang_a")
+            ),
+            "id_a",
+        )
+        .join(
+            lang.select(
+                F.col("id").alias("id_b"), F.col("lang").alias("lang_b")
+            ),
+            "id_b",
+        )
+        .filter(F.col("lang_a") != F.col("lang_b"))
+        .select(
+            F.least("lang_a", "lang_b").alias("lang_lo"),
+            F.greatest("lang_a", "lang_b").alias("lang_hi"),
+            "cos",
+        )
+    )
+    return (
+        p.groupBy("lang_lo", "lang_hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cand"),
+            F.sum((F.col("cos") >= F.lit(0.8)).cast("int"))
+            .cast("bigint")
+            .alias("n_ge_80"),
+            F.sum((F.col("cos") >= F.lit(0.9)).cast("int"))
+            .cast("bigint")
+            .alias("n_ge_90"),
+            F.sum((F.col("cos") >= F.lit(0.95)).cast("int"))
+            .cast("bigint")
+            .alias("n_ge_95"),
+            (
+                F.sum(F.col("cos").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_cos"),
+        )
+        .orderBy("lang_lo", "lang_hi")
+    )
+
+
+@register("q282_cdc_chunk_dedup", oracles.cdc_chunk_dedup_sql())
+def q282_cdc_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined-chunking storage dedup audit: split every
+    document into variable-size chunks at ROLLING-HASH cut points (the
+    rsync/LBFS scheme — boundaries depend only on local content, so an
+    edit shifts boundaries locally and downstream chunk fingerprints
+    survive, unlike fixed-size blocks) and measure, per source, how many
+    chunk-bytes are exact duplicates of a chunk elsewhere in the corpus
+    — the sub-document dedup mass (shared boilerplate, quoted passages,
+    mirrored sections) that document-level exact dedup (q23) can't see
+    and that a 100 TB content store would dedupe at the block layer.
+    Scale shape: the kernel is one Arrow-batched numpy pass per doc
+    (integer mod arithmetic — exact, pinned to the DuckDB twin by
+    test), chunks shuffle once on the packed (fp, len) identity for the
+    corpus-wide frequency count, and the audit is a keyed join + one
+    |sources|-row aggregate. Expected chunk ~64 chars, so the shuffle
+    carries ~1/64 of corpus bytes as 8-byte keys."""
+    from kp_data_pipelines_spark.operators.textops import with_cdc_chunks
+
+    docs = read_table(spark, sf, "documents")
+    rows = with_cdc_chunks(
+        ensure_parallelism(docs.select("doc_id", "source", "text")),
+        "text",
+        out="packed",
+    ).select(
+        "source",
+        "packed",
+        (F.col("packed") % F.lit(2097152)).cast("bigint").alias("ln"),
+    )
+    dfc = rows.groupBy("packed").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    j = rows.join(dfc, "packed")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.countDistinct("packed").cast("bigint").alias(
+                "n_distinct_chunks"
+            ),
+            F.sum("ln").cast("bigint").alias("raw_bytes"),
+            F.sum(F.when(F.col("cnt") >= 2, F.col("ln")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_chunk_bytes"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_distinct_chunks",
+            "raw_bytes",
+            "dup_chunk_bytes",
+            (
+                F.col("dup_chunk_bytes").cast("double")
+                / F.col("raw_bytes").cast("double")
+            ).alias("dup_byte_share"),
+        )
+        .orderBy("source")
+    )
+
+
+@register("q283_ivf_staleness_audit", oracles.ivf_staleness_sql())
+def q283_ivf_staleness_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF index STALENESS audit — the maintenance decision q265/q268
+    (recall, nprobe) don't cover: an IVF index trained on yesterday's
+    corpus silently degrades as new data arrives with a shifted
+    distribution; at 100 TB you audit before you re-train, because
+    re-clustering is a full-corpus job. Centroids come from the
+    deterministic ``ivf_centroids`` seed over the even-vec_id wave
+    (snapshot A = index-build time); BOTH waves then assign to those
+    FROZEN centroids (literal-fold argmax, (cos DESC, cid DESC)
+    tie-break — the scored array and its top element each materialize
+    once per the interpreted-HOF rule). Per centroid cell: wave
+    occupancy counts and shares, the share shift (sign of rebalance),
+    and mean assigned-cosine per wave with its drop (quantization-
+    quality decay) via DECIMAL-staged round(cos*1e9) sums. Scale shape:
+    one scan per wave's assignment (no join — centroids are literals),
+    a 2x16-row aggregate, scalar totals by ``broadcast_scalar``, and a
+    16-row grid join; nothing scales beyond the scan."""
+    import math as _math
+
+    from kp_data_pipelines_spark.operators.similarity import (
+        _dot,
+        ivf_centroids,
+    )
+
+    n_centroids = 16
+    emb = read_table(spark, sf, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.pmod("vec_id", F.lit(2)).cast("bigint").alias("half"),
+        "embedding",
+    )
+    cents = ivf_centroids(
+        e.filter(F.col("half") == 0), "embedding", n_centroids,
+        id_col="vec_id",
+    )
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vn = F.sqrt(_dot(v, v))
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    _dot(v, F.array(*[F.lit(x) for x in cvec]))
+                    / (
+                        vn
+                        * F.lit(
+                            _math.sqrt(sum(x * x for x in cvec)) or 1.0
+                        )
+                    )
+                ).alias("cos"),
+                F.lit(cid).cast("bigint").alias("cid"),
+            )
+            for cid, cvec in cents
+        ]
+    )
+    staged = e.withColumn(
+        "__top", F.element_at(F.reverse(F.array_sort(scored)), 1)
+    )
+    asg = staged.select(
+        "half",
+        F.col("__top")["cid"].alias("cid"),
+        F.col("__top")["cos"].alias("cos"),
+    )
+    g = asg.groupBy("cid", "half").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("CAST(round(cos * 1.0e9) AS DECIMAL(38,0))")).alias(
+            "sq"
+        ),
+    )
+    tots = asg.agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("tot_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("tot_b"),
+    )
+    grid = spark.range(0, n_centroids).select(
+        F.col("id").cast("bigint").alias("cid")
+    )
+    ga = g.filter(F.col("half") == 0).select(
+        "cid", F.col("n").alias("na"), F.col("sq").alias("sqa")
+    )
+    gb = g.filter(F.col("half") == 1).select(
+        "cid", F.col("n").alias("nb"), F.col("sq").alias("sqb")
+    )
+    share_a = F.coalesce(F.col("na"), F.lit(0)).cast("double") / F.col(
+        "tot_a"
+    ).cast("double")
+    share_b = F.coalesce(F.col("nb"), F.lit(0)).cast("double") / F.col(
+        "tot_b"
+    ).cast("double")
+    mean_a = F.col("sqa").cast("double") / F.lit(1.0e9) / F.col("na").cast(
+        "double"
+    )
+    mean_b = F.col("sqb").cast("double") / F.lit(1.0e9) / F.col("nb").cast(
+        "double"
+    )
+    return (
+        grid.join(ga, "cid", "left")
+        .join(gb, "cid", "left")
+        .crossJoin(broadcast_scalar(tots))
+        .select(
+            "cid",
+            F.coalesce(F.col("na"), F.lit(0)).cast("bigint").alias("n_a"),
+            F.coalesce(F.col("nb"), F.lit(0)).cast("bigint").alias("n_b"),
+            share_a.alias("share_a"),
+            share_b.alias("share_b"),
+            (share_b - share_a).alias("share_shift"),
+            F.when(F.col("na").isNull(), F.lit(None).cast("double"))
+            .otherwise(mean_a)
+            .alias("mean_cos_a"),
+            F.when(F.col("nb").isNull(), F.lit(None).cast("double"))
+            .otherwise(mean_b)
+            .alias("mean_cos_b"),
+            F.when(
+                F.col("na").isNull() | F.col("nb").isNull(),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(mean_a - mean_b)
+            .alias("cos_drop"),
+        )
+        .orderBy("cid")
+    )
+
+
+@register("q284_vocab_growth", oracles.vocab_growth_sql())
+def q284_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) audit: distinct-token count and
+    type-token ratio at the 25/50/75/100% corpus prefixes — the curve
+    that sizes a tokenizer vocabulary and predicts how many NEW types
+    the next 10 TB will add (steep curve = open vocabulary = spend on a
+    bigger/byte-level tokenizer; flat = vocabulary saturated). Token
+    identity is the portable polynomial char fold
+    (``poly_token_hashes``), so the DuckDB twin recomputes every hash.
+    Scale shape — the FIRST-OCCURRENCE trick: one explode + one
+    groupBy(token) -> min(doc_id) turns "distinct tokens in every
+    prefix" into conditional sums over ONE token table (no per-
+    checkpoint rescan, no distinct-per-prefix shuffle); corpus size
+    attaches via ``broadcast_scalar``; the result is built from two
+    1-row scalar aggregates exploded to a 4-row grid."""
+    from kp_data_pipelines_spark.operators.textops import poly_token_hashes
+
+    docs = read_table(spark, sf, "documents")
+    nsc = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    toks = ensure_parallelism(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(poly_token_hashes("text")).alias("th")
+    )
+    fo = toks.groupBy("th").agg(F.min("doc_id").alias("fd"))
+
+    def quartile_sums(df: DataFrame, cond_col: str, val, prefix: str):
+        return df.crossJoin(broadcast_scalar(nsc)).agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.col(cond_col) < F.expr(f"(n * {k}) div 4"), val
+                    ).otherwise(F.lit(0))
+                )
+                .cast("bigint")
+                .alias(f"{prefix}{k}")
+                for k in (1, 2, 3, 4)
+            ]
+        )
+
+    vr = quartile_sums(fo, "fd", F.lit(1), "v")
+    dc = docs.select(
+        "doc_id",
+        F.size(poly_token_hashes("text")).cast("bigint").alias("tc"),
+    )
+    tr = quartile_sums(dc, "doc_id", F.col("tc"), "t")
+    grid = spark.range(1, 5).select(
+        F.col("id").cast("bigint").alias("checkpoint")
+    )
+    varr = F.array(*[F.col(f"v{k}") for k in (1, 2, 3, 4)])
+    tarr = F.array(*[F.col(f"t{k}") for k in (1, 2, 3, 4)])
+    k = F.col("checkpoint")
+    vocab = F.element_at(varr, k.cast("int"))
+    ntok = F.element_at(tarr, k.cast("int"))
+    prev_v = F.when(k == 1, F.lit(0).cast("bigint")).otherwise(
+        F.element_at(varr, (k - 1).cast("int"))
+    )
+    return (
+        grid.crossJoin(broadcast_scalar(vr))
+        .crossJoin(broadcast_scalar(tr))
+        .crossJoin(broadcast_scalar(nsc))
+        .select(
+            "checkpoint",
+            F.expr("(n * checkpoint) div 4").cast("bigint").alias(
+                "cutoff_doc"
+            ),
+            ntok.alias("n_tokens"),
+            vocab.alias("vocab"),
+            (vocab - prev_v).cast("bigint").alias("new_vocab"),
+            (vocab.cast("double") / ntok.cast("double")).alias(
+                "type_token_ratio"
+            ),
+        )
+        .orderBy("checkpoint")
+    )
+
+
+@register("q285_split_leakage_audit", oracles.split_leakage_audit_sql())
+def q285_split_leakage_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """N-GRAM leakage audit of the NAIVE per-document hash split — the
+    measurement that motivates q258's component-aware fix: a plain
+    doc-id hash split puts near-copies of test documents into training,
+    and this query quantifies exactly how much test-set text is already
+    memorizable, as a distribution: for every test document, the share
+    of its distinct 8-gram hashes that also occur in ANY training
+    document, bucketed into contamination deciles (bucket 10 = the doc
+    is entirely reconstructible from train grams). Split is the
+    two-round Mersenne LCG on doc_id (q239 rule); grams are the
+    portable poly shingles (Arrow kernel, DuckDB-recomputable). Scale
+    shape: one gram explode + per-doc distinct, one DISTINCT over
+    train grams, one gram-keyed LEFT equi-join for membership, then a
+    per-doc aggregate and an 11-row bucket aggregate — every shuffle is
+    keyed on the gram hash; nothing is quadratic in docs or grams."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        _MERSENNE,
+        _hash_params,
+    )
+    from kp_data_pipelines_spark.operators.textops import with_poly_shingles
+
+    kk, test_mod = 8, 10
+    (a1, b1), (a2, b2) = _hash_params(2, 31)
+    docs = read_table(spark, sf, "documents")
+    h1 = (
+        F.lit(a1) * F.pmod(F.col("doc_id"), F.lit(_MERSENNE)) + F.lit(b1)
+    ) % _MERSENNE
+    h2 = (F.lit(a2) * h1 + F.lit(b2)) % _MERSENNE
+    g = (
+        with_poly_shingles(
+            ensure_parallelism(
+                docs.select(
+                    "doc_id", "text", (h2 % test_mod).alias("slot")
+                )
+            ),
+            "text",
+            out="grams",
+            k=kk,
+        )
+        .select(
+            "doc_id",
+            "slot",
+            F.explode(F.array_distinct("grams")).alias("gram"),
+        )
+    )
+    trn = g.filter(F.col("slot") != 0).select("gram").distinct()
+    tg = (
+        g.filter(F.col("slot") == 0)
+        .join(
+            trn.withColumn("__hit", F.lit(1)), "gram", "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__hit"), F.lit(0)).alias("shared"),
+        )
+    )
+    per_doc = tg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum("shared").cast("bigint").alias("n_shared"),
+    )
+    return (
+        per_doc.groupBy(
+            F.expr("(10 * n_shared) div n_grams").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test_docs"),
+            F.sum("n_grams").cast("bigint").alias("tot_grams"),
+            F.sum("n_shared").cast("bigint").alias("tot_shared"),
+        )
+        .select(
+            "bucket",
+            "n_test_docs",
+            "tot_grams",
+            "tot_shared",
+            (
+                F.col("tot_shared").cast("double")
+                / F.col("tot_grams").cast("double")
+            ).alias("mean_contamination"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q286_streaming_cdc_ingest", oracles.cdc_incremental_sql()
+)
+def q286_streaming_cdc_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """q282's DEPLOY shape: the new wave (src19) arrives as a STREAM
+    and every micro-batch chunk-dedups against the STATIC chunk store
+    built once from the existing corpus — the block-layer ingest
+    pipeline of a 100 TB content store ("of the bytes landing right
+    now, how many do we already have?"). Per new document: chunk count,
+    chunks already in the store, and the new/duplicate byte split — the
+    numbers that decide what actually gets written. Inside each
+    ``foreachBatch`` trigger the full CDC kernel + packed-identity LEFT
+    equi-join runs unchanged; batches are independent (membership is
+    tested against the static store only), so stream==batch for ANY
+    batching — the same twin verifies both. Results are written to
+    parquet inside the trigger (no driver collect); checkpoints are
+    ephemeral."""
+    from kp_data_pipelines_spark.operators.textops import with_cdc_chunks
+    from kp_data_pipelines_spark.streaming.events import (
+        run_available_now_foreach_batch,
+    )
+
+    docs_path = f"{sf}/documents.parquet"
+    schema = spark.read.parquet(docs_path).schema
+    store = (
+        with_cdc_chunks(
+            ensure_parallelism(
+                read_table(spark, sf, "documents")
+                .filter(F.col("source") != "src19")
+                .select("doc_id", "text")
+            ),
+            "text",
+            out="packed",
+        )
+        .select("packed")
+        .distinct()
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+        .filter(F.col("source") == "src19")
+    )
+
+    def ingest(batch: DataFrame) -> DataFrame:
+        rows = with_cdc_chunks(
+            ensure_parallelism(batch.select("doc_id", "text")),
+            "text",
+            out="packed",
+        ).select(
+            "doc_id",
+            "packed",
+            (F.col("packed") % F.lit(2097152)).cast("bigint").alias("ln"),
+        )
+        m = rows.join(
+            store.withColumn("__hit", F.lit(1)), "packed", "left"
+        ).select(
+            "doc_id",
+            "ln",
+            F.coalesce(F.col("__hit"), F.lit(0)).alias("dup"),
+        )
+        return m.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("dup").cast("bigint").alias("dup_chunks"),
+            F.sum(F.when(F.col("dup") == 0, F.col("ln")).otherwise(0))
+            .cast("bigint")
+            .alias("new_bytes"),
+            F.sum(F.when(F.col("dup") == 1, F.col("ln")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_bytes"),
+        )
+
+    return run_available_now_foreach_batch(
+        stream,
+        ingest,
+        "doc_id long, n_chunks long, dup_chunks long, "
+        "new_bytes long, dup_bytes long",
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------
@@ -16916,6 +17626,8 @@ OVERFLOW_SENSITIVE = frozenset({
     "q270_jl_projection_audit",
     "q271_ks_drift_test",
     "q276_spearman_quality_length",
+    "q280_curriculum_schedule",
+    "q283_ivf_staleness_audit",
 })
 
 for _q in OVERFLOW_SENSITIVE:

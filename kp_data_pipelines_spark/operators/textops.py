@@ -428,3 +428,97 @@ def char_fold_hashes(col: Column | str, bases: "tuple[int, ...]" = (31, 1000003)
         )
 
     return _fold(_c(col))
+
+
+def _cdc_kernel(w: int, mask: int):
+    """Arrow-batched content-defined chunking (the rsync/LBFS rolling-cut
+    family): a document is cut AFTER every position whose trailing
+    ``w``-char polynomial window hash (base 31 mod Mersenne-31, the q44
+    rolling-hash family) is ``0 mod mask`` — boundaries depend only on
+    LOCAL content, so an insertion early in a document shifts chunk
+    BOUNDARIES only locally and every downstream chunk fingerprint
+    survives (the property fixed-size chunking lacks, and why storage
+    dedup uses CDC). Each kept chunk is emitted as one packed BIGINT:
+    ``fp * 2^21 + min(len, 2^21 - 1)`` where ``fp`` is the chunk's own
+    Horner fold — integer mod arithmetic throughout, so the DuckDB twin
+    recomputes every value exactly (CLAUDE.md integer-kernel rule). Chunk
+    folds are vectorized with the exponent-weight prefix-sum trick of
+    ``_poly_shingles_kernel`` (modularly identical to the stepwise
+    Horner fold). Expected chunk length ~``mask`` chars."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    p = _POLY_MOD
+    poww = np.ones(w, dtype=np.int64)
+    for i in range(1, w):
+        poww[i] = (poww[i - 1] * _POLY_BASE_TOKEN) % p
+    poww = poww[::-1].copy()  # pow[0] multiplies the window's left char
+
+    @pandas_udf(ArrayType(LongType()))
+    def _chunks(batch: pd.Series) -> pd.Series:
+        lens = [0 if s is None else len(s) for s in batch]
+        max_n = max(lens, default=0)
+        pow31 = np.ones(max_n + 1, dtype=np.int64)
+        for i in range(1, max_n + 1):  # one table per batch, shared
+            pow31[i] = (pow31[i - 1] * _POLY_BASE_TOKEN) % p
+        out = []
+        for s in batch:
+            if s is None:
+                out.append(None)
+                continue
+            if s.isascii():
+                codes = np.frombuffer(s.encode(), np.uint8).astype(np.int64)
+            else:
+                codes = np.fromiter(
+                    (ord(c) for c in s), dtype=np.int64, count=len(s)
+                )
+            n = codes.size
+            if n == 0:
+                out.append([])
+                continue
+            if n >= w:
+                win = np.lib.stride_tricks.sliding_window_view(codes, w)
+                h = ((win * poww[None, :]) % p).sum(axis=1) % p
+                cuts = np.nonzero(h % mask == 0)[0] + w  # 1-based end pos
+            else:
+                cuts = np.zeros(0, dtype=np.int64)
+            bounds = np.concatenate(
+                (np.zeros(1, dtype=np.int64), cuts, np.array([n]))
+            )
+            clens = np.diff(bounds)
+            keep = clens > 0  # n itself may be a cut: drop the empty tail
+            starts, ends, clens = (
+                bounds[:-1][keep],
+                bounds[1:][keep],
+                clens[keep],
+            )
+            # chunk fold via exponent weights + prefix sums: terms < p
+            # post-mod, cumsum < n * 2^31 — no int64 overflow
+            exp = (
+                np.repeat(ends, clens)
+                - 1
+                - np.arange(n, dtype=np.int64)
+            )
+            prod = codes * pow31[exp] % p
+            cs = np.concatenate(
+                (np.zeros(1, dtype=np.int64), np.cumsum(prod))
+            )
+            fps = (cs[ends] - cs[starts]) % p
+            packed = fps * 2097152 + np.minimum(clens, 2097151)
+            out.append(packed)
+        return pd.Series(out)
+
+    return _chunks
+
+
+def with_cdc_chunks(
+    df, text_col: str, out: str = "chunk", w: int = 16, mask: int = 64
+):
+    """Explode each document into content-defined chunks (packed
+    ``fp * 2^21 + len`` BIGINTs, see ``_cdc_kernel``). Text is
+    whitespace-normalized + lowercased first (the winnowing convention).
+    Rows with NULL text produce no chunks."""
+    norm = F.lower(F.trim(F.regexp_replace(_c(text_col), r"\s+", " ")))
+    return df.withColumn(
+        out, F.explode(_cdc_kernel(w, mask)(norm))
+    )

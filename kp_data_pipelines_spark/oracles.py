@@ -2853,3 +2853,348 @@ def dedup_threshold_decision_sql(
     CROSS JOIN ksum
     ORDER BY source
     """
+
+
+def crosslingual_neardup_sql(n_planes: int = 4, seed: int = 7) -> str:
+    """Twin of q281: cross-lingual embedding near-dup mining. Docs join
+    their embedding row (vec_id == doc_id), bucket by random-hyperplane
+    sign bits (sequential-fold dots, identical plane literals), and every
+    same-bucket different-language pair gets an exact fold cosine
+    (per-row norms, the cosine_pairs_blocked arithmetic). Per ordered
+    language pair: candidate count, counts at the 0.80/0.90/0.95 rounded
+    thresholds, and the DECIMAL-staged mean cosine."""
+    planes = simhash_planes(EMBEDDING_DIM, n_planes, seed)
+    return f"""
+    WITH e AS (
+      SELECT d.doc_id AS id, d.lang, CAST(em.embedding AS DOUBLE[]) AS v
+      FROM documents d JOIN embeddings em ON em.vec_id = d.doc_id
+    ),
+    b AS (
+      SELECT id, lang, v, sqrt({_dot("v", "v")}) AS nrm,
+             {_bucket_expr("v", planes)} AS bucket
+      FROM e
+    ),
+    p AS (
+      SELECT least(a.lang, b2.lang) AS lang_lo,
+             greatest(a.lang, b2.lang) AS lang_hi,
+             round({_dot("a.v", "b2.v")} / (a.nrm * b2.nrm), 6) AS cos
+      FROM b a JOIN b b2
+        ON a.bucket = b2.bucket AND a.id < b2.id AND a.lang <> b2.lang
+    )
+    SELECT lang_lo, lang_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_cand,
+           CAST(SUM(CASE WHEN cos >= 8.0e-1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ge_80,
+           CAST(SUM(CASE WHEN cos >= 9.0e-1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ge_90,
+           CAST(SUM(CASE WHEN cos >= 9.5e-1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ge_95,
+           CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_cos
+    FROM p GROUP BY lang_lo, lang_hi ORDER BY lang_lo, lang_hi
+    """
+
+
+def cdc_chunk_dedup_sql(w: int = 16, mask: int = 64) -> str:
+    """Twin of q282: content-defined chunking recomputed with list ops.
+    Same normalization as winnowing; a cut lands after every position
+    whose trailing w-char Horner window hash (base 31 mod Mersenne-31)
+    is 0 mod ``mask``; each non-empty chunk packs its own Horner fold
+    with its (capped) length; duplication is counted corpus-wide on the
+    packed identity. All integer arithmetic — bit-identical to the
+    Arrow kernel (modular equality of the stepwise and exponent-weight
+    folds)."""
+    return f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, source, length(t) AS n,
+             list_transform(range(1, length(t) + 1),
+               i -> CAST(ord(substr(t, i, 1)) AS BIGINT)) AS c
+      FROM d WHERE length(t) > 0
+    ),
+    cu AS (
+      SELECT doc_id, source, n, c,
+             list_filter(range({w}, n + 1),
+               i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(i - {w} + 1, i + 1), j -> c[j])),
+                    (acc, x) -> (acc * 31 + x) % {_MOD}) % {mask} = 0) AS cuts
+      FROM ch
+    ),
+    bd AS (
+      SELECT doc_id, source, c,
+             list_concat(list_prepend(CAST(0 AS BIGINT), cuts),
+                         [CAST(n AS BIGINT)]) AS bs
+      FROM cu
+    ),
+    ck AS (
+      SELECT source,
+             unnest(list_filter(
+               list_transform(range(1, len(bs)),
+                 j -> struct_pack(
+                        fp := list_reduce(
+                                list_prepend(CAST(0 AS BIGINT),
+                                             c[bs[j] + 1:bs[j + 1]]),
+                                (acc, x) -> (acc * 31 + x) % {_MOD}),
+                        ln := bs[j + 1] - bs[j])),
+               s -> s.ln > 0)) AS k
+      FROM bd
+    ),
+    r AS (
+      SELECT source,
+             k.fp * 2097152 + least(k.ln, 2097151) AS packed,
+             least(k.ln, 2097151) AS ln
+      FROM ck
+    ),
+    df AS (SELECT packed, COUNT(*) AS cnt FROM r GROUP BY packed)
+    SELECT r.source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT r.packed) AS BIGINT) AS n_distinct_chunks,
+           CAST(SUM(r.ln) AS BIGINT) AS raw_bytes,
+           CAST(SUM(CASE WHEN df.cnt >= 2 THEN r.ln ELSE 0 END) AS BIGINT)
+             AS dup_chunk_bytes,
+           CAST(CAST(SUM(CASE WHEN df.cnt >= 2 THEN r.ln ELSE 0 END)
+                     AS BIGINT) AS DOUBLE)
+             / CAST(CAST(SUM(r.ln) AS BIGINT) AS DOUBLE) AS dup_byte_share
+    FROM r JOIN df ON r.packed = df.packed
+    GROUP BY r.source ORDER BY r.source
+    """
+
+
+def ivf_staleness_sql(n_centroids: int = 16) -> str:
+    """Twin of q283: index-staleness audit. Centroids are the
+    deterministic ivf_centroids seed over the EVEN-vec_id wave (first
+    n by vec_id); both waves assign by (cos DESC, cid DESC) — the
+    reverse(array_sort) tie-break — with the centroid-norm zero guard;
+    per (cid, wave) counts and DECIMAL-staged sums of round(cos*1e9)
+    become occupancy shares and mean assigned-cosines on a LEFT-joined
+    cid grid."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id, vec_id % 2 AS half,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+             v AS cv
+      FROM e WHERE half = 0 ORDER BY vec_id LIMIT {n_centroids}
+    ),
+    cn AS (
+      SELECT cid, cv,
+             CASE WHEN sqrt({_dot("cv", "cv")}) = 0 THEN 1.0
+                  ELSE sqrt({_dot("cv", "cv")}) END AS ncv
+      FROM c0
+    ),
+    asg AS (
+      SELECT vec_id, half, cid, cos FROM (
+        SELECT e.vec_id, e.half, c.cid,
+               {_dot("e.v", "c.cv")}
+                 / (sqrt({_dot("e.v", "e.v")}) * c.ncv) AS cos,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_dot("e.v", "c.cv")}
+                   / (sqrt({_dot("e.v", "e.v")}) * c.ncv) DESC,
+                 c.cid DESC) AS rn
+        FROM e CROSS JOIN cn c
+      ) WHERE rn = 1
+    ),
+    g AS (
+      SELECT cid, half, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(round(cos * 1.0e9) AS DECIMAL(38,0))) AS sq
+      FROM asg GROUP BY cid, half
+    ),
+    t AS (SELECT half, CAST(COUNT(*) AS BIGINT) AS tot FROM asg GROUP BY half)
+    SELECT grid.cid,
+           COALESCE(ga.n, 0) AS n_a,
+           COALESCE(gb.n, 0) AS n_b,
+           CAST(COALESCE(ga.n, 0) AS DOUBLE)
+             / CAST((SELECT tot FROM t WHERE half = 0) AS DOUBLE) AS share_a,
+           CAST(COALESCE(gb.n, 0) AS DOUBLE)
+             / CAST((SELECT tot FROM t WHERE half = 1) AS DOUBLE) AS share_b,
+           CAST(COALESCE(gb.n, 0) AS DOUBLE)
+             / CAST((SELECT tot FROM t WHERE half = 1) AS DOUBLE)
+           - CAST(COALESCE(ga.n, 0) AS DOUBLE)
+             / CAST((SELECT tot FROM t WHERE half = 0) AS DOUBLE)
+             AS share_shift,
+           CASE WHEN ga.n IS NULL THEN NULL
+                ELSE CAST(ga.sq AS DOUBLE) / 1.0e9 / CAST(ga.n AS DOUBLE)
+           END AS mean_cos_a,
+           CASE WHEN gb.n IS NULL THEN NULL
+                ELSE CAST(gb.sq AS DOUBLE) / 1.0e9 / CAST(gb.n AS DOUBLE)
+           END AS mean_cos_b,
+           CASE WHEN ga.n IS NULL OR gb.n IS NULL THEN NULL
+                ELSE CAST(ga.sq AS DOUBLE) / 1.0e9 / CAST(ga.n AS DOUBLE)
+                   - CAST(gb.sq AS DOUBLE) / 1.0e9 / CAST(gb.n AS DOUBLE)
+           END AS cos_drop
+    FROM range(0, {n_centroids}) grid(cid)
+    LEFT JOIN (SELECT * FROM g WHERE half = 0) ga ON ga.cid = grid.cid
+    LEFT JOIN (SELECT * FROM g WHERE half = 1) gb ON gb.cid = grid.cid
+    ORDER BY grid.cid
+    """
+
+
+def vocab_growth_sql() -> str:
+    """Twin of q284: vocabulary growth (Heaps-law audit). Token identity
+    is the portable per-token char fold (``_tok_hashes``); each token's
+    FIRST document (min doc_id) turns prefix-vocabulary counting into
+    one conditional aggregate over quartile doc-id cutoffs — no per-
+    checkpoint rescan. All counts exact integers; the type-token ratio
+    is one pinned division."""
+    return f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    tk AS (SELECT doc_id, unnest({_tok_hashes("text")}) AS th
+           FROM documents),
+    fo AS (SELECT th, MIN(doc_id) AS fd FROM tk GROUP BY th),
+    vr AS (
+      SELECT
+        CAST(SUM(CASE WHEN fd < (n.n * 1) // 4 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        CAST(SUM(CASE WHEN fd < (n.n * 2) // 4 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        CAST(SUM(CASE WHEN fd < (n.n * 3) // 4 THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        CAST(SUM(CASE WHEN fd < (n.n * 4) // 4 THEN 1 ELSE 0 END) AS BIGINT) AS v4
+      FROM fo, n
+    ),
+    dc AS (SELECT doc_id, CAST(len({_tok_hashes("text")}) AS BIGINT) AS tc
+           FROM documents),
+    tr AS (
+      SELECT
+        CAST(SUM(CASE WHEN doc_id < (n.n * 1) // 4 THEN tc ELSE 0 END) AS BIGINT) AS t1,
+        CAST(SUM(CASE WHEN doc_id < (n.n * 2) // 4 THEN tc ELSE 0 END) AS BIGINT) AS t2,
+        CAST(SUM(CASE WHEN doc_id < (n.n * 3) // 4 THEN tc ELSE 0 END) AS BIGINT) AS t3,
+        CAST(SUM(CASE WHEN doc_id < (n.n * 4) // 4 THEN tc ELSE 0 END) AS BIGINT) AS t4
+      FROM dc, n
+    )
+    SELECT CAST(k.k AS BIGINT) AS checkpoint,
+           (n.n * k.k) // 4 AS cutoff_doc,
+           CASE k.k WHEN 1 THEN t1 WHEN 2 THEN t2 WHEN 3 THEN t3
+                    ELSE t4 END AS n_tokens,
+           CASE k.k WHEN 1 THEN v1 WHEN 2 THEN v2 WHEN 3 THEN v3
+                    ELSE v4 END AS vocab,
+           CASE k.k WHEN 1 THEN v1 WHEN 2 THEN v2 - v1
+                    WHEN 3 THEN v3 - v2 ELSE v4 - v3 END AS new_vocab,
+           CAST(CASE k.k WHEN 1 THEN v1 WHEN 2 THEN v2 WHEN 3 THEN v3
+                         ELSE v4 END AS DOUBLE)
+             / CAST(CASE k.k WHEN 1 THEN t1 WHEN 2 THEN t2 WHEN 3 THEN t3
+                             ELSE t4 END AS DOUBLE) AS type_token_ratio
+    FROM range(1, 5) k(k), vr, tr, n
+    ORDER BY checkpoint
+    """
+
+
+def split_leakage_audit_sql(k: int = 8, test_mod: int = 10) -> str:
+    """Twin of q285: n-gram contamination of a naive per-document hash
+    split. The split is the two-round Mersenne LCG (q239 rule) on
+    doc_id; grams are the portable poly k-shingles; per test doc the
+    distinct-gram count and the count also present in ANY train doc
+    bucket into 11 contamination deciles."""
+    (a1, b1), (a2, b2) = _hash_params(2, 31)
+    return f"""
+    WITH th AS (
+      SELECT doc_id, {_tok_hashes("text")} AS th,
+             (({a2} * (({a1} * (doc_id % {_MOD}) + {b1}) % {_MOD})
+               + {b2}) % {_MOD}) % {test_mod} AS slot
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, slot,
+             unnest(list_distinct({_grams("th", k, False)})) AS gram
+      FROM th
+    ),
+    trn AS (SELECT DISTINCT gram FROM g WHERE slot <> 0),
+    tg AS (
+      SELECT g.doc_id, g.gram,
+             CASE WHEN trn.gram IS NULL THEN 0 ELSE 1 END AS shared
+      FROM g LEFT JOIN trn ON g.gram = trn.gram
+      WHERE g.slot = 0
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(shared) AS BIGINT) AS n_shared
+      FROM tg GROUP BY doc_id
+    )
+    SELECT (10 * n_shared) // n_grams AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_test_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS tot_grams,
+           CAST(SUM(n_shared) AS BIGINT) AS tot_shared,
+           CAST(CAST(SUM(n_shared) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(SUM(n_grams) AS BIGINT) AS DOUBLE)
+             AS mean_contamination
+    FROM per_doc GROUP BY 1 ORDER BY 1
+    """
+
+
+def cdc_incremental_sql(
+    w: int = 16, mask: int = 64, new_source: str = "src19"
+) -> str:
+    """Twin of q286: per-document ingest dedup of the NEW wave
+    (``new_source``) against the STATIC chunk store built from every
+    other source — the same CDC machinery as ``cdc_chunk_dedup_sql``,
+    with store membership via one LEFT equi-join on the packed chunk
+    identity."""
+
+    def chunk_cte(pred: str, tag: str) -> str:
+        return f"""d{tag} AS (
+      SELECT doc_id,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents WHERE {pred}
+    ),
+    ch{tag} AS (
+      SELECT doc_id, length(t) AS n,
+             list_transform(range(1, length(t) + 1),
+               i -> CAST(ord(substr(t, i, 1)) AS BIGINT)) AS c
+      FROM d{tag} WHERE length(t) > 0
+    ),
+    cu{tag} AS (
+      SELECT doc_id, n, c,
+             list_filter(range({w}, n + 1),
+               i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(i - {w} + 1, i + 1), j -> c[j])),
+                    (acc, x) -> (acc * 31 + x) % {_MOD}) % {mask} = 0) AS cuts
+      FROM ch{tag}
+    ),
+    bd{tag} AS (
+      SELECT doc_id, c,
+             list_concat(list_prepend(CAST(0 AS BIGINT), cuts),
+                         [CAST(n AS BIGINT)]) AS bs
+      FROM cu{tag}
+    ),
+    ck{tag} AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               list_transform(range(1, len(bs)),
+                 j -> struct_pack(
+                        fp := list_reduce(
+                                list_prepend(CAST(0 AS BIGINT),
+                                             c[bs[j] + 1:bs[j + 1]]),
+                                (acc, x) -> (acc * 31 + x) % {_MOD}),
+                        ln := bs[j + 1] - bs[j])),
+               s -> s.ln > 0)) AS k
+      FROM bd{tag}
+    ),
+    r{tag} AS (
+      SELECT doc_id,
+             k.fp * 2097152 + least(k.ln, 2097151) AS packed,
+             least(k.ln, 2097151) AS ln
+      FROM ck{tag}
+    )"""
+
+    return f"""
+    WITH {chunk_cte(f"source <> '{new_source}'", "s")},
+    {chunk_cte(f"source = '{new_source}'", "w")},
+    store AS (SELECT DISTINCT packed FROM rs),
+    m AS (
+      SELECT rw.doc_id, rw.ln,
+             CASE WHEN store.packed IS NULL THEN 0 ELSE 1 END AS dup
+      FROM rw LEFT JOIN store ON rw.packed = store.packed
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(dup) AS BIGINT) AS dup_chunks,
+           CAST(SUM(CASE WHEN dup = 0 THEN ln ELSE 0 END) AS BIGINT)
+             AS new_bytes,
+           CAST(SUM(CASE WHEN dup = 1 THEN ln ELSE 0 END) AS BIGINT)
+             AS dup_bytes
+    FROM m GROUP BY doc_id ORDER BY doc_id
+    """

@@ -756,3 +756,69 @@ def test_multiprobe_buckets_flip_lowest_margin_planes(spark):
         assert got[vid] == want, vid
         assert single[vid] == exact, vid
         assert len(set(got[vid])) == m  # probes pairwise distinct
+
+
+def test_cdc_kernel_matches_stepwise_reference(spark):
+    """The vectorized CDC kernel (window cuts + exponent-weight chunk
+    folds) must equal the stepwise Horner reference — the arithmetic the
+    DuckDB twin of q282 recomputes — including non-ASCII, short-, empty-
+    and NULL text, and docs whose final position is itself a cut."""
+    from pyspark.sql import functions as F
+
+    from kp_data_pipelines_spark.operators.textops import _cdc_kernel
+    from kp_data_pipelines_spark.sources.readers import read_table
+
+    P, W, MASK = 2147483647, 16, 64
+
+    def ref(s):
+        if s is None:
+            return None
+        codes = [ord(c) for c in s]
+        n = len(codes)
+        if n == 0:
+            return []
+        cuts = []
+        for i in range(W, n + 1):  # 1-based window end
+            acc = 0
+            for j in range(i - W, i):
+                acc = (acc * 31 + codes[j]) % P
+            if acc % MASK == 0:
+                cuts.append(i)
+        bounds = [0] + cuts + [n]
+        out = []
+        for a, b in zip(bounds, bounds[1:]):
+            if b <= a:
+                continue
+            acc = 0
+            for j in range(a, b):
+                acc = (acc * 31 + codes[j]) % P
+            out.append(acc * 2097152 + min(b - a, 2097151))
+        return out
+
+    edge = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 20),
+            (2, "tiny"),
+            (3, ""),
+            (4, None),
+            (5, "naïve café über žluťoučký 北京 emoji 🙂 mix " * 10),
+            (6, "a" * 300),
+        ],
+        "doc_id long, text string",
+    )
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    for df in (edge, docs):
+        got = {
+            r["doc_id"]: r["ck"]
+            for r in df.select(
+                "doc_id", _cdc_kernel(W, MASK)(F.col("text")).alias("ck")
+            ).collect()
+        }
+        want = {
+            r["doc_id"]: ref(r["text"]) for r in df.select("doc_id", "text").collect()
+        }
+        assert got == want
+    # at least one multi-chunk doc actually exercised the cut path
+    assert any(v and len(v) > 1 for v in want.values())

@@ -47,6 +47,14 @@ DEFAULT = [
     "q251_streaming_training_build",
     # round-5 rewrite (q234 already above): per-bucket kNN Arrow kernel
     "q226_knn_label_noise",
+    # round-6 heavies: multi-probe sweep, cross-lingual pairs, CDC chunk
+    # kernel + its streaming ingest twin, vocab growth, split leakage
+    "q277_lsh_multiprobe_sweep",
+    "q281_crosslingual_neardups",
+    "q282_cdc_chunk_dedup",
+    "q284_vocab_growth",
+    "q285_split_leakage_audit",
+    "q286_streaming_cdc_ingest",
 ]
 
 
