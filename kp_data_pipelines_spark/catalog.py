@@ -17215,6 +17215,7 @@ def q283_ivf_staleness_audit(spark: SparkSession, sf: str) -> DataFrame:
 
     from kp_data_pipelines_spark.operators.similarity import (
         _dot,
+        _nearest_centroid_kernel,
         ivf_centroids,
     )
 
@@ -17229,32 +17230,47 @@ def q283_ivf_staleness_audit(spark: SparkSession, sf: str) -> DataFrame:
         e.filter(F.col("half") == 0), "embedding", n_centroids,
         id_col="vec_id",
     )
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    vn = F.sqrt(_dot(v, v))
-    scored = F.array(
+    # Assignment via the Arrow kernel (pinned bit-identical to the
+    # reverse(array_sort) expression twin by test); the cosine is then
+    # ONE fold against only the ASSIGNED centroid (element_at into a
+    # literal array-of-arrays) — 16x smaller expression tree than
+    # scoring all centroids interpreted (the first cut of this query
+    # tripped the session probe: pass-2 analysis/codegen on the k*dim
+    # literal tree ran 2x pass 1).
+    cents_arr = F.array(
+        *[F.array(*[F.lit(x) for x in cv]) for _, cv in cents]
+    )
+    norms_arr = F.array(
         *[
-            F.struct(
-                (
-                    _dot(v, F.array(*[F.lit(x) for x in cvec]))
-                    / (
-                        vn
-                        * F.lit(
-                            _math.sqrt(sum(x * x for x in cvec)) or 1.0
-                        )
-                    )
-                ).alias("cos"),
-                F.lit(cid).cast("bigint").alias("cid"),
-            )
-            for cid, cvec in cents
+            F.lit(_math.sqrt(sum(x * x for x in cv)) or 1.0)
+            for _, cv in cents
         ]
     )
-    staged = e.withColumn(
-        "__top", F.element_at(F.reverse(F.array_sort(scored)), 1)
+    staged = (
+        ensure_parallelism(e)
+        .withColumn(
+            "cid",
+            _nearest_centroid_kernel(cents)(F.col("embedding")).cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "__v", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        )
+        .withColumn(
+            "__cw", F.element_at(cents_arr, (F.col("cid") + 1).cast("int"))
+        )
     )
     asg = staged.select(
         "half",
-        F.col("__top")["cid"].alias("cid"),
-        F.col("__top")["cos"].alias("cos"),
+        "cid",
+        (
+            _dot(F.col("__v"), F.col("__cw"))
+            / (
+                F.sqrt(_dot(F.col("__v"), F.col("__v")))
+                * F.element_at(norms_arr, (F.col("cid") + 1).cast("int"))
+            )
+        ).alias("cos"),
     )
     g = asg.groupBy("cid", "half").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
