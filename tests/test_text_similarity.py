@@ -822,3 +822,38 @@ def test_cdc_kernel_matches_stepwise_reference(spark):
         assert got == want
     # at least one multi-chunk doc actually exercised the cut path
     assert any(v and len(v) > 1 for v in want.values())
+
+
+def test_cdc_chunks_are_edit_local(spark):
+    """The CDC property that justifies chunk-level dedup: an edit near
+    the START of a document only disturbs chunk fingerprints locally —
+    chunks past the resynchronization point are IDENTICAL (fixed-size
+    blocks would shift every downstream block). Uses a long synthetic
+    doc, prepends a small edit, and asserts the packed-chunk multisets
+    share a large common suffix."""
+    from pyspark.sql import functions as F
+
+    from kp_data_pipelines_spark.operators.textops import _cdc_kernel
+
+    # varied (non-periodic) content — a repeated phrase has at most
+    # ~period distinct window hashes and may never hit a cut boundary
+    base = " ".join(str((i * 2654435761) % 1000003) for i in range(1500))
+    edited = "EDIT! " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: list(r["ck"])
+        for r in df.select(
+            "doc_id", _cdc_kernel(16, 64)(F.col("text")).alias("ck")
+        ).collect()
+    }
+    a, b = got[1], got[2]
+    assert len(a) > 10, "doc long enough to have many chunks"
+    # common suffix length: everything after resynchronization matches
+    k = 0
+    while k < min(len(a), len(b)) and a[-1 - k] == b[-1 - k]:
+        k += 1
+    assert k >= len(a) - 3, (len(a), len(b), k)
+    # and the multisets differ only near the head
+    assert a != b
