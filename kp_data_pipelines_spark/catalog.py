@@ -12132,8 +12132,15 @@ def q226_knn_label_noise(spark: SparkSession, sf: str) -> DataFrame:
     mislabeling suspect — the cheap first pass every labeled-dataset
     audit runs (confident-learning's core signal). Neighbor candidates
     come from hyperplane-LSH buckets (the q40 blocking — a keyed
-    equi-join on the 4-bit bucket, never all-pairs; recall is the
-    standard LSH trade and more planes/multi-probe tighten it); within
+    equi-join on the bucket, never all-pairs). The plane count is NOT
+    fixed: ``adaptive_n_planes`` derives it from the corpus row count
+    (one cheap count action) so EXPECTED bucket width stays within the
+    gram kernel's stated budget (GRAM_TARGET_BUCKET) at any scale —
+    per-task gram time is O(width^2*dim), so this is the knob that keeps
+    task time flat at 100 TB; the DuckDB twin recomputes the identical
+    plane count from COUNT(*) via an integer CASE ladder and recall loss
+    is recovered query-side with multi-probe (q277), not by re-widening
+    the index. Within
     buckets, ``bucket_knn_agreement``'s Arrow kernel accumulates the
     bucket gram matrix DIM-SEQUENTIALLY (the exact F.aggregate fold
     order, so cosines and therefore neighbor rankings are bit-identical
@@ -12145,13 +12152,15 @@ def q226_knn_label_noise(spark: SparkSession, sf: str) -> DataFrame:
     the suspects (majority-disagreeing anchors) with their agreement
     counts — exact integers."""
     from kp_data_pipelines_spark.operators.similarity import (
+        adaptive_n_planes,
         bucket_knn_agreement,
         simhash_planes,
         with_hyperplane_bucket,
     )
 
-    n_planes, seed, k = 4, 7, 5
+    seed, k = 7, 5
     emb = read_table(spark, sf, "embeddings")
+    n_planes = adaptive_n_planes(emb.count())  # 1-row scalar action
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     e = emb.select("vec_id", "label", v.alias("v"))
     planes = simhash_planes(64, n_planes, seed)
@@ -15941,9 +15950,13 @@ def q269_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
     the 3 nearest neighbors carrying a DIFFERENT label — the standard
     in-batch-negative upgrade for retrieval/embedding training, mined
     corpus-wide. Candidates come from hyperplane-LSH buckets (q40's
-    planes — a keyed equi-join domain, never all-pairs; recall is the
-    usual LSH trade and more planes/multi-probe tighten bucket width
-    at 100 TB). Inside each bucket the bucket_hard_negatives Arrow
+    planes — a keyed equi-join domain, never all-pairs), with the plane
+    count DERIVED from the corpus row count (``adaptive_n_planes``, one
+    cheap count action; the oracle recomputes it from COUNT(*) via the
+    twin CASE ladder) so expected bucket width — and with it the
+    O(width^2*dim) per-task gram time — stays within the stated
+    GRAM_TARGET_BUCKET budget at 100 TB; query-side recall is recovered
+    with multi-probe (q277). Inside each bucket the bucket_hard_negatives Arrow
     kernel (q226's gram-matrix engine, dim-sequential accumulation ==
     the JVM fold, pinned by test) emits the k=3 (anchor, negative,
     rank) rows per anchor directly — vectors cross the Arrow boundary
@@ -15951,15 +15964,17 @@ def q269_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
     materializes. Output is ids + integer ranks only — no floats to
     hash."""
     from kp_data_pipelines_spark.operators.similarity import (
+        adaptive_n_planes,
         bucket_hard_negatives,
         simhash_planes,
         with_hyperplane_bucket,
     )
 
     emb = read_table(spark, sf, "embeddings")
+    n_planes = adaptive_n_planes(emb.count())  # 1-row scalar action
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     e = emb.select("vec_id", "label", v.alias("v"))
-    be = with_hyperplane_bucket(e, "v", simhash_planes(64, 4, 7))
+    be = with_hyperplane_bucket(e, "v", simhash_planes(64, n_planes, 7))
     out = bucket_hard_negatives(be, "vec_id", "label", "v", k=3)
     return out.orderBy("vec_id", "neg_rank")
 
@@ -17066,10 +17081,15 @@ def q281_crosslingual_neardups(spark: SparkSession, sf: str) -> DataFrame:
     DuckDB twin). Output: per ordered language pair, the candidate
     count, counts above the 0.80/0.90/0.95 rounded-cosine cuts, and the
     DECIMAL-staged mean candidate cosine — the table that prices a
-    translation-dedup threshold per language pair. At larger corpora
-    raise n_planes (buckets shrink) and add multiprobe on the query
-    side (q277); the pair stage's shuffle key stays the bucket."""
+    translation-dedup threshold per language pair. The plane count is
+    DERIVED from the embeddings row count (``adaptive_n_planes``; the
+    oracle's COUNT(*) CASE ladder is the exact twin) so expected bucket
+    width — and the per-bucket O(width^2*dim) cosine work — stays within
+    the GRAM_TARGET_BUCKET budget as the corpus grows; query-side recall
+    is recovered with multiprobe (q277). The pair stage's shuffle key
+    stays the bucket."""
     from kp_data_pipelines_spark.operators.similarity import (
+        adaptive_n_planes,
         cosine_pairs_blocked,
         simhash_planes,
         with_hyperplane_bucket,
@@ -17082,8 +17102,9 @@ def q281_crosslingual_neardups(spark: SparkSession, sf: str) -> DataFrame:
     e = emb.join(docs, emb["vec_id"] == docs["id"]).select(
         "id", "lang", "embedding"
     )
+    n_planes = adaptive_n_planes(emb.count())  # 1-row scalar action
     dim = len(emb.select("embedding").head()[0])
-    planes = simhash_planes(dim, 4, seed=7)
+    planes = simhash_planes(dim, n_planes, seed=7)
     b = with_hyperplane_bucket(
         ensure_parallelism(e), "embedding", planes, "bucket"
     )
@@ -17149,7 +17170,14 @@ def q282_cdc_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
     test), chunks shuffle once on the packed (fp, len) identity for the
     corpus-wide frequency count, and the audit is a keyed join + one
     |sources|-row aggregate. Expected chunk ~64 chars, so the shuffle
-    carries ~1/64 of corpus bytes as 8-byte keys."""
+    carries ~1/64 of the corpus mass as 8-byte keys. UNITS: the
+    ``*_bytes`` columns count WHITESPACE-NORMALIZED CHARACTERS (the
+    kernel chunks ``lower(trim(regexp_replace(text,'\\s+',' ')))``,
+    ord-by-ord), not raw UTF-8 bytes, and each chunk's length is capped
+    at 2^21-1 by the packed ``fp*2^21 + min(len, 2^21-1)`` identity —
+    a >2M-char chunk (never produced at the ~64-char expected cut rate)
+    would undercount. Both engines share the cap, so the twin stays
+    exact."""
     from kp_data_pipelines_spark.operators.textops import with_cdc_chunks
 
     docs = read_table(spark, sf, "documents")
@@ -17510,7 +17538,11 @@ def q286_streaming_cdc_ingest(spark: SparkSession, sf: str) -> DataFrame:
     tested against the static store only), so stream==batch for ANY
     batching — the same twin verifies both. Results are written to
     parquet inside the trigger (no driver collect); checkpoints are
-    ephemeral."""
+    ephemeral. UNITS: as in q282, ``new_bytes``/``dup_bytes`` count
+    whitespace-normalized CHARACTERS (the kernel chunks the normalized
+    text ord-by-ord), with per-chunk length capped at 2^21-1 by the
+    packed identity — shared by both engines, so the twin stays
+    exact."""
     from kp_data_pipelines_spark.operators.textops import with_cdc_chunks
     from kp_data_pipelines_spark.streaming.events import (
         run_available_now_foreach_batch,
@@ -17574,6 +17606,126 @@ def q286_streaming_cdc_ingest(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register("q287_cdc_chunk_economics", oracles.cdc_chunk_economics_sql())
+def q287_cdc_chunk_economics(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC chunk-size ECONOMICS: q282's storage-dedup audit swept over a
+    small (w, mask) grid in ONE pass, so the block store picks its chunk
+    size from data instead of a default — the q272 decision-table
+    pattern applied to the chunking layer. Per setting: corpus-wide
+    chunk count, distinct-chunk count, total chars, duplicate-char mass
+    and share, and the realized mean chunk size; smaller masks find more
+    duplicate mass (finer chunks) at the price of more chunk records
+    (index/metadata cost), and this table prices that trade. Scale
+    shape: ONE scan of documents normalizes the text once and runs the
+    |grid| Arrow CDC kernels in one projection; the per-setting chunk
+    streams concat into ONE explode and ONE (w, mask, packed) keyed
+    shuffle; the final aggregate is |grid| rows computed entirely from
+    the distinct-chunk table — no join back to instances (the packed
+    identity already carries the capped length, so ln derives from the
+    group key). UNITS: whitespace-normalized characters, per-chunk
+    length capped at 2^21-1 by the packed encoding (see q282); all
+    counts are exact integers, shares are double ratios of exact ints."""
+    from kp_data_pipelines_spark.operators.textops import _cdc_kernel
+
+    grid = oracles.CDC_ECON_GRID
+    docs = ensure_parallelism(
+        read_table(spark, sf, "documents").select("text")
+    )
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    staged = docs.select(norm.alias("t"))
+    def _tagger(w: int, m: int):
+        return lambda x: F.struct(
+            F.lit(w).cast("bigint").alias("w"),
+            F.lit(m).cast("bigint").alias("mask"),
+            x.alias("packed"),
+        )
+
+    arrs = [
+        F.transform(_cdc_kernel(w, m)(F.col("t")), _tagger(w, m))
+        for w, m in grid
+    ]
+    rows = staged.select(F.explode(F.concat(*arrs)).alias("s")).select(
+        "s.w", "s.mask", "s.packed"
+    )
+    dfc = rows.groupBy("w", "mask", "packed").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    ln = (F.col("packed") % F.lit(2097152)).cast("bigint")
+    return (
+        dfc.withColumn("ln", ln)
+        .groupBy("w", "mask")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_chunks"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_chunks"),
+            F.sum(F.col("ln") * F.col("cnt"))
+            .cast("bigint")
+            .alias("raw_chars"),
+            F.sum(
+                F.when(F.col("cnt") >= 2, F.col("ln") * F.col("cnt"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("dup_chunk_chars"),
+        )
+        .select(
+            "w",
+            "mask",
+            "n_chunks",
+            "n_distinct_chunks",
+            "raw_chars",
+            "dup_chunk_chars",
+            (
+                F.col("dup_chunk_chars").cast("double")
+                / F.col("raw_chars").cast("double")
+            ).alias("dup_char_share"),
+            (
+                F.col("raw_chars").cast("double")
+                / F.col("n_chunks").cast("double")
+            ).alias("mean_chunk_chars"),
+        )
+        .orderBy("w", "mask")
+    )
+
+
+@register(
+    "q288_growing_store_cdc_ingest", oracles.cdc_growing_ingest_sql()
+)
+def q288_growing_store_cdc_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """q286 with a store that GROWS: the whole corpus arrives as a
+    STREAM (AvailableNow backlog) against an initially-EMPTY persistent
+    chunk store; each micro-batch chunk-dedups against everything
+    already ingested AND appends its own new chunk identities — the
+    q251 fingerprint-ledger pattern at CHUNK granularity, i.e. the real
+    block-layer write path ("ship only the bytes we don't have yet").
+    Output: per source, doc/chunk counts and the new-vs-duplicate
+    char split with the duplicate share — the ingest dashboard. Dedup
+    semantics are GLOBAL sequential first-occurrence by (doc_id, chunk
+    position): store membership (earlier batches) + within-batch
+    MIN(doc_id, pos) keeper, which is batching-invariant for an
+    ascending-doc_id backlog (one trigger here; the multi-wave case
+    with injected cross-batch duplicate chunks is pinned by
+    tests/test_streaming.py's stream==batch equivalence). Per trigger
+    everything is a keyed agg / keyed equi-join on the packed identity;
+    the store grows by one 8-byte long per distinct chunk (~1/64 of
+    normalized corpus mass at mask 64). UNITS: normalized chars with
+    the 2^21-1 per-chunk cap (see q282). See streaming/cdc.py for the
+    operator."""
+    from kp_data_pipelines_spark.streaming.cdc import cdc_ingest_stream
+    from kp_data_pipelines_spark.streaming.events import _ephemeral_dir
+
+    docs_path = f"{sf}/documents.parquet"
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+        .select("doc_id", "source", "text")
+    )
+    return cdc_ingest_stream(
+        stream, state_dir=_ephemeral_dir("kp_cdc_store_")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------
@@ -17623,6 +17775,12 @@ OVERFLOW_SENSITIVE = frozenset({
     "q216_period_over_period",
     "q220_half_sample_ci",
     "q223_tree_rollup",
+    # q226/q269: not overflow-prone per se (integer counts/ranks), but
+    # their adaptive-plane CASE ladder contains the 2^26 literal the
+    # marker scan keys on, and sweeping them at sf0.1 is exactly what
+    # certifies the ADAPTIVE (5-plane) bucket path cross-engine — so
+    # they stay tagged deliberately, not just to appease the test.
+    "q226_knn_label_noise",
     "q224_quantile_normalization",
     "q230_antientropy_segments",
     "q232_weighted_percentile",
@@ -17639,10 +17797,12 @@ OVERFLOW_SENSITIVE = frozenset({
     "q259_interarrival_burstiness",
     "q266_silhouette_score",
     "q267_dsir_importance",
+    "q269_hard_negative_mining",  # adaptive-plane sweep, see q226 note
     "q270_jl_projection_audit",
     "q271_ks_drift_test",
     "q276_spearman_quality_length",
     "q280_curriculum_schedule",
+    "q281_crosslingual_neardups",
     "q283_ivf_staleness_audit",
 })
 

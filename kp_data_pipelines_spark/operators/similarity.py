@@ -161,6 +161,54 @@ def lsh_bucket_cosine_topk(
 # memory stays flat as buckets widen instead of growing |bucket|^2.
 _GRAM_BLOCK = 4096
 
+# Bucket-width budget for the per-bucket gram kernels: the plane count is
+# DERIVED from the indexed-corpus row count so the EXPECTED bucket width
+# (n / 2^planes) never exceeds this. Per-bucket gram time is
+# O(width^2 * dim) — at width 64 x dim 64 that is ~0.26 Mflop per bucket,
+# and because 2^planes grows with n the per-task cost stays ~flat as the
+# corpus grows (until GRAM_MAX_PLANES caps it at 2^24 buckets ~ 1e9 rows
+# at budget 64). Recall loss from narrower buckets is recovered on the
+# QUERY side with multi-probe (``with_hyperplane_bucket(multiprobe=m)``,
+# q277), not by re-widening the index.
+GRAM_TARGET_BUCKET = 64
+GRAM_MIN_PLANES = 4
+GRAM_MAX_PLANES = 24
+
+
+def adaptive_n_planes(
+    n_rows: int,
+    target_bucket: int = GRAM_TARGET_BUCKET,
+    min_planes: int = GRAM_MIN_PLANES,
+    max_planes: int = GRAM_MAX_PLANES,
+) -> int:
+    """Smallest plane count p in [min_planes, max_planes] with
+    n_rows <= target_bucket * 2^p — i.e. expected LSH bucket width stays
+    within the gram-kernel budget. Pure integer comparisons so the SQL
+    ladder twin (``adaptive_n_planes_case_sql``) is exactly equivalent;
+    ``simhash_planes`` is prefix-stable (the first p planes of a longer
+    generation are identical), so both engines can derive p independently
+    and land on identical bucket codes."""
+    p = min_planes
+    while p < max_planes and n_rows > (target_bucket << p):
+        p += 1
+    return p
+
+
+def adaptive_n_planes_case_sql(
+    count_expr: str,
+    target_bucket: int = GRAM_TARGET_BUCKET,
+    min_planes: int = GRAM_MIN_PLANES,
+    max_planes: int = GRAM_MAX_PLANES,
+) -> str:
+    """SQL CASE-ladder twin of ``adaptive_n_planes`` over an integer
+    count expression — same integer thresholds, so DuckDB computes the
+    identical plane count from COUNT(*) at any scale factor."""
+    whens = " ".join(
+        f"WHEN {count_expr} <= {target_bucket << p} THEN {p}"
+        for p in range(min_planes, max_planes)
+    )
+    return f"(CASE {whens} ELSE {max_planes} END)"
+
 
 def bucket_knn_agreement(
     bucketed: DataFrame,

@@ -25,7 +25,12 @@ TESTDATA.md).
 
 from __future__ import annotations
 
-from kp_data_pipelines_spark.operators.similarity import _hash_params, simhash_planes
+from kp_data_pipelines_spark.operators.similarity import (
+    GRAM_MAX_PLANES,
+    _hash_params,
+    adaptive_n_planes_case_sql,
+    simhash_planes,
+)
 
 _MOD = 2147483647  # Mersenne-31 (textops._POLY_MOD)
 _BASE_TOKEN = 31
@@ -83,10 +88,20 @@ def _minhash_sig_cte(
     k: int, num_hashes: int, seed: int = 11, extra_cols: str = "",
     src: str = "documents",
 ) -> str:
-    """CTEs ``src``(doc_id, text) -> per-doc MinHash signature (``sig``)."""
+    """CTEs ``src``(doc_id, text) -> per-doc MinHash signature (``sig``).
+
+    The signature is UNROLLED into ``num_hashes`` independent
+    ``list_min(list_transform(...))`` slots with the (a, b) constants
+    INLINED — arithmetically identical to indexing literal parameter
+    arrays per element, but ~70x faster in DuckDB (the
+    ``(literal_list)[j]`` lookup inside a nested lambda re-evaluated
+    per gram per slot dominated the whole MinHash oracle family at
+    sf0.1: 267 s -> ~4 s for the pair core)."""
     params = _hash_params(num_hashes, seed)
-    a_lit = _lit_list([p[0] for p in params], "BIGINT")
-    b_lit = _lit_list([p[1] for p in params], "BIGINT")
+    slots = ",\n               ".join(
+        f"list_min(list_transform(grams, h -> ({a} * h + {b}) % {_MOD}))"
+        for a, b in params
+    )
     return f"""
     th AS (
       SELECT doc_id{extra_cols}, {_tok_hashes("text")} AS th FROM {src}
@@ -97,9 +112,7 @@ def _minhash_sig_cte(
     ),
     sig AS (
       SELECT doc_id{extra_cols},
-             list_transform(range(1, {num_hashes + 1}),
-               j -> list_min(list_transform(grams,
-                      h -> (({a_lit})[j] * h + ({b_lit})[j]) % {_MOD}))) AS sig
+             [{slots}] AS sig
       FROM g
     )"""
 
@@ -108,20 +121,39 @@ def _minhash_pairs_core(
     k: int, num_hashes: int, bands: int, threshold: float,
     src: str = "documents",
 ) -> str:
-    """CTE chain ending in ``pairs(id_a, id_b, est_jaccard)``."""
+    """CTE chain ending in ``pairs(id_a, id_b, est_jaccard)``.
+
+    The candidate set is a banded EQUI-join (each doc explodes into
+    ``bands`` (band, band-signature) keys; same-key different-doc rows
+    pair up, DISTINCT across bands) — the same asymptotic shape as the
+    Spark side's xxhash64 band-key join, never the all-pairs
+    band-predicate theta join. ``pairs`` is ``AS MATERIALIZED`` so the
+    graph twins' unrolled/recursive rounds iterate over the
+    once-computed edge list instead of re-evaluating candidacy per
+    round — this is what makes the q179/q184/q190/q219/q227/q258
+    oracles linear and lets the full-catalog sf0.1 certification
+    include them."""
     rpb = num_hashes // bands
-    band_eq = " OR ".join(
-        f"a.sig[{i * rpb + 1}:{(i + 1) * rpb}] = b.sig[{i * rpb + 1}:{(i + 1) * rpb}]"
-        for i in range(bands)
-    )
     return f"""{_minhash_sig_cte(k, num_hashes, src=src)},
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    mh_bnd AS (
+      SELECT doc_id, band,
+             array_to_string(sig[(band - 1) * {rpb} + 1:band * {rpb}], ',')
+               AS bkey
+      FROM sig CROSS JOIN (SELECT unnest(range(1, {bands + 1})) AS band) bb
+    ),
+    mh_cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM mh_bnd a JOIN mh_bnd b
+        ON b.band = a.band AND b.bkey = a.bkey AND a.doc_id < b.doc_id
+    ),
+    pairs AS MATERIALIZED (
+      SELECT c.id_a, c.id_b,
              CAST(len(list_filter(range(1, {num_hashes + 1}),
-                        j -> a.sig[j] = b.sig[j])) AS DOUBLE)
+                        j -> sa.sig[j] = sb.sig[j])) AS DOUBLE)
                / {float(num_hashes)} AS est_jaccard
-      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-      WHERE {band_eq}
+      FROM mh_cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
     )"""
 
 
@@ -725,6 +757,19 @@ def _bucket_expr(v: str, planes) -> str:
             f"CASE WHEN {_dot(v, f'({plane_lit})')} >= 0 THEN '1' ELSE '0' END"
         )
     return "concat(" + ", ".join(bits) + ")"
+
+
+def _adaptive_np_cte(src: str = "embeddings") -> str:
+    """1-row CTE ``nps(np)``: the adaptive gram-kernel plane count derived
+    from the indexed corpus's COUNT(*) — the integer CASE-ladder twin of
+    ``similarity.adaptive_n_planes``, so both engines pick the identical
+    plane count at any scale factor. Callers CROSS JOIN ``nps`` and take
+    ``substr(full_code, 1, np)`` of a GRAM_MAX_PLANES-bit code
+    (``simhash_planes`` is prefix-stable)."""
+    return (
+        f"nps AS (SELECT {adaptive_n_planes_case_sql('c')} AS np "
+        f"FROM (SELECT COUNT(*) AS c FROM {src}))"
+    )
 
 
 def lsh_ann_sql(n_planes: int = 6, kk: int = 10, seed: int = 7) -> str:
@@ -1635,20 +1680,25 @@ def behavior_near_dups_sql(
     """
 
 
-def knn_label_noise_sql(n_planes: int = 4, seed: int = 7, k: int = 5) -> str:
+def knn_label_noise_sql(seed: int = 7, k: int = 5) -> str:
     """Twin of q226: LSH-bucketed kNN label-agreement screen. Planes are
-    similarity.simhash_planes literals; cosines are sequential folds, so
+    similarity.simhash_planes literals; the plane COUNT is the adaptive
+    CASE ladder over COUNT(*) (``_adaptive_np_cte`` — the exact integer
+    twin of the Spark side's ``adaptive_n_planes``), applied as a prefix
+    of the GRAM_MAX_PLANES-bit code; cosines are sequential folds, so
     neighbor ranking is bit-identical to the Spark plan."""
-    planes = simhash_planes(EMBEDDING_DIM, n_planes, seed)
+    planes = simhash_planes(EMBEDDING_DIM, GRAM_MAX_PLANES, seed)
     return f"""
     WITH e AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
       FROM embeddings
     ),
+    {_adaptive_np_cte()},
     be AS (
-      SELECT vec_id, label, v, {_bucket_expr("v", planes)} AS bucket,
+      SELECT vec_id, label, v,
+             substr({_bucket_expr("v", planes)}, 1, np) AS bucket,
              sqrt({_dot("v", "v")}) AS nrm
-      FROM e
+      FROM e CROSS JOIN nps
     ),
     cand AS (
       SELECT a.vec_id AS anchor, a.label AS alabel,
@@ -2291,21 +2341,24 @@ def ann_nprobe_sweep_sql(
     """
 
 
-def hard_negative_sql(n_planes: int = 4, seed: int = 7, k: int = 3) -> str:
+def hard_negative_sql(seed: int = 7, k: int = 3) -> str:
     """Twin of q269: per-anchor top-k different-label neighbors inside
-    hyperplane-LSH buckets (the q40/q226 planes), as a bucket self-join
-    + per-anchor window — rankings match the Spark kernel's
+    hyperplane-LSH buckets (the q40/q226 planes; plane COUNT from the
+    adaptive COUNT(*) CASE ladder, ``_adaptive_np_cte``), as a bucket
+    self-join + per-anchor window — rankings match the Spark kernel's
     dim-sequential gram matrix bit-for-bit."""
-    planes = simhash_planes(EMBEDDING_DIM, n_planes, seed)
+    planes = simhash_planes(EMBEDDING_DIM, GRAM_MAX_PLANES, seed)
     return f"""
     WITH e AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
       FROM embeddings
     ),
+    {_adaptive_np_cte()},
     be AS (
-      SELECT vec_id, label, v, {_bucket_expr("v", planes)} AS bucket,
+      SELECT vec_id, label, v,
+             substr({_bucket_expr("v", planes)}, 1, np) AS bucket,
              sqrt({_dot("v", "v")}) AS nrm
-      FROM e
+      FROM e CROSS JOIN nps
     ),
     pairs AS (
       SELECT a.vec_id, a.label, b.vec_id AS neg_id, b.label AS neg_label,
@@ -2855,24 +2908,27 @@ def dedup_threshold_decision_sql(
     """
 
 
-def crosslingual_neardup_sql(n_planes: int = 4, seed: int = 7) -> str:
+def crosslingual_neardup_sql(seed: int = 7) -> str:
     """Twin of q281: cross-lingual embedding near-dup mining. Docs join
     their embedding row (vec_id == doc_id), bucket by random-hyperplane
-    sign bits (sequential-fold dots, identical plane literals), and every
-    same-bucket different-language pair gets an exact fold cosine
-    (per-row norms, the cosine_pairs_blocked arithmetic). Per ordered
-    language pair: candidate count, counts at the 0.80/0.90/0.95 rounded
-    thresholds, and the DECIMAL-staged mean cosine."""
-    planes = simhash_planes(EMBEDDING_DIM, n_planes, seed)
+    sign bits (sequential-fold dots, identical plane literals; plane
+    COUNT from the adaptive COUNT(*) CASE ladder over the embeddings
+    table, ``_adaptive_np_cte``), and every same-bucket
+    different-language pair gets an exact fold cosine (per-row norms,
+    the cosine_pairs_blocked arithmetic). Per ordered language pair:
+    candidate count, counts at the 0.80/0.90/0.95 rounded thresholds,
+    and the DECIMAL-staged mean cosine."""
+    planes = simhash_planes(EMBEDDING_DIM, GRAM_MAX_PLANES, seed)
     return f"""
     WITH e AS (
       SELECT d.doc_id AS id, d.lang, CAST(em.embedding AS DOUBLE[]) AS v
       FROM documents d JOIN embeddings em ON em.vec_id = d.doc_id
     ),
+    {_adaptive_np_cte()},
     b AS (
       SELECT id, lang, v, sqrt({_dot("v", "v")}) AS nrm,
-             {_bucket_expr("v", planes)} AS bucket
-      FROM e
+             substr({_bucket_expr("v", planes)}, 1, np) AS bucket
+      FROM e CROSS JOIN nps
     ),
     p AS (
       SELECT least(a.lang, b2.lang) AS lang_lo,
@@ -2903,7 +2959,9 @@ def cdc_chunk_dedup_sql(w: int = 16, mask: int = 64) -> str:
     with its (capped) length; duplication is counted corpus-wide on the
     packed identity. All integer arithmetic — bit-identical to the
     Arrow kernel (modular equality of the stepwise and exponent-weight
-    folds)."""
+    folds). UNITS: the ``*_bytes`` columns count whitespace-normalized
+    CHARACTERS (ord-based), per-chunk length capped at 2^21-1 by the
+    packed encoding — same on both engines."""
     return f"""
     WITH d AS (
       SELECT doc_id, source,
@@ -2961,6 +3019,164 @@ def cdc_chunk_dedup_sql(w: int = 16, mask: int = 64) -> str:
              / CAST(CAST(SUM(r.ln) AS BIGINT) AS DOUBLE) AS dup_byte_share
     FROM r JOIN df ON r.packed = df.packed
     GROUP BY r.source ORDER BY r.source
+    """
+
+
+CDC_ECON_GRID = ((8, 64), (16, 16), (16, 64), (16, 256))
+
+
+def cdc_chunk_economics_sql(grid=CDC_ECON_GRID) -> str:
+    """Twin of q287: the q282 CDC machinery swept over a (w, mask) grid
+    off the ONE shared normalized-char array (``ch AS MATERIALIZED``) —
+    per setting, corpus-wide chunk counts, duplicate-char mass, and mean
+    chunk size, so the block store picks its chunk size from data. Same
+    integer arithmetic as ``cdc_chunk_dedup_sql``; UNITS are
+    whitespace-normalized characters with the 2^21-1 per-chunk cap."""
+    parts = [
+        """d AS (
+      SELECT doc_id,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    ch AS MATERIALIZED (
+      SELECT doc_id, length(t) AS n,
+             list_transform(range(1, length(t) + 1),
+               i -> CAST(ord(substr(t, i, 1)) AS BIGINT)) AS c
+      FROM d WHERE length(t) > 0
+    )"""
+    ]
+    sels = []
+    for gi, (w, mask) in enumerate(grid):
+        parts.append(
+            f"""cu{gi} AS (
+      SELECT doc_id, n, c,
+             list_filter(range({w}, n + 1),
+               i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(i - {w} + 1, i + 1), j -> c[j])),
+                    (acc, x) -> (acc * 31 + x) % {_MOD}) % {mask} = 0) AS cuts
+      FROM ch
+    ),
+    bd{gi} AS (
+      SELECT doc_id, c,
+             list_concat(list_prepend(CAST(0 AS BIGINT), cuts),
+                         [CAST(n AS BIGINT)]) AS bs
+      FROM cu{gi}
+    ),
+    ck{gi} AS (
+      SELECT unnest(list_filter(
+               list_transform(range(1, len(bs)),
+                 j -> struct_pack(
+                        fp := list_reduce(
+                                list_prepend(CAST(0 AS BIGINT),
+                                             c[bs[j] + 1:bs[j + 1]]),
+                                (acc, x) -> (acc * 31 + x) % {_MOD}),
+                        ln := bs[j + 1] - bs[j])),
+               s -> s.ln > 0)) AS k
+      FROM bd{gi}
+    ),
+    df{gi} AS (
+      SELECT k.fp * 2097152 + least(k.ln, 2097151) AS packed,
+             least(k.ln, 2097151) AS ln, COUNT(*) AS cnt
+      FROM ck{gi} GROUP BY 1, 2
+    ),
+    ag{gi} AS (
+      SELECT CAST({w} AS BIGINT) AS w, CAST({mask} AS BIGINT) AS mask,
+             CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+             CAST(SUM(ln * cnt) AS BIGINT) AS raw_chars,
+             CAST(SUM(CASE WHEN cnt >= 2 THEN ln * cnt ELSE 0 END)
+                  AS BIGINT) AS dup_chunk_chars
+      FROM df{gi}
+    )"""
+        )
+        sels.append(f"SELECT * FROM ag{gi}")
+    ctes = ",\n    ".join(parts)
+    union = " UNION ALL ".join(sels)
+    return f"""
+    WITH {ctes}
+    SELECT w, mask, n_chunks, n_distinct_chunks, raw_chars, dup_chunk_chars,
+           CAST(dup_chunk_chars AS DOUBLE) / CAST(raw_chars AS DOUBLE)
+             AS dup_char_share,
+           CAST(raw_chars AS DOUBLE) / CAST(n_chunks AS DOUBLE)
+             AS mean_chunk_chars
+    FROM ({union}) u
+    ORDER BY w, mask
+    """
+
+
+def cdc_growing_ingest_sql(w: int = 16, mask: int = 64) -> str:
+    """Twin of q288: growing-store CDC ingest over the whole corpus.
+    Batch semantics = GLOBAL sequential first-occurrence: a chunk
+    instance is new iff no instance of the same packed identity occurs
+    at a smaller (doc_id, chunk position) — exactly what the streaming
+    side's store-membership + within-batch MIN(doc_id, pos) keeper
+    computes under ascending-doc_id arrival (any batching of an ordered
+    backlog; pinned by the stream==batch test). Same CDC integer
+    arithmetic as ``cdc_chunk_dedup_sql``. UNITS: whitespace-normalized
+    characters, 2^21-1 per-chunk cap."""
+    return f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, source, length(t) AS n,
+             list_transform(range(1, length(t) + 1),
+               i -> CAST(ord(substr(t, i, 1)) AS BIGINT)) AS c
+      FROM d WHERE length(t) > 0
+    ),
+    cu AS (
+      SELECT doc_id, source, n, c,
+             list_filter(range({w}, n + 1),
+               i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(i - {w} + 1, i + 1), j -> c[j])),
+                    (acc, x) -> (acc * 31 + x) % {_MOD}) % {mask} = 0) AS cuts
+      FROM ch
+    ),
+    bd AS (
+      SELECT doc_id, source, c,
+             list_concat(list_prepend(CAST(0 AS BIGINT), cuts),
+                         [CAST(n AS BIGINT)]) AS bs
+      FROM cu
+    ),
+    ck AS (
+      SELECT doc_id, source,
+             unnest(list_filter(
+               list_transform(range(1, len(bs)),
+                 j -> struct_pack(
+                        fp := list_reduce(
+                                list_prepend(CAST(0 AS BIGINT),
+                                             c[bs[j] + 1:bs[j + 1]]),
+                                (acc, x) -> (acc * 31 + x) % {_MOD}),
+                        ln := bs[j + 1] - bs[j],
+                        pos := j)),
+               s -> s.ln > 0)) AS k
+      FROM bd
+    ),
+    r AS (
+      SELECT doc_id, source, k.pos AS pos,
+             k.fp * 2097152 + least(k.ln, 2097151) AS packed,
+             least(k.ln, 2097151) AS ln
+      FROM ck
+    ),
+    fo AS (
+      SELECT source, doc_id, ln,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY packed
+                                          ORDER BY doc_id, pos) = 1
+                  THEN 0 ELSE 1 END AS is_dup
+      FROM r
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(1 - is_dup) AS BIGINT) AS new_chunks,
+           CAST(SUM(is_dup) AS BIGINT) AS dup_chunks,
+           CAST(SUM((1 - is_dup) * ln) AS BIGINT) AS new_chars,
+           CAST(SUM(is_dup * ln) AS BIGINT) AS dup_chars,
+           CAST(SUM(is_dup * ln) AS DOUBLE)
+             / CAST(SUM(ln) AS DOUBLE) AS dup_char_share
+    FROM fo GROUP BY source ORDER BY source
     """
 
 
@@ -3132,7 +3348,9 @@ def cdc_incremental_sql(
     (``new_source``) against the STATIC chunk store built from every
     other source — the same CDC machinery as ``cdc_chunk_dedup_sql``,
     with store membership via one LEFT equi-join on the packed chunk
-    identity."""
+    identity. UNITS: ``new_bytes``/``dup_bytes`` count
+    whitespace-normalized CHARACTERS with the 2^21-1 per-chunk length
+    cap of the packed encoding — same on both engines."""
 
     def chunk_cte(pred: str, tag: str) -> str:
         return f"""d{tag} AS (

@@ -1,0 +1,183 @@
+"""Growing-store CDC chunk ingest (q288) — q286's deploy shape with a
+store that GROWS.
+
+q286 dedups each micro-batch against a STATIC chunk store; a real
+block-layer ingest pipeline also INSERTS each batch's new chunks into
+the store, so later batches dedup against everything already ingested —
+the q251 fingerprint-ledger pattern at CHUNK granularity. Per trigger:
+
+1. chunk the batch's documents with the content-defined-chunking Arrow
+   kernel (``textops._cdc_kernel`` — rolling-hash cuts, packed
+   ``fp*2^21 + len`` BIGINT identities), keeping each chunk's ordinal
+   POSITION within its document;
+2. within-batch first occurrence per identity = MIN (doc_id, pos)
+   struct — one keyed aggregate;
+3. a chunk INSTANCE is a duplicate iff its identity is already in the
+   persistent store (a previous batch wrote it) OR it is not the
+   within-batch keeper — under ascending-doc_id arrival this equals
+   GLOBAL sequential first-occurrence semantics, so the final ledger is
+   identical for ANY batching of an ordered backlog (pinned by the
+   stream==batch test with injected cross-batch duplicate chunks);
+4. mergeable per-source counters (chunk/char new-vs-dup splits) are
+   written as the trigger's partial; the batch's new identities are
+   appended to the store AFTER the partial's plan is checkpointed (the
+   partial must read the PRE-batch store).
+
+At scale the store is one 8-byte BIGINT per distinct chunk — ~1/64 of
+the normalized corpus mass at the default mask — appended per batch
+(metadata-only transaction on Delta/Iceberg; plain parquet here for
+zero-dependency tests). Every per-trigger stage is a keyed agg or keyed
+equi-join on the packed identity; nothing driver-side.
+
+UNITS: ``new_chars``/``dup_chars`` count whitespace-normalized
+characters with the 2^21-1 per-chunk cap of the packed encoding (see
+catalog q282).
+
+Reference basis: the notebooks' re-read-everything monthly merges
+(`Study Startup Legacy Data merge.ipynb`) — re-expressed so each wave
+ships only its genuinely-new bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kp_data_pipelines_spark.streaming.training import read_state_parquet
+
+CDC_INGEST_PARTIAL_SCHEMA = (
+    "source string, n_docs long, n_chunks long, new_chunks long, "
+    "dup_chunks long, new_chars long, dup_chars long"
+)
+
+
+def _chunk_rows(batch: DataFrame, w: int, mask: int) -> DataFrame:
+    """(doc_id, source, pos, packed, ln) chunk instances for a batch —
+    posexplode keeps the within-document chunk ordinal that the
+    first-occurrence tie-break needs."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        ensure_parallelism,
+    )
+    from kp_data_pipelines_spark.operators.textops import _cdc_kernel
+
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return (
+        ensure_parallelism(batch.select("doc_id", "source", norm.alias("t")))
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode(_cdc_kernel(w, mask)(F.col("t"))).alias(
+                "pos", "packed"
+            ),
+        )
+        .withColumn(
+            "ln", (F.col("packed") % F.lit(2097152)).cast("bigint")
+        )
+    )
+
+
+def _cdc_ingest_partial(
+    batch: DataFrame, state_dir: str, w: int, mask: int
+) -> DataFrame:
+    """One trigger: dedup the batch's chunk instances against the
+    persistent store + within-batch keeper, emit mergeable per-source
+    counters, append the batch's new identities to the store."""
+    spark = batch.sparkSession
+    rows = _chunk_rows(batch, w, mask).localCheckpoint(
+        eager=True
+    )  # two consumers: partial + store append
+    seen = read_state_parquet(spark, state_dir, "packed long").select(
+        "packed"
+    ).distinct()
+    keeper = rows.groupBy("packed").agg(
+        F.min(F.struct("doc_id", "pos")).alias("kp")
+    )
+    seen_flag = seen.withColumn("__seen", F.lit(1))
+    tagged = (
+        rows.join(keeper, "packed")
+        .join(seen_flag, "packed", "left")
+        .select(
+            "source",
+            "doc_id",
+            "ln",
+            F.when(
+                F.col("__seen").isNotNull()
+                | (F.struct("doc_id", "pos") != F.col("kp")),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_dup"),
+        )
+    )
+    partial = tagged.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(1 - F.col("is_dup")).cast("bigint").alias("new_chunks"),
+        F.sum("is_dup").cast("bigint").alias("dup_chunks"),
+        F.sum((1 - F.col("is_dup")) * F.col("ln"))
+        .cast("bigint")
+        .alias("new_chars"),
+        F.sum(F.col("is_dup") * F.col("ln"))
+        .cast("bigint")
+        .alias("dup_chars"),
+    )
+    # persist this batch's new identities AFTER the partial's plan is
+    # pinned (the partial reads the PRE-batch store)
+    partial = partial.localCheckpoint(eager=True)
+    keeper.join(seen, "packed", "left_anti").select("packed").write.mode(
+        "append"
+    ).parquet(state_dir)
+    return partial
+
+
+def finalize_cdc_ledger(partials: DataFrame) -> DataFrame:
+    """Merge per-batch partials: sum the mergeable counters (each doc
+    lives in exactly one batch, so per-batch distinct doc counts add),
+    then derive the duplicate-char share from merged totals."""
+    merged = partials.groupBy("source").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_chunks").cast("bigint").alias("n_chunks"),
+        F.sum("new_chunks").cast("bigint").alias("new_chunks"),
+        F.sum("dup_chunks").cast("bigint").alias("dup_chunks"),
+        F.sum("new_chars").cast("bigint").alias("new_chars"),
+        F.sum("dup_chars").cast("bigint").alias("dup_chars"),
+    )
+    return merged.select(
+        "source",
+        "n_docs",
+        "n_chunks",
+        "new_chunks",
+        "dup_chunks",
+        "new_chars",
+        "dup_chars",
+        (
+            F.col("dup_chars").cast("double")
+            / (F.col("new_chars") + F.col("dup_chars")).cast("double")
+        ).alias("dup_char_share"),
+    ).orderBy("source")
+
+
+def cdc_ingest_stream(
+    stream_df: DataFrame,
+    state_dir: str,
+    w: int = 16,
+    mask: int = 64,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Run the growing-store CDC ingest over the current backlog
+    (AvailableNow) and return the merged per-source ledger.
+
+    ``state_dir`` hosts the persistent chunk-identity table — it
+    survives across invocations, so successive calls resume dedup
+    against everything already ingested."""
+    from kp_data_pipelines_spark.streaming.events import (
+        run_available_now_foreach_batch,
+    )
+
+    partials = run_available_now_foreach_batch(
+        stream_df,
+        lambda batch: _cdc_ingest_partial(batch, state_dir, w, mask),
+        CDC_INGEST_PARTIAL_SCHEMA,
+        checkpoint_dir=checkpoint_dir,
+    )
+    return finalize_cdc_ledger(partials)

@@ -111,6 +111,22 @@ def doc_flags(docs: DataFrame, seed: int = 67) -> DataFrame:
     )
 
 
+def read_state_parquet(spark, state_dir: str, schema: str) -> DataFrame:
+    """Read a persistent parquet state table, treating ONLY the
+    missing-path case as "first batch, no state yet" (empty frame with
+    the explicit schema — an existing-but-empty dir would otherwise
+    raise UNABLE_TO_INFER_SCHEMA). Anything else (corrupt footer,
+    permission, transient IO) re-raises loudly — silently resetting
+    state would let cross-batch duplicates through."""
+    try:
+        return spark.read.schema(schema).parquet(state_dir)
+    except AnalysisException as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
+        return spark.createDataFrame([], schema)
+
+
 def _ledger_partial(
     flags: DataFrame, state_dir: str
 ) -> DataFrame:
@@ -120,23 +136,9 @@ def _ledger_partial(
     mergeable per-(lang, split) counters."""
     spark = flags.sparkSession
     flags = flags.localCheckpoint(eager=True)  # two consumers below
-    try:
-        # Explicit schema: an existing-but-empty state dir (first batch
-        # under a pre-created checkpoint root) reads as an empty frame
-        # instead of raising UNABLE_TO_INFER_SCHEMA.
-        seen = (
-            spark.read.schema("f string").parquet(state_dir)
-            .select("f").distinct()
-        )
-    except AnalysisException as exc:
-        # ONLY the missing-path case means "first batch, no state yet".
-        # Anything else (corrupt footer, permission, transient IO) must
-        # fail loudly — silently resetting state would let cross-batch
-        # duplicates into the ledger.
-        msg = str(exc)
-        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
-            raise
-        seen = spark.createDataFrame([], "f string")
+    seen = read_state_parquet(spark, state_dir, "f string").select(
+        "f"
+    ).distinct()
     reps = (
         flags.filter(F.col("quality_pass") == 1)
         .groupBy("f")

@@ -1,0 +1,102 @@
+"""Adaptive gram-kernel plane count (round-7 verdict ask #1).
+
+The per-bucket gram kernels (bucket_knn_agreement / bucket_hard_negatives
+/ cosine_pairs_blocked callers q226/q269/q281) do O(width^2 * dim) work
+per LSH bucket, so a FIXED plane count concentrates quadratic time into
+2^planes tasks as the corpus grows. ``adaptive_n_planes`` derives the
+plane count from the corpus row count so EXPECTED bucket width
+(n / 2^planes) never exceeds the stated GRAM_TARGET_BUCKET budget, and
+``adaptive_n_planes_case_sql`` is the integer CASE-ladder twin the DuckDB
+oracles evaluate over COUNT(*) — these tests pin (a) the width bound,
+(b) exact Python==SQL agreement, (c) the simhash_planes prefix property
+both engines rely on, and (d) that the bound holds at two real SFs and
+that sf0.1 actually exercises the adaptive (non-minimum) region.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from kp_data_pipelines_spark.operators.similarity import (
+    GRAM_MAX_PLANES,
+    GRAM_MIN_PLANES,
+    GRAM_TARGET_BUCKET,
+    adaptive_n_planes,
+    adaptive_n_planes_case_sql,
+    simhash_planes,
+)
+
+# Boundary-heavy sample: every threshold +/-1, plus interior points.
+_SAMPLE_NS = sorted(
+    {1, 2, 3, 100, 999, 12345}
+    | {
+        (GRAM_TARGET_BUCKET << p) + d
+        for p in range(GRAM_MIN_PLANES, GRAM_MAX_PLANES + 1)
+        for d in (-1, 0, 1)
+    }
+)
+
+
+def test_width_bound_property():
+    """For every n, expected bucket width n/2^p <= target, unless p has
+    hit the max-planes cap (the documented 2^24-bucket ceiling)."""
+    for n in _SAMPLE_NS:
+        p = adaptive_n_planes(n)
+        assert GRAM_MIN_PLANES <= p <= GRAM_MAX_PLANES
+        if p < GRAM_MAX_PLANES:
+            assert n <= GRAM_TARGET_BUCKET * (1 << p), (n, p)
+        if p > GRAM_MIN_PLANES:
+            # minimality: one fewer plane would blow the budget
+            assert n > GRAM_TARGET_BUCKET * (1 << (p - 1)), (n, p)
+
+
+def test_sql_ladder_matches_python():
+    """The DuckDB CASE ladder is the exact integer twin of
+    adaptive_n_planes — same p for every boundary-adjacent n."""
+    con = duckdb.connect()
+    expr = adaptive_n_planes_case_sql("n")
+    rows = con.execute(
+        f"SELECT n, {expr} AS p FROM (SELECT unnest(?::BIGINT[]) AS n)",
+        [_SAMPLE_NS],
+    ).fetchall()
+    for n, p_sql in rows:
+        assert p_sql == adaptive_n_planes(n), n
+
+
+def test_simhash_planes_prefix_stable():
+    """simhash_planes(dim, k, seed) is a prefix of the max-planes
+    generation — the property that lets Spark generate only p planes
+    while the oracle embeds GRAM_MAX_PLANES literals and substr()s the
+    code to p bits."""
+    full = simhash_planes(64, GRAM_MAX_PLANES, 7)
+    for k in (GRAM_MIN_PLANES, 5, 8):
+        assert simhash_planes(64, k, 7) == full[:k]
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_width_bound_at_real_sfs(sf_dir):
+    """At both certification SFs the derived plane count keeps expected
+    bucket width within budget (verdict ask: 'a test asserting the width
+    bound at two SFs')."""
+    p_path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(p_path):
+        pytest.skip(f"no testdata at {sf_dir}")
+    n = duckdb.sql(f"SELECT count(*) FROM '{p_path}'").fetchone()[0]
+    p = adaptive_n_planes(n)
+    assert n / (1 << p) <= GRAM_TARGET_BUCKET
+
+
+def test_sf01_exercises_adaptive_region():
+    """sf0.1's embedding count must push the ladder OFF the minimum
+    plane count, so the sf0.1 parity sweep cross-engine-verifies the
+    adaptive path (not just the p == min_planes degenerate case)."""
+    p_path = "/root/testdata/sf0.1/embeddings.parquet"
+    if not os.path.exists(p_path):
+        pytest.skip("no sf0.1 testdata")
+    n = duckdb.sql(f"SELECT count(*) FROM '{p_path}'").fetchone()[0]
+    assert adaptive_n_planes(n) > GRAM_MIN_PLANES

@@ -91,9 +91,12 @@ def test_release_pinned_rdds_frees_localcheckpoint_blocks(spark):
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
 
 
-def test_quadratic_oracle_twin_names_exist():
-    """The --full sweep's skip list must reference real catalog entries
-    (a renamed query would silently shrink the certification scope)."""
+def test_quadratic_oracle_twin_list_is_empty():
+    """Round-7 invariant: the --full sweep has NO exclusions — the
+    banded MATERIALIZED pair core (oracles._minhash_pairs_core) made
+    every graph twin linear, so the whole catalog hash-verifies at
+    sf0.1. Re-adding a quadratic twin must be a deliberate, reviewed
+    act (this test failing is the review trigger)."""
     import importlib.util
     import os
 
@@ -104,8 +107,4 @@ def test_quadratic_oracle_twin_names_exist():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
-    from kp_data_pipelines_spark.catalog import ORACLE, QUERIES
-
-    for name in mod.QUADRATIC_ORACLE_TWINS:
-        assert name in QUERIES, name
-        assert name in ORACLE, name  # they DO have oracles (small-sf-only)
+    assert mod.QUADRATIC_ORACLE_TWINS == {}

@@ -652,3 +652,86 @@ def test_length_drift_stream_equals_batch_any_wave_order(spark, tmp_path):
         ).collect()
     }
     assert got == want  # exact, including the float TVD bits
+
+
+def test_cdc_ingest_stream_equals_batch_with_cross_batch_dups(
+    spark, tmp_path
+):
+    """Growing-store CDC ingest (q288's operator) over two
+    ascending-doc_id waves == global first-occurrence batch semantics,
+    WITH injected cross-batch duplicate chunks: wave 2 carries an exact
+    copy and an appended-tail copy of wave-1 documents (source
+    'injected'), so their chunk identities are already in the
+    persistent store when wave 2's trigger runs — the path q286's
+    static store never exercises. The batch twin is the q288 DuckDB
+    oracle evaluated over the same staged corpus."""
+    import duckdb
+
+    from kp_data_pipelines_spark import oracles
+    from kp_data_pipelines_spark.streaming.cdc import cdc_ingest_stream
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    hi = docs.agg(F.max("doc_id")).collect()[0][0]
+    base = (
+        docs.filter(F.col("doc_id") <= mid)
+        .orderBy("doc_id")
+        .limit(2)
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    injected = spark.createDataFrame(
+        [
+            # exact copy: every chunk identity already in the store
+            (int(hi) + 1001, "injected", base[0]["text"]),
+            # appended tail: leading chunks duplicate (CDC
+            # edit-locality), tail chunks new
+            (
+                int(hi) + 1002,
+                "injected",
+                base[1]["text"] + " " + "tail chunk payload " * 40,
+            ),
+        ],
+        "doc_id long, source string, text string",
+    )
+    corpus = docs.select("doc_id", "source", "text").unionByName(injected)
+
+    staged = str(tmp_path / "corpus.parquet")
+    corpus.coalesce(1).write.parquet(staged)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{staged}/*.parquet')"
+    )
+    want_df = con.sql(oracles.cdc_growing_ingest_sql()).df()
+    want = {
+        r.source: (
+            r.n_docs, r.n_chunks, r.new_chunks, r.dup_chunks,
+            r.new_chars, r.dup_chars, r.dup_char_share,
+        )
+        for r in want_df.itertuples()
+    }
+    # the injection really creates cross-batch duplicate chunks
+    assert want["injected"][3] > 0  # dup_chunks
+    assert want["injected"][2] > 0  # new_chunks (the appended tail)
+
+    src = str(tmp_path / "waves")
+    corpus.filter(F.col("doc_id") <= mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    corpus.filter(F.col("doc_id") > mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = {
+        r["source"]: tuple(r)[1:]
+        for r in cdc_ingest_stream(
+            stream,
+            state_dir=str(tmp_path / "state"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        ).collect()
+    }
+    assert got == want

@@ -21,12 +21,12 @@ them). The tag set lives in catalog.OVERFLOW_SENSITIVE and is asserted
 complete by tests/test_catalog_parity.py.
 
 ``--full`` is the scripted whole-catalog sf0.1 certification (round-4
-verdict ask): every query EXCEPT the declared quadratic-oracle-twin
-graph queries (QUADRATIC_ORACLE_TWINS below), each skipped with a
-printed reason. Those queries' SPARK plans are banded/linear and run at
-sf0.1 in the bench; it is only their DuckDB twin that re-evaluates an
-all-pairs predicate per unrolled round, so they hash-verify at
-sf0.001/sf0.01 instead. Standing use::
+verdict ask): every query in the catalog. Since round 7 there are no
+exclusions: the MinHash pair core of every graph twin is a banded
+EQUI-join materialized once (``pairs AS MATERIALIZED``,
+oracles._minhash_pairs_core), so the formerly-quadratic
+q179/q184/q190/q219/q227/q258 oracles are linear and hash-verify at
+sf0.1 like everything else. Standing use::
 
     python tools/parity.py --full /root/testdata/sf0.1
 """
@@ -45,36 +45,10 @@ import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-# Queries whose DUCKDB twin is quadratic (all-pairs band predicate
-# re-evaluated per unrolled iteration) while the Spark plan is
-# banded/linear: excluded from `--full` large-SF sweeps with a printed
-# reason; they hash-verify at sf0.001/sf0.01 (README "Correctness").
-QUADRATIC_ORACLE_TWINS = {
-    "q179_label_propagation": (
-        "DuckDB twin re-evaluates the all-pairs MinHash band predicate "
-        "per unrolled propagation round"
-    ),
-    "q184_kcore_decomposition": (
-        "DuckDB twin re-evaluates the all-pairs band predicate per peel "
-        "round"
-    ),
-    "q190_bfs_hops": (
-        "DuckDB twin re-evaluates the all-pairs band predicate per BFS "
-        "round"
-    ),
-    "q219_negative_sampling": (
-        "DuckDB twin materializes the quadratic all-pairs near-dup set "
-        "for the positive exclusion"
-    ),
-    "q227_split_leakage_audit": (
-        "DuckDB twin materializes the quadratic all-pairs near-dup set "
-        "to count straddling pairs"
-    ),
-    "q258_component_aware_split": (
-        "DuckDB twin materializes the quadratic all-pairs near-dup set "
-        "and closes it with a recursive CTE"
-    ),
-}
+# Round 7: empty — the banded, MATERIALIZED pair core made every graph
+# twin linear; kept so `--full` plumbing (and the verdict's "Done ="
+# check) has an explicit, greppable record.
+QUADRATIC_ORACLE_TWINS: dict[str, str] = {}
 
 
 def canonical(df: pd.DataFrame) -> pd.DataFrame:
