@@ -17726,6 +17726,133 @@ def q288_growing_store_cdc_ingest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register("q289_boilerplate_chunks", oracles.boilerplate_chunks_sql())
+def q289_boilerplate_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source BOILERPLATE detection: a CDC chunk identity present
+    in >= 3 DISTINCT sources is template mass (shared headers, footers,
+    disclaimers, navigation scaffolding), not content — the signal a
+    boilerplate-removal pass keys on BEFORE near-dup dedup, because
+    boilerplate inflates every pairwise similarity and wastes token
+    budget on text the model sees thousands of times. Per source: chunk
+    count, boilerplate chunk count, and the boilerplate char share —
+    the table that says which sources need a template-stripping pass.
+    Scale shape: the q282 Arrow CDC kernel chunks in one scan; one
+    (packed -> distinct-source count) keyed agg builds the boilerplate
+    table; one keyed join + |sources|-row agg finishes. The
+    distinct-source count per chunk is bounded by |sources|, so the
+    agg state is tiny even at 100 TB. UNITS: normalized chars, 2^21-1
+    per-chunk cap (see q282)."""
+    from kp_data_pipelines_spark.operators.textops import with_cdc_chunks
+
+    min_sources = 3
+    docs = read_table(spark, sf, "documents")
+    rows = with_cdc_chunks(
+        ensure_parallelism(docs.select("doc_id", "source", "text")),
+        "text",
+        out="packed",
+    ).select(
+        "source",
+        "packed",
+        (F.col("packed") % F.lit(2097152)).cast("bigint").alias("ln"),
+    )
+    bp = rows.groupBy("packed").agg(
+        F.countDistinct("source").alias("nsrc")
+    )
+    is_bp = (F.col("nsrc") >= min_sources).cast("int")
+    return (
+        rows.join(bp, "packed")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(is_bp).cast("bigint").alias("bp_chunks"),
+            F.sum("ln").cast("bigint").alias("total_chars"),
+            F.sum(is_bp * F.col("ln")).cast("bigint").alias("bp_chars"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "bp_chunks",
+            "total_chars",
+            "bp_chars",
+            (
+                F.col("bp_chars").cast("double")
+                / F.col("total_chars").cast("double")
+            ).alias("bp_char_share"),
+        )
+        .orderBy("source")
+    )
+
+
+@register("q290_intra_doc_repetition", oracles.intra_doc_repetition_sql())
+def q290_intra_doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document REPETITION audit — the repeated-paragraph/loop
+    signal repetition quality filters (the Gopher/RefinedWeb rule
+    family) key on: generated or scraped documents that repeat the same
+    passage dozens of times poison next-token training far beyond their
+    token count. Per source: docs with any repeated chunk, the
+    repeated-char mass/share (chunk instances whose identity occurred
+    EARLIER in the same document), and the longest run of CONSECUTIVE
+    identical chunks (the loop smoking gun). Scale shape: the CDC
+    kernel chunks in one scan with positions; every window partitions
+    by doc_id (bounded by the longest document, never corpus-global);
+    run-lengths come from the lag-change prefix-sum grouping — two
+    doc-keyed windows + three keyed aggs, all mergeable. UNITS:
+    normalized chars, 2^21-1 per-chunk cap (see q282)."""
+    from kp_data_pipelines_spark.streaming.cdc import _chunk_rows
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "source", "text"
+    )
+    rows = _chunk_rows(docs, 16, 64)
+    w_pos = Window.partitionBy("doc_id").orderBy("pos")
+    w_dup = Window.partitionBy("doc_id", "packed").orderBy("pos")
+    chg = F.when(
+        F.lag("packed").over(w_pos) == F.col("packed"), 0
+    ).otherwise(1)
+    tagged = rows.select(
+        "doc_id",
+        "source",
+        "pos",
+        "packed",
+        "ln",
+        (F.row_number().over(w_dup) > 1).cast("int").alias("is_rep"),
+        chg.alias("chg"),
+    ).withColumn(
+        "grp",
+        F.sum("chg").over(
+            w_pos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    rl = tagged.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    doc_run = rl.groupBy("doc_id").agg(F.max("run_len").alias("max_run"))
+    per_doc = tagged.groupBy("doc_id").agg(
+        F.max("source").alias("source"),
+        F.sum("is_rep").alias("n_rep"),
+        F.sum(F.col("is_rep") * F.col("ln")).alias("rep_chars"),
+        F.sum("ln").alias("chars"),
+    )
+    return (
+        per_doc.join(doc_run, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("n_rep") > 0).cast("int"))
+            .cast("bigint")
+            .alias("docs_with_repeats"),
+            F.sum("rep_chars").cast("bigint").alias("repeated_chars"),
+            F.sum("chars").cast("bigint").alias("total_chars"),
+            (
+                F.sum("rep_chars").cast("double")
+                / F.sum("chars").cast("double")
+            ).alias("repeated_char_share"),
+            F.max("max_run").cast("bigint").alias("max_chunk_run"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------

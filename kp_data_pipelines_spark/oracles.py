@@ -3180,6 +3180,174 @@ def cdc_growing_ingest_sql(w: int = 16, mask: int = 64) -> str:
     """
 
 
+def boilerplate_chunks_sql(
+    w: int = 16, mask: int = 64, min_sources: int = 3
+) -> str:
+    """Twin of q289: a CDC chunk identity present in >= ``min_sources``
+    DISTINCT sources is boilerplate (shared headers/footers/disclaimers
+    — template mass, not content); per source, the boilerplate chunk
+    count and char share. Same CDC integer arithmetic as
+    ``cdc_chunk_dedup_sql``; normalized-char units, 2^21-1 cap."""
+    return f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, source, length(t) AS n,
+             list_transform(range(1, length(t) + 1),
+               i -> CAST(ord(substr(t, i, 1)) AS BIGINT)) AS c
+      FROM d WHERE length(t) > 0
+    ),
+    cu AS (
+      SELECT doc_id, source, n, c,
+             list_filter(range({w}, n + 1),
+               i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(i - {w} + 1, i + 1), j -> c[j])),
+                    (acc, x) -> (acc * 31 + x) % {_MOD}) % {mask} = 0) AS cuts
+      FROM ch
+    ),
+    bd AS (
+      SELECT doc_id, source, c,
+             list_concat(list_prepend(CAST(0 AS BIGINT), cuts),
+                         [CAST(n AS BIGINT)]) AS bs
+      FROM cu
+    ),
+    ck AS (
+      SELECT source,
+             unnest(list_filter(
+               list_transform(range(1, len(bs)),
+                 j -> struct_pack(
+                        fp := list_reduce(
+                                list_prepend(CAST(0 AS BIGINT),
+                                             c[bs[j] + 1:bs[j + 1]]),
+                                (acc, x) -> (acc * 31 + x) % {_MOD}),
+                        ln := bs[j + 1] - bs[j])),
+               s -> s.ln > 0)) AS k
+      FROM bd
+    ),
+    r AS (
+      SELECT source,
+             k.fp * 2097152 + least(k.ln, 2097151) AS packed,
+             least(k.ln, 2097151) AS ln
+      FROM ck
+    ),
+    bp AS (
+      SELECT packed, COUNT(DISTINCT source) AS nsrc FROM r GROUP BY packed
+    )
+    SELECT r.source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN bp.nsrc >= {min_sources} THEN 1 ELSE 0 END)
+                AS BIGINT) AS bp_chunks,
+           CAST(SUM(r.ln) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN bp.nsrc >= {min_sources} THEN r.ln ELSE 0 END)
+                AS BIGINT) AS bp_chars,
+           CAST(SUM(CASE WHEN bp.nsrc >= {min_sources} THEN r.ln ELSE 0 END)
+                AS DOUBLE)
+             / CAST(SUM(r.ln) AS DOUBLE) AS bp_char_share
+    FROM r JOIN bp ON bp.packed = r.packed
+    GROUP BY r.source ORDER BY r.source
+    """
+
+
+def intra_doc_repetition_sql(w: int = 16, mask: int = 64) -> str:
+    """Twin of q290: within-document chunk repetition — the repeated-
+    paragraph/loop signal repetition quality filters key on. Per
+    source: docs with any repeated chunk, repeated-char mass/share
+    (instances whose identity occurred EARLIER in the same doc), and
+    the longest run of consecutive identical chunks. Chunk positions
+    come from the CDC cut ordinals; windows partition by doc."""
+    return f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, source, length(t) AS n,
+             list_transform(range(1, length(t) + 1),
+               i -> CAST(ord(substr(t, i, 1)) AS BIGINT)) AS c
+      FROM d WHERE length(t) > 0
+    ),
+    cu AS (
+      SELECT doc_id, source, n, c,
+             list_filter(range({w}, n + 1),
+               i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(i - {w} + 1, i + 1), j -> c[j])),
+                    (acc, x) -> (acc * 31 + x) % {_MOD}) % {mask} = 0) AS cuts
+      FROM ch
+    ),
+    bd AS (
+      SELECT doc_id, source, c,
+             list_concat(list_prepend(CAST(0 AS BIGINT), cuts),
+                         [CAST(n AS BIGINT)]) AS bs
+      FROM cu
+    ),
+    ck AS (
+      SELECT doc_id, source,
+             unnest(list_filter(
+               list_transform(range(1, len(bs)),
+                 j -> struct_pack(
+                        fp := list_reduce(
+                                list_prepend(CAST(0 AS BIGINT),
+                                             c[bs[j] + 1:bs[j + 1]]),
+                                (acc, x) -> (acc * 31 + x) % {_MOD}),
+                        ln := bs[j + 1] - bs[j],
+                        pos := j)),
+               s -> s.ln > 0)) AS k
+      FROM bd
+    ),
+    r AS (
+      SELECT doc_id, source, k.pos AS pos,
+             k.fp * 2097152 + least(k.ln, 2097151) AS packed,
+             least(k.ln, 2097151) AS ln
+      FROM ck
+    ),
+    fo AS (
+      SELECT doc_id, source, pos, packed, ln,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY doc_id, packed
+                                          ORDER BY pos) = 1
+                  THEN 0 ELSE 1 END AS is_rep,
+             CASE WHEN lag(packed) OVER (PARTITION BY doc_id
+                                         ORDER BY pos) = packed
+                  THEN 0 ELSE 1 END AS chg
+      FROM r
+    ),
+    runs AS (
+      SELECT doc_id, source,
+             SUM(chg) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS grp,
+             is_rep, ln
+      FROM fo
+    ),
+    rl AS (
+      SELECT doc_id, source, grp, COUNT(*) AS run_len
+      FROM runs GROUP BY doc_id, source, grp
+    ),
+    per_doc AS (
+      SELECT doc_id, MAX(source) AS source,
+             SUM(is_rep) AS n_rep, SUM(is_rep * ln) AS rep_chars,
+             SUM(ln) AS chars
+      FROM runs GROUP BY doc_id
+    ),
+    doc_run AS (
+      SELECT doc_id, MAX(run_len) AS max_run FROM rl GROUP BY doc_id
+    )
+    SELECT p.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN p.n_rep > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_repeats,
+           CAST(SUM(p.rep_chars) AS BIGINT) AS repeated_chars,
+           CAST(SUM(p.chars) AS BIGINT) AS total_chars,
+           CAST(SUM(p.rep_chars) AS DOUBLE) / CAST(SUM(p.chars) AS DOUBLE)
+             AS repeated_char_share,
+           CAST(MAX(dr.max_run) AS BIGINT) AS max_chunk_run
+    FROM per_doc p JOIN doc_run dr ON dr.doc_id = p.doc_id
+    GROUP BY p.source ORDER BY p.source
+    """
+
+
 def ivf_staleness_sql(n_centroids: int = 16) -> str:
     """Twin of q283: index-staleness audit. Centroids are the
     deterministic ivf_centroids seed over the EVEN-vec_id wave (first
