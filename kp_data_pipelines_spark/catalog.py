@@ -17853,6 +17853,100 @@ def q290_intra_doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register("q291_bpe_merge_pairs", oracles.bpe_merge_pairs_sql())
+def q291_bpe_merge_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE tokenizer-training support: the FIRST merge
+    iteration's pair statistics — adjacent character-pair frequencies
+    weighted by word frequency, top-20 merge candidates with the
+    deterministic (count DESC, pair ASC) tie-break. This is the inner
+    loop of byte-pair-encoding training; at 100 TB you cannot iterate
+    over tokens, so the counting uses the classic BPE trick: aggregate
+    the corpus to its DISTINCT-WORD frequency table first (one shuffle;
+    vocabulary grows ~Heaps-law sublinearly, q284), then expand each
+    distinct word ONCE into its character pairs weighted by freq — the
+    per-word higher-order transform runs over the vocab table (bounded
+    by |vocab| x avg word length), never over corpus tokens. Second
+    shuffle is the pair-count agg; the top-k is TakeOrdered. Subsequent
+    merge rounds reuse the same shape over the re-segmented vocab
+    (symbols instead of chars); q279 measures the RESULTING tokenizer's
+    fertility — this query is how the tokenizer gets trained. No
+    end-of-word marker (documented simplification; adding one appends a
+    sentinel symbol per word, same shape)."""
+    docs = ensure_parallelism(
+        read_table(spark, sf, "documents").select("text")
+    )
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    words = docs.select(
+        F.explode(F.split(norm, " ")).alias("word")
+    ).filter(F.col("word") != "")
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = (
+        wf.filter(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.col("word").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "freq",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(20)
+    )
+
+
+@register(
+    "q292_warm_start_components",
+    oracles.dedup_components_sql(k=4, threshold=0.3),
+)
+def q292_warm_start_components(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTAL dedup-cluster maintenance: when a wave lands, re-close
+    the near-dup graph WARM-STARTED from the previous build's component
+    table instead of from singletons — the q283/q147 index-lifecycle
+    question ("what changed?") applied to the transitive-closure layer.
+    Here the prior is the even-doc_id wave's components (q283's snapshot
+    convention) and the current graph is the full-corpus banded pair set
+    (band signatures are doc-intrinsic, so old-wave pairs are a subset
+    of full-corpus pairs and the warm result provably equals the cold
+    one — the oracle is the plain recursive closure). Convergence
+    telemetry (rounds) is returned by the operator for the re-build
+    scheduler; warm rounds < cold rounds is pinned by test. Distinct
+    banding from q66 (4-gram shingles, 0.3 cut) so this row exercises
+    its own graph. Scale shape: seeding is two keyed joins; every
+    propagation round is the q66 pointer-jumping round (three keyed
+    shuffles), and a quiet wave exits after ONE round instead of
+    O(log diameter)."""
+    from kp_data_pipelines_spark.operators.graph import (
+        connected_components,
+        warm_start_components,
+    )
+    from kp_data_pipelines_spark.operators.similarity import (
+        minhash_near_dups,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    wave_a = docs.filter(F.col("doc_id") % 2 == 0)
+    prior = connected_components(
+        minhash_near_dups(
+            wave_a, "doc_id", "text", shingle_k=4, num_hashes=32,
+            bands=16, jaccard_threshold=0.3, portable_hash=True,
+        ),
+        "id_a",
+        "id_b",
+    )
+    pairs = minhash_near_dups(
+        docs, "doc_id", "text", shingle_k=4, num_hashes=32, bands=16,
+        jaccard_threshold=0.3, portable_hash=True,
+    )
+    labels, _rounds = warm_start_components(pairs, prior, "id_a", "id_b")
+    return labels.orderBy("node")
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------

@@ -3348,6 +3348,36 @@ def intra_doc_repetition_sql(w: int = 16, mask: int = 64) -> str:
     """
 
 
+def bpe_merge_pairs_sql(topk: int = 20) -> str:
+    """Twin of q291: first-iteration BPE merge-pair counts — adjacent
+    CHARACTER-pair frequencies weighted by word frequency, counted over
+    the DISTINCT-word table (the classic BPE trick: per-word work is
+    bounded by vocabulary size, not corpus size). Deterministic
+    (count DESC, pair ASC) top-k; exact integers."""
+    return f"""
+    WITH d AS (
+      SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    w AS (
+      SELECT unnest(string_split(t, ' ')) AS word FROM d
+    ),
+    wf AS (
+      SELECT word, COUNT(*) AS freq FROM w WHERE word <> '' GROUP BY word
+    ),
+    p AS (
+      SELECT unnest(list_transform(range(1, length(word)),
+                                   i -> substr(word, i, 2))) AS pair,
+             freq
+      FROM wf WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM p GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT {topk}
+    """
+
+
 def ivf_staleness_sql(n_centroids: int = 16) -> str:
     """Twin of q283: index-staleness audit. Centroids are the
     deterministic ivf_centroids seed over the EVEN-vec_id wave (first

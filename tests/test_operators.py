@@ -677,3 +677,64 @@ def test_q248_rf_histogram_cardinality_is_domain_bounded(spark):
     assert f2 / f1 <= 4 and f2 / max(f1, 1) < user_ratio / 2, (f1, f2, u1, u2)
     # m: user-cardinality — MUST keep the distributed prefix_sum path
     assert m2 / m1 >= user_ratio * 0.8, (m1, m2, u1, u2)
+
+
+def test_warm_start_components_matches_cold_with_fewer_rounds(spark):
+    """Warm-starting from a prior component table must (a) produce the
+    SAME partition as a cold run over the full edge set, and (b)
+    converge in fewer propagation rounds when the new wave changes
+    little — the telemetry the incremental re-index scheduler keys on
+    (q292's operator)."""
+    from kp_data_pipelines_spark.operators.graph import (
+        _propagate,
+        _symmetrize,
+        connected_components,
+        warm_start_components,
+    )
+    import pyspark.sql.functions as F
+
+    # prior build: a 32-node path (0-...-31), already closed
+    old_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(31)], "src long, dst long"
+    )
+    prior = connected_components(old_edges)
+    # new wave: two fresh docs — one attaches to the chain's tail, one
+    # starts its own pair; full edge set = old + new
+    new_edges = spark.createDataFrame(
+        [(31, 100), (200, 201)], "src long, dst long"
+    )
+    full = old_edges.union(new_edges)
+
+    cold = connected_components(full)
+    warm, warm_rounds = warm_start_components(full, prior)
+    as_map = lambda df: {r["node"]: r["component"] for r in df.collect()}
+    assert as_map(warm) == as_map(cold)
+    assert as_map(warm)[100] == 0 and as_map(warm)[201] == 200
+
+    # cold rounds on the same graph, measured through the same loop
+    e = _symmetrize(full, "src", "dst")
+    singletons = (
+        e.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    _, cold_rounds = _propagate(e, singletons, 50)
+    assert warm_rounds < cold_rounds
+    assert warm_rounds <= 3  # near-fixpoint start: O(1) rounds
+
+
+def test_warm_start_components_untouched_prior_passes_through(spark):
+    """Prior nodes absent from the current edge set keep their prior
+    component — untouched clusters survive an incremental round."""
+    from kp_data_pipelines_spark.operators.graph import (
+        warm_start_components,
+    )
+
+    prior = spark.createDataFrame(
+        [(7, 7), (8, 7), (9, 9)], "node long, component long"
+    )
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    labels, _ = warm_start_components(edges, prior)
+    got = {r["node"]: r["component"] for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 7: 7, 8: 7, 9: 9}
