@@ -55,6 +55,14 @@ DEFAULT = [
     "q284_vocab_growth",
     "q285_split_leakage_audit",
     "q286_streaming_cdc_ingest",
+    # round-7 additions: CDC economics/ingest, boilerplate, repetition,
+    # BPE pair counts, warm-start CC
+    "q287_cdc_chunk_economics",
+    "q288_growing_store_cdc_ingest",
+    "q289_boilerplate_chunks",
+    "q290_intra_doc_repetition",
+    "q291_bpe_merge_pairs",
+    "q292_warm_start_components",
 ]
 
 
