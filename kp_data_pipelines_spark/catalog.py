@@ -17947,6 +17947,111 @@ def q292_warm_start_components(spark: SparkSession, sf: str) -> DataFrame:
     return labels.orderBy("node")
 
 
+@register("q293_source_datasheet", oracles.source_datasheet_sql())
+def q293_source_datasheet(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source dataset DATASHEET — the one-row-per-source summary a
+    data card / datasheet-for-datasets publishes, composed entirely of
+    already-verified stage metrics (the q231/q278 capstone pattern):
+    doc and BPE-ish token counts, quantized mean quality (q280's exact
+    integer staging), Gini-Simpson language diversity (q213's
+    DECIMAL-staged squared counts — log-free, so it oracle-hashes),
+    exact-dup droppable docs (q231's sha256 canon rule: non-minimum
+    doc_id within a fingerprint group), and docs with at least one
+    banded MinHash near-dup partner. Scale shape: ONE documents scan
+    computes qk/toks/fp; everything downstream is per-source keyed aggs
+    joined on the |sources|-row key; the near-dup column reuses the
+    banded pair generator (equi-join, never all-pairs) and touches only
+    pair endpoints. The final join is |sources| x |sources| — broadcast
+    territory at any scale."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        minhash_near_dups,
+    )
+    from kp_data_pipelines_spark.operators.textops import (
+        doc_fingerprint,
+        quality_score,
+        regex_token_count,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    base = ensure_parallelism(
+        docs.select("doc_id", "source", "lang", "text")
+    ).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.round(quality_score("text") * F.lit(1.0e6))
+        .cast("bigint")
+        .alias("qk"),
+        regex_token_count("text").cast("bigint").alias("toks"),
+        doc_fingerprint("text").alias("fp"),
+    )
+    core = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("total_tokens"),
+        F.sum("qk").cast("bigint").alias("sum_qk"),
+    )
+    lc = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    gin = lc.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).alias("ss"),
+    )
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    ed = (
+        base.select(
+            "source",
+            (F.row_number().over(w_fp) > 1).cast("int").alias("is_dup"),
+        )
+        .groupBy("source")
+        .agg(F.sum("is_dup").cast("bigint").alias("n_exact_dup_docs"))
+    )
+    pairs = minhash_near_dups(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=32, bands=16,
+        jaccard_threshold=0.4, portable_hash=True,
+    )
+    nd_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    nd = (
+        nd_ids.join(
+            base.select(F.col("doc_id").alias("id"), "source"), "id"
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_neardup_docs"))
+    )
+    return (
+        core.join(gin, "source")
+        .join(ed, "source")
+        .join(nd, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            (
+                (F.col("sum_qk").cast("double") / F.lit(1.0e6))
+                / F.col("n_docs").cast("double")
+            ).alias("mean_quality"),
+            (
+                F.lit(1.0)
+                - F.col("ss").cast("double")
+                / (F.col("tot").cast("double") * F.col("tot").cast("double"))
+            ).alias("lang_gini"),
+            "n_exact_dup_docs",
+            (
+                F.col("n_exact_dup_docs").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("exact_dup_share"),
+            F.coalesce("n_neardup_docs", F.lit(0))
+            .cast("bigint")
+            .alias("n_neardup_docs"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------
@@ -18025,6 +18130,7 @@ OVERFLOW_SENSITIVE = frozenset({
     "q280_curriculum_schedule",
     "q281_crosslingual_neardups",
     "q283_ivf_staleness_audit",
+    "q293_source_datasheet",  # DECIMAL-staged squared lang counts (q213)
 })
 
 for _q in OVERFLOW_SENSITIVE:

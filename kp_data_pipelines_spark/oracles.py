@@ -3378,6 +3378,78 @@ def bpe_merge_pairs_sql(topk: int = 20) -> str:
     """
 
 
+def source_datasheet_sql(
+    k: int = 3, num_hashes: int = 32, bands: int = 16,
+    threshold: float = 0.4,
+) -> str:
+    """Twin of q293: the per-source dataset DATASHEET — one row per
+    source composing the verified stage metrics: doc/token counts,
+    quantized mean quality (q280 staging), Gini-Simpson language
+    diversity (q213 staging), exact-dup droppable docs (q231's sha256
+    canon rule), and near-dup involved docs (banded MinHash pairs)."""
+    return f"""
+    WITH {_minhash_pairs_core(k, num_hashes, bands, threshold)},
+    base AS (
+      SELECT doc_id, source, lang,
+             CAST(round({_QUALITY_SQL} * 1.0e6) AS BIGINT) AS qk,
+             CAST(len(regexp_extract_all(text,
+                  '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS toks,
+             sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+               AS fp
+      FROM documents
+    ),
+    core AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(toks) AS BIGINT) AS total_tokens,
+             CAST(SUM(qk) AS BIGINT) AS sum_qk
+      FROM base GROUP BY source
+    ),
+    lc AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM base GROUP BY source, lang
+    ),
+    gin AS (
+      SELECT source, CAST(SUM(n) AS BIGINT) AS tot,
+             CAST(SUM(CAST(n AS DECIMAL(38,0)) * n) AS DECIMAL(38,0)) AS ss
+      FROM lc GROUP BY source
+    ),
+    ranked AS (
+      SELECT source,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM base
+    ),
+    ed AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_dup_docs
+      FROM ranked GROUP BY source
+    ),
+    nd_ids AS (
+      SELECT id_a AS id FROM pairs WHERE est_jaccard >= {threshold}
+      UNION
+      SELECT id_b FROM pairs WHERE est_jaccard >= {threshold}
+    ),
+    nd AS (
+      SELECT b.source, CAST(COUNT(*) AS BIGINT) AS n_neardup_docs
+      FROM nd_ids n JOIN base b ON b.doc_id = n.id GROUP BY b.source
+    )
+    SELECT c.source, c.n_docs, c.total_tokens,
+           (CAST(c.sum_qk AS DOUBLE) / 1.0e6) / CAST(c.n_docs AS DOUBLE)
+             AS mean_quality,
+           CAST(1.0 AS DOUBLE) - CAST(g.ss AS DOUBLE)
+             / (CAST(g.tot AS DOUBLE) * CAST(g.tot AS DOUBLE)) AS lang_gini,
+           ed.n_exact_dup_docs,
+           CAST(ed.n_exact_dup_docs AS DOUBLE) / CAST(c.n_docs AS DOUBLE)
+             AS exact_dup_share,
+           CAST(COALESCE(nd.n_neardup_docs, 0) AS BIGINT) AS n_neardup_docs
+    FROM core c
+    JOIN gin g ON g.source = c.source
+    JOIN ed ON ed.source = c.source
+    LEFT JOIN nd ON nd.source = c.source
+    ORDER BY c.source
+    """
+
+
 def ivf_staleness_sql(n_centroids: int = 16) -> str:
     """Twin of q283: index-staleness audit. Centroids are the
     deterministic ivf_centroids seed over the EVEN-vec_id wave (first
