@@ -18052,6 +18052,44 @@ def q293_source_datasheet(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q294_streaming_ivf_cell_stats", oracles.ivf_cell_stats_sql()
+)
+def q294_streaming_ivf_cell_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """q283's DEPLOY shape: keep the IVF index's per-cell statistics
+    FRESH as vectors stream in, instead of recomputing them corpus-wide
+    before every staleness decision. Each micro-batch assigns only ITS
+    vectors to the frozen centroids (the Arrow nearest-centroid kernel)
+    and emits mergeable (count, DECIMAL-staged quantized-cosine-sum)
+    partials; the dashboard row — per-cell occupancy, share, mean
+    assigned cosine — merges exactly under ANY batching (counts and
+    DECIMAL sums are order-insensitive: the q254 any-wave-order
+    contract, stronger than q251's ordered-arrival). At 100 TB this is
+    the difference between a staleness audit that costs one full scan
+    (q283) and one that is already sitting in the monitoring table when
+    the re-train scheduler asks. Operator in streaming/drift.py; the
+    centroid seed is q283's even-vec_id convention."""
+    from kp_data_pipelines_spark.operators.similarity import ivf_centroids
+    from kp_data_pipelines_spark.streaming.drift import (
+        ivf_cell_stats_stream,
+    )
+
+    n_centroids = 16
+    emb = read_table(spark, sf, "embeddings")
+    cents = ivf_centroids(
+        emb.filter(F.pmod("vec_id", F.lit(2)) == 0), "embedding",
+        n_centroids, id_col="vec_id",
+    )
+    schema = spark.read.parquet(f"{sf}/embeddings.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf)
+        .select("vec_id", "embedding")
+    )
+    return ivf_cell_stats_stream(stream, cents)
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------
@@ -18131,6 +18169,7 @@ OVERFLOW_SENSITIVE = frozenset({
     "q281_crosslingual_neardups",
     "q283_ivf_staleness_audit",
     "q293_source_datasheet",  # DECIMAL-staged squared lang counts (q213)
+    "q294_streaming_ivf_cell_stats",
 })
 
 for _q in OVERFLOW_SENSITIVE:

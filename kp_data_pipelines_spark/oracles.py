@@ -3450,6 +3450,59 @@ def source_datasheet_sql(
     """
 
 
+def ivf_cell_stats_sql(n_centroids: int = 16) -> str:
+    """Twin of q294: whole-corpus IVF cell statistics against the frozen
+    even-vec_id centroid seed — per cell: occupancy, share, and the
+    DECIMAL-staged mean assigned cosine. Same assignment arithmetic as
+    ``ivf_staleness_sql`` (fold cosines, (cos DESC, cid DESC)
+    tie-break, centroid-norm zero guard); the streaming side's partials
+    merge to exactly this."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+             v AS cv
+      FROM e WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT {n_centroids}
+    ),
+    cn AS (
+      SELECT cid, cv,
+             CASE WHEN sqrt({_dot("cv", "cv")}) = 0 THEN 1.0
+                  ELSE sqrt({_dot("cv", "cv")}) END AS ncv
+      FROM c0
+    ),
+    asg AS (
+      SELECT vec_id, cid, cos FROM (
+        SELECT e.vec_id, c.cid,
+               {_dot("e.v", "c.cv")}
+                 / (sqrt({_dot("e.v", "e.v")}) * c.ncv) AS cos,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_dot("e.v", "c.cv")}
+                   / (sqrt({_dot("e.v", "e.v")}) * c.ncv) DESC,
+                 c.cid DESC) AS rn
+        FROM e CROSS JOIN cn c
+      ) WHERE rn = 1
+    ),
+    g AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(round(cos * 1.0e9) AS DECIMAL(38,0))) AS sq
+      FROM asg GROUP BY cid
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM asg),
+    grid AS (SELECT CAST(unnest(range({n_centroids})) AS BIGINT) AS cid)
+    SELECT grid.cid,
+           CAST(COALESCE(g.n, 0) AS BIGINT) AS n_vecs,
+           CAST(COALESCE(g.n, 0) AS DOUBLE)
+             / CAST((SELECT tot FROM t) AS DOUBLE) AS share,
+           CASE WHEN g.n IS NULL THEN NULL
+                ELSE CAST(g.sq AS DOUBLE) / 1.0e9 / CAST(g.n AS DOUBLE)
+           END AS mean_cos
+    FROM grid LEFT JOIN g ON g.cid = grid.cid
+    ORDER BY grid.cid
+    """
+
+
 def ivf_staleness_sql(n_centroids: int = 16) -> str:
     """Twin of q283: index-staleness audit. Centroids are the
     deterministic ivf_centroids seed over the EVEN-vec_id wave (first

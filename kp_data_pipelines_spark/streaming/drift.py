@@ -100,3 +100,121 @@ def length_drift_stream(
         checkpoint_dir=checkpoint_dir,
     )
     return finalize_tvd(partials)
+
+
+def ivf_cell_partial(batch: DataFrame, centroids) -> DataFrame:
+    """One trigger's IVF cell-stats partial: assign the batch's vectors
+    to the FROZEN ``centroids`` (Arrow nearest-centroid kernel, pinned
+    bit-identical to the reverse(array_sort) expression twin), fold the
+    cosine against only the ASSIGNED centroid (q283's element_at
+    staging — never the k*dim interpreted tree), and emit the mergeable
+    per-cell (count, DECIMAL-staged quantized-cosine sum) pair."""
+    import math
+
+    from kp_data_pipelines_spark.operators.similarity import (
+        _dot,
+        _nearest_centroid_kernel,
+        ensure_parallelism,
+    )
+
+    cents_arr = F.array(
+        *[F.array(*[F.lit(x) for x in cv]) for _, cv in centroids]
+    )
+    norms_arr = F.array(
+        *[
+            F.lit(math.sqrt(sum(x * x for x in cv)) or 1.0)
+            for _, cv in centroids
+        ]
+    )
+    staged = (
+        ensure_parallelism(batch)
+        .withColumn(
+            "cid",
+            _nearest_centroid_kernel(centroids)(F.col("embedding")).cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "__v",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        )
+        .withColumn(
+            "__cw", F.element_at(cents_arr, (F.col("cid") + 1).cast("int"))
+        )
+    )
+    asg = staged.select(
+        "cid",
+        (
+            _dot(F.col("__v"), F.col("__cw"))
+            / (
+                F.sqrt(_dot(F.col("__v"), F.col("__v")))
+                * F.element_at(norms_arr, (F.col("cid") + 1).cast("int"))
+            )
+        ).alias("cos"),
+    )
+    return asg.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("CAST(round(cos * 1.0e9) AS DECIMAL(38,0))")).alias(
+            "sq"
+        ),
+    )
+
+
+def finalize_ivf_cells(partials: DataFrame, n_centroids: int) -> DataFrame:
+    """Merge per-batch cell partials (counts and DECIMAL sums add
+    exactly, so the result is identical under ANY batching) and derive
+    occupancy share + mean assigned cosine on the full cid grid."""
+    spark = partials.sparkSession
+    merged = partials.groupBy("cid").agg(
+        F.sum("n").cast("bigint").alias("n_vecs"),
+        F.sum("sq").alias("sq"),
+    )
+    grid = spark.range(0, n_centroids).select(
+        F.col("id").cast("bigint").alias("cid")
+    )
+    tot = merged.agg(F.sum("n_vecs").cast("bigint").alias("tot"))
+    from kp_data_pipelines_spark.operators.joins import broadcast_scalar
+
+    return (
+        grid.join(merged, "cid", "left")
+        .crossJoin(broadcast_scalar(tot))
+        .select(
+            "cid",
+            F.coalesce("n_vecs", F.lit(0)).cast("bigint").alias("n_vecs"),
+            (
+                F.coalesce("n_vecs", F.lit(0)).cast("double")
+                / F.col("tot").cast("double")
+            ).alias("share"),
+            (
+                F.col("sq").cast("double")
+                / F.lit(1.0e9)
+                / F.col("n_vecs").cast("double")
+            ).alias("mean_cos"),
+        )
+        .orderBy("cid")
+    )
+
+
+def ivf_cell_stats_stream(
+    stream_df: DataFrame,
+    centroids,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming maintenance of IVF cell statistics against a FROZEN
+    centroid set — q283's staleness inputs kept fresh per micro-batch
+    instead of recomputed corpus-wide: each trigger assigns only ITS
+    vectors and emits mergeable (count, quantized-cosine-sum) partials,
+    so the dashboard's per-cell occupancy/mean-cosine is exact for any
+    batching (counts and DECIMAL sums are order-insensitive — the q254
+    any-wave-order contract, stronger than q251's ordered arrival)."""
+    from kp_data_pipelines_spark.streaming.events import (
+        run_available_now_foreach_batch,
+    )
+
+    partials = run_available_now_foreach_batch(
+        stream_df,
+        lambda batch: ivf_cell_partial(batch, centroids),
+        "cid long, n long, sq decimal(38,0)",
+        checkpoint_dir=checkpoint_dir,
+    )
+    return finalize_ivf_cells(partials, len(centroids))

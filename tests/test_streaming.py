@@ -735,3 +735,52 @@ def test_cdc_ingest_stream_equals_batch_with_cross_batch_dups(
         ).collect()
     }
     assert got == want
+
+
+def test_ivf_cell_stats_stream_equals_batch_any_wave_order(spark, tmp_path):
+    """Stream-over-SHUFFLED-waves == whole-corpus IVF cell stats: the
+    per-cell (count, DECIMAL quantized-cosine-sum) partials are purely
+    mergeable, so the q294 operator must reproduce the batch oracle
+    bit-for-bit under ANY wave partition — here three waves split by
+    vec_id % 3, so every trigger mixes even (centroid-seed) and odd
+    vectors."""
+    import duckdb
+
+    from kp_data_pipelines_spark import oracles
+    from kp_data_pipelines_spark.operators.similarity import ivf_centroids
+    from kp_data_pipelines_spark.streaming.drift import ivf_cell_stats_stream
+
+    src_parquet = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(src_parquet)
+    cents = ivf_centroids(
+        emb.filter(F.pmod("vec_id", F.lit(2)) == 0), "embedding", 16,
+        id_col="vec_id",
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{src_parquet}')"
+    )
+    want = {
+        r.cid: (r.n_vecs, r.share, r.mean_cos)
+        for r in con.sql(oracles.ivf_cell_stats_sql()).df().itertuples()
+    }
+
+    src = str(tmp_path / "waves")
+    for wave in range(3):
+        emb.filter(F.pmod("vec_id", F.lit(3)) == wave).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("vec_id", "embedding")
+    )
+    got = {
+        r["cid"]: (r["n_vecs"], r["share"], r["mean_cos"])
+        for r in ivf_cell_stats_stream(
+            stream, cents, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert got == want  # exact, including the float share/mean bits
