@@ -18090,6 +18090,74 @@ def q294_streaming_ivf_cell_stats(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_cell_stats_stream(stream, cents)
 
 
+@register(
+    "q295_adaptive_plan_report", oracles.adaptive_plan_report_sql()
+)
+def q295_adaptive_plan_report(spark: SparkSession, sf: str) -> DataFrame:
+    """The adaptive LSH parameterization made QUERYABLE: for a literal
+    corpus-size grid (10^3..10^9) plus THIS corpus's actual embeddings
+    count, the table reports the derived plane count
+    (``adaptive_n_planes`` — the knob q226/q269/q281 now run on),
+    bucket count, expected bucket width (never above the
+    GRAM_TARGET_BUCKET budget until the 2^24 cap), and per-task gram
+    flops — the capacity-planning row an operator reads before sizing a
+    dedup/kNN job at a new scale. Doubles as an in-gate certificate
+    that the Python function and the oracle's integer CASE ladder agree
+    at every SF on real and grid sizes alike. Scale shape: an 8-row
+    literal frame unioned with ONE count aggregate; no scans beyond the
+    count."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        GRAM_MAX_PLANES,
+        adaptive_n_planes,
+    )
+
+    dim = 64
+    grid = spark.createDataFrame(
+        [(int(n), 0) for n in oracles.ADAPTIVE_PLAN_GRID],
+        "n_rows long, is_corpus long",
+    )
+    corpus = (
+        read_table(spark, sf, "embeddings")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .withColumn("is_corpus", F.lit(1).cast("bigint"))
+    )
+    sizes = grid.unionByName(corpus)
+    # the ladder as a when-chain built from the SAME thresholds the
+    # Python function walks (and the oracle's CASE ladder embeds)
+    from kp_data_pipelines_spark.operators.similarity import (
+        GRAM_MIN_PLANES,
+        GRAM_TARGET_BUCKET,
+    )
+
+    np_col = F.lit(GRAM_MAX_PLANES)
+    for p in reversed(range(GRAM_MIN_PLANES, GRAM_MAX_PLANES)):
+        np_col = F.when(
+            F.col("n_rows") <= (GRAM_TARGET_BUCKET << p), F.lit(p)
+        ).otherwise(np_col)
+    pows = F.array(
+        *[F.lit(1 << i).cast("bigint") for i in range(GRAM_MAX_PLANES + 1)]
+    )
+    b = sizes.select(
+        "n_rows",
+        "is_corpus",
+        np_col.cast("bigint").alias("n_planes"),
+    ).withColumn(
+        "n_buckets",
+        F.element_at(pows, (F.col("n_planes") + 1).cast("int")),
+    )
+    width = F.col("n_rows").cast("double") / F.col("n_buckets").cast(
+        "double"
+    )
+    return b.select(
+        "n_rows",
+        "is_corpus",
+        "n_planes",
+        "n_buckets",
+        width.alias("expected_width"),
+        (width * width * F.lit(float(dim))).alias("gram_flops_per_task"),
+    ).orderBy("n_rows", "is_corpus")
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------
@@ -18170,6 +18238,7 @@ OVERFLOW_SENSITIVE = frozenset({
     "q283_ivf_staleness_audit",
     "q293_source_datasheet",  # DECIMAL-staged squared lang counts (q213)
     "q294_streaming_ivf_cell_stats",
+    "q295_adaptive_plan_report",  # ladder literal hits the 2^26 marker
 })
 
 for _q in OVERFLOW_SENSITIVE:

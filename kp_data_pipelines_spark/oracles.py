@@ -3503,6 +3503,50 @@ def ivf_cell_stats_sql(n_centroids: int = 16) -> str:
     """
 
 
+ADAPTIVE_PLAN_GRID = (
+    1_000, 10_000, 100_000, 1_000_000, 10_000_000, 100_000_000,
+    1_000_000_000,
+)
+
+
+def adaptive_plan_report_sql(dim: int = 64) -> str:
+    """Twin of q295: the adaptive LSH parameterization decision table —
+    for a literal corpus-size grid plus THIS corpus's embeddings count,
+    the derived plane count (the exact integer CASE ladder of
+    ``adaptive_n_planes``), bucket count, expected bucket width, and
+    per-task gram flops. Verifies the ladder inside the oracle gate at
+    every SF, not just in unit tests."""
+    sizes = ", ".join(str(n) for n in ADAPTIVE_PLAN_GRID)
+    pows = ", ".join(
+        str(1 << i) for i in range(GRAM_MAX_PLANES + 1)
+    )
+    return f"""
+    WITH sizes AS (
+      SELECT CAST(unnest([{sizes}]) AS BIGINT) AS n_rows,
+             CAST(0 AS BIGINT) AS is_corpus
+      UNION ALL
+      SELECT CAST(COUNT(*) AS BIGINT), CAST(1 AS BIGINT) FROM embeddings
+    ),
+    p AS (
+      SELECT n_rows, is_corpus,
+             CAST({adaptive_n_planes_case_sql('n_rows')} AS BIGINT) AS n_planes
+      FROM sizes
+    ),
+    b AS (
+      SELECT n_rows, is_corpus, n_planes,
+             CAST(([{pows}])[n_planes + 1] AS BIGINT) AS n_buckets
+      FROM p
+    )
+    SELECT n_rows, is_corpus, n_planes, n_buckets,
+           CAST(n_rows AS DOUBLE) / CAST(n_buckets AS DOUBLE)
+             AS expected_width,
+           (CAST(n_rows AS DOUBLE) / CAST(n_buckets AS DOUBLE))
+             * (CAST(n_rows AS DOUBLE) / CAST(n_buckets AS DOUBLE))
+             * CAST({dim} AS DOUBLE) AS gram_flops_per_task
+    FROM b ORDER BY n_rows, is_corpus
+    """
+
+
 def ivf_staleness_sql(n_centroids: int = 16) -> str:
     """Twin of q283: index-staleness audit. Centroids are the
     deterministic ivf_centroids seed over the EVEN-vec_id wave (first
