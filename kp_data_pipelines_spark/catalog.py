@@ -17855,23 +17855,23 @@ def q290_intra_doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
 
 @register("q291_bpe_merge_pairs", oracles.bpe_merge_pairs_sql())
 def q291_bpe_merge_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Distributed BPE tokenizer-training support: the FIRST merge
-    iteration's pair statistics — adjacent character-pair frequencies
-    weighted by word frequency, top-20 merge candidates with the
-    deterministic (count DESC, pair ASC) tie-break. This is the inner
-    loop of byte-pair-encoding training; at 100 TB you cannot iterate
-    over tokens, so the counting uses the classic BPE trick: aggregate
-    the corpus to its DISTINCT-WORD frequency table first (one shuffle;
-    vocabulary grows ~Heaps-law sublinearly, q284), then expand each
-    distinct word ONCE into its character pairs weighted by freq — the
-    per-word higher-order transform runs over the vocab table (bounded
-    by |vocab| x avg word length), never over corpus tokens. Second
-    shuffle is the pair-count agg; the top-k is TakeOrdered. Subsequent
-    merge rounds reuse the same shape over the re-segmented vocab
-    (symbols instead of chars); q279 measures the RESULTING tokenizer's
-    fertility — this query is how the tokenizer gets trained. No
-    end-of-word marker (documented simplification; adding one appends a
-    sentinel symbol per word, same shape)."""
+    """Distributed BPE tokenizer-training support — q138's statistic
+    (adjacent character-pair frequency, the quantity each BPE merge
+    round maximizes) re-planned for 100 TB: q138 explodes every WORD
+    INSTANCE (corpus-token-scale generator work), while this query uses
+    the classic BPE trick of aggregating to the DISTINCT-WORD frequency
+    table first (one shuffle; vocabulary grows ~Heaps-law sublinearly,
+    q284) and expanding each distinct word ONCE into its character
+    pairs weighted by freq — the per-word higher-order transform runs
+    over the vocab table (bounded by |vocab| x avg word length), never
+    over corpus tokens. Also normalizes first (lower/trim/whitespace —
+    the winnowing convention a real trainer uses; q138 counts raw
+    text). Second shuffle is the pair-count agg; the top-k is
+    TakeOrdered. Subsequent merge rounds reuse the same shape over the
+    re-segmented vocab (symbols instead of chars); q279 measures the
+    RESULTING tokenizer's fertility. No end-of-word marker (documented
+    simplification; adding one appends a sentinel symbol per word, same
+    shape)."""
     docs = ensure_parallelism(
         read_table(spark, sf, "documents").select("text")
     )
@@ -18158,6 +18158,95 @@ def q295_adaptive_plan_report(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("n_rows", "is_corpus")
 
 
+@register(
+    "q296_text_embedding_alignment",
+    oracles.text_embedding_alignment_sql(),
+)
+def q296_text_embedding_alignment(spark: SparkSession, sf: str) -> DataFrame:
+    """TOKEN-space vs VECTOR-space similarity alignment: for every
+    banded MinHash candidate pair (threshold 0 — the full equi-join
+    candidate set) whose both endpoints carry an embedding, compute the
+    exact fold cosine and aggregate per estimated-Jaccard octile — the
+    calibration table that says whether an embedding-cosine threshold
+    can REPLACE the token threshold for dedup (q281's cross-lingual
+    pass assumes it can; this measures the mapping on this corpus). A
+    rising mean-cosine curve over octiles = the spaces agree; a flat
+    one = embedding dedup would drop different mass than token dedup.
+    Scale shape: candidates are the banded equi-join (never all-pairs),
+    two keyed joins attach endpoint vectors, one 8-row aggregate;
+    est*8 is an exact dyadic (matches/4) so octile floors are
+    bit-identical cross-engine; mean est from integer match counts,
+    mean cosine DECIMAL-staged (q283 pattern)."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        _dot,
+        minhash_near_dups,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    pairs = minhash_near_dups(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=32, bands=16,
+        jaccard_threshold=0.0, portable_hash=True,
+    ).select("id_a", "id_b", "est_jaccard")
+    emb = read_table(spark, sf, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ev = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.sqrt(_dot(v, v)).alias("nrm"),
+    )
+    pe = (
+        pairs.join(
+            ev.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("v").alias("va"),
+                F.col("nrm").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            ev.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("v").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "id_b",
+        )
+        .select(
+            "est_jaccard",
+            (
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            ).alias("cos"),
+        )
+    )
+    bkt = pe.select(
+        F.least(
+            F.floor(F.col("est_jaccard") * F.lit(8.0)).cast("bigint"),
+            F.lit(7).cast("bigint"),
+        ).alias("est_octile"),
+        F.round(F.col("est_jaccard") * F.lit(32)).cast("bigint").alias("mk"),
+        "cos",
+    )
+    return (
+        bkt.groupBy("est_octile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            (
+                F.sum("mk").cast("double")
+                / F.lit(32.0)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_est_jaccard"),
+            (
+                F.sum(
+                    F.expr("CAST(round(cos * 1.0e9) AS DECIMAL(38,0))")
+                ).cast("double")
+                / F.lit(1.0e9)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_cos"),
+        )
+        .orderBy("est_octile")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------
@@ -18239,6 +18328,7 @@ OVERFLOW_SENSITIVE = frozenset({
     "q293_source_datasheet",  # DECIMAL-staged squared lang counts (q213)
     "q294_streaming_ivf_cell_stats",
     "q295_adaptive_plan_report",  # ladder literal hits the 2^26 marker
+    "q296_text_embedding_alignment",  # DECIMAL-staged mean cosine
 })
 
 for _q in OVERFLOW_SENSITIVE:

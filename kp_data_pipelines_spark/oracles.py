@@ -3547,6 +3547,49 @@ def adaptive_plan_report_sql(dim: int = 64) -> str:
     """
 
 
+def text_embedding_alignment_sql(
+    k: int = 3, num_hashes: int = 32, bands: int = 16,
+) -> str:
+    """Twin of q296: token-space vs vector-space similarity alignment.
+    Every banded MinHash candidate pair (threshold 0 — the full
+    equi-join candidate set) whose BOTH endpoints carry an embedding
+    gets the exact fold cosine; per est-Jaccard octile: pair count,
+    mean estimated Jaccard (integer match counts / 32), and the
+    DECIMAL-staged mean cosine. est*8 is an exact dyadic multiple
+    (matches/4), so the bucketing floor is bit-identical on both
+    engines."""
+    return f"""
+    WITH {_minhash_pairs_core(k, num_hashes, bands, 0.0)},
+    ev AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt({_dot("CAST(embedding AS DOUBLE[])",
+                        "CAST(embedding AS DOUBLE[])")}) AS nrm
+      FROM embeddings
+    ),
+    pe AS (
+      SELECT p.est_jaccard,
+             {_dot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+      FROM pairs p
+      JOIN ev a ON a.vec_id = p.id_a
+      JOIN ev b ON b.vec_id = p.id_b
+    ),
+    bkt AS (
+      SELECT CAST(least(CAST(floor(est_jaccard * 8.0) AS BIGINT), 7)
+                  AS BIGINT) AS est_octile,
+             CAST(round(est_jaccard * {num_hashes}) AS BIGINT) AS mk,
+             cos
+      FROM pe
+    )
+    SELECT est_octile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(mk) AS DOUBLE) / {float(num_hashes)}
+             / CAST(COUNT(*) AS DOUBLE) AS mean_est_jaccard,
+           CAST(SUM(CAST(round(cos * 1.0e9) AS DECIMAL(38,0))) AS DOUBLE)
+             / 1.0e9 / CAST(COUNT(*) AS DOUBLE) AS mean_cos
+    FROM bkt GROUP BY est_octile ORDER BY est_octile
+    """
+
+
 def ivf_staleness_sql(n_centroids: int = 16) -> str:
     """Twin of q283: index-staleness audit. Centroids are the
     deterministic ivf_centroids seed over the EVEN-vec_id wave (first
