@@ -63,6 +63,9 @@ DEFAULT = [
     "q290_intra_doc_repetition",
     "q291_bpe_merge_pairs",
     "q292_warm_start_components",
+    "q293_source_datasheet",
+    "q294_streaming_ivf_cell_stats",
+    "q295_adaptive_plan_report",
 ]
 
 
