@@ -17378,7 +17378,10 @@ def q284_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
     checkpoint rescan, no distinct-per-prefix shuffle); corpus size
     attaches via ``broadcast_scalar``; the result is built from two
     1-row scalar aggregates exploded to a 4-row grid."""
-    from kp_data_pipelines_spark.operators.textops import poly_token_hashes
+    from kp_data_pipelines_spark.operators.textops import (
+        poly_token_hashes,
+        vocab_growth_table,
+    )
 
     docs = read_table(spark, sf, "documents")
     nsc = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
@@ -17386,56 +17389,11 @@ def q284_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.explode(poly_token_hashes("text")).alias("th")
     )
     fo = toks.groupBy("th").agg(F.min("doc_id").alias("fd"))
-
-    def quartile_sums(df: DataFrame, cond_col: str, val, prefix: str):
-        return df.crossJoin(broadcast_scalar(nsc)).agg(
-            *[
-                F.sum(
-                    F.when(
-                        F.col(cond_col) < F.expr(f"(n * {k}) div 4"), val
-                    ).otherwise(F.lit(0))
-                )
-                .cast("bigint")
-                .alias(f"{prefix}{k}")
-                for k in (1, 2, 3, 4)
-            ]
-        )
-
-    vr = quartile_sums(fo, "fd", F.lit(1), "v")
     dc = docs.select(
         "doc_id",
         F.size(poly_token_hashes("text")).cast("bigint").alias("tc"),
     )
-    tr = quartile_sums(dc, "doc_id", F.col("tc"), "t")
-    grid = spark.range(1, 5).select(
-        F.col("id").cast("bigint").alias("checkpoint")
-    )
-    varr = F.array(*[F.col(f"v{k}") for k in (1, 2, 3, 4)])
-    tarr = F.array(*[F.col(f"t{k}") for k in (1, 2, 3, 4)])
-    k = F.col("checkpoint")
-    vocab = F.element_at(varr, k.cast("int"))
-    ntok = F.element_at(tarr, k.cast("int"))
-    prev_v = F.when(k == 1, F.lit(0).cast("bigint")).otherwise(
-        F.element_at(varr, (k - 1).cast("int"))
-    )
-    return (
-        grid.crossJoin(broadcast_scalar(vr))
-        .crossJoin(broadcast_scalar(tr))
-        .crossJoin(broadcast_scalar(nsc))
-        .select(
-            "checkpoint",
-            F.expr("(n * checkpoint) div 4").cast("bigint").alias(
-                "cutoff_doc"
-            ),
-            ntok.alias("n_tokens"),
-            vocab.alias("vocab"),
-            (vocab - prev_v).cast("bigint").alias("new_vocab"),
-            (vocab.cast("double") / ntok.cast("double")).alias(
-                "type_token_ratio"
-            ),
-        )
-        .orderBy("checkpoint")
-    )
+    return vocab_growth_table(fo, dc, nsc)
 
 
 @register("q285_split_leakage_audit", oracles.split_leakage_audit_sql())
@@ -18245,6 +18203,33 @@ def q296_text_embedding_alignment(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("est_octile")
     )
+
+
+@register("q297_streaming_vocab_growth", oracles.vocab_growth_sql())
+def q297_streaming_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """q284's DEPLOY shape: the Heaps-law vocabulary monitor fed by a
+    STREAM — each micro-batch emits a mergeable vocabulary partial
+    (token-hash -> min doc_id: MIN merges exactly across ANY batching,
+    the third mergeable-state pattern beside q254's counts and q294's
+    DECIMAL sums; plus per-doc token counts and the batch doc count),
+    and the merged tables run through the SAME final-stage arithmetic
+    as batch q284 (textops.vocab_growth_table) — so the streaming
+    monitor is bit-identical to the batch audit and shares its oracle.
+    At 100 TB this means the tokenizer-sizing curve is maintained
+    incrementally (per-batch vocab-sized partials) instead of re-scanned
+    corpus-wide per report. Operator in streaming/drift.py; any-wave
+    stream==batch pinned by test."""
+    from kp_data_pipelines_spark.streaming.drift import vocab_growth_stream
+
+    docs_path = f"{sf}/documents.parquet"
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+        .select("doc_id", "text")
+    )
+    return vocab_growth_stream(stream)
 
 
 # ---------------------------------------------------------------------------

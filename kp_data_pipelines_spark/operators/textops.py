@@ -522,3 +522,64 @@ def with_cdc_chunks(
     return df.withColumn(
         out, F.explode(_cdc_kernel(w, mask)(norm))
     )
+
+
+def vocab_growth_table(fo, dc, nsc):
+    """q284's final stage, shared with the streaming twin (q297): given
+    the first-occurrence table ``fo(th, fd)`` (token hash -> min doc_id
+    — MIN is mergeable, so per-batch partials compose exactly), the
+    per-doc token counts ``dc(doc_id, tc)`` and the 1-row corpus count
+    ``nsc(n)``, build the 4-row Heaps-law checkpoint table: distinct
+    tokens, new tokens, and type-token ratio at the 25/50/75/100% doc
+    prefixes. Two conditional-sum scalar aggregates over the token and
+    doc tables (the first-occurrence trick — no per-checkpoint rescan),
+    exploded onto a literal 4-row grid."""
+    from kp_data_pipelines_spark.operators.joins import broadcast_scalar
+
+    spark = fo.sparkSession
+
+    def quartile_sums(df, cond_col, val, prefix):
+        return df.crossJoin(broadcast_scalar(nsc)).agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.col(cond_col) < F.expr(f"(n * {k}) div 4"), val
+                    ).otherwise(F.lit(0))
+                )
+                .cast("bigint")
+                .alias(f"{prefix}{k}")
+                for k in (1, 2, 3, 4)
+            ]
+        )
+
+    vr = quartile_sums(fo, "fd", F.lit(1), "v")
+    tr = quartile_sums(dc, "doc_id", F.col("tc"), "t")
+    grid = spark.range(1, 5).select(
+        F.col("id").cast("bigint").alias("checkpoint")
+    )
+    varr = F.array(*[F.col(f"v{k}") for k in (1, 2, 3, 4)])
+    tarr = F.array(*[F.col(f"t{k}") for k in (1, 2, 3, 4)])
+    k = F.col("checkpoint")
+    vocab = F.element_at(varr, k.cast("int"))
+    ntok = F.element_at(tarr, k.cast("int"))
+    prev_v = F.when(k == 1, F.lit(0).cast("bigint")).otherwise(
+        F.element_at(varr, (k - 1).cast("int"))
+    )
+    return (
+        grid.crossJoin(broadcast_scalar(vr))
+        .crossJoin(broadcast_scalar(tr))
+        .crossJoin(broadcast_scalar(nsc))
+        .select(
+            "checkpoint",
+            F.expr("(n * checkpoint) div 4").cast("bigint").alias(
+                "cutoff_doc"
+            ),
+            ntok.alias("n_tokens"),
+            vocab.alias("vocab"),
+            (vocab - prev_v).cast("bigint").alias("new_vocab"),
+            (vocab.cast("double") / ntok.cast("double")).alias(
+                "type_token_ratio"
+            ),
+        )
+        .orderBy("checkpoint")
+    )

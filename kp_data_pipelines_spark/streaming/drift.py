@@ -218,3 +218,76 @@ def ivf_cell_stats_stream(
         checkpoint_dir=checkpoint_dir,
     )
     return finalize_ivf_cells(partials, len(centroids))
+
+
+VOCAB_PARTIAL_SCHEMA = "kind long, key long, val long"
+
+
+def vocab_partial(batch: DataFrame) -> DataFrame:
+    """One trigger's vocabulary partial, packed into one tall
+    (kind, key, val) frame so a single foreachBatch sink carries all
+    three mergeable pieces: kind 0 = (token hash -> min doc_id in this
+    batch) — MIN merges exactly across batches; kind 1 = (doc_id ->
+    token count) — each doc lives in exactly one batch; kind 2 =
+    (0 -> batch doc count) — sums."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        ensure_parallelism,
+    )
+    from kp_data_pipelines_spark.operators.textops import poly_token_hashes
+
+    b = ensure_parallelism(batch.select("doc_id", "text"))
+    fo = (
+        b.select("doc_id", F.explode(poly_token_hashes("text")).alias("th"))
+        .groupBy("th")
+        .agg(F.min("doc_id").alias("fd"))
+        .select(
+            F.lit(0).cast("bigint").alias("kind"),
+            F.col("th").alias("key"),
+            F.col("fd").cast("bigint").alias("val"),
+        )
+    )
+    dc = b.select(
+        F.lit(1).cast("bigint").alias("kind"),
+        F.col("doc_id").cast("bigint").alias("key"),
+        F.size(poly_token_hashes("text")).cast("bigint").alias("val"),
+    )
+    n = b.agg(F.count(F.lit(1)).cast("bigint").alias("val")).select(
+        F.lit(2).cast("bigint").alias("kind"),
+        F.lit(0).cast("bigint").alias("key"),
+        "val",
+    )
+    return fo.unionByName(dc).unionByName(n)
+
+
+def vocab_growth_stream(
+    stream_df: DataFrame, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Streaming Heaps-law monitor — q284's deploy shape: the corpus
+    arrives as a backlog and each micro-batch emits its vocabulary
+    partial; merged first-occurrences (MIN per token hash — exact under
+    ANY batching, the mergeable-MIN pattern beside q254's counts and
+    q294's DECIMAL sums), per-doc token counts, and the doc total feed
+    the SAME final-stage arithmetic as batch q284
+    (``textops.vocab_growth_table``), so stream == batch bit-for-bit."""
+    from kp_data_pipelines_spark.streaming.events import (
+        run_available_now_foreach_batch,
+    )
+
+    partials = run_available_now_foreach_batch(
+        stream_df, vocab_partial, VOCAB_PARTIAL_SCHEMA,
+        checkpoint_dir=checkpoint_dir,
+    )
+    from kp_data_pipelines_spark.operators.textops import vocab_growth_table
+
+    fo = (
+        partials.filter(F.col("kind") == 0)
+        .groupBy(F.col("key").alias("th"))
+        .agg(F.min("val").alias("fd"))
+    )
+    dc = partials.filter(F.col("kind") == 1).select(
+        F.col("key").alias("doc_id"), F.col("val").alias("tc")
+    )
+    nsc = partials.filter(F.col("kind") == 2).agg(
+        F.sum("val").cast("bigint").alias("n")
+    )
+    return vocab_growth_table(fo, dc, nsc)

@@ -784,3 +784,39 @@ def test_ivf_cell_stats_stream_equals_batch_any_wave_order(spark, tmp_path):
         ).collect()
     }
     assert got == want  # exact, including the float share/mean bits
+
+
+def test_vocab_growth_stream_equals_batch_any_wave_order(spark, tmp_path):
+    """Stream-over-SHUFFLED-waves == batch q284: the vocabulary partial
+    merges by MIN (first occurrence per token hash), per-doc counts are
+    disjoint across batches, and doc totals sum — all order-insensitive,
+    so three doc_id%3 waves must reproduce the batch Heaps-law table
+    bit-for-bit (including the float type-token ratios)."""
+    from kp_data_pipelines_spark.catalog import QUERIES
+    from kp_data_pipelines_spark.streaming.drift import vocab_growth_stream
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = {
+        r["checkpoint"]: tuple(r)[1:]
+        for r in QUERIES["q284_vocab_growth"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    src = str(tmp_path / "waves")
+    for wave in range(3):
+        docs.filter(F.pmod("doc_id", F.lit(3)) == wave).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("doc_id", "text")
+    )
+    got = {
+        r["checkpoint"]: tuple(r)[1:]
+        for r in vocab_growth_stream(
+            stream, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert got == want
