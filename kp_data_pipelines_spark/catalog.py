@@ -18232,6 +18232,89 @@ def q297_streaming_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
     return vocab_growth_stream(stream)
 
 
+@register(
+    "q298_lsh_collision_calibration",
+    oracles.lsh_collision_calibration_sql(),
+)
+def q298_lsh_collision_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """EMPIRICAL calibration of the LSH blocking key: on a linear
+    consecutive-vec_id pair sample (q270's pattern — an equi-join on
+    vec_id+1, never all-pairs), the bucket-collision rate per cosine
+    octile UNDER THE ADAPTIVE PLANE COUNT — i.e. the measured
+    single-probe recall curve of exactly the index q226/q269/q281 run
+    on. Read with q295 (the parameter table) and q277 (the multiprobe
+    knob): if the collision rate at your similarity threshold is below
+    target recall, q277's probe count m is the lever — this table says
+    by how much, from ONE linear scan instead of a ground-truth kNN
+    audit (q265's heavier exact pass). Cosines are exact sequential
+    folds, so the (cos+1)*4 octile floors are bit-identical
+    cross-engine; mean cosine is DECIMAL-staged (q283 pattern)."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        _dot,
+        adaptive_n_planes,
+        ensure_parallelism,
+        simhash_planes,
+        with_hyperplane_bucket,
+    )
+
+    emb = read_table(spark, sf, "embeddings")
+    n_planes = adaptive_n_planes(emb.count())  # 1-row scalar action
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = ensure_parallelism(emb.select("vec_id", v.alias("v")))
+    b = with_hyperplane_bucket(e, "v", simhash_planes(64, n_planes, 7))
+    b = b.select(
+        "vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
+        "bucket",
+    )
+    pairs = (
+        b.alias("a")
+        .join(
+            b.select(
+                (F.col("vec_id") - 1).alias("vec_id"),
+                F.col("v").alias("vb"),
+                F.col("nrm").alias("nb"),
+                F.col("bucket").alias("bucket_b"),
+            ).alias("c"),
+            "vec_id",
+        )
+        .select(
+            (
+                _dot(F.col("v"), F.col("vb")) / (F.col("nrm") * F.col("nb"))
+            ).alias("cos"),
+            (F.col("bucket") == F.col("bucket_b")).cast("int").alias(
+                "same_b"
+            ),
+        )
+    )
+    k = pairs.select(
+        F.least(
+            F.floor((F.col("cos") + F.lit(1.0)) * F.lit(4.0)).cast("bigint"),
+            F.lit(7).cast("bigint"),
+        ).alias("cos_octile"),
+        "same_b",
+        "cos",
+    )
+    return (
+        k.groupBy("cos_octile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("same_b").cast("bigint").alias("n_same_bucket"),
+            (
+                F.sum("same_b").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("collision_rate"),
+            (
+                F.sum(
+                    F.expr("CAST(round(cos * 1.0e9) AS DECIMAL(38,0))")
+                ).cast("double")
+                / F.lit(1.0e9)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_cos"),
+        )
+        .orderBy("cos_octile")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------
@@ -18314,6 +18397,7 @@ OVERFLOW_SENSITIVE = frozenset({
     "q294_streaming_ivf_cell_stats",
     "q295_adaptive_plan_report",  # ladder literal hits the 2^26 marker
     "q296_text_embedding_alignment",  # DECIMAL-staged mean cosine
+    "q298_lsh_collision_calibration",  # adaptive ladder + DECIMAL cosine
 })
 
 for _q in OVERFLOW_SENSITIVE:

@@ -3590,6 +3590,46 @@ def text_embedding_alignment_sql(
     """
 
 
+def lsh_collision_calibration_sql(seed: int = 7) -> str:
+    """Twin of q298: empirical hyperplane-LSH bucket-collision rate vs
+    cosine, on the linear consecutive-vec_id pair sample (q270's
+    pattern), under the ADAPTIVE plane count (same COUNT(*) CASE ladder
+    + 24-bit-code prefix as q226/q269/q281). Cosines are exact folds so
+    the (cos+1)*4 octile floors are bit-identical cross-engine; mean
+    cosine is DECIMAL-staged."""
+    planes = simhash_planes(EMBEDDING_DIM, GRAM_MAX_PLANES, seed)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    {_adaptive_np_cte()},
+    b AS (
+      SELECT vec_id, v, sqrt({_dot("v", "v")}) AS nrm,
+             substr({_bucket_expr("v", planes)}, 1, np) AS bucket
+      FROM e CROSS JOIN nps
+    ),
+    p AS (
+      SELECT {_dot("a.v", "b2.v")} / (a.nrm * b2.nrm) AS cos,
+             CASE WHEN a.bucket = b2.bucket THEN 1 ELSE 0 END AS same_b
+      FROM b a JOIN b b2 ON b2.vec_id = a.vec_id + 1
+    ),
+    k AS (
+      SELECT CAST(least(CAST(floor((cos + 1.0) * 4.0) AS BIGINT), 7)
+                  AS BIGINT) AS cos_octile,
+             same_b, cos
+      FROM p
+    )
+    SELECT cos_octile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(same_b) AS BIGINT) AS n_same_bucket,
+           CAST(SUM(same_b) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS collision_rate,
+           CAST(SUM(CAST(round(cos * 1.0e9) AS DECIMAL(38,0))) AS DOUBLE)
+             / 1.0e9 / CAST(COUNT(*) AS DOUBLE) AS mean_cos
+    FROM k GROUP BY cos_octile ORDER BY cos_octile
+    """
+
+
 def ivf_staleness_sql(n_centroids: int = 16) -> str:
     """Twin of q283: index-staleness audit. Centroids are the
     deterministic ivf_centroids seed over the EVEN-vec_id wave (first

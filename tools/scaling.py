@@ -66,6 +66,8 @@ DEFAULT = [
     "q293_source_datasheet",
     "q294_streaming_ivf_cell_stats",
     "q295_adaptive_plan_report",
+    "q296_text_embedding_alignment",
+    "q297_streaming_vocab_growth",
 ]
 
 
