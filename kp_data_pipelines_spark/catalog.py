@@ -18315,6 +18315,140 @@ def q298_lsh_collision_calibration(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q299_bucket_width_audit", oracles.bucket_width_audit_sql()
+)
+def q299_bucket_width_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Realized bucket-width AUDIT of the adaptive LSH index — the
+    runtime guard on the round's parameterization: q295 predicts the
+    EXPECTED width from the corpus count; this query measures the
+    ACTUAL width distribution on real (skewed) embeddings — buckets
+    used, max and mean width, and the count/row-share of buckets over
+    the GRAM_TARGET_BUCKET budget. If over_budget_row_share is large,
+    the data is clustering faster than random hyperplanes can split it
+    and the gram kernels' O(width^2) tasks need either more planes or
+    the q236-style centroid pre-block — this row is the alarm that says
+    so BEFORE a job lands on the wide bucket. Scale shape: one scan to
+    bucket (the same codes q226/q269/q281 shuffle on anyway), one keyed
+    count, one 1-row aggregate over <= 2^planes width rows."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        GRAM_TARGET_BUCKET,
+        adaptive_n_planes,
+        ensure_parallelism,
+        simhash_planes,
+        with_hyperplane_bucket,
+    )
+
+    emb = read_table(spark, sf, "embeddings")
+    n_planes = adaptive_n_planes(emb.count())  # 1-row scalar action
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = ensure_parallelism(emb.select(v.alias("v")))
+    b = with_hyperplane_bucket(e, "v", simhash_planes(64, n_planes, 7))
+    w = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("width")
+    )
+    n_buckets = 1 << n_planes
+    over = F.col("width") > GRAM_TARGET_BUCKET
+    return w.agg(
+        F.sum("width").cast("bigint").alias("n_rows"),
+        F.lit(n_planes).cast("bigint").alias("n_planes"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets_used"),
+        (
+            F.sum("width").cast("double") / F.lit(float(n_buckets))
+        ).alias("expected_width"),
+        F.max("width").cast("bigint").alias("max_width"),
+        (
+            F.sum("width").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_width"),
+        F.sum(over.cast("int")).cast("bigint").alias("n_over_budget"),
+        (
+            F.sum(F.when(over, F.col("width")).otherwise(0)).cast("double")
+            / F.sum("width").cast("double")
+        ).alias("over_budget_row_share"),
+    )
+
+
+@register("q300_token_yield_forecast", oracles.token_yield_sql())
+def q300_token_yield_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """EFFECTIVE-TOKEN-YIELD forecast per source — the number a
+    pretraining-data buyer actually negotiates on: raw token counts
+    overstate a source's value by its duplicate mass, so this table
+    prices each source by what SURVIVES the dedup funnel. Stages (all
+    verified elsewhere, composed here): BPE-ish token counts (q280's
+    regex), exact-dedup canonicals (q231's sha256 min-doc_id rule),
+    then the near-dup keep-min drop over the CANONICAL set (banded
+    MinHash pairs, q231's id_b rule). Per source: total tokens, tokens
+    lost to each stage, kept tokens, and the yield share — read beside
+    q293's datasheet (doc-level rates) and q278's threshold economics
+    (which Jaccard cut to use). Scale shape: one scan computes
+    toks/fp; the canon filter is one fp-keyed window; pairs are the
+    banded equi-join over canonicals only; everything aggregates to
+    |sources| rows."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        minhash_near_dups,
+    )
+    from kp_data_pipelines_spark.operators.textops import (
+        doc_fingerprint,
+        regex_token_count,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    base = ensure_parallelism(
+        docs.select("doc_id", "source", "text")
+    ).select(
+        "doc_id",
+        "source",
+        "text",
+        regex_token_count("text").cast("bigint").alias("toks"),
+        doc_fingerprint("text").alias("fp"),
+    )
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    ranked = base.withColumn("rn", F.row_number().over(w_fp))
+    canon = ranked.filter(F.col("rn") == 1).select(
+        "doc_id", "source", "text", "toks"
+    )
+    pairs = minhash_near_dups(
+        canon, "doc_id", "text", shingle_k=3, num_hashes=32, bands=16,
+        jaccard_threshold=0.4, portable_hash=True,
+    )
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    tagged = (
+        ranked.join(
+            dropped.withColumn("__nd", F.lit(1)), "doc_id", "left"
+        )
+        .select(
+            "source",
+            "toks",
+            (F.col("rn") > 1).cast("int").alias("ex_drop"),
+            F.when(
+                (F.col("rn") == 1) & F.col("__nd").isNotNull(), 1
+            )
+            .otherwise(0)
+            .alias("nd_drop"),
+        )
+    )
+    kept = (1 - F.col("ex_drop")) * (1 - F.col("nd_drop"))
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.sum("toks").cast("bigint").alias("total_tokens"),
+            F.sum(F.col("ex_drop") * F.col("toks"))
+            .cast("bigint")
+            .alias("exact_dropped_tokens"),
+            F.sum(F.col("nd_drop") * F.col("toks"))
+            .cast("bigint")
+            .alias("neardup_dropped_tokens"),
+            F.sum(kept * F.col("toks")).cast("bigint").alias("kept_tokens"),
+            (
+                F.sum(kept * F.col("toks")).cast("double")
+                / F.sum("toks").cast("double")
+            ).alias("yield_share"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------
@@ -18398,6 +18532,7 @@ OVERFLOW_SENSITIVE = frozenset({
     "q295_adaptive_plan_report",  # ladder literal hits the 2^26 marker
     "q296_text_embedding_alignment",  # DECIMAL-staged mean cosine
     "q298_lsh_collision_calibration",  # adaptive ladder + DECIMAL cosine
+    "q299_bucket_width_audit",  # adaptive ladder literal
 })
 
 for _q in OVERFLOW_SENSITIVE:

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from kp_data_pipelines_spark.operators.similarity import (
     GRAM_MAX_PLANES,
+    GRAM_TARGET_BUCKET,
     _hash_params,
     adaptive_n_planes_case_sql,
     simhash_planes,
@@ -3627,6 +3628,96 @@ def lsh_collision_calibration_sql(seed: int = 7) -> str:
            CAST(SUM(CAST(round(cos * 1.0e9) AS DECIMAL(38,0))) AS DOUBLE)
              / 1.0e9 / CAST(COUNT(*) AS DOUBLE) AS mean_cos
     FROM k GROUP BY cos_octile ORDER BY cos_octile
+    """
+
+
+def bucket_width_audit_sql(seed: int = 7) -> str:
+    """Twin of q299: realized LSH bucket-width audit under the adaptive
+    plane count — the runtime verification that the q295 parameter
+    table's EXPECTED width holds on real (skewed) data. One row: corpus
+    size, derived planes, buckets used, expected vs max vs mean width,
+    and the count/row-share of buckets over the GRAM_TARGET_BUCKET
+    budget."""
+    planes = simhash_planes(EMBEDDING_DIM, GRAM_MAX_PLANES, seed)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    {_adaptive_np_cte()},
+    b AS (
+      SELECT substr({_bucket_expr("v", planes)}, 1, np) AS bucket, np
+      FROM e CROSS JOIN nps
+    ),
+    w AS (
+      SELECT bucket, CAST(MAX(np) AS BIGINT) AS np,
+             CAST(COUNT(*) AS BIGINT) AS width
+      FROM b GROUP BY bucket
+    )
+    SELECT CAST(SUM(width) AS BIGINT) AS n_rows,
+           CAST(MAX(np) AS BIGINT) AS n_planes,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+           CAST(SUM(width) AS DOUBLE)
+             / CAST(([{", ".join(str(1 << i) for i in range(25))}])
+                    [MAX(np) + 1] AS DOUBLE) AS expected_width,
+           CAST(MAX(width) AS BIGINT) AS max_width,
+           CAST(SUM(width) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mean_width,
+           CAST(SUM(CASE WHEN width > {GRAM_TARGET_BUCKET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_over_budget,
+           CAST(SUM(CASE WHEN width > {GRAM_TARGET_BUCKET} THEN width
+                         ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(width) AS DOUBLE) AS over_budget_row_share
+    FROM w
+    """
+
+
+def token_yield_sql(
+    k: int = 3, num_hashes: int = 32, bands: int = 16,
+    threshold: float = 0.4,
+) -> str:
+    """Twin of q300: effective-token-yield forecast per source — total
+    tokens, tokens lost to exact dedup (non-canonical docs, q231's
+    sha256 min-doc_id rule), tokens lost to near-dup drop (banded pairs
+    over the CANONICAL set, keep-min id_b rule), kept tokens and yield
+    share. The number a pretraining-data buyer actually cares about."""
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source, text,
+             CAST(len(regexp_extract_all(text,
+                  '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS toks,
+             sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+               AS fp
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, text, toks,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM base
+    ),
+    canon AS (
+      SELECT doc_id, source, text, toks FROM ranked WHERE rn = 1
+    ),
+    {_minhash_pairs_core(k, num_hashes, bands, threshold, src="canon")},
+    dropped AS (
+      SELECT DISTINCT id_b AS doc_id FROM pairs
+      WHERE est_jaccard >= {threshold}
+    ),
+    tagged AS (
+      SELECT r.source, r.toks,
+             CASE WHEN r.rn > 1 THEN 1 ELSE 0 END AS ex_drop,
+             CASE WHEN r.rn = 1 AND d.doc_id IS NOT NULL THEN 1
+                  ELSE 0 END AS nd_drop
+      FROM ranked r LEFT JOIN dropped d ON d.doc_id = r.doc_id
+    )
+    SELECT source,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(ex_drop * toks) AS BIGINT) AS exact_dropped_tokens,
+           CAST(SUM(nd_drop * toks) AS BIGINT) AS neardup_dropped_tokens,
+           CAST(SUM((1 - ex_drop) * (1 - nd_drop) * toks) AS BIGINT)
+             AS kept_tokens,
+           CAST(SUM((1 - ex_drop) * (1 - nd_drop) * toks) AS DOUBLE)
+             / CAST(SUM(toks) AS DOUBLE) AS yield_share
+    FROM tagged GROUP BY source ORDER BY source
     """
 
 
