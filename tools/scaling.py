@@ -68,6 +68,9 @@ DEFAULT = [
     "q295_adaptive_plan_report",
     "q296_text_embedding_alignment",
     "q297_streaming_vocab_growth",
+    "q298_lsh_collision_calibration",
+    "q299_bucket_width_audit",
+    "q300_token_yield_forecast",
 ]
 
 
