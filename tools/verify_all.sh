@@ -19,9 +19,11 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 SPARK_GRAFT_BENCH_RUNS=1 python bench.
 echo "ALL GATES GREEN"
 
 # Optional heavyweight stages (set FULL=1): the whole-catalog sf0.1
-# certification (~40 min — the scripted form of the round-4 "242/242 at
-# sf0.1" claim) and the session-accumulation probe (two catalog passes in
-# one session; asserts the 10 heaviest queries stay flat — q180 lesson).
+# certification (~25 min since round 7 — no exclusions: the graph twins'
+# banded MATERIALIZED pair core and unrolled MinHash signature slots cut
+# the DuckDB side ~70x) and the session-accumulation probe (two catalog
+# passes in one session; asserts the 10 heaviest queries stay flat —
+# q180 lesson).
 if [[ "${FULL:-0}" == "1" ]]; then
   echo "=== FULL A: whole-catalog parity, sf0.1 ==="
   python tools/parity.py --full /root/testdata/sf0.1
