@@ -17583,14 +17583,16 @@ def q287_cdc_chunk_economics(spark: SparkSession, sf: str) -> DataFrame:
     group key). UNITS: whitespace-normalized characters, per-chunk
     length capped at 2^21-1 by the packed encoding (see q282); all
     counts are exact integers, shares are double ratios of exact ints."""
-    from kp_data_pipelines_spark.operators.textops import _cdc_kernel
+    from kp_data_pipelines_spark.operators.textops import (
+        _cdc_kernel,
+        normalize_ws,
+    )
 
     grid = oracles.CDC_ECON_GRID
     docs = ensure_parallelism(
         read_table(spark, sf, "documents").select("text")
     )
-    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
-    staged = docs.select(norm.alias("t"))
+    staged = docs.select(normalize_ws("text").alias("t"))
     def _tagger(w: int, m: int):
         return lambda x: F.struct(
             F.lit(w).cast("bigint").alias("w"),
@@ -17830,12 +17832,13 @@ def q291_bpe_merge_pairs(spark: SparkSession, sf: str) -> DataFrame:
     RESULTING tokenizer's fertility. No end-of-word marker (documented
     simplification; adding one appends a sentinel symbol per word, same
     shape)."""
+    from kp_data_pipelines_spark.operators.textops import normalize_ws
+
     docs = ensure_parallelism(
         read_table(spark, sf, "documents").select("text")
     )
-    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     words = docs.select(
-        F.explode(F.split(norm, " ")).alias("word")
+        F.explode(F.split(normalize_ws("text"), " ")).alias("word")
     ).filter(F.col("word") != "")
     wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
     pairs = (
@@ -18137,6 +18140,7 @@ def q296_text_embedding_alignment(spark: SparkSession, sf: str) -> DataFrame:
     mean cosine DECIMAL-staged (q283 pattern)."""
     from kp_data_pipelines_spark.operators.similarity import (
         _dot,
+        ensure_parallelism,
         minhash_near_dups,
     )
 
@@ -18145,7 +18149,7 @@ def q296_text_embedding_alignment(spark: SparkSession, sf: str) -> DataFrame:
         docs, "doc_id", "text", shingle_k=3, num_hashes=32, bands=16,
         jaccard_threshold=0.0, portable_hash=True,
     ).select("id_a", "id_b", "est_jaccard")
-    emb = read_table(spark, sf, "embeddings")
+    emb = ensure_parallelism(read_table(spark, sf, "embeddings"))
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     ev = emb.select(
         "vec_id",

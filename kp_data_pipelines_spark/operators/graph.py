@@ -130,22 +130,36 @@ def warm_start_components(
     the index-lifecycle answer to "a wave landed; which dedup clusters
     changed?" without paying the cold O(log diameter) rounds again.
 
-    Initial labels: every node of ``edges`` takes its prior component
-    if it has one, else itself; prior nodes absent from ``edges`` keep
-    their prior label (so untouched components pass through). The
-    result equals ``connected_components`` over ``edges`` PLUS the
-    equivalences already encoded in ``prior`` — when ``edges`` is the
-    full current pair set and ``prior`` came from a subset of it (the
-    usual incremental deploy: band signatures are doc-intrinsic, so
-    old-wave pairs are a subset of full-corpus pairs), that is exactly
-    the cold-start answer, reached in O(1) rounds when the wave merges
-    little (pinned by test: warm rounds < cold rounds, same partition).
-    Returns ``(labels, rounds)``; rounds is the convergence telemetry a
-    scheduler would use to decide when incremental stops paying and a
-    full rebuild is due."""
-    e = _symmetrize(edges, src, dst)
+    The result equals ``connected_components`` over ``edges`` PLUS the
+    equivalences already encoded in ``prior`` — enforced
+    UNCONDITIONALLY by unioning each prior (node, component) row into
+    the edge set as an equivalence edge, so a prior link survives even
+    when the pair that justified it is absent from ``edges`` (an
+    incremental new-wave-only pair set). Initial labels: every node
+    takes its prior component if it has one, else itself — already the
+    fixpoint wherever the wave changed nothing, so a quiet wave
+    converges in O(1) rounds instead of O(log diameter) (pinned by
+    test: warm rounds < cold rounds, same partition). When ``edges`` is
+    the full current pair set and ``prior`` came from a subset of it
+    (the usual deploy — band signatures are doc-intrinsic, so old-wave
+    pairs are a subset of full-corpus pairs), the prior-equivalence
+    edges are redundant and the result is exactly the cold-start
+    answer. Returns ``(labels, rounds)``; rounds is the convergence
+    telemetry a scheduler would use to decide when incremental stops
+    paying and a full rebuild is due."""
     p = prior.select(
         F.col(node_col).alias("node"), F.col(comp_col).alias("p_comp")
+    )
+    # prior equivalences become edges: the contract must hold even when
+    # the pair that produced a prior link is not re-derivable from the
+    # current edge set (new-wave-only candidates)
+    prior_edges = p.filter(F.col("node") != F.col("p_comp")).select(
+        F.col("node").alias(src), F.col("p_comp").alias(dst)
+    )
+    e = _symmetrize(
+        edges.select(F.col(src), F.col(dst)).unionByName(prior_edges),
+        src,
+        dst,
     )
     edge_nodes = e.select(F.col("a").alias("node")).distinct()
     seeded = (

@@ -202,7 +202,11 @@ def adaptive_n_planes_case_sql(
 ) -> str:
     """SQL CASE-ladder twin of ``adaptive_n_planes`` over an integer
     count expression — same integer thresholds, so DuckDB computes the
-    identical plane count from COUNT(*) at any scale factor."""
+    identical plane count from COUNT(*) at any scale factor. When
+    min_planes == max_planes there is no ladder to walk: emit the
+    constant (a zero-WHEN CASE is a parse error)."""
+    if min_planes >= max_planes:
+        return f"({max_planes})"
     whens = " ".join(
         f"WHEN {count_expr} <= {target_bucket << p} THEN {p}"
         for p in range(min_planes, max_planes)

@@ -518,10 +518,20 @@ def with_cdc_chunks(
     ``fp * 2^21 + len`` BIGINTs, see ``_cdc_kernel``). Text is
     whitespace-normalized + lowercased first (the winnowing convention).
     Rows with NULL text produce no chunks."""
-    norm = F.lower(F.trim(F.regexp_replace(_c(text_col), r"\s+", " ")))
     return df.withColumn(
-        out, F.explode(_cdc_kernel(w, mask)(norm))
+        out, F.explode(_cdc_kernel(w, mask)(normalize_ws(text_col)))
     )
+
+
+def normalize_ws(col: Column | str) -> Column:
+    """The parity-critical whitespace normalization shared by the CDC /
+    winnowing / BPE text paths: ``lower(trim(regexp_replace(col,
+    '\\s+', ' ')))``. EVERY caller must use this helper — the DuckDB
+    twins embed the byte-equivalent ``lower(trim(regexp_replace(...,
+    'g')))``, and a drifted copy silently changes chunk identities or
+    word frequencies on one engine only (round-7 review finding: the
+    expression had been copy-pasted at four sites)."""
+    return F.lower(F.trim(F.regexp_replace(_c(col), r"\s+", " ")))
 
 
 def vocab_growth_table(fo, dc, nsc):

@@ -3456,16 +3456,23 @@ def ivf_cell_stats_sql(n_centroids: int = 16) -> str:
     even-vec_id centroid seed — per cell: occupancy, share, and the
     DECIMAL-staged mean assigned cosine. Same assignment arithmetic as
     ``ivf_staleness_sql`` (fold cosines, (cos DESC, cid DESC)
-    tie-break, centroid-norm zero guard); the streaming side's partials
-    merge to exactly this."""
+    tie-break, centroid-norm zero guard); zero-norm rows are filtered
+    at entry exactly like the streaming side; the streaming side's
+    partials merge to exactly this."""
     return f"""
-    WITH e AS (
+    WITH e0 AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
+    e AS (
+      SELECT vec_id, v FROM e0 WHERE sqrt({_dot("v", "v")}) > 0
+    ),
     c0 AS (
+      -- centroid seed from the UNFILTERED even wave (the Spark side's
+      -- ivf_centroids reads raw rows; only assignment rows are
+      -- zero-norm-filtered, and centroid norms carry the `or 1.0` guard)
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
              v AS cv
-      FROM e WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT {n_centroids}
+      FROM e0 WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT {n_centroids}
     ),
     cn AS (
       SELECT cid, cv,

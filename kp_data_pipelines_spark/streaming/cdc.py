@@ -58,11 +58,15 @@ def _chunk_rows(batch: DataFrame, w: int, mask: int) -> DataFrame:
     from kp_data_pipelines_spark.operators.similarity import (
         ensure_parallelism,
     )
-    from kp_data_pipelines_spark.operators.textops import _cdc_kernel
+    from kp_data_pipelines_spark.operators.textops import (
+        _cdc_kernel,
+        normalize_ws,
+    )
 
-    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     return (
-        ensure_parallelism(batch.select("doc_id", "source", norm.alias("t")))
+        ensure_parallelism(
+            batch.select("doc_id", "source", normalize_ws("text").alias("t"))
+        )
         .select(
             "doc_id",
             "source",
@@ -89,8 +93,13 @@ def _cdc_ingest_partial(
     seen = read_state_parquet(spark, state_dir, "packed long").select(
         "packed"
     ).distinct()
-    keeper = rows.groupBy("packed").agg(
-        F.min(F.struct("doc_id", "pos")).alias("kp")
+    # checkpointed: the keeper aggregate feeds BOTH the partial and the
+    # store-append actions — without this the groupBy over every chunk
+    # instance would run twice per trigger
+    keeper = (
+        rows.groupBy("packed")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("kp"))
+        .localCheckpoint(eager=True)
     )
     seen_flag = seen.withColumn("__seen", F.lit(1))
     tagged = (

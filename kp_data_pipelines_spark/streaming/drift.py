@@ -108,7 +108,12 @@ def ivf_cell_partial(batch: DataFrame, centroids) -> DataFrame:
     bit-identical to the reverse(array_sort) expression twin), fold the
     cosine against only the ASSIGNED centroid (q283's element_at
     staging — never the k*dim interpreted tree), and emit the mergeable
-    per-cell (count, DECIMAL-staged quantized-cosine sum) pair."""
+    per-cell (count, DECIMAL-staged quantized-cosine sum) pair.
+    Zero-norm vectors are FILTERED at entry (both engines): the
+    assignment kernel's row norms are unguarded (NaN cosines), and
+    under ANSI a NaN reaching the DECIMAL quantization would kill the
+    whole micro-batch — one bad vector must not poison the monitoring
+    stream."""
     import math
 
     from kp_data_pipelines_spark.operators.similarity import (
@@ -126,8 +131,10 @@ def ivf_cell_partial(batch: DataFrame, centroids) -> DataFrame:
             for _, cv in centroids
         ]
     )
+    nz = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     staged = (
         ensure_parallelism(batch)
+        .filter(F.sqrt(_dot(nz, nz)) > 0)
         .withColumn(
             "cid",
             _nearest_centroid_kernel(centroids)(F.col("embedding")).cast(
@@ -235,9 +242,14 @@ def vocab_partial(batch: DataFrame) -> DataFrame:
     )
     from kp_data_pipelines_spark.operators.textops import poly_token_hashes
 
-    b = ensure_parallelism(batch.select("doc_id", "text"))
+    # tokenize ONCE per doc per trigger: the hash array feeds both the
+    # first-occurrence explode and the per-doc count (review finding:
+    # the HOF kernel is the dominant per-row cost and ran twice)
+    b = ensure_parallelism(batch.select("doc_id", "text")).select(
+        "doc_id", poly_token_hashes("text").alias("__th")
+    ).localCheckpoint(eager=True)
     fo = (
-        b.select("doc_id", F.explode(poly_token_hashes("text")).alias("th"))
+        b.select("doc_id", F.explode("__th").alias("th"))
         .groupBy("th")
         .agg(F.min("doc_id").alias("fd"))
         .select(
@@ -249,7 +261,7 @@ def vocab_partial(batch: DataFrame) -> DataFrame:
     dc = b.select(
         F.lit(1).cast("bigint").alias("kind"),
         F.col("doc_id").cast("bigint").alias("key"),
-        F.size(poly_token_hashes("text")).cast("bigint").alias("val"),
+        F.size("__th").cast("bigint").alias("val"),
     )
     n = b.agg(F.count(F.lit(1)).cast("bigint").alias("val")).select(
         F.lit(2).cast("bigint").alias("kind"),

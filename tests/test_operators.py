@@ -738,3 +738,23 @@ def test_warm_start_components_untouched_prior_passes_through(spark):
     labels, _ = warm_start_components(edges, prior)
     got = {r["node"]: r["component"] for r in labels.collect()}
     assert got == {1: 1, 2: 1, 7: 7, 8: 7, 9: 9}
+
+
+def test_warm_start_components_incremental_only_edges(spark):
+    """The contract must hold when the caller passes ONLY the new wave's
+    pairs (prior links not re-derivable from the edge set): a prior
+    equivalence behaves as an edge, so a new edge touching one member
+    of an old component merges the WHOLE old component (round-7 review
+    finding: node 5 was silently split off before the fix)."""
+    from kp_data_pipelines_spark.operators.graph import (
+        warm_start_components,
+    )
+
+    # old component {5, 10} known only via prior; new wave links 1-10
+    prior = spark.createDataFrame(
+        [(5, 5), (10, 5)], "node long, component long"
+    )
+    new_edges = spark.createDataFrame([(1, 10)], "src long, dst long")
+    labels, _ = warm_start_components(new_edges, prior)
+    got = {r["node"]: r["component"] for r in labels.collect()}
+    assert got == {1: 1, 5: 1, 10: 1}
