@@ -17171,7 +17171,7 @@ def q282_cdc_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
     corpus-wide frequency count, and the audit is a keyed join + one
     |sources|-row aggregate. Expected chunk ~64 chars, so the shuffle
     carries ~1/64 of the corpus mass as 8-byte keys. UNITS: the
-    ``*_bytes`` columns count WHITESPACE-NORMALIZED CHARACTERS (the
+    ``*_chars`` columns count WHITESPACE-NORMALIZED CHARACTERS (the
     kernel chunks ``lower(trim(regexp_replace(text,'\\s+',' ')))``,
     ord-by-ord), not raw UTF-8 bytes, and each chunk's length is capped
     at 2^21-1 by the packed ``fp*2^21 + min(len, 2^21-1)`` identity —
@@ -17201,21 +17201,21 @@ def q282_cdc_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
             F.countDistinct("packed").cast("bigint").alias(
                 "n_distinct_chunks"
             ),
-            F.sum("ln").cast("bigint").alias("raw_bytes"),
+            F.sum("ln").cast("bigint").alias("raw_chars"),
             F.sum(F.when(F.col("cnt") >= 2, F.col("ln")).otherwise(0))
             .cast("bigint")
-            .alias("dup_chunk_bytes"),
+            .alias("dup_chunk_chars"),
         )
         .select(
             "source",
             "n_chunks",
             "n_distinct_chunks",
-            "raw_bytes",
-            "dup_chunk_bytes",
+            "raw_chars",
+            "dup_chunk_chars",
             (
-                F.col("dup_chunk_bytes").cast("double")
-                / F.col("raw_bytes").cast("double")
-            ).alias("dup_byte_share"),
+                F.col("dup_chunk_chars").cast("double")
+                / F.col("raw_chars").cast("double")
+            ).alias("dup_char_share"),
         )
         .orderBy("source")
     )
@@ -17496,7 +17496,7 @@ def q286_streaming_cdc_ingest(spark: SparkSession, sf: str) -> DataFrame:
     tested against the static store only), so stream==batch for ANY
     batching — the same twin verifies both. Results are written to
     parquet inside the trigger (no driver collect); checkpoints are
-    ephemeral. UNITS: as in q282, ``new_bytes``/``dup_bytes`` count
+    ephemeral. UNITS: as in q282, ``new_chars``/``dup_chars`` count
     whitespace-normalized CHARACTERS (the kernel chunks the normalized
     text ord-by-ord), with per-chunk length capped at 2^21-1 by the
     packed identity — shared by both engines, so the twin stays
@@ -17550,17 +17550,17 @@ def q286_streaming_cdc_ingest(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("dup").cast("bigint").alias("dup_chunks"),
             F.sum(F.when(F.col("dup") == 0, F.col("ln")).otherwise(0))
             .cast("bigint")
-            .alias("new_bytes"),
+            .alias("new_chars"),
             F.sum(F.when(F.col("dup") == 1, F.col("ln")).otherwise(0))
             .cast("bigint")
-            .alias("dup_bytes"),
+            .alias("dup_chars"),
         )
 
     return run_available_now_foreach_batch(
         stream,
         ingest,
         "doc_id long, n_chunks long, dup_chunks long, "
-        "new_bytes long, dup_bytes long",
+        "new_chars long, dup_chars long",
     ).orderBy("doc_id")
 
 
@@ -18291,9 +18291,16 @@ def q298_lsh_collision_calibration(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     k = pairs.select(
-        F.least(
-            F.floor((F.col("cos") + F.lit(1.0)) * F.lit(4.0)).cast("bigint"),
-            F.lit(7).cast("bigint"),
+        # clamp BOTH ends: a float fold can round cos a ulp outside
+        # [-1, 1]; without greatest(0) that yields octile -1
+        F.greatest(
+            F.least(
+                F.floor((F.col("cos") + F.lit(1.0)) * F.lit(4.0)).cast(
+                    "bigint"
+                ),
+                F.lit(7).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
         ).alias("cos_octile"),
         "same_b",
         "cos",

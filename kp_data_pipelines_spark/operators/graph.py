@@ -147,15 +147,22 @@ def warm_start_components(
     answer. Returns ``(labels, rounds)``; rounds is the convergence
     telemetry a scheduler would use to decide when incremental stops
     paying and a full rebuild is due."""
-    p = prior.select(
+    raw = prior.select(
         F.col(node_col).alias("node"), F.col(comp_col).alias("p_comp")
     )
     # prior equivalences become edges: the contract must hold even when
     # the pair that produced a prior link is not re-derivable from the
-    # current edge set (new-wave-only candidates)
-    prior_edges = p.filter(F.col("node") != F.col("p_comp")).select(
+    # current edge set (new-wave-only candidates). Built from RAW prior
+    # rows so that conflicting duplicates (node -> c1, node -> c2) keep
+    # BOTH equivalences...
+    prior_edges = raw.filter(F.col("node") != F.col("p_comp")).select(
         F.col("node").alias(src), F.col("p_comp").alias(dst)
     )
+    # ...while label seeding takes ONE deterministic row per node (min
+    # component) — without this, duplicate prior rows survive every
+    # _propagate round (labels.join preserves duplicates) and the output
+    # carries duplicate node rows
+    p = raw.groupBy("node").agg(F.min("p_comp").alias("p_comp"))
     e = _symmetrize(
         edges.select(F.col(src), F.col(dst)).unionByName(prior_edges),
         src,

@@ -639,7 +639,7 @@ def winnow_pairs_sql(
     selected hashes, doc-frequency filter, pair counts."""
     return f"""
     WITH d AS (
-      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      SELECT doc_id, {_NORM_SQL} AS t
       FROM documents
     ),
     ch AS (
@@ -2952,6 +2952,81 @@ def crosslingual_neardup_sql(seed: int = 7) -> str:
     """
 
 
+# Parity-critical whitespace normalization — the single SQL-side twin of
+# textops.normalize_ws (round-8 ADVICE: the expression had been copy-pasted
+# at ~8 sites right after the Spark side centralized it for the same drift
+# hazard). Interpolate THIS, never restate the expression.
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+def _cdc_char_ctes(
+    cols: str = "doc_id, source",
+    tag: str = "",
+    pred: str = "",
+    materialized: bool = False,
+    src: str = "documents",
+) -> str:
+    """``d{tag}``/``ch{tag}``: whitespace-normalize the text and expand
+    it to the per-char BIGINT code array every CDC chunking twin folds
+    over — the shared front of the five near-identical chunking chains
+    (q282/q286/q287/q288/q289/q290)."""
+    where = f" WHERE {pred}" if pred else ""
+    mat = " MATERIALIZED" if materialized else ""
+    return f"""d{tag} AS (
+      SELECT {cols}, {_NORM_SQL} AS t FROM {src}{where}
+    ),
+    ch{tag} AS{mat} (
+      SELECT {cols}, length(t) AS n,
+             list_transform(range(1, length(t) + 1),
+               i -> CAST(ord(substr(t, i, 1)) AS BIGINT)) AS c
+      FROM d{tag} WHERE length(t) > 0
+    )"""
+
+
+def _cdc_cut_ctes(
+    w: int,
+    mask: int,
+    cols: str = "doc_id, source",
+    tag: str = "",
+    src_tag: str | None = None,
+    with_pos: bool = False,
+) -> str:
+    """``cu{tag}``/``bd{tag}``/``ck{tag}``: rolling-hash cut points (a
+    cut after every position whose trailing ``w``-char Horner window
+    hash is 0 mod ``mask``) over ``ch{src_tag or tag}(cols, n, c)``,
+    ending in one row per non-empty chunk with its ``k`` struct
+    (Horner fp, capped length[, position])."""
+    src_cte = f"ch{tag if src_tag is None else src_tag}"
+    pos_field = ",\n                        pos := j" if with_pos else ""
+    return f"""cu{tag} AS (
+      SELECT {cols}, n, c,
+             list_filter(range({w}, n + 1),
+               i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(i - {w} + 1, i + 1), j -> c[j])),
+                    (acc, x) -> (acc * 31 + x) % {_MOD}) % {mask} = 0) AS cuts
+      FROM {src_cte}
+    ),
+    bd{tag} AS (
+      SELECT {cols}, c,
+             list_concat(list_prepend(CAST(0 AS BIGINT), cuts),
+                         [CAST(n AS BIGINT)]) AS bs
+      FROM cu{tag}
+    ),
+    ck{tag} AS (
+      SELECT {cols},
+             unnest(list_filter(
+               list_transform(range(1, len(bs)),
+                 j -> struct_pack(
+                        fp := list_reduce(
+                                list_prepend(CAST(0 AS BIGINT),
+                                             c[bs[j] + 1:bs[j + 1]]),
+                                (acc, x) -> (acc * 31 + x) % {_MOD}),
+                        ln := bs[j + 1] - bs[j]{pos_field})),
+               s -> s.ln > 0)) AS k
+      FROM bd{tag}
+    )"""
+
+
 def cdc_chunk_dedup_sql(w: int = 16, mask: int = 64) -> str:
     """Twin of q282: content-defined chunking recomputed with list ops.
     Same normalization as winnowing; a cut lands after every position
@@ -2960,48 +3035,12 @@ def cdc_chunk_dedup_sql(w: int = 16, mask: int = 64) -> str:
     with its (capped) length; duplication is counted corpus-wide on the
     packed identity. All integer arithmetic — bit-identical to the
     Arrow kernel (modular equality of the stepwise and exponent-weight
-    folds). UNITS: the ``*_bytes`` columns count whitespace-normalized
+    folds). UNITS: the ``*_chars`` columns count whitespace-normalized
     CHARACTERS (ord-based), per-chunk length capped at 2^21-1 by the
     packed encoding — same on both engines."""
     return f"""
-    WITH d AS (
-      SELECT doc_id, source,
-             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
-      FROM documents
-    ),
-    ch AS (
-      SELECT doc_id, source, length(t) AS n,
-             list_transform(range(1, length(t) + 1),
-               i -> CAST(ord(substr(t, i, 1)) AS BIGINT)) AS c
-      FROM d WHERE length(t) > 0
-    ),
-    cu AS (
-      SELECT doc_id, source, n, c,
-             list_filter(range({w}, n + 1),
-               i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-                      list_transform(range(i - {w} + 1, i + 1), j -> c[j])),
-                    (acc, x) -> (acc * 31 + x) % {_MOD}) % {mask} = 0) AS cuts
-      FROM ch
-    ),
-    bd AS (
-      SELECT doc_id, source, c,
-             list_concat(list_prepend(CAST(0 AS BIGINT), cuts),
-                         [CAST(n AS BIGINT)]) AS bs
-      FROM cu
-    ),
-    ck AS (
-      SELECT source,
-             unnest(list_filter(
-               list_transform(range(1, len(bs)),
-                 j -> struct_pack(
-                        fp := list_reduce(
-                                list_prepend(CAST(0 AS BIGINT),
-                                             c[bs[j] + 1:bs[j + 1]]),
-                                (acc, x) -> (acc * 31 + x) % {_MOD}),
-                        ln := bs[j + 1] - bs[j])),
-               s -> s.ln > 0)) AS k
-      FROM bd
-    ),
+    WITH {_cdc_char_ctes()},
+    {_cdc_cut_ctes(w, mask)},
     r AS (
       SELECT source,
              k.fp * 2097152 + least(k.ln, 2097151) AS packed,
@@ -3012,12 +3051,12 @@ def cdc_chunk_dedup_sql(w: int = 16, mask: int = 64) -> str:
     SELECT r.source,
            CAST(COUNT(*) AS BIGINT) AS n_chunks,
            CAST(COUNT(DISTINCT r.packed) AS BIGINT) AS n_distinct_chunks,
-           CAST(SUM(r.ln) AS BIGINT) AS raw_bytes,
+           CAST(SUM(r.ln) AS BIGINT) AS raw_chars,
            CAST(SUM(CASE WHEN df.cnt >= 2 THEN r.ln ELSE 0 END) AS BIGINT)
-             AS dup_chunk_bytes,
+             AS dup_chunk_chars,
            CAST(CAST(SUM(CASE WHEN df.cnt >= 2 THEN r.ln ELSE 0 END)
                      AS BIGINT) AS DOUBLE)
-             / CAST(CAST(SUM(r.ln) AS BIGINT) AS DOUBLE) AS dup_byte_share
+             / CAST(CAST(SUM(r.ln) AS BIGINT) AS DOUBLE) AS dup_char_share
     FROM r JOIN df ON r.packed = df.packed
     GROUP BY r.source ORDER BY r.source
     """
@@ -3033,48 +3072,12 @@ def cdc_chunk_economics_sql(grid=CDC_ECON_GRID) -> str:
     chunk size, so the block store picks its chunk size from data. Same
     integer arithmetic as ``cdc_chunk_dedup_sql``; UNITS are
     whitespace-normalized characters with the 2^21-1 per-chunk cap."""
-    parts = [
-        """d AS (
-      SELECT doc_id,
-             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
-      FROM documents
-    ),
-    ch AS MATERIALIZED (
-      SELECT doc_id, length(t) AS n,
-             list_transform(range(1, length(t) + 1),
-               i -> CAST(ord(substr(t, i, 1)) AS BIGINT)) AS c
-      FROM d WHERE length(t) > 0
-    )"""
-    ]
+    parts = [_cdc_char_ctes(cols="doc_id", materialized=True)]
     sels = []
     for gi, (w, mask) in enumerate(grid):
         parts.append(
-            f"""cu{gi} AS (
-      SELECT doc_id, n, c,
-             list_filter(range({w}, n + 1),
-               i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-                      list_transform(range(i - {w} + 1, i + 1), j -> c[j])),
-                    (acc, x) -> (acc * 31 + x) % {_MOD}) % {mask} = 0) AS cuts
-      FROM ch
-    ),
-    bd{gi} AS (
-      SELECT doc_id, c,
-             list_concat(list_prepend(CAST(0 AS BIGINT), cuts),
-                         [CAST(n AS BIGINT)]) AS bs
-      FROM cu{gi}
-    ),
-    ck{gi} AS (
-      SELECT unnest(list_filter(
-               list_transform(range(1, len(bs)),
-                 j -> struct_pack(
-                        fp := list_reduce(
-                                list_prepend(CAST(0 AS BIGINT),
-                                             c[bs[j] + 1:bs[j + 1]]),
-                                (acc, x) -> (acc * 31 + x) % {_MOD}),
-                        ln := bs[j + 1] - bs[j])),
-               s -> s.ln > 0)) AS k
-      FROM bd{gi}
-    ),
+            _cdc_cut_ctes(w, mask, cols="doc_id", tag=str(gi), src_tag="")
+            + f""",
     df{gi} AS (
       SELECT k.fp * 2097152 + least(k.ln, 2097151) AS packed,
              least(k.ln, 2097151) AS ln, COUNT(*) AS cnt
@@ -3116,45 +3119,8 @@ def cdc_growing_ingest_sql(w: int = 16, mask: int = 64) -> str:
     arithmetic as ``cdc_chunk_dedup_sql``. UNITS: whitespace-normalized
     characters, 2^21-1 per-chunk cap."""
     return f"""
-    WITH d AS (
-      SELECT doc_id, source,
-             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
-      FROM documents
-    ),
-    ch AS (
-      SELECT doc_id, source, length(t) AS n,
-             list_transform(range(1, length(t) + 1),
-               i -> CAST(ord(substr(t, i, 1)) AS BIGINT)) AS c
-      FROM d WHERE length(t) > 0
-    ),
-    cu AS (
-      SELECT doc_id, source, n, c,
-             list_filter(range({w}, n + 1),
-               i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-                      list_transform(range(i - {w} + 1, i + 1), j -> c[j])),
-                    (acc, x) -> (acc * 31 + x) % {_MOD}) % {mask} = 0) AS cuts
-      FROM ch
-    ),
-    bd AS (
-      SELECT doc_id, source, c,
-             list_concat(list_prepend(CAST(0 AS BIGINT), cuts),
-                         [CAST(n AS BIGINT)]) AS bs
-      FROM cu
-    ),
-    ck AS (
-      SELECT doc_id, source,
-             unnest(list_filter(
-               list_transform(range(1, len(bs)),
-                 j -> struct_pack(
-                        fp := list_reduce(
-                                list_prepend(CAST(0 AS BIGINT),
-                                             c[bs[j] + 1:bs[j + 1]]),
-                                (acc, x) -> (acc * 31 + x) % {_MOD}),
-                        ln := bs[j + 1] - bs[j],
-                        pos := j)),
-               s -> s.ln > 0)) AS k
-      FROM bd
-    ),
+    WITH {_cdc_char_ctes()},
+    {_cdc_cut_ctes(w, mask, with_pos=True)},
     r AS (
       SELECT doc_id, source, k.pos AS pos,
              k.fp * 2097152 + least(k.ln, 2097151) AS packed,
@@ -3190,44 +3156,8 @@ def boilerplate_chunks_sql(
     count and char share. Same CDC integer arithmetic as
     ``cdc_chunk_dedup_sql``; normalized-char units, 2^21-1 cap."""
     return f"""
-    WITH d AS (
-      SELECT doc_id, source,
-             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
-      FROM documents
-    ),
-    ch AS (
-      SELECT doc_id, source, length(t) AS n,
-             list_transform(range(1, length(t) + 1),
-               i -> CAST(ord(substr(t, i, 1)) AS BIGINT)) AS c
-      FROM d WHERE length(t) > 0
-    ),
-    cu AS (
-      SELECT doc_id, source, n, c,
-             list_filter(range({w}, n + 1),
-               i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-                      list_transform(range(i - {w} + 1, i + 1), j -> c[j])),
-                    (acc, x) -> (acc * 31 + x) % {_MOD}) % {mask} = 0) AS cuts
-      FROM ch
-    ),
-    bd AS (
-      SELECT doc_id, source, c,
-             list_concat(list_prepend(CAST(0 AS BIGINT), cuts),
-                         [CAST(n AS BIGINT)]) AS bs
-      FROM cu
-    ),
-    ck AS (
-      SELECT source,
-             unnest(list_filter(
-               list_transform(range(1, len(bs)),
-                 j -> struct_pack(
-                        fp := list_reduce(
-                                list_prepend(CAST(0 AS BIGINT),
-                                             c[bs[j] + 1:bs[j + 1]]),
-                                (acc, x) -> (acc * 31 + x) % {_MOD}),
-                        ln := bs[j + 1] - bs[j])),
-               s -> s.ln > 0)) AS k
-      FROM bd
-    ),
+    WITH {_cdc_char_ctes()},
+    {_cdc_cut_ctes(w, mask)},
     r AS (
       SELECT source,
              k.fp * 2097152 + least(k.ln, 2097151) AS packed,
@@ -3260,45 +3190,8 @@ def intra_doc_repetition_sql(w: int = 16, mask: int = 64) -> str:
     the longest run of consecutive identical chunks. Chunk positions
     come from the CDC cut ordinals; windows partition by doc."""
     return f"""
-    WITH d AS (
-      SELECT doc_id, source,
-             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
-      FROM documents
-    ),
-    ch AS (
-      SELECT doc_id, source, length(t) AS n,
-             list_transform(range(1, length(t) + 1),
-               i -> CAST(ord(substr(t, i, 1)) AS BIGINT)) AS c
-      FROM d WHERE length(t) > 0
-    ),
-    cu AS (
-      SELECT doc_id, source, n, c,
-             list_filter(range({w}, n + 1),
-               i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-                      list_transform(range(i - {w} + 1, i + 1), j -> c[j])),
-                    (acc, x) -> (acc * 31 + x) % {_MOD}) % {mask} = 0) AS cuts
-      FROM ch
-    ),
-    bd AS (
-      SELECT doc_id, source, c,
-             list_concat(list_prepend(CAST(0 AS BIGINT), cuts),
-                         [CAST(n AS BIGINT)]) AS bs
-      FROM cu
-    ),
-    ck AS (
-      SELECT doc_id, source,
-             unnest(list_filter(
-               list_transform(range(1, len(bs)),
-                 j -> struct_pack(
-                        fp := list_reduce(
-                                list_prepend(CAST(0 AS BIGINT),
-                                             c[bs[j] + 1:bs[j + 1]]),
-                                (acc, x) -> (acc * 31 + x) % {_MOD}),
-                        ln := bs[j + 1] - bs[j],
-                        pos := j)),
-               s -> s.ln > 0)) AS k
-      FROM bd
-    ),
+    WITH {_cdc_char_ctes()},
+    {_cdc_cut_ctes(w, mask, with_pos=True)},
     r AS (
       SELECT doc_id, source, k.pos AS pos,
              k.fp * 2097152 + least(k.ln, 2097151) AS packed,
@@ -3357,7 +3250,7 @@ def bpe_merge_pairs_sql(topk: int = 20) -> str:
     (count DESC, pair ASC) top-k; exact integers."""
     return f"""
     WITH d AS (
-      SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      SELECT {_NORM_SQL} AS t
       FROM documents
     ),
     w AS (
@@ -3622,7 +3515,8 @@ def lsh_collision_calibration_sql(seed: int = 7) -> str:
       FROM b a JOIN b b2 ON b2.vec_id = a.vec_id + 1
     ),
     k AS (
-      SELECT CAST(least(CAST(floor((cos + 1.0) * 4.0) AS BIGINT), 7)
+      SELECT CAST(greatest(
+                    least(CAST(floor((cos + 1.0) * 4.0) AS BIGINT), 7), 0)
                   AS BIGINT) AS cos_octile,
              same_b, cos
       FROM p
@@ -3896,55 +3790,23 @@ def cdc_incremental_sql(
     (``new_source``) against the STATIC chunk store built from every
     other source — the same CDC machinery as ``cdc_chunk_dedup_sql``,
     with store membership via one LEFT equi-join on the packed chunk
-    identity. UNITS: ``new_bytes``/``dup_bytes`` count
+    identity. UNITS: ``new_chars``/``dup_chars`` count
     whitespace-normalized CHARACTERS with the 2^21-1 per-chunk length
     cap of the packed encoding — same on both engines."""
 
     def chunk_cte(pred: str, tag: str) -> str:
-        return f"""d{tag} AS (
-      SELECT doc_id,
-             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
-      FROM documents WHERE {pred}
-    ),
-    ch{tag} AS (
-      SELECT doc_id, length(t) AS n,
-             list_transform(range(1, length(t) + 1),
-               i -> CAST(ord(substr(t, i, 1)) AS BIGINT)) AS c
-      FROM d{tag} WHERE length(t) > 0
-    ),
-    cu{tag} AS (
-      SELECT doc_id, n, c,
-             list_filter(range({w}, n + 1),
-               i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-                      list_transform(range(i - {w} + 1, i + 1), j -> c[j])),
-                    (acc, x) -> (acc * 31 + x) % {_MOD}) % {mask} = 0) AS cuts
-      FROM ch{tag}
-    ),
-    bd{tag} AS (
-      SELECT doc_id, c,
-             list_concat(list_prepend(CAST(0 AS BIGINT), cuts),
-                         [CAST(n AS BIGINT)]) AS bs
-      FROM cu{tag}
-    ),
-    ck{tag} AS (
-      SELECT doc_id,
-             unnest(list_filter(
-               list_transform(range(1, len(bs)),
-                 j -> struct_pack(
-                        fp := list_reduce(
-                                list_prepend(CAST(0 AS BIGINT),
-                                             c[bs[j] + 1:bs[j + 1]]),
-                                (acc, x) -> (acc * 31 + x) % {_MOD}),
-                        ln := bs[j + 1] - bs[j])),
-               s -> s.ln > 0)) AS k
-      FROM bd{tag}
-    ),
+        return (
+            _cdc_char_ctes(cols="doc_id", tag=tag, pred=pred)
+            + ",\n    "
+            + _cdc_cut_ctes(w, mask, cols="doc_id", tag=tag)
+            + f""",
     r{tag} AS (
       SELECT doc_id,
              k.fp * 2097152 + least(k.ln, 2097151) AS packed,
              least(k.ln, 2097151) AS ln
       FROM ck{tag}
     )"""
+        )
 
     return f"""
     WITH {chunk_cte(f"source <> '{new_source}'", "s")},
@@ -3959,8 +3821,8 @@ def cdc_incremental_sql(
            CAST(COUNT(*) AS BIGINT) AS n_chunks,
            CAST(SUM(dup) AS BIGINT) AS dup_chunks,
            CAST(SUM(CASE WHEN dup = 0 THEN ln ELSE 0 END) AS BIGINT)
-             AS new_bytes,
+             AS new_chars,
            CAST(SUM(CASE WHEN dup = 1 THEN ln ELSE 0 END) AS BIGINT)
-             AS dup_bytes
+             AS dup_chars
     FROM m GROUP BY doc_id ORDER BY doc_id
     """

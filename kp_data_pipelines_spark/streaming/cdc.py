@@ -20,8 +20,19 @@ the q251 fingerprint-ledger pattern at CHUNK granularity. Per trigger:
    stream==batch test with injected cross-batch duplicate chunks);
 4. mergeable per-source counters (chunk/char new-vs-dup splits) are
    written as the trigger's partial; the batch's new identities are
-   appended to the store AFTER the partial's plan is checkpointed (the
+   written to the store AFTER the partial's plan is checkpointed (the
    partial must read the PRE-batch store).
+
+Replay safety (foreachBatch is at-least-once): the store is laid out
+as ``state_dir/run=<token>/batch=<id>`` and each trigger's new
+identities are written with ``mode("overwrite")`` to ITS OWN batch
+directory, while the pre-batch view reads ``run != token OR batch <
+id`` — so a retried/resumed batch sees exactly the store state its
+first attempt saw and re-produces (not re-appends) its own partition.
+The run token is derived from the checkpoint location, so a restart
+against the same checkpoint (the replay case) lands on the same token,
+while a NEW ingest wave (new checkpoint, same ``state_dir``) gets a
+fresh token and deduplicates against every prior run's partitions.
 
 At scale the store is one 8-byte BIGINT per distinct chunk — ~1/64 of
 the normalized corpus mass at the default mask — appended per batch
@@ -40,15 +51,32 @@ ships only its genuinely-new bytes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
+import hashlib
+import uuid
 
-from kp_data_pipelines_spark.streaming.training import read_state_parquet
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 CDC_INGEST_PARTIAL_SCHEMA = (
     "source string, n_docs long, n_chunks long, new_chunks long, "
     "dup_chunks long, new_chars long, dup_chars long"
 )
+
+_STORE_SCHEMA = "packed long, run string, batch long"
+
+
+def _read_chunk_store(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Read the run/batch-partitioned chunk-identity store; a missing
+    path means "first batch ever" (empty frame). Anything else re-raises
+    loudly — silently resetting state would let duplicates through."""
+    try:
+        return spark.read.schema(_STORE_SCHEMA).parquet(state_dir)
+    except AnalysisException as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
+        return spark.createDataFrame([], _STORE_SCHEMA)
 
 
 def _chunk_rows(batch: DataFrame, w: int, mask: int) -> DataFrame:
@@ -81,18 +109,34 @@ def _chunk_rows(batch: DataFrame, w: int, mask: int) -> DataFrame:
 
 
 def _cdc_ingest_partial(
-    batch: DataFrame, state_dir: str, w: int, mask: int
+    batch: DataFrame,
+    state_dir: str,
+    w: int,
+    mask: int,
+    run_token: str,
+    batch_id: int,
 ) -> DataFrame:
     """One trigger: dedup the batch's chunk instances against the
-    persistent store + within-batch keeper, emit mergeable per-source
-    counters, append the batch's new identities to the store."""
+    pre-batch store view + within-batch keeper, emit mergeable
+    per-source counters, overwrite this batch's own store partition
+    with its new identities (idempotent under replay — see module
+    docstring)."""
     spark = batch.sparkSession
     rows = _chunk_rows(batch, w, mask).localCheckpoint(
         eager=True
-    )  # two consumers: partial + store append
-    seen = read_state_parquet(spark, state_dir, "packed long").select(
-        "packed"
-    ).distinct()
+    )  # two consumers: partial + store write
+    # pre-batch view: every OTHER run in full, plus this run's earlier
+    # batches — a replayed batch's own (possibly half-written) partition
+    # is excluded, so the retry sees the store its first attempt saw
+    seen = (
+        _read_chunk_store(spark, state_dir)
+        .where(
+            (F.col("run") != F.lit(run_token))
+            | (F.col("batch") < F.lit(batch_id))
+        )
+        .select("packed")
+        .distinct()
+    )
     # checkpointed: the keeper aggregate feeds BOTH the partial and the
     # store-append actions — without this the groupBy over every chunk
     # instance would run twice per trigger
@@ -131,11 +175,12 @@ def _cdc_ingest_partial(
         .alias("dup_chars"),
     )
     # persist this batch's new identities AFTER the partial's plan is
-    # pinned (the partial reads the PRE-batch store)
+    # pinned (the partial reads the PRE-batch store); overwrite of the
+    # batch's OWN partition keeps the write idempotent under replay
     partial = partial.localCheckpoint(eager=True)
     keeper.join(seen, "packed", "left_anti").select("packed").write.mode(
-        "append"
-    ).parquet(state_dir)
+        "overwrite"
+    ).parquet(f"{state_dir}/run={run_token}/batch={batch_id}")
     return partial
 
 
@@ -172,21 +217,69 @@ def cdc_ingest_stream(
     w: int = 16,
     mask: int = 64,
     checkpoint_dir: str | None = None,
+    validate_order: bool = True,
 ) -> DataFrame:
     """Run the growing-store CDC ingest over the current backlog
     (AvailableNow) and return the merged per-source ledger.
 
     ``state_dir`` hosts the persistent chunk-identity table — it
     survives across invocations, so successive calls resume dedup
-    against everything already ingested."""
+    against everything already ingested.
+
+    ORDERING DEPENDENCY: the "ledger == global first-occurrence"
+    contract (and the q288 oracle equality) requires batches to arrive
+    in ascending-doc_id order. With a file stream source that is the
+    file LISTING order (modification time), which tracks doc_id order
+    only when backlog files were written in doc order — a backlog whose
+    mtimes were scrambled (touched/copied files) silently reorders
+    batches. ``validate_order=True`` (default) guards this: each
+    trigger's min(doc_id) is checked against the max(doc_id) of every
+    earlier batch in this run (driver-side watermark, replay-aware —
+    a retried batch id skips the check) and a violation raises loudly
+    instead of producing a wrong ledger."""
     from kp_data_pipelines_spark.streaming.events import (
         run_available_now_foreach_batch,
     )
 
+    # run token: stable across restarts of the SAME checkpoint (replayed
+    # batch ids land on their original store partitions), fresh for a new
+    # ingest wave; random is safe for ephemeral checkpoints (no replay
+    # outlives the query)
+    run_token = (
+        hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:16]
+        if checkpoint_dir
+        else uuid.uuid4().hex[:16]
+    )
+    batch_hi: dict[int, int] = {}  # batch_id -> max doc_id (this run)
+
+    def ingest(batch: DataFrame, batch_id: int) -> DataFrame:
+        if validate_order:
+            mm = batch.agg(
+                F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+            ).first()
+            if mm["lo"] is not None:
+                prior_hi = max(
+                    (h for b, h in batch_hi.items() if b < batch_id),
+                    default=None,
+                )
+                if prior_hi is not None and mm["lo"] <= prior_hi:
+                    raise ValueError(
+                        "cdc_ingest_stream: batch "
+                        f"{batch_id} min doc_id {mm['lo']} <= earlier "
+                        f"batch max {prior_hi}; backlog is not in "
+                        "ascending-doc_id order (scrambled file mtimes?) "
+                        "— the first-occurrence ledger would be wrong"
+                    )
+                batch_hi[batch_id] = mm["hi"]
+        return _cdc_ingest_partial(
+            batch, state_dir, w, mask, run_token, batch_id
+        )
+
     partials = run_available_now_foreach_batch(
         stream_df,
-        lambda batch: _cdc_ingest_partial(batch, state_dir, w, mask),
+        ingest,
         CDC_INGEST_PARTIAL_SCHEMA,
         checkpoint_dir=checkpoint_dir,
+        with_batch_id=True,
     )
     return finalize_cdc_ledger(partials)

@@ -125,6 +125,7 @@ def run_available_now_foreach_batch(
     batch_fn,
     result_schema,
     checkpoint_dir: str | None = None,
+    with_batch_id: bool = False,
 ) -> DataFrame:
     """Execute a streaming query with ``foreachBatch`` over the current
     backlog (AvailableNow) and return the concatenated per-batch results
@@ -138,7 +139,12 @@ def run_available_now_foreach_batch(
     ``collect``; at 100 TB the per-batch result never transits the driver)
     and the union is read back as one batch DataFrame. The parquet scratch
     lives until process exit (the returned plan reads from it); ephemeral
-    checkpoints are reclaimed as soon as the query stops."""
+    checkpoints are reclaimed as soon as the query stops.
+
+    ``with_batch_id=True`` calls ``batch_fn(batch_df, batch_id)`` —
+    stateful batch functions need the id to make their OWN side writes
+    idempotent under foreachBatch's at-least-once replay (the result
+    sink here is already per-batch-id overwrite, i.e. replay-safe)."""
     import shutil
 
     own_ckpt = checkpoint_dir is None
@@ -147,9 +153,11 @@ def run_available_now_foreach_batch(
     out_dir = _ephemeral_dir("kp_stream_out_")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        batch_fn(batch_df).write.mode("overwrite").parquet(
-            f"{out_dir}/batch={batch_id}"
+        out = (
+            batch_fn(batch_df, batch_id) if with_batch_id
+            else batch_fn(batch_df)
         )
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
     q = (
         stream_df.writeStream.foreachBatch(handle)

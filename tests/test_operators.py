@@ -758,3 +758,26 @@ def test_warm_start_components_incremental_only_edges(spark):
     labels, _ = warm_start_components(new_edges, prior)
     got = {r["node"]: r["component"] for r in labels.collect()}
     assert got == {1: 1, 5: 1, 10: 1}
+
+
+def test_warm_start_components_duplicate_conflicting_prior(spark):
+    """Duplicate/conflicting (node, component) prior rows (an ADVICE
+    round-8 finding): label seeding must take ONE deterministic row per
+    node — duplicates used to survive every propagation round and the
+    output carried duplicate node rows — while BOTH conflicting
+    equivalences still act as edges (node 7 linking components 2 and 5
+    merges them)."""
+    from kp_data_pipelines_spark.operators.graph import (
+        warm_start_components,
+    )
+
+    prior = spark.createDataFrame(
+        [(7, 2), (7, 5), (2, 2), (5, 5), (2, 2)],  # dup row + conflict
+        "node long, component long",
+    )
+    edges = spark.createDataFrame([(9, 7)], "src long, dst long")
+    labels, _ = warm_start_components(edges, prior)
+    rows = labels.collect()
+    nodes = [r["node"] for r in rows]
+    assert sorted(nodes) == [2, 5, 7, 9]  # unique node rows
+    assert {r["component"] for r in rows} == {2}  # all merged via 7

@@ -820,3 +820,78 @@ def test_vocab_growth_stream_equals_batch_any_wave_order(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_cdc_ingest_partial_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a trigger (crash between
+    the store write and the checkpoint commit) must reproduce the SAME
+    partial and leave the store unchanged — the ADVICE round-8 finding
+    was that plain mode('append') state writes double-inserted the
+    batch's identities and flagged all its chunks as duplicates on
+    replay. The fix: per-(run, batch) overwrite partitions + a pre-batch
+    store view that excludes the batch's own partition."""
+    from kp_data_pipelines_spark.streaming.cdc import (
+        _cdc_ingest_partial,
+        _read_chunk_store,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "source", "text")
+        .orderBy("doc_id")
+    )
+    b0 = docs.limit(4).localCheckpoint(eager=True)
+    b1 = docs.offset(4).limit(4).localCheckpoint(eager=True)
+    state = str(tmp_path / "state")
+
+    def snap(df):
+        return sorted(
+            tuple(r) for r in df.select(*sorted(df.columns)).collect()
+        )
+
+    p0 = snap(_cdc_ingest_partial(b0, state, 16, 64, "tokA", 0))
+    store_after_0 = snap(_read_chunk_store(spark, state))
+    # replay batch 0 (same run token + id): identical partial, store
+    # byte-identical (no duplicate identities, no dup-flag inflation)
+    assert snap(_cdc_ingest_partial(b0, state, 16, 64, "tokA", 0)) == p0
+    assert snap(_read_chunk_store(spark, state)) == store_after_0
+
+    p1 = snap(_cdc_ingest_partial(b1, state, 16, 64, "tokA", 1))
+    store_after_1 = snap(_read_chunk_store(spark, state))
+    assert snap(_cdc_ingest_partial(b1, state, 16, 64, "tokA", 1)) == p1
+    assert snap(_read_chunk_store(spark, state)) == store_after_1
+
+
+def test_cdc_ingest_stream_rejects_out_of_order_backlog(spark, tmp_path):
+    """A backlog whose file mtimes do NOT track doc_id order (touched /
+    copied files) breaks the global first-occurrence contract; the
+    ingest must fail loudly instead of producing a wrong ledger."""
+    import pytest
+
+    from kp_data_pipelines_spark.streaming.cdc import cdc_ingest_stream
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "source", "text")
+        .orderBy("doc_id")
+    )
+    hi = docs.limit(8).offset(4)
+    lo = docs.limit(4)
+    src = str(tmp_path / "waves")
+    # HIGH doc_ids written (hence listed) first -> descending arrival
+    hi.coalesce(1).write.mode("append").parquet(src)
+    import time
+
+    time.sleep(1.1)  # distinct mtimes so listing order is deterministic
+    lo.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with pytest.raises(Exception, match="ascending-doc_id"):
+        cdc_ingest_stream(
+            stream,
+            state_dir=str(tmp_path / "state"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
