@@ -12163,7 +12163,8 @@ def q226_knn_label_noise(spark: SparkSession, sf: str) -> DataFrame:
     n_planes = adaptive_n_planes(emb.count())  # 1-row scalar action
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     e = emb.select("vec_id", "label", v.alias("v"))
-    planes = simhash_planes(64, n_planes, seed)
+    dim = len(emb.select("embedding").head()[0])  # from data, not hardcoded
+    planes = simhash_planes(dim, n_planes, seed)
     be = with_hyperplane_bucket(e, "v", planes)
     agg = bucket_knn_agreement(be, "vec_id", "label", "v", k=k)
     return (
@@ -15974,7 +15975,8 @@ def q269_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
     n_planes = adaptive_n_planes(emb.count())  # 1-row scalar action
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     e = emb.select("vec_id", "label", v.alias("v"))
-    be = with_hyperplane_bucket(e, "v", simhash_planes(64, n_planes, 7))
+    dim = len(emb.select("embedding").head()[0])  # from data, not hardcoded
+    be = with_hyperplane_bucket(e, "v", simhash_planes(dim, n_planes, 7))
     out = bucket_hard_negatives(be, "vec_id", "label", "v", k=3)
     return out.orderBy("vec_id", "neg_rank")
 
@@ -16002,6 +16004,10 @@ def q270_jl_projection_audit(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     k_proj = 16
+    # dim 64 is deliberate here (unlike the q226/q269/q298/q299 LSH
+    # sites, which read it from data): the oracle twin bakes these
+    # 16x64 plane literals into its SQL, so the audit is pinned to the
+    # fixture's embedding dim by construction
     planes = simhash_planes(64, k_proj, 13)
     emb = ensure_parallelism(read_table(spark, sf, "embeddings"))
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -18264,8 +18270,9 @@ def q298_lsh_collision_calibration(spark: SparkSession, sf: str) -> DataFrame:
     emb = read_table(spark, sf, "embeddings")
     n_planes = adaptive_n_planes(emb.count())  # 1-row scalar action
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dim = len(emb.select("embedding").head()[0])  # from data, not hardcoded
     e = ensure_parallelism(emb.select("vec_id", v.alias("v")))
-    b = with_hyperplane_bucket(e, "v", simhash_planes(64, n_planes, 7))
+    b = with_hyperplane_bucket(e, "v", simhash_planes(dim, n_planes, 7))
     b = b.select(
         "vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
         "bucket",
@@ -18353,8 +18360,9 @@ def q299_bucket_width_audit(spark: SparkSession, sf: str) -> DataFrame:
     emb = read_table(spark, sf, "embeddings")
     n_planes = adaptive_n_planes(emb.count())  # 1-row scalar action
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dim = len(emb.select("embedding").head()[0])  # from data, not hardcoded
     e = ensure_parallelism(emb.select(v.alias("v")))
-    b = with_hyperplane_bucket(e, "v", simhash_planes(64, n_planes, 7))
+    b = with_hyperplane_bucket(e, "v", simhash_planes(dim, n_planes, 7))
     w = b.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("width")
     )
