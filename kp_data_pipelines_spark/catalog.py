@@ -18468,6 +18468,257 @@ def q300_token_yield_forecast(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Multimodal perceptual-hash dedup (round-8 north-star surface)
+# ---------------------------------------------------------------------------
+
+
+def _media_table(spark: SparkSession, sf: str):
+    """The synthetic media table of q36: documents' UTF-8 text bytes as
+    opaque binary payloads (the reference's only media gesture is a
+    directory-traversal stub, Protocol Data Gathering.ipynb:23-33)."""
+    docs = read_table(spark, sf, "documents")
+    return ensure_parallelism(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "UTF-8").alias("content"),
+        )
+    )
+
+
+@register("q301_media_phash", oracles.media_phash_sql())
+def q301_media_phash(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual fingerprint (dHash) of every media payload — the
+    near-dup identity key for images/audio the way simhash (q39) is for
+    text: pool the payload bytes into an 8x9 grid of integer cell sums
+    ("resize"), emit one bit per horizontally-adjacent cell comparison
+    (the gradient signature real dHash takes over pixel luma; the byte
+    array stands in for the decoded frame until a codec is wired into
+    multimodal.DECODERS — the kernel's (bytes -> int64) contract is
+    decoder-agnostic). Unlike a sha256 (q36), a one-byte edit flips at
+    most a few gradient bits, so the fingerprint SURVIVES re-encoding-
+    style local perturbations — that is what makes Hamming-radius dedup
+    (q302) possible. Scale shape: ONE Arrow-batched numpy pass per
+    partition, integer arithmetic pinned bit-exact to the interpreted
+    JVM expression twin (test_media_dhash_kernel_matches_jvm) and the
+    DuckDB oracle; no shuffle at all."""
+    from kp_data_pipelines_spark.operators.multimodal import (
+        with_media_dhash,
+    )
+
+    return with_media_dhash(_media_table(spark, sf), "content", "phash").select(
+        "media_id", "phash"
+    )
+
+
+@register(
+    "q302_media_near_dups", oracles.media_near_dup_pairs_sql(max_hamming=4)
+)
+def q302_media_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """MEDIA near-duplicate pairs: all payload pairs within Hamming
+    distance 4 of their dHash fingerprints — perceptual dedup for the
+    multimodal store, the q43 pigeonhole machinery applied to pixel-
+    space identity instead of token-space. Candidates come from the
+    generic ``hamming_pairs`` pigeonhole equi-join with agree_blocks=2
+    (Manku-style multi-block keys: 6 blocks x 10 bits, join on hashed
+    2-block combinations — EXACT, and the key space is the square of
+    the single-chunk scheme's, so candidate buckets stay narrow at
+    10^9 fingerprints where 12-bit chunk values would be mega-buckets),
+    verification is one JVM bit_count(xor). Scale shape: one
+    fingerprint scan, one shuffle on 64-bit hashed combination keys, no
+    all-pairs anywhere. The DuckDB twin generates candidates with the
+    simpler single-chunk banding — BOTH schemes are exact, so the
+    verified pair sets are identical."""
+    from kp_data_pipelines_spark.operators.multimodal import (
+        with_media_dhash,
+    )
+    from kp_data_pipelines_spark.operators.similarity import hamming_pairs
+
+    fp = with_media_dhash(_media_table(spark, sf), "content", "phash")
+    return hamming_pairs(
+        fp, "media_id", "phash", max_hamming=4, agree_blocks=2
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "q303_cross_modal_alignment",
+    oracles.media_embedding_alignment_sql(max_hamming=8),
+)
+def q303_cross_modal_alignment(spark: SparkSession, sf: str) -> DataFrame:
+    """CROSS-MODAL alignment audit (q296's shape with pixel-space
+    distance replacing token-space Jaccard): for every media near-dup
+    candidate pair (dHash Hamming <= 8) whose both endpoints carry an
+    embedding, the exact fold cosine, aggregated per Hamming distance —
+    the calibration table that says whether embedding-cosine dedup
+    would drop the same mass as perceptual-hash dedup. A falling
+    mean-cosine curve over Hamming distance = the modalities agree; the
+    synthetic fixture's embeddings are independent of the text bytes,
+    so this audit correctly reports a FLAT near-zero curve — the alarm
+    shape that says "do not substitute one modality's threshold for the
+    other's" (exactly what it must catch at 100 TB). Scale shape: the
+    banded chunk equi-join candidates, two keyed joins to attach
+    endpoint vectors, one <= 9-row aggregate; mean cosine DECIMAL-staged
+    (q296 pattern)."""
+    from kp_data_pipelines_spark.operators.multimodal import (
+        with_media_dhash,
+    )
+    from kp_data_pipelines_spark.operators.similarity import (
+        _dot,
+        hamming_pairs,
+    )
+
+    fp = with_media_dhash(_media_table(spark, sf), "content", "phash")
+    pairs = hamming_pairs(
+        fp, "media_id", "phash", max_hamming=8, agree_blocks=2
+    )
+    emb = ensure_parallelism(read_table(spark, sf, "embeddings"))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ev = emb.select(
+        "vec_id", v.alias("v"), F.sqrt(_dot(v, v)).alias("nrm")
+    )
+    pe = (
+        pairs.join(
+            ev.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("v").alias("va"),
+                F.col("nrm").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            ev.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("v").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "id_b",
+        )
+        .select(
+            F.col("hamming").cast("bigint").alias("hamming"),
+            (
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            ).alias("cos"),
+        )
+    )
+    return (
+        pe.groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            (
+                F.sum(
+                    F.expr("CAST(round(cos * 1.0e9) AS DECIMAL(38,0))")
+                ).cast("double")
+                / F.lit(1.0e9)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_cos"),
+        )
+        .orderBy("hamming")
+    )
+
+
+
+@register("q304_bpe_trainer", oracles.bpe_trainer_sql(rounds=6))
+def q304_bpe_trainer(spark: SparkSession, sf: str) -> DataFrame:
+    """ITERATIVE BPE trainer — q291's merge-pair counting closed into a
+    working training loop: k=6 rounds of (count adjacent symbol pairs
+    over the distinct-word vocab) -> (deterministic argmax: count DESC,
+    pair ASC) -> (apply the merge with a greedy non-overlapping left
+    fold; the merged symbol is NEW and can't re-merge in-round), plus
+    the per-round corpus symbol total and fertility (symbols per corpus
+    word) — the q279 fertility re-measured under the trained merges, so
+    the output IS the "train k merges, watch fertility fall" curve the
+    token-budget converter needs. Scale shape: every round's work is
+    bounded by VOCABULARY (distinct words), never corpus tokens — one
+    keyed agg over exploded pairs, one limit(1) argmax, one HOF fold
+    re-symbolization (q291's Heaps-sublinear argument, k times); driver
+    traffic is k+1 one-row scalars (the argmax and the symbol total),
+    the bounded-collect shape plan_audit sanctions. The DuckDB twin
+    unrolls the same k rounds over MATERIALIZED vocab CTEs (q143's
+    unrolled-rounds pattern) and replays the identical fold."""
+    from kp_data_pipelines_spark.operators.textops import normalize_ws
+
+    k_rounds = 6
+    docs = ensure_parallelism(
+        read_table(spark, sf, "documents").select("text")
+    )
+    words = docs.select(
+        F.explode(F.split(normalize_ws("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    wf = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    syms = wf.select(
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+    first = syms.agg(
+        F.sum("freq").cast("bigint").alias("n"),
+        F.sum(F.col("freq") * F.size("syms")).cast("bigint").alias("cs"),
+    ).first()
+    total_words, cs = first["n"], first["cs"]
+    rows = [(0, "", "", 0, cs)]
+    for r in range(1, k_rounds + 1):
+        pr = (
+            syms.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> named_struct('a', element_at(syms, i), "
+                        "'b', element_at(syms, i + 1)))"
+                    )
+                ).alias("pr"),
+            )
+            .select("freq", "pr.a", "pr.b")
+        )
+        best = (
+            pr.groupBy("a", "b")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], best[0]["cnt"]
+        merged = F.aggregate(
+            F.col("syms"),
+            F.expr("CAST(array() AS ARRAY<STRING>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        syms = syms.select("freq", merged.alias("syms")).localCheckpoint(
+            eager=True
+        )
+        cs = syms.agg(
+            F.sum(F.col("freq") * F.size("syms")).cast("bigint")
+        ).first()[0]
+        rows.append((r, a, b, cnt, cs))
+    return (
+        spark.createDataFrame(
+            rows,
+            "round long, merge_a string, merge_b string, "
+            "pair_count long, corpus_symbols long",
+        )
+        .withColumn(
+            "fertility",
+            F.col("corpus_symbols").cast("double")
+            / F.lit(float(total_words)),
+        )
+        .orderBy("round")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------
@@ -18552,6 +18803,7 @@ OVERFLOW_SENSITIVE = frozenset({
     "q296_text_embedding_alignment",  # DECIMAL-staged mean cosine
     "q298_lsh_collision_calibration",  # adaptive ladder + DECIMAL cosine
     "q299_bucket_width_audit",  # adaptive ladder literal
+    "q303_cross_modal_alignment",  # DECIMAL-staged mean cosine
 })
 
 for _q in OVERFLOW_SENSITIVE:

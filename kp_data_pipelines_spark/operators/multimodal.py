@@ -182,3 +182,108 @@ def chunk_media(df: DataFrame, chunk_bytes: int = 1 << 20,
         )
         .withColumn("chunk_len", F.length("chunk").cast("long"))
     )
+
+
+# --- perceptual fingerprints (media near-dup dedup) ------------------------
+#
+# dHash-style gradient fingerprint over opaque media bytes: pool the byte
+# stream into an 8x9 grid of integer cell sums (the "resize" of classic
+# dHash, with byte values standing in for decoded pixel luma — swap the
+# byte array for a real decoder's pixel array when a codec is wired in),
+# then emit one bit per horizontally-adjacent cell comparison (8 rows x 8
+# comparisons = 64 bits). All integer arithmetic, so the Arrow kernel, the
+# interpreted JVM expression twin, and the DuckDB oracle agree bit-for-bit.
+# Reference basis: the reference's only media gesture is a directory
+# traversal stub (Protocol Data Gathering.ipynb:23-33); this is north-star
+# surface (near-dup detection for image/audio/video payloads at 100 TB).
+
+_DHASH_ROWS, _DHASH_COLS = 8, 9  # 72 pooled cells -> 8 x 8 gradient bits
+_DHASH_CELLS = _DHASH_ROWS * _DHASH_COLS
+_I64_MIN = -(1 << 63)
+
+
+def _dhash_from_cells(cells) -> int:
+    """Pack the 64 gradient bits (cell[r][c+1] > cell[r][c]) into a signed
+    64-bit int, bit b = r*8 + c; bit 63 contributes -2^63 (two's
+    complement) so the value fits BIGINT on every engine."""
+    fp = 0
+    for r in range(_DHASH_ROWS):
+        for c in range(_DHASH_COLS - 1):
+            if cells[r * _DHASH_COLS + c + 1] > cells[r * _DHASH_COLS + c]:
+                b = r * 8 + c
+                fp += _I64_MIN if b == 63 else (1 << b)
+    return fp
+
+
+def media_dhash_kernel():
+    """Arrow-batched numpy dHash over a binary column: bytes -> 72 exact
+    integer cell sums (cumsum differences over floor(g*n/72) boundaries;
+    empty cells sum to 0) -> packed 64-bit gradient fingerprint. Integer
+    arithmetic end to end — bit-identical to the interpreted JVM
+    expression twin (pinned by test_media_dhash_kernel_matches_jvm) and
+    the DuckDB oracle."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def _dhash(batch: pd.Series) -> pd.Series:
+        out = []
+        for buf in batch:
+            if buf is None:
+                out.append(None)
+                continue
+            b = np.frombuffer(bytes(buf), np.uint8).astype(np.int64)
+            n = b.size
+            cs = np.concatenate(([0], np.cumsum(b)))
+            bounds = (np.arange(_DHASH_CELLS + 1, dtype=np.int64) * n) // _DHASH_CELLS
+            cells = cs[bounds[1:]] - cs[bounds[:-1]]
+            out.append(_dhash_from_cells(cells.tolist()))
+        return pd.Series(out, dtype="object").astype("Int64")
+
+    return _dhash
+
+
+def with_media_dhash(df: DataFrame, content_col: str = "content",
+                     out: str = "phash", impl: str = "kernel") -> DataFrame:
+    """Attach the dHash perceptual fingerprint of a binary media column.
+
+    ``impl='kernel'`` (default, the hot path) is the Arrow numpy kernel;
+    ``impl='expr'`` is the interpreted JVM expression twin — same value,
+    used by the pin test and as the zero-Python fallback."""
+    if impl == "kernel":
+        return df.withColumn(out, media_dhash_kernel()(F.col(content_col)))
+    if impl != "expr":
+        raise ValueError(f"unknown impl {impl!r}")
+    hx = f"hex({content_col})"
+    # sequence(1, 0) DESCENDS in Spark — guard the empty-payload case
+    byts = (
+        f"if(length({hx}) < 2, array(), "
+        f"transform(sequence(1, length({hx}) div 2), "
+        f"i -> cast(conv(substring({hx}, 2 * i - 1, 2), 16, 10) as bigint)))"
+    )
+    df = df.withColumn(
+        "__mm_bytes",
+        F.expr(f"case when {content_col} is null then null else {byts} end"),
+    )
+    cells = (
+        f"transform(sequence(0, {_DHASH_CELLS - 1}), g -> aggregate("
+        f"slice(__mm_bytes, (g * size(__mm_bytes)) div {_DHASH_CELLS} + 1, "
+        f"((g + 1) * size(__mm_bytes)) div {_DHASH_CELLS} "
+        f"- (g * size(__mm_bytes)) div {_DHASH_CELLS}), "
+        f"0L, (acc, x) -> acc + x))"
+    )
+    df = df.withColumn(
+        "__mm_cells",
+        F.expr(f"case when __mm_bytes is null then null else {cells} end"),
+    )
+    fp = (
+        "aggregate(transform(sequence(0, 63), bb -> "
+        "if(element_at(__mm_cells, cast((bb div 8) * 9 + (bb % 8) + 2 as int)) > "
+        "element_at(__mm_cells, cast((bb div 8) * 9 + (bb % 8) + 1 as int)), "
+        f"if(bb = 63, {_I64_MIN}L, shiftleft(1L, bb)), 0L)), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    return df.withColumn(
+        out, F.expr(f"case when __mm_cells is null then null else {fp} end")
+    ).drop("__mm_bytes", "__mm_cells")

@@ -738,51 +738,63 @@ def cosine_pairs_blocked(
     )
 
 
-def simhash_hamming_pairs(
-    df: DataFrame,
+def hamming_pairs(
+    fp_df: DataFrame,
     id_col: str,
-    text_col: str,
+    fp_col: str = "fp",
     max_hamming: int = 3,
-    k: int = 2,
-    portable_hash: bool = False,
+    agree_blocks: int = 1,
 ) -> DataFrame:
-    """SimHash near-dup pairs within a Hamming radius — EXACT given the
-    fingerprints, via the pigeonhole banding trick.
+    """Near-dup pairs within a Hamming radius over ANY 64-bit fingerprint
+    column (SimHash, media dHash, ...) — EXACT given the fingerprints,
+    via the pigeonhole banding trick.
 
-    Split the 64-bit fingerprint into ``max_hamming + 1`` chunks: two
-    fingerprints within Hamming distance d must agree exactly on at least
-    one chunk, so candidates = equi-join on (chunk_idx, chunk_value) and
-    verification = bit_count(xor) <= d. All JVM bit ops, shuffle keyed on
-    16-bit chunk values. Returns (id_a, id_b, hamming), id_a < id_b."""
-    n_chunks = max_hamming + 1
-    chunk_bits = 64 // n_chunks
-    fp = with_simhash(
-        ensure_parallelism(df.select(id_col, text_col)),
-        text_col,
-        "fp",
-        k,
-        portable_hash=portable_hash,
-    ).select(id_col, "fp")
-    chunks = fp.select(
-        id_col,
-        "fp",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("fp", i * chunk_bits).bitwiseAND(
-                        F.lit((1 << chunk_bits) - 1)
-                    )
-                    for i in range(n_chunks)
-                ]
+    Split the 64-bit fingerprint into ``max_hamming + agree_blocks``
+    blocks: two fingerprints within Hamming distance d must agree
+    exactly on at least ``agree_blocks`` of them (d differing bits can
+    spoil at most d blocks; bits left uncovered when 64 isn't divisible
+    only ADD candidates, never lose pairs), so candidates = equi-join on
+    each ``agree_blocks``-sized block COMBINATION key and verification =
+    bit_count(xor) <= d. Combination keys are ``xxhash64(combo_id,
+    block values...)`` — a hash collision can only add a candidate the
+    exact verification then discards, so hashing is free correctness-
+    wise and spreads the shuffle over the full 64-bit key space.
+
+    ``agree_blocks=1`` is the classic d+1-chunk scheme (q43); its join
+    keys take only 2^(64/(d+1)) distinct values — 4096 at d=4 — which
+    at 10^8+ rows makes every key a mega-bucket and the candidate join
+    quadratic-per-bucket. ``agree_blocks=2`` (Manku et al.'s multi-
+    block tables, the web-scale simhash dedup layout) squares the key
+    space for C(d+2, 2) keys per row — the knob to turn BEFORE fp
+    volume makes single-block buckets exceed the q299-style width
+    budget. Returns (id_a, id_b, hamming), id_a < id_b."""
+    from itertools import combinations
+
+    n_blocks = max_hamming + agree_blocks
+    block_bits = 64 // n_blocks
+    if block_bits < 1:
+        raise ValueError("max_hamming + agree_blocks must be <= 64")
+    fp = fp_df.select(id_col, F.col(fp_col).alias("fp"))
+    blocks = [
+        F.shiftrightunsigned("fp", i * block_bits).bitwiseAND(
+            F.lit((1 << block_bits) - 1)
+        )
+        for i in range(n_blocks)
+    ]
+    keys = F.array(
+        *[
+            F.xxhash64(F.lit(cid), *[blocks[i] for i in combo])
+            for cid, combo in enumerate(
+                combinations(range(n_blocks), agree_blocks)
             )
-        ).alias("chunk_idx", "chunk_val"),
+        ]
     )
+    keyed = fp.select(id_col, "fp", F.explode(keys).alias("bkey"))
     cand = (
-        chunks.alias("a")
+        keyed.alias("a")
         .join(
-            chunks.alias("b"),
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            keyed.alias("b"),
+            (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
@@ -799,6 +811,27 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    k: int = 2,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius: fingerprint the
+    text, then the generic pigeonhole chunk-banding join
+    (``hamming_pairs``)."""
+    fp = with_simhash(
+        ensure_parallelism(df.select(id_col, text_col)),
+        text_col,
+        "fp",
+        k,
+        portable_hash=portable_hash,
+    ).select(id_col, "fp")
+    return hamming_pairs(fp, id_col, "fp", max_hamming)
 
 
 def _winnow_kernel(k: int, w: int):

@@ -3826,3 +3826,197 @@ def cdc_incremental_sql(
              AS dup_chars
     FROM m GROUP BY doc_id ORDER BY doc_id
     """
+
+
+# --- multimodal perceptual-hash dedup (q301-q303) ---------------------------
+
+
+def _media_phash_cte(src: str = "documents") -> str:
+    """CTEs -> ``mfp(media_id, phash)`` — the dHash gradient fingerprint
+    of multimodal.with_media_dhash over the synthetic media payloads
+    (the documents' UTF-8 text bytes, q36's construction): hex-decode
+    the bytes, pool them into 72 integer cell sums on floor(g*n/72)
+    boundaries, then one bit per horizontally-adjacent cell comparison
+    (bit 63 contributes -2^63 — DuckDB rejects ``1::BIGINT << 63``).
+    Integer arithmetic end to end, bit-identical to the Arrow kernel."""
+    return f"""m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx FROM {src}
+    ),
+    mb AS (
+      SELECT media_id, length(hx) // 2 AS n,
+             list_transform(range(0, length(hx) // 2),
+               i -> CAST(strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1
+                         AS BIGINT) * 16
+                  + CAST(strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1
+                         AS BIGINT)) AS byts
+      FROM m
+    ),
+    mc AS (
+      SELECT media_id,
+             list_transform(range(0, 72),
+               g -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      byts[(g * n) // 72 + 1 : ((g + 1) * n) // 72]),
+                    (acc, x) -> acc + x)) AS cell
+      FROM mb
+    ),
+    mfp AS (
+      SELECT media_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(0, 64),
+                 bb -> CASE WHEN cell[(bb // 8) * 9 + (bb % 8) + 2]
+                                 > cell[(bb // 8) * 9 + (bb % 8) + 1]
+                            THEN (CASE WHEN bb = 63
+                                       THEN CAST(-9223372036854775808
+                                                 AS BIGINT)
+                                       ELSE CAST(1 AS BIGINT) << bb END)
+                            ELSE CAST(0 AS BIGINT) END)),
+               (acc, x) -> acc + x) AS phash
+      FROM mc
+    )"""
+
+
+def media_phash_sql() -> str:
+    """Twin of q301: the perceptual fingerprint table itself."""
+    return f"WITH {_media_phash_cte()} SELECT media_id, phash FROM mfp"
+
+
+def _media_hamming_cand_cte(max_hamming: int = 4) -> str:
+    """``mcand(id_a, id_b, hamming)`` via the pigeonhole chunk equi-join
+    — the similarity.hamming_pairs shape, banded, never all-pairs.
+    DuckDB's arithmetic ``>>`` equals the logical shift after the
+    ``& mask`` because every chunk tiles within 64 bits."""
+    n_chunks = max_hamming + 1
+    cb = 64 // n_chunks
+    mask = (1 << cb) - 1
+    return f"""mch AS (
+      SELECT media_id, phash, unnest(range(0, {n_chunks})) AS ci FROM mfp
+    ),
+    mkv AS (
+      SELECT media_id, phash, ci,
+             (phash >> (ci * {cb})) & {mask} AS cv
+      FROM mch
+    ),
+    mcand AS (
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+             CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+      FROM mkv a JOIN mkv b
+        ON b.ci = a.ci AND b.cv = a.cv AND a.media_id < b.media_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+    )"""
+
+
+def media_near_dup_pairs_sql(max_hamming: int = 4) -> str:
+    """Twin of q302: media near-dup pairs within a Hamming radius of the
+    dHash fingerprint."""
+    return f"""
+    WITH {_media_phash_cte()},
+    {_media_hamming_cand_cte(max_hamming)}
+    SELECT id_a, id_b, hamming FROM mcand ORDER BY id_a, id_b
+    """
+
+
+def media_embedding_alignment_sql(max_hamming: int = 8) -> str:
+    """Twin of q303: cross-modal alignment audit — for every media
+    near-dup candidate pair (dHash Hamming <= radius) whose BOTH
+    endpoints carry an embedding, the exact fold cosine; per Hamming
+    distance, the pair count and DECIMAL-staged mean cosine (q296's
+    pattern with pixel-space distance replacing token-space Jaccard)."""
+    return f"""
+    WITH {_media_phash_cte()},
+    {_media_hamming_cand_cte(max_hamming)},
+    ev AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt({_dot("CAST(embedding AS DOUBLE[])",
+                        "CAST(embedding AS DOUBLE[])")}) AS nrm
+      FROM embeddings
+    ),
+    pe AS (
+      SELECT c.hamming, {_dot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+      FROM mcand c
+      JOIN ev a ON a.vec_id = c.id_a
+      JOIN ev b ON b.vec_id = c.id_b
+    )
+    SELECT CAST(hamming AS BIGINT) AS hamming,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(round(cos * 1.0e9) AS DECIMAL(38,0))) AS DOUBLE)
+             / 1.0e9 / CAST(COUNT(*) AS DOUBLE) AS mean_cos
+    FROM pe GROUP BY hamming ORDER BY hamming
+    """
+
+
+def bpe_trainer_sql(rounds: int = 6) -> str:
+    """Twin of q304: the ITERATIVE BPE trainer — q291's single merge
+    iteration unrolled to ``rounds`` rounds (the q143 unrolled-rounds
+    twin pattern). Each round: adjacent symbol-pair counts over the
+    MATERIALIZED re-symbolized vocab, deterministic argmax (count DESC,
+    pair ASC), then the merge applied with a left fold (greedy
+    non-overlapping, identical to the Spark aggregate fold — a merged
+    symbol is a NEW symbol and can't re-merge with its neighbor in the
+    same round). Symbols ride as VARCHAR[] singletons inside the fold
+    so the accumulator and element types agree. Per-round output:
+    winning pair, its count, the corpus symbol total after the merge,
+    and fertility (symbols per corpus word); round 0 is the
+    one-symbol-per-char baseline."""
+    parts = [
+        f"""w0 AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY word
+    ),
+    tw AS (SELECT CAST(SUM(freq) AS BIGINT) AS n FROM w0),
+    s0 AS MATERIALIZED (
+      SELECT freq,
+             list_transform(range(1, length(word) + 1),
+                            i -> substr(word, i, 1)) AS syms
+      FROM w0
+    ),
+    tot0 AS (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) AS cs FROM s0)"""
+    ]
+    sels = [
+        "SELECT CAST(0 AS BIGINT) AS round, '' AS merge_a, '' AS merge_b, "
+        "CAST(0 AS BIGINT) AS pair_count, tot0.cs AS corpus_symbols, "
+        "CAST(tot0.cs AS DOUBLE) / CAST(tw.n AS DOUBLE) AS fertility "
+        "FROM tot0 CROSS JOIN tw"
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""pr{r} AS (
+      SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq,
+                   unnest(list_transform(range(1, len(syms)),
+                     i -> struct_pack(a := syms[i], b := syms[i + 1]))) AS pr
+            FROM s{p} WHERE len(syms) >= 2)
+      GROUP BY pr.a, pr.b
+    ),
+    best{r} AS MATERIALIZED (
+      SELECT a, b, cnt FROM pr{r} ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    s{r} AS MATERIALIZED (
+      SELECT freq,
+             list_reduce(
+               list_prepend(CAST([] AS VARCHAR[]),
+                            list_transform(syms, x -> [x])),
+               (acc, xl) -> CASE WHEN len(acc) > 0 AND acc[-1] = b{r}.a
+                                      AND xl[1] = b{r}.b
+                                 THEN acc[1:len(acc) - 1]
+                                      || [b{r}.a || b{r}.b]
+                                 ELSE acc || xl END) AS syms
+      FROM s{p} CROSS JOIN best{r} b{r}
+    ),
+    tot{r} AS (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) AS cs
+               FROM s{r})"""
+        )
+        sels.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, b.a AS merge_a, "
+            f"b.b AS merge_b, b.cnt AS pair_count, t.cs AS corpus_symbols, "
+            f"CAST(t.cs AS DOUBLE) / CAST(tw.n AS DOUBLE) AS fertility "
+            f"FROM best{r} b CROSS JOIN tot{r} t CROSS JOIN tw"
+        )
+    ctes = ",\n    ".join(parts)
+    union = " UNION ALL ".join(sels)
+    return f"""
+    WITH {ctes}
+    SELECT * FROM ({union}) u ORDER BY round
+    """

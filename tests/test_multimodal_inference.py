@@ -175,3 +175,82 @@ def test_real_image_decode(spark):
     rows = extract_media_features(df, decoder="real").collect()
     assert rows[0]["feature"] == "image:3x2:RGB"
     assert rows[0]["n_bytes"] == len(png)
+
+
+def test_media_dhash_kernel_matches_jvm(spark):
+    """The Arrow numpy dHash kernel and the interpreted JVM expression
+    twin must produce IDENTICAL fingerprints (integer cell sums +
+    gradient bits — also what the DuckDB q301 oracle recomputes),
+    including payloads smaller than the 72-cell grid, empty and NULL
+    payloads, and constant bytes (no gradient -> fingerprint 0)."""
+    from kp_data_pipelines_spark.operators.multimodal import (
+        with_media_dhash,
+    )
+    from kp_data_pipelines_spark.sources.readers import read_table
+
+    edge = spark.createDataFrame(
+        [
+            (1, bytearray(b"the quick brown fox jumps over the lazy dog")),
+            (2, bytearray(b"tiny")),          # fewer bytes than cells
+            (3, bytearray(b"")),              # empty payload
+            (4, None),                        # null payload
+            (5, bytearray(b"\x00" * 500)),    # constant bytes, no gradient
+            (6, bytearray(bytes(range(256)) * 7)),  # full byte range
+            (7, bytearray(b"\xff" * 71)),     # one byte short of the grid
+        ],
+        "media_id long, content binary",
+    )
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    for df in (edge, docs):
+        kern = {
+            r["media_id"]: r["p"]
+            for r in with_media_dhash(df, "content", "p", "kernel").collect()
+        }
+        expr = {
+            r["media_id"]: r["p"]
+            for r in with_media_dhash(df, "content", "p", "expr").collect()
+        }
+        assert kern == expr
+    # pinned edge semantics
+    kern = {
+        r["media_id"]: r["p"]
+        for r in with_media_dhash(edge, "content", "p", "kernel").collect()
+    }
+    assert kern[3] == 0 and kern[5] == 0  # no gradient -> 0
+    assert kern[4] is None                # null stays null
+
+
+def test_hamming_pairs_generic_matches_bruteforce(spark):
+    """The pigeonhole chunk-banding join over an arbitrary fingerprint
+    column must return EXACTLY the brute-force Hamming-radius pair set
+    — including fingerprints that differ only in bit 63 (outside every
+    chunk when 64 % (d+1) != 0: uncovered bits must not lose pairs)."""
+    from kp_data_pipelines_spark.operators.similarity import hamming_pairs
+
+    fps = [
+        (1, 0),
+        (2, 1),                      # d(1,2)=1
+        (3, -9223372036854775808),   # bit 63 only: d(1,3)=1
+        (4, -9223372036854775807),   # bits 63+0: d(1,4)=2, d(3,4)=1
+        (5, 255),                    # d(1,5)=8
+        (6, 255),                    # exact dup of 5
+    ]
+    df = spark.createDataFrame(fps, "media_id long, fp long")
+    for d in (1, 2, 6):
+        for k in (1, 2):  # classic chunks and Manku 2-block combinations
+            got = {
+                (r["id_a"], r["id_b"]): r["hamming"]
+                for r in hamming_pairs(
+                    df, "media_id", "fp", d, agree_blocks=k
+                ).collect()
+            }
+            want = {}
+            for i, (ia, fa) in enumerate(fps):
+                for ib, fb in fps[i + 1:]:
+                    h = bin((fa ^ fb) & ((1 << 64) - 1)).count("1")
+                    if h <= d:
+                        want[(ia, ib)] = h
+            assert got == want, (d, k, got, want)
