@@ -18719,6 +18719,57 @@ def q304_bpe_trainer(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+@register(
+    "q305_media_shared_segments", oracles.media_shared_segments_sql()
+)
+def q305_media_shared_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared-SEGMENT detection across media: pairs of payloads that
+    contain the same content chunks (the same clip embedded in two
+    videos, the same image region re-encoded into two containers) —
+    sub-payload dedup that whole-payload identity (q36's sha) and
+    whole-payload perceptual distance (q302) both miss. The payload is
+    split JVM-side into fixed-size chunks (multimodal.chunk_media — a
+    generated index + binary substring, no Python boundary), each chunk
+    gets a sha256 identity, chunk identities seen in 2..20 media join
+    pairwise (the winnowing-style frequency cap keeps boilerplate
+    chunks from going quadratic), and pairs sharing >= 2 distinct chunk
+    identities are reported with their shared count. Scale shape: one
+    chunk scan, one keyed df-count, one equi-join on 256-bit identities
+    (uniformly dispersed keys), one pair aggregate — at 100 TB this is
+    the block-layer "do two videos overlap" question answered without
+    decoding a frame. Fixture note: 64-byte chunks suit the ~1.5 KB
+    synthetic payloads; production uses chunk_media's 1 MB default."""
+    from kp_data_pipelines_spark.operators.multimodal import chunk_media
+
+    media = _media_table(spark, sf).filter(F.length("content") > 0)
+    hh = (
+        chunk_media(media, chunk_bytes=64)
+        .select("media_id", F.sha2("chunk", 256).alias("ch"))
+        .dropDuplicates(["media_id", "ch"])
+    )
+    chdf = hh.groupBy("ch").agg(
+        F.countDistinct("media_id").alias("nm")
+    )
+    k = hh.join(
+        chdf.filter((F.col("nm") >= 2) & (F.col("nm") <= 20)), "ch"
+    ).select("media_id", "ch")
+    p = (
+        k.alias("a")
+        .join(
+            k.alias("b"),
+            (F.col("a.ch") == F.col("b.ch"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_chunks"))
+    )
+    return p.filter(F.col("shared_chunks") >= 2).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------

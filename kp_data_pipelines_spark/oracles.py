@@ -4020,3 +4020,45 @@ def bpe_trainer_sql(rounds: int = 6) -> str:
     WITH {ctes}
     SELECT * FROM ({union}) u ORDER BY round
     """
+
+
+def media_shared_segments_sql(
+    chunk_bytes: int = 64, min_shared: int = 2, max_media_freq: int = 20
+) -> str:
+    """Twin of q305: media pairs sharing content SEGMENTS — fixed-size
+    chunk hashes in common. Chunk boundaries are multimodal.chunk_media's
+    (ceil(len/cb) chunks, 1-based substring slices); identities are
+    sha256 of the chunk. The twin chunks the TEXT where Spark chunks the
+    UTF-8 BYTES — identical for the all-ASCII fixture (the q36 oracle's
+    standing equivalence); chunk-frequency cap and min-shared floor
+    mirror the winnowing twin's boilerplate guards."""
+    return f"""
+    WITH c AS (
+      SELECT doc_id AS media_id,
+             unnest(range(0, greatest(
+               CAST(ceil(length(text) / {float(chunk_bytes)}) AS BIGINT),
+               1))) AS ci,
+             text
+      FROM documents WHERE length(text) > 0
+    ),
+    hh AS (
+      SELECT DISTINCT media_id,
+             sha256(substr(text, CAST(ci * {chunk_bytes} + 1 AS INT),
+                           {chunk_bytes})) AS ch
+      FROM c
+    ),
+    chdf AS (SELECT ch, COUNT(DISTINCT media_id) AS nm FROM hh GROUP BY ch),
+    k AS (
+      SELECT media_id, hh.ch FROM hh JOIN chdf ON chdf.ch = hh.ch
+      WHERE nm BETWEEN 2 AND {max_media_freq}
+    ),
+    p AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_chunks
+      FROM k a JOIN k b ON a.ch = b.ch AND a.media_id < b.media_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, shared_chunks FROM p
+    WHERE shared_chunks >= {min_shared}
+    ORDER BY id_a, id_b
+    """

@@ -110,6 +110,92 @@ def main() -> int:
         .filter(F.col("top") * 5 > F.col("nb"))
     )
     stage("repetition_rules_bigrams", rep)
+
+    # Round-8 probes (SCALE.md §11): the CDC chunking kernel, the media
+    # dHash kernel, and the adaptive-plane LSH bucket path at a 1M-row
+    # population — evidence the derived knobs (GRAM_TARGET_BUCKET budget,
+    # q299's realized-width alarm) hold where sf0.1 cannot show it.
+    from kp_data_pipelines_spark.operators.multimodal import (
+        with_media_dhash,
+    )
+    from kp_data_pipelines_spark.operators.similarity import (
+        GRAM_TARGET_BUCKET,
+        adaptive_n_planes,
+        simhash_planes,
+        with_hyperplane_bucket,
+    )
+    from kp_data_pipelines_spark.operators.textops import with_cdc_chunks
+
+    t = time.time()
+    n_chunks = with_cdc_chunks(
+        docs.select("doc_id", "text"), "text", out="packed"
+    ).count()
+    dt = time.time() - t
+    out["cdc_kernel"] = round(n / dt)
+    print(
+        f"cdc_kernel: {n_chunks} chunks, {dt:.1f}s, "
+        f"{out['cdc_kernel']} docs/sec, {round(n_chunks / dt)} chunks/sec"
+    )
+
+    t = time.time()
+    cnt = (
+        with_media_dhash(
+            docs.select("doc_id", F.encode("text", "UTF-8").alias("content")),
+            "content",
+            "phash",
+        )
+        .filter(F.col("phash").isNotNull())
+        .count()
+    )
+    dt = time.time() - t
+    out["media_dhash_kernel"] = round(n / dt)
+    print(
+        f"media_dhash_kernel: {cnt} fingerprints, {dt:.1f}s, "
+        f"{out['media_dhash_kernel']} docs/sec"
+    )
+
+    # synthetic 64-dim embeddings, generated once OFF the timed region
+    emb = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, 64), i -> "
+            "CAST(pmod(xxhash64(doc_id, i), 1000000) AS DOUBLE) "
+            "/ 500000.0 - 1.0)"
+        ).alias("v"),
+    ).localCheckpoint(eager=True)
+    n_planes = adaptive_n_planes(n)
+    t = time.time()
+    w = (
+        with_hyperplane_bucket(emb, "v", simhash_planes(64, n_planes, 7))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("width"))
+    )
+    st = w.agg(
+        F.count(F.lit(1)).alias("buckets_used"),
+        F.max("width").alias("max_width"),
+        F.avg("width").alias("mean_width"),
+        F.sum(
+            F.when(F.col("width") > GRAM_TARGET_BUCKET, 1).otherwise(0)
+        ).alias("over_budget_buckets"),
+        F.sum(
+            F.when(F.col("width") > GRAM_TARGET_BUCKET, F.col("width"))
+            .otherwise(0)
+        ).alias("over_budget_rows"),
+    ).first()
+    dt = time.time() - t
+    out["lsh_adaptive_bucket"] = round(n / dt)
+    out["lsh_over_budget_row_share"] = round(
+        st["over_budget_rows"] / n, 4
+    )
+    print(
+        f"lsh_adaptive_bucket: planes={n_planes}, "
+        f"buckets={st['buckets_used']}, max_width={st['max_width']}, "
+        f"mean_width={st['mean_width']:.1f}, "
+        f"over_budget_buckets={st['over_budget_buckets']}, "
+        f"over_budget_row_share={out['lsh_over_budget_row_share']}, "
+        f"{dt:.1f}s, {out['lsh_adaptive_bucket']} docs/sec"
+    )
+
     print(json.dumps({"metric": "stress_docs_per_sec", "n_docs": n, **out}))
     return 0
 
