@@ -18770,6 +18770,70 @@ def q305_media_shared_segments(spark: SparkSession, sf: str) -> DataFrame:
     return p.filter(F.col("shared_chunks") >= 2).orderBy("id_a", "id_b")
 
 
+
+@register(
+    "q306_video_frame_overlap", oracles.video_frame_overlap_sql()
+)
+def q306_video_frame_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """FRAME-level overlap between videos: sample each payload's frame
+    timeline from its duration metadata (multimodal.frame_sample_plan —
+    the explode is generated JVM-side from duration, one row per
+    (media_id, frame_ts)), fingerprint every sampled frame with the
+    dHash kernel, match frames across DIFFERENT media within Hamming
+    radius 1 (the generic pigeonhole join), and report media pairs with
+    >= 2 matching frames — "these two videos share a scene", the
+    sequence-aware dedup signal that whole-payload fingerprints (q302)
+    and unordered chunk identity (q305) both under-report. On the
+    fixture a frame is a 100-char payload window and duration = payload
+    chars (the decode stand-in, like q36); with a real codec wired into
+    DECODERS the same plan runs on actual frame rasters. Scale shape:
+    frame explode is linear in total duration; fingerprints are one
+    Arrow pass; candidates are the hashed-combination-key equi-join;
+    the media rollup is one keyed agg. Frame ids pack as media_id *
+    2^20 + frame_idx (both far below 2^20 at every fixture SF)."""
+    from kp_data_pipelines_spark.operators.multimodal import (
+        frame_sample_plan,
+        with_media_dhash,
+    )
+    from kp_data_pipelines_spark.operators.similarity import hamming_pairs
+
+    every = 100
+    media = _media_table(spark, sf).filter(F.length("content") > 0)
+    vids = media.select(
+        "media_id",
+        F.lit("video").alias("kind"),
+        F.length("content").cast("long").alias("duration_ms"),
+    )
+    frames = frame_sample_plan(vids, every_ms=every)
+    fr = frames.join(media, "media_id").select(
+        (
+            F.col("media_id") * F.lit(1048576)
+            + F.expr(f"frame_ts_ms div {every}")
+        ).alias("media_fid"),
+        F.expr(f"substring(content, frame_ts_ms + 1, {every})").alias(
+            "frame"
+        ),
+    )
+    fp = with_media_dhash(fr, "frame", "phash").select(
+        "media_fid", "phash"
+    )
+    pairs = hamming_pairs(
+        fp, "media_fid", "phash", max_hamming=1, agree_blocks=2
+    )
+    mp = (
+        pairs.select(
+            F.expr("id_a div 1048576").alias("id_a"),
+            F.expr("id_b div 1048576").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_frame_matches"))
+    )
+    return mp.filter(F.col("n_frame_matches") >= 2).orderBy(
+        "id_a", "id_b"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------

@@ -3831,28 +3831,24 @@ def cdc_incremental_sql(
 # --- multimodal perceptual-hash dedup (q301-q303) ---------------------------
 
 
-def _media_phash_cte(src: str = "documents") -> str:
-    """CTEs -> ``mfp(media_id, phash)`` — the dHash gradient fingerprint
-    of multimodal.with_media_dhash over the synthetic media payloads
-    (the documents' UTF-8 text bytes, q36's construction): hex-decode
-    the bytes, pool them into 72 integer cell sums on floor(g*n/72)
-    boundaries, then one bit per horizontally-adjacent cell comparison
-    (bit 63 contributes -2^63 — DuckDB rejects ``1::BIGINT << 63``).
-    Integer arithmetic end to end, bit-identical to the Arrow kernel."""
-    return f"""m AS (
-      SELECT doc_id AS media_id, hex(encode(text)) AS hx FROM {src}
-    ),
-    mb AS (
-      SELECT media_id, length(hx) // 2 AS n,
+def _phash_chain(id_cols: str = "media_id", src_cte: str = "m") -> str:
+    """CTEs -> ``mfp({id_cols}, phash)`` from a source CTE providing
+    ``({id_cols}, hx)`` (hex-encoded payload bytes): pool the bytes into
+    72 integer cell sums on floor(g*n/72) boundaries, then one bit per
+    horizontally-adjacent cell comparison (bit 63 contributes -2^63 —
+    DuckDB rejects ``1::BIGINT << 63``). Integer arithmetic end to end,
+    bit-identical to multimodal.media_dhash_kernel."""
+    return f"""mb AS (
+      SELECT {id_cols}, length(hx) // 2 AS n,
              list_transform(range(0, length(hx) // 2),
                i -> CAST(strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1
                          AS BIGINT) * 16
                   + CAST(strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1
                          AS BIGINT)) AS byts
-      FROM m
+      FROM {src_cte}
     ),
     mc AS (
-      SELECT media_id,
+      SELECT {id_cols},
              list_transform(range(0, 72),
                g -> list_reduce(list_prepend(CAST(0 AS BIGINT),
                       byts[(g * n) // 72 + 1 : ((g + 1) * n) // 72]),
@@ -3860,7 +3856,7 @@ def _media_phash_cte(src: str = "documents") -> str:
       FROM mb
     ),
     mfp AS (
-      SELECT media_id,
+      SELECT {id_cols},
              list_reduce(list_prepend(CAST(0 AS BIGINT),
                list_transform(range(0, 64),
                  bb -> CASE WHEN cell[(bb // 8) * 9 + (bb % 8) + 2]
@@ -3873,6 +3869,18 @@ def _media_phash_cte(src: str = "documents") -> str:
                (acc, x) -> acc + x) AS phash
       FROM mc
     )"""
+
+
+def _media_phash_cte(src: str = "documents") -> str:
+    """``m`` + ``mfp(media_id, phash)`` over the synthetic media payloads
+    (the documents' UTF-8 text bytes, q36's construction)."""
+    return (
+        f"""m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx FROM {src}
+    ),
+    """
+        + _phash_chain("media_id", "m")
+    )
 
 
 def media_phash_sql() -> str:
@@ -4060,5 +4068,60 @@ def media_shared_segments_sql(
     )
     SELECT id_a, id_b, shared_chunks FROM p
     WHERE shared_chunks >= {min_shared}
+    ORDER BY id_a, id_b
+    """
+
+
+def video_frame_overlap_sql(
+    every: int = 100, max_hamming: int = 1, min_frames: int = 2
+) -> str:
+    """Twin of q306: media pairs whose sampled FRAMES overlap — frame
+    timeline from duration metadata (frame_sample_plan's
+    greatest(duration div every, 1) formula, duration = payload chars on
+    the fixture), per-frame dHash over the frame window, banded
+    Hamming-radius frame matching (2 x 32-bit chunks for radius 1 —
+    exact pigeonhole), media-pair rollup with a >= ``min_frames`` floor
+    so a single coincidental frame match is not an overlap claim.
+    Frame ids pack as media_id * 2^20 + frame_idx (frame counts and doc
+    ids are far below 2^20 at every fixture SF)."""
+    n_chunks = max_hamming + 1
+    cb = 64 // n_chunks
+    mask = (1 << cb) - 1
+    return f"""
+    WITH fr0 AS (
+      SELECT doc_id AS media_id,
+             unnest(range(0, greatest(
+               CAST(length(text) // {every} AS BIGINT), 1))) AS fi,
+             text
+      FROM documents WHERE length(text) > 0
+    ),
+    m AS (
+      SELECT media_id * 1048576 + fi AS media_fid,
+             hex(encode(substr(text, CAST(fi * {every} + 1 AS INT),
+                               {every}))) AS hx
+      FROM fr0
+    ),
+    {_phash_chain("media_fid", "m").replace("mfp", "ffp")},
+    fch AS (
+      SELECT media_fid, phash, unnest(range(0, {n_chunks})) AS ci FROM ffp
+    ),
+    fkv AS (
+      SELECT media_fid, phash, ci,
+             (phash >> (ci * {cb})) & {mask} AS cv
+      FROM fch
+    ),
+    fc AS (
+      SELECT DISTINCT a.media_fid AS fa, b.media_fid AS fb
+      FROM fkv a JOIN fkv b ON b.ci = a.ci AND b.cv = a.cv
+       AND a.media_fid // 1048576 < b.media_fid // 1048576
+      WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+    ),
+    mp AS (
+      SELECT fa // 1048576 AS id_a, fb // 1048576 AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS n_frame_matches
+      FROM fc GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_frame_matches FROM mp
+    WHERE n_frame_matches >= {min_frames}
     ORDER BY id_a, id_b
     """
