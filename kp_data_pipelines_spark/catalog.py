@@ -18834,6 +18834,203 @@ def q306_video_frame_overlap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register("q307_dup_span_excision", oracles.dup_span_excision_sql(k=8))
+def q307_dup_span_excision(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT duplicated-span excision ledger — q260's diagnostic turned
+    into the transformation it motivates (the ExactSubstr dedup of Lee
+    et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", token-granular): corpus-wide duplicated 8-gram START
+    positions merge per document into MAXIMAL contiguous spans
+    (gaps-and-islands; starts <= 8 apart fuse, i.e. overlapping or
+    touching coverage), and the per-source ledger prices the excision —
+    docs touched, spans, tokens removed vs kept, the longest single
+    span, and the excised share. This is the number (and the span set)
+    a span-level scrubber acts on where doc-level dedup (q66/q146)
+    would throw away whole documents for one shared license block.
+    Scale shape: the pinned Arrow poly-shingle kernel, gram
+    doc-frequency as one keyed distinct+count (integer keys, never gram
+    strings), one gram-keyed join back to positions, then per-DOCUMENT
+    lag/running-sum windows (bounded by a doc's own shingle count — the
+    same per-doc window class as q290) and keyed rollups; exact
+    integers plus one pinned double division. Reference gesture: the
+    notebooks dedup whole rows only (`Protocol Data Gathering.ipynb`
+    drop_duplicates); span-level excision is north-star surface."""
+    from kp_data_pipelines_spark.operators.textops import with_poly_shingles
+
+    k = 8
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "source", "text"
+    )
+    sh = with_poly_shingles(ensure_parallelism(docs), "text", "g", k=k)
+    base = sh.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n_toks"),
+        "g",
+    )
+    spans = base.select(
+        "doc_id", "n_toks", F.posexplode("g").alias("pos", "gram")
+    )
+    dup_grams = (
+        spans.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gram")
+    )
+    dup = spans.join(dup_grams, "gram").select("doc_id", "n_toks", "pos")
+    wo = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(wo) > k, F.lit(1)
+    ).otherwise(F.lit(0))
+    isl = dup.withColumn("brk", brk).withColumn(
+        "island",
+        F.sum("brk").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sp = isl.groupBy("doc_id", "island").agg(
+        (
+            F.least(F.max("pos") + k, F.max("n_toks")) - F.min("pos")
+        ).alias("span_toks")
+    )
+    pd_ = sp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("span_toks").cast("bigint").alias("span_toks"),
+        F.max("span_toks").cast("bigint").alias("max_span"),
+    )
+    alld = (
+        base.select("doc_id", "source", "n_toks")
+        .join(pd_, "doc_id", "left")
+        .fillna(0, subset=["n_spans", "span_toks", "max_span"])
+    )
+    return (
+        alld.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            F.sum(F.when(F.col("n_spans") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_with_spans"),
+            F.sum("n_spans").cast("bigint").alias("n_spans"),
+            F.sum("span_toks").cast("bigint").alias("excised_tokens"),
+            (F.sum("n_toks") - F.sum("span_toks"))
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.max("max_span").cast("bigint").alias("max_span_tokens"),
+            (
+                F.sum("span_toks").cast("double")
+                / F.sum("n_toks").cast("double")
+            ).alias("excised_share"),
+        )
+        .orderBy("source")
+    )
+
+
+@register("q308_audio_constellation", oracles.audio_constellation_sql())
+def q308_audio_constellation(spark: SparkSession, sf: str) -> DataFrame:
+    """AUDIO-style landmark-constellation matching (the Shazam
+    shape: Wang 2003, "An Industrial-Strength Audio Search Algorithm")
+    — the alignment-aware overlap signal for time-series media that
+    q302 (whole-payload distance) and q305 (unordered chunk identity)
+    cannot give: WHERE two streams line up. The payload frames into
+    32-char windows; each frame's landmark is its peak (argmax char
+    code — the spectral-peak stand-in until a real decoder is wired
+    into multimodal.DECODERS; first-occurrence ties both engines);
+    landmarks pair with the next 1..3 frames' landmarks into integer
+    constellation KEYS (peak position x peak position x delta x coarse
+    code buckets — the production key packs quantized frequencies, same
+    integer contract); keys seen in 2..20 media equi-join across media
+    and each candidate pair VOTES on its frame offset t_b - t_a; a pair
+    reports its mode offset when >= 4 landmarks agree — the offset
+    histogram spike that says "same recording, shifted". Scale shape:
+    frame explode linear in payload, per-frame work bounded by the
+    32-char window, landmark keys shuffle once, the key-frequency cap
+    bounds fanout exactly like q305's chunk df-cap, per-pair windows
+    bounded by a pair's own offset count. All integers; no floats
+    anywhere."""
+    w_sz, fan = 32, 3
+    media = ensure_parallelism(
+        read_table(spark, sf, "documents")
+        .select(F.col("doc_id").alias("media_id"), "text")
+        .filter(F.length("text") > 0)
+    )
+    nfr = F.expr(f"CAST((length(text) + {w_sz - 1}) div {w_sz} AS INT)")
+    fr = media.select(
+        "media_id", "text", F.explode(F.sequence(F.lit(0), nfr - 1)).alias("t")
+    ).select(
+        "media_id",
+        "t",
+        F.expr(f"substring(text, t * {w_sz} + 1, {w_sz})").alias("f"),
+    )
+    codes = F.transform(
+        F.filter(F.split(F.col("f"), ""), lambda c: c != ""), F.ascii
+    )
+    pk = fr.select(
+        "media_id",
+        "t",
+        F.array_max(codes).alias("v"),
+        F.array_position(codes, F.array_max(codes)).alias("p"),
+    )
+    win = Window.partitionBy("media_id").orderBy("t")
+    lm0 = pk.select(
+        "media_id",
+        "t",
+        "p",
+        "v",
+        *[
+            c
+            for d in (1, 2, 3)
+            for c in (
+                F.lead("p", d).over(win).alias(f"p{d}"),
+                F.lead("v", d).over(win).alias(f"v{d}"),
+            )
+        ],
+    )
+    lm = None
+    for d in (1, 2, 3):
+        part = lm0.filter(F.col(f"p{d}").isNotNull()).select(
+            "media_id",
+            "t",
+            F.expr(
+                f"CAST((((p * {w_sz + 1} + p{d}) * {fan} + {d - 1}) * 16"
+                f" + (v div 64) * 4 + (v{d} div 64)) AS BIGINT)"
+            ).alias("key"),
+        )
+        lm = part if lm is None else lm.unionByName(part)
+    kf = (
+        lm.groupBy("key")
+        .agg(F.countDistinct("media_id").alias("nm"))
+        .filter((F.col("nm") >= 2) & (F.col("nm") <= 20))
+        .select("key")
+    )
+    lmk = lm.join(kf, "key")
+    votes = (
+        lmk.alias("a")
+        .join(
+            lmk.alias("b"),
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            (F.col("b.t") - F.col("a.t")).cast("bigint").alias("best_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
+    )
+    wp = Window.partitionBy("id_a", "id_b").orderBy(
+        F.desc("votes"), F.asc("best_offset")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(wp))
+        .filter((F.col("rn") == 1) & (F.col("votes") >= 4))
+        .select("id_a", "id_b", "best_offset", "votes")
+        .orderBy("id_a", "id_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------

@@ -4125,3 +4125,162 @@ def video_frame_overlap_sql(
     WHERE n_frame_matches >= {min_frames}
     ORDER BY id_a, id_b
     """
+
+
+def dup_span_excision_sql(k: int = 8) -> str:
+    """Twin of q307: exact duplicated-SPAN excision ledger (the Lee et
+    al. 2021 "Deduplicating Training Data" ExactSubstr transformation,
+    token-granular): corpus-wide duplicated k-gram positions (q260's
+    signal) merged per document into MAXIMAL contiguous spans
+    (gaps-and-islands: starts within k tokens fuse — overlap or
+    adjacency), each span's covered-token count clamped to the doc's
+    token count, rolled up per source as an excise-vs-keep ledger.
+    Integer arithmetic except the one pinned double division."""
+    return f"""
+    WITH th AS (
+      SELECT doc_id, source, {_tok_hashes("text")} AS th FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, len(th) AS n_toks,
+             {_grams("th", k, False)} AS grams
+      FROM th
+    ),
+    s AS MATERIALIZED (
+      SELECT doc_id, source, n_toks, i AS pos, grams[i + 1] AS gram
+      FROM (SELECT doc_id, source, n_toks, grams,
+                   unnest(range(len(grams))) AS i
+            FROM g)
+    ),
+    dfreq AS (
+      SELECT gram FROM s GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    dup AS (
+      SELECT s.doc_id, s.source, s.n_toks, s.pos
+      FROM s JOIN dfreq d ON d.gram = s.gram
+    ),
+    isl AS (
+      SELECT doc_id, n_toks, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) > {k}
+                  THEN 1 ELSE 0 END AS brk
+      FROM dup
+    ),
+    isl2 AS (
+      SELECT doc_id, n_toks, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    ),
+    sp AS (
+      SELECT doc_id, island,
+             LEAST(MAX(pos) + {k}, MAX(n_toks)) - MIN(pos) AS span_toks
+      FROM isl2 GROUP BY doc_id, island
+    ),
+    pd AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(span_toks) AS BIGINT) AS span_toks,
+             CAST(MAX(span_toks) AS BIGINT) AS max_span
+      FROM sp GROUP BY doc_id
+    ),
+    alld AS (
+      SELECT g.doc_id, g.source, g.n_toks,
+             COALESCE(pd.n_spans, 0) AS n_spans,
+             COALESCE(pd.span_toks, 0) AS span_toks,
+             COALESCE(pd.max_span, 0) AS max_span
+      FROM g LEFT JOIN pd ON pd.doc_id = g.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN n_spans > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_spans,
+           CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+           CAST(SUM(span_toks) AS BIGINT) AS excised_tokens,
+           CAST(SUM(n_toks) - SUM(span_toks) AS BIGINT) AS kept_tokens,
+           CAST(MAX(max_span) AS BIGINT) AS max_span_tokens,
+           CAST(SUM(span_toks) AS DOUBLE) / CAST(SUM(n_toks) AS DOUBLE)
+             AS excised_share
+    FROM alld GROUP BY source ORDER BY source
+    """
+
+
+def audio_constellation_sql(
+    w: int = 32, fan: int = 3, cap: int = 20, min_votes: int = 4
+) -> str:
+    """Twin of q308: Shazam-style landmark-constellation matching with
+    offset-histogram voting. Payload chars frame into w-char windows;
+    each frame's landmark is (argmax char code, code bucket); landmark
+    PAIRS at frame deltas 1..fan become integer hash keys; keys seen in
+    2..cap media join across media and the per-pair mode of the frame
+    OFFSET (t_b - t_a) is the alignment vote. Exact integers end to
+    end; ties broken (votes DESC, offset ASC)."""
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, text FROM documents
+      WHERE length(text) > 0
+    ),
+    fr AS (
+      SELECT media_id, i AS t, substr(text, i * {w} + 1, {w}) AS f
+      FROM (SELECT media_id, text,
+                   unnest(range((length(text) + {w - 1}) // {w})) AS i
+            FROM m)
+    ),
+    pk AS (
+      SELECT media_id, t, list_max(codes) AS v,
+             list_position(codes, list_max(codes)) AS p
+      FROM (SELECT media_id, t,
+                   list_transform(range(1, length(f) + 1),
+                                  i -> ord(substr(f, i, 1))) AS codes
+            FROM fr)
+    ),
+    lm0 AS (
+      SELECT media_id, t, p, v,
+             LEAD(p, 1) OVER win AS p1, LEAD(v, 1) OVER win AS v1,
+             LEAD(p, 2) OVER win AS p2, LEAD(v, 2) OVER win AS v2,
+             LEAD(p, 3) OVER win AS p3, LEAD(v, 3) OVER win AS v3
+      FROM pk
+      WINDOW win AS (PARTITION BY media_id ORDER BY t)
+    ),
+    lm AS MATERIALIZED (
+      SELECT media_id, t,
+             CAST((((p * {w + 1} + p1) * {fan} + 0) * 16
+                   + (v // 64) * 4 + (v1 // 64)) AS BIGINT) AS key
+      FROM lm0 WHERE p1 IS NOT NULL
+      UNION ALL
+      SELECT media_id, t,
+             CAST((((p * {w + 1} + p2) * {fan} + 1) * 16
+                   + (v // 64) * 4 + (v2 // 64)) AS BIGINT) AS key
+      FROM lm0 WHERE p2 IS NOT NULL
+      UNION ALL
+      SELECT media_id, t,
+             CAST((((p * {w + 1} + p3) * {fan} + 2) * 16
+                   + (v // 64) * 4 + (v3 // 64)) AS BIGINT) AS key
+      FROM lm0 WHERE p3 IS NOT NULL
+    ),
+    kf AS (
+      SELECT key FROM lm GROUP BY key
+      HAVING COUNT(DISTINCT media_id) BETWEEN 2 AND {cap}
+    ),
+    lmk AS MATERIALIZED (
+      SELECT lm.media_id, lm.t, lm.key FROM lm JOIN kf USING (key)
+    ),
+    votes AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b,
+             CAST(b.t - a.t AS BIGINT) AS best_offset,
+             CAST(COUNT(*) AS BIGINT) AS votes
+      FROM lmk a JOIN lmk b
+        ON a.key = b.key AND a.media_id < b.media_id
+      GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT id_a, id_b, best_offset, votes,
+             ROW_NUMBER() OVER (PARTITION BY id_a, id_b
+                                ORDER BY votes DESC, best_offset ASC)
+               AS rn
+      FROM votes
+    )
+    SELECT id_a, id_b, best_offset, votes
+    FROM best WHERE rn = 1 AND votes >= {min_votes}
+    ORDER BY id_a, id_b
+    """
