@@ -18967,11 +18967,21 @@ def q308_audio_constellation(spark: SparkSession, sf: str) -> DataFrame:
     codes = F.transform(
         F.filter(F.split(F.col("f"), ""), lambda c: c != ""), F.ascii
     )
-    pk = fr.select(
-        "media_id",
-        "t",
-        F.array_max(codes).alias("v"),
-        F.array_position(codes, F.array_max(codes)).alias("p"),
+    # Stepwise projections: the codes HOF is interpreted per element
+    # (CodegenFallback) and is referenced by BOTH array_max and
+    # array_position — materializing it (and v) in their own projections
+    # keeps CollapseProject from inlining the fold 3x per frame.
+    pk = (
+        fr.select("media_id", "t", codes.alias("codes"))
+        .select(
+            "media_id", "t", "codes", F.array_max("codes").alias("v")
+        )
+        .select(
+            "media_id",
+            "t",
+            "v",
+            F.array_position("codes", F.col("v")).alias("p"),
+        )
     )
     win = Window.partitionBy("media_id").orderBy("t")
     lm0 = pk.select(
