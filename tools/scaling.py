@@ -71,6 +71,16 @@ DEFAULT = [
     "q298_lsh_collision_calibration",
     "q299_bucket_width_audit",
     "q300_token_yield_forecast",
+    # round-8 additions: perceptual media dedup family, BPE trainer,
+    # media segment/frame overlap, span excision, constellation match
+    "q301_media_phash",
+    "q302_media_near_dups",
+    "q303_cross_modal_alignment",
+    "q304_bpe_trainer",
+    "q305_media_shared_segments",
+    "q306_video_frame_overlap",
+    "q307_dup_span_excision",
+    "q308_audio_constellation",
 ]
 
 
