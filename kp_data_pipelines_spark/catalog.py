@@ -19041,6 +19041,118 @@ def q308_audio_constellation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q309_media_dedup_ledger", oracles.media_dedup_ledger_sql(max_hamming=4)
+)
+def q309_media_dedup_ledger(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual media dedup LIFECYCLE closed end-to-end — the q146
+    keep-policy ledger for the multimodal store: q302's Hamming<=4
+    near-dup pairs become connected components (graph.
+    connected_components — pointer jumping, keyed shuffles only), the
+    component's min media_id is the canonical copy, and the per-source
+    ledger prices the drop set in payload CHARS (kept vs dropped, dup
+    share) — the storage-and-training-mass number a curation lead reads
+    before enabling perceptual dedup in production. Scale shape: the
+    banded pigeonhole candidate join (never all-pairs), O(log diameter)
+    CC rounds over pair-graph nodes ONLY (non-matched media never enter
+    the closure), one broadcast-size left join back to media, one keyed
+    rollup. The DuckDB twin replays the same closure as a recursive CTE
+    over the MATERIALIZED-shape banded pair core (q66 pattern)."""
+    from kp_data_pipelines_spark.operators.graph import (
+        connected_components,
+    )
+    from kp_data_pipelines_spark.operators.multimodal import (
+        with_media_dhash,
+    )
+    from kp_data_pipelines_spark.operators.similarity import hamming_pairs
+
+    fp = with_media_dhash(_media_table(spark, sf), "content", "phash")
+    pairs = hamming_pairs(
+        fp, "media_id", "phash", max_hamming=4, agree_blocks=2
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    docs = read_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        "source",
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    d = docs.join(
+        comp.withColumnRenamed("node", "media_id"), "media_id", "left"
+    ).select(
+        "media_id",
+        "source",
+        "n_chars",
+        F.coalesce("component", "media_id").alias("comp"),
+    )
+    keep = F.col("media_id") == F.col("comp")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_media"),
+            F.sum(F.when(keep, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_canonical"),
+            F.sum(F.when(keep, 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.sum(F.when(keep, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+            F.sum(F.when(keep, 0).otherwise(F.col("n_chars")))
+            .cast("bigint")
+            .alias("dropped_chars"),
+            (
+                F.sum(F.when(keep, 0).otherwise(F.col("n_chars"))).cast(
+                    "double"
+                )
+                / F.sum("n_chars").cast("double")
+            ).alias("dup_char_share"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q310_streaming_media_ingest", oracles.media_ingest_ledger_sql()
+)
+def q310_streaming_media_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """q309's DEPLOY shape: media arrive as a STREAM (AvailableNow
+    backlog) against an initially-empty persistent FINGERPRINT store;
+    each trigger admits its globally-new dHash fingerprints, drops
+    exact-fingerprint duplicates, and gauges near-dup PRESSURE on
+    admission — for every admitted fingerprint, how many already-held
+    fingerprints sit within Hamming 4 (the alarm that the store is
+    accumulating perceptual clones even though no exact value repeats;
+    the q288 growing-store pattern at fingerprint granularity). Per
+    trigger: one Arrow dHash pass, one keyed keeper agg, one anti-join
+    admission check, and the pigeonhole block-key probe batch-vs-store
+    (hamming_block_keys — C(6,2)=15 hashed keys per fingerprint, the
+    q302 candidate shape as a two-table equi-join, never
+    store-vs-store); store grows 8 bytes per admitted fingerprint;
+    replay-safe per-(run, batch) OVERWRITE partitions and the
+    ascending-id watermark guard, both cdc.py's machinery verbatim.
+    Ledger equals the batch twin for ANY batching of an ordered
+    backlog (multi-wave stream==batch pinned in tests/
+    test_streaming_media.py with injected cross-batch duplicates).
+    See streaming/media.py for the operator."""
+    from kp_data_pipelines_spark.streaming.events import _ephemeral_dir
+    from kp_data_pipelines_spark.streaming.media import (
+        media_ingest_stream,
+    )
+
+    docs_path = f"{sf}/documents.parquet"
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+        .select("doc_id", "source", "text")
+    )
+    return media_ingest_stream(
+        stream, state_dir=_ephemeral_dir("kp_media_fp_store_")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------

@@ -738,6 +738,39 @@ def cosine_pairs_blocked(
     )
 
 
+def hamming_block_keys(
+    fp_col: str, max_hamming: int, agree_blocks: int = 1
+):
+    """The pigeonhole banding keys of ``hamming_pairs`` as a reusable
+    array Column: split the 64-bit fingerprint into ``max_hamming +
+    agree_blocks`` blocks and emit one ``xxhash64(combo_id, block
+    values...)`` key per ``agree_blocks``-sized block combination. Two
+    fingerprints within the radius must share at least one key, so ANY
+    pair of tables keyed this way (self-join, batch-vs-store probe)
+    finds all within-radius pairs with an equi-join + exact bit_count
+    verification."""
+    from itertools import combinations
+
+    n_blocks = max_hamming + agree_blocks
+    block_bits = 64 // n_blocks
+    if block_bits < 1:
+        raise ValueError("max_hamming + agree_blocks must be <= 64")
+    blocks = [
+        F.shiftrightunsigned(fp_col, i * block_bits).bitwiseAND(
+            F.lit((1 << block_bits) - 1)
+        )
+        for i in range(n_blocks)
+    ]
+    return F.array(
+        *[
+            F.xxhash64(F.lit(cid), *[blocks[i] for i in combo])
+            for cid, combo in enumerate(
+                combinations(range(n_blocks), agree_blocks)
+            )
+        ]
+    )
+
+
 def hamming_pairs(
     fp_df: DataFrame,
     id_col: str,
@@ -768,27 +801,8 @@ def hamming_pairs(
     space for C(d+2, 2) keys per row — the knob to turn BEFORE fp
     volume makes single-block buckets exceed the q299-style width
     budget. Returns (id_a, id_b, hamming), id_a < id_b."""
-    from itertools import combinations
-
-    n_blocks = max_hamming + agree_blocks
-    block_bits = 64 // n_blocks
-    if block_bits < 1:
-        raise ValueError("max_hamming + agree_blocks must be <= 64")
     fp = fp_df.select(id_col, F.col(fp_col).alias("fp"))
-    blocks = [
-        F.shiftrightunsigned("fp", i * block_bits).bitwiseAND(
-            F.lit((1 << block_bits) - 1)
-        )
-        for i in range(n_blocks)
-    ]
-    keys = F.array(
-        *[
-            F.xxhash64(F.lit(cid), *[blocks[i] for i in combo])
-            for cid, combo in enumerate(
-                combinations(range(n_blocks), agree_blocks)
-            )
-        ]
-    )
+    keys = hamming_block_keys("fp", max_hamming, agree_blocks)
     keyed = fp.select(id_col, "fp", F.explode(keys).alias("bkey"))
     cand = (
         keyed.alias("a")

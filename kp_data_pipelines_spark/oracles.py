@@ -4284,3 +4284,103 @@ def audio_constellation_sql(
     FROM best WHERE rn = 1 AND votes >= {min_votes}
     ORDER BY id_a, id_b
     """
+
+
+def media_dedup_ledger_sql(max_hamming: int = 4) -> str:
+    """Twin of q309: perceptual media dedup LIFECYCLE ledger — connected
+    components over the q302 Hamming-radius pair graph (recursive
+    closure over the banded mcand pair core, the q66 shape), canonical
+    = min media_id per component, per-source keep-vs-drop char
+    accounting. Char units named *_chars (the q282 ADVICE lesson)."""
+    return f"""
+    WITH RECURSIVE {_media_phash_cte()},
+    {_media_hamming_cand_cte(max_hamming)},
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM mcand
+      UNION SELECT id_b, id_a FROM mcand
+    ),
+    reach AS (
+      SELECT src AS node, src AS r FROM sym
+      UNION
+      SELECT rr.node, s.dst AS r FROM reach rr JOIN sym s ON rr.r = s.src
+    ),
+    cc AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    d AS (
+      SELECT doc_id AS media_id, source,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             COALESCE(cc.component, doc_id) AS comp
+      FROM documents LEFT JOIN cc ON cc.node = doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(CASE WHEN media_id = comp THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_canonical,
+           CAST(SUM(CASE WHEN media_id = comp THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN media_id = comp THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars,
+           CAST(SUM(CASE WHEN media_id = comp THEN 0 ELSE n_chars END)
+                AS BIGINT) AS dropped_chars,
+           CAST(SUM(CASE WHEN media_id = comp THEN 0 ELSE n_chars END)
+                AS DOUBLE) / CAST(SUM(n_chars) AS DOUBLE)
+             AS dup_char_share
+    FROM d GROUP BY source ORDER BY source
+    """
+
+
+def media_ingest_ledger_sql(max_hamming: int = 4) -> str:
+    """Twin of q310: the streaming fingerprint-store admission ledger's
+    batch equivalent — per source: payload count, admitted (globally
+    first-occurrence) fingerprints, exact-fingerprint duplicate
+    payloads, and the near-dup pressure on admission (for each admitted
+    fingerprint, distinct EARLIER-first fingerprints within the Hamming
+    radius; candidates via the single-chunk pigeonhole banding, exact
+    after bit_count verification). "Earlier" = smaller first media_id,
+    matching the stream's ascending-arrival contract."""
+    n_chunks = max_hamming + 1
+    cb = 64 // n_chunks
+    mask = (1 << cb) - 1
+    return f"""
+    WITH {_media_phash_cte()},
+    fp1 AS MATERIALIZED (
+      SELECT phash, MIN(media_id) AS fid FROM mfp GROUP BY phash
+    ),
+    fkv AS (
+      SELECT phash, fid, ci, (phash >> (ci * {cb})) & {mask} AS cv
+      FROM (SELECT phash, fid, unnest(range(0, {n_chunks})) AS ci
+            FROM fp1)
+    ),
+    npair AS (
+      SELECT DISTINCT a.phash AS pa, b.phash AS pb
+      FROM fkv a JOIN fkv b
+        ON b.ci = a.ci AND b.cv = a.cv AND a.fid < b.fid
+      WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+    ),
+    nnear AS (
+      SELECT pb AS phash, CAST(COUNT(*) AS BIGINT) AS n_near
+      FROM npair GROUP BY pb
+    ),
+    d AS (
+      SELECT mm.media_id, doc.source, f.fid, mm.phash
+      FROM mfp mm
+      JOIN documents doc ON doc.doc_id = mm.media_id
+      JOIN fp1 f ON f.phash = mm.phash
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(CASE WHEN media_id = fid THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_fps,
+           CAST(SUM(CASE WHEN media_id <> fid THEN 1 ELSE 0 END)
+                AS BIGINT) AS dup_media,
+           CAST(SUM(CASE WHEN media_id = fid
+                          AND COALESCE(nn.n_near, 0) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS near_flagged,
+           CAST(SUM(CASE WHEN media_id = fid
+                     THEN COALESCE(nn.n_near, 0) ELSE 0 END)
+                AS BIGINT) AS near_hits,
+           CAST(SUM(CASE WHEN media_id <> fid THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS dup_media_share
+    FROM d LEFT JOIN nnear nn ON nn.phash = d.phash
+    GROUP BY source ORDER BY source
+    """
