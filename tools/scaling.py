@@ -81,6 +81,8 @@ DEFAULT = [
     "q306_video_frame_overlap",
     "q307_dup_span_excision",
     "q308_audio_constellation",
+    "q309_media_dedup_ledger",
+    "q310_streaming_media_ingest",
 ]
 
 
