@@ -19153,6 +19153,111 @@ def q310_streaming_media_ingest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register("q311_bpe_tokenize_corpus", oracles.bpe_tokenize_sql(rounds=6))
+def q311_bpe_tokenize_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The q304-trained tokenizer APPLIED at corpus scale — the
+    deployment step that closes the trainer loop: run the same k=6
+    merge rounds over the GLOBAL distinct-word vocab (identical
+    frequencies -> identical argmaxes -> identical merges), then join
+    the final per-word symbol counts back to per-(source, word)
+    frequencies and emit the per-source tokenization ledger: word and
+    token counts, fertility (tokens per word — the budget converter's
+    exchange rate, now PER SOURCE where q304 gives the corpus curve),
+    and chars per token (the compression the merges actually bought
+    each source). Scale shape: tokenizing a 100 TB corpus costs
+    VOCABULARY work, not corpus work — the fold re-symbolization runs
+    once per DISTINCT word (Heaps-sublinear) and the corpus only pays
+    two keyed word aggs and one word equi-join; driver traffic is the
+    k bounded argmax scalars (plan_audit's sanctioned shape). The
+    DuckDB twin replays the unrolled rounds with the word carried
+    through (q304's chain) and joins the same ledger."""
+    from kp_data_pipelines_spark.operators.textops import normalize_ws
+
+    k_rounds = 6
+    docs = ensure_parallelism(
+        read_table(spark, sf, "documents").select("source", "text")
+    )
+    words = docs.select(
+        "source",
+        F.explode(F.split(normalize_ws("text"), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    ws = words.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq_s")
+    )
+    wf = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    syms = wf.select(
+        "word",
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+    for _ in range(k_rounds):
+        best = (
+            syms.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> named_struct('a', element_at(syms, i), "
+                        "'b', element_at(syms, i + 1)))"
+                    )
+                ).alias("pr"),
+            )
+            .select("freq", "pr.a", "pr.b")
+            .groupBy("a", "b")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merged = F.aggregate(
+            F.col("syms"),
+            F.expr("CAST(array() AS ARRAY<STRING>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        syms = syms.select(
+            "word", "freq", merged.alias("syms")
+        ).localCheckpoint(eager=True)
+    fin = syms.select(
+        "word",
+        F.size("syms").cast("bigint").alias("n_syms"),
+        F.length("word").cast("bigint").alias("n_chars"),
+    )
+    return (
+        ws.join(fin, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("freq_s").cast("bigint").alias("n_words"),
+            F.sum(F.col("freq_s") * F.col("n_syms"))
+            .cast("bigint")
+            .alias("n_tokens"),
+            (
+                F.sum(F.col("freq_s") * F.col("n_syms")).cast("double")
+                / F.sum("freq_s").cast("double")
+            ).alias("fertility"),
+            (
+                F.sum(F.col("freq_s") * F.col("n_chars")).cast("double")
+                / F.sum(F.col("freq_s") * F.col("n_syms")).cast("double")
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------

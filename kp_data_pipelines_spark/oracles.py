@@ -4384,3 +4384,78 @@ def media_ingest_ledger_sql(max_hamming: int = 4) -> str:
     FROM d LEFT JOIN nnear nn ON nn.phash = d.phash
     GROUP BY source ORDER BY source
     """
+
+
+def bpe_tokenize_sql(rounds: int = 6) -> str:
+    """Twin of q311: the q304-trained merge table APPLIED to the corpus
+    — the same unrolled training rounds over the global vocab (q304's
+    CTE chain with the word carried through each re-symbolization), then
+    a per-(source, word) frequency join and the per-source tokenization
+    ledger. Training uses GLOBAL word frequencies, so the merges are
+    identical to q304's."""
+    parts = [
+        f"""w0 AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY word
+    ),
+    ws AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS freq_s
+      FROM (SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY source, word
+    ),
+    s0 AS MATERIALIZED (
+      SELECT word, freq,
+             list_transform(range(1, length(word) + 1),
+                            i -> substr(word, i, 1)) AS syms
+      FROM w0
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""pr{r} AS (
+      SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq,
+                   unnest(list_transform(range(1, len(syms)),
+                     i -> struct_pack(a := syms[i], b := syms[i + 1]))) AS pr
+            FROM s{p} WHERE len(syms) >= 2)
+      GROUP BY pr.a, pr.b
+    ),
+    best{r} AS MATERIALIZED (
+      SELECT a, b, cnt FROM pr{r} ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    s{r} AS MATERIALIZED (
+      SELECT word, freq,
+             list_reduce(
+               list_prepend(CAST([] AS VARCHAR[]),
+                            list_transform(syms, x -> [x])),
+               (acc, xl) -> CASE WHEN len(acc) > 0 AND acc[-1] = b{r}.a
+                                      AND xl[1] = b{r}.b
+                                 THEN acc[1:len(acc) - 1]
+                                      || [b{r}.a || b{r}.b]
+                                 ELSE acc || xl END) AS syms
+      FROM s{p} CROSS JOIN best{r} b{r}
+    )"""
+        )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes},
+    fin AS (
+      SELECT word, CAST(len(syms) AS BIGINT) AS n_syms,
+             CAST(length(word) AS BIGINT) AS n_chars
+      FROM s{rounds}
+    )
+    SELECT ws.source,
+           CAST(SUM(ws.freq_s) AS BIGINT) AS n_words,
+           CAST(SUM(ws.freq_s * fin.n_syms) AS BIGINT) AS n_tokens,
+           CAST(SUM(ws.freq_s * fin.n_syms) AS DOUBLE)
+             / CAST(SUM(ws.freq_s) AS DOUBLE) AS fertility,
+           CAST(SUM(ws.freq_s * fin.n_chars) AS DOUBLE)
+             / CAST(SUM(ws.freq_s * fin.n_syms) AS DOUBLE)
+             AS chars_per_token
+    FROM ws JOIN fin ON fin.word = ws.word
+    GROUP BY ws.source ORDER BY ws.source
+    """
