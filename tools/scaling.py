@@ -83,6 +83,7 @@ DEFAULT = [
     "q308_audio_constellation",
     "q309_media_dedup_ledger",
     "q310_streaming_media_ingest",
+    "q311_bpe_tokenize_corpus",
 ]
 
 
