@@ -18950,65 +18950,16 @@ def q308_audio_constellation(spark: SparkSession, sf: str) -> DataFrame:
     bounds fanout exactly like q305's chunk df-cap, per-pair windows
     bounded by a pair's own offset count. All integers; no floats
     anywhere."""
-    w_sz, fan = 32, 3
+    from kp_data_pipelines_spark.operators.multimodal import (
+        constellation_landmarks,
+    )
+
     media = ensure_parallelism(
         read_table(spark, sf, "documents")
         .select(F.col("doc_id").alias("media_id"), "text")
         .filter(F.length("text") > 0)
     )
-    nfr = F.expr(f"CAST((length(text) + {w_sz - 1}) div {w_sz} AS INT)")
-    fr = media.select(
-        "media_id", "text", F.explode(F.sequence(F.lit(0), nfr - 1)).alias("t")
-    ).select(
-        "media_id",
-        "t",
-        F.expr(f"substring(text, t * {w_sz} + 1, {w_sz})").alias("f"),
-    )
-    codes = F.transform(
-        F.filter(F.split(F.col("f"), ""), lambda c: c != ""), F.ascii
-    )
-    # Stepwise projections: the codes HOF is interpreted per element
-    # (CodegenFallback) and is referenced by BOTH array_max and
-    # array_position — materializing it (and v) in their own projections
-    # keeps CollapseProject from inlining the fold 3x per frame.
-    pk = (
-        fr.select("media_id", "t", codes.alias("codes"))
-        .select(
-            "media_id", "t", "codes", F.array_max("codes").alias("v")
-        )
-        .select(
-            "media_id",
-            "t",
-            "v",
-            F.array_position("codes", F.col("v")).alias("p"),
-        )
-    )
-    win = Window.partitionBy("media_id").orderBy("t")
-    lm0 = pk.select(
-        "media_id",
-        "t",
-        "p",
-        "v",
-        *[
-            c
-            for d in (1, 2, 3)
-            for c in (
-                F.lead("p", d).over(win).alias(f"p{d}"),
-                F.lead("v", d).over(win).alias(f"v{d}"),
-            )
-        ],
-    )
-    lm = None
-    for d in (1, 2, 3):
-        part = lm0.filter(F.col(f"p{d}").isNotNull()).select(
-            "media_id",
-            "t",
-            F.expr(
-                f"CAST((((p * {w_sz + 1} + p{d}) * {fan} + {d - 1}) * 16"
-                f" + (v div 64) * 4 + (v{d} div 64)) AS BIGINT)"
-            ).alias("key"),
-        )
-        lm = part if lm is None else lm.unionByName(part)
+    lm = constellation_landmarks(media, "media_id", "text", w=32, fan=3)
     kf = (
         lm.groupBy("key")
         .agg(F.countDistinct("media_id").alias("nm"))
@@ -19255,6 +19206,87 @@ def q311_bpe_tokenize_corpus(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "q312_constellation_retrieval", oracles.constellation_retrieval_sql()
+)
+def q312_constellation_retrieval(spark: SparkSession, sf: str) -> DataFrame:
+    """The SEARCH side of q308's constellation index — "identify this
+    clip": probe clips (frame-aligned 192-char substrings of the 4
+    smallest sufficiently-long documents — the q277-style bounded probe
+    set) generate the same landmark keys as the corpus, equi-join the
+    df-capped corpus landmark table, and the per-(probe, media,
+    frame-offset) vote histogram's argmax names the source media AND
+    where the clip sits in it (offset 3 frames for a clip cut at char
+    96). This is content identification at 100 TB: the corpus-side
+    landmark table is built once (q308's linear scan), a probe costs
+    ~12 key lookups — an equi-join probe against a keyed table, the
+    ANN-for-sequences shape, never a scan of the media themselves.
+    Scale shape: the probe side is a limit(4) bounded build (Spark
+    broadcasts it), the join is the banded key equi-join, the vote agg
+    and per-probe argmax windows are bounded by a probe's own
+    candidate count. Clip alignment matters (32-char frames are
+    alignment-sensitive; real audio fingerprinting frames densely /
+    with hop overlap — same plan, more landmark rows), which the
+    docstring states rather than hides."""
+    from kp_data_pipelines_spark.operators.multimodal import (
+        constellation_landmarks,
+    )
+
+    cap, clip_start, clip_len, n_probes, min_len = 20, 96, 192, 4, 300
+    docs = read_table(spark, sf, "documents")
+    corpus = ensure_parallelism(
+        docs.select(F.col("doc_id").alias("media_id"), "text").filter(
+            F.length("text") > 0
+        )
+    )
+    lm = constellation_landmarks(corpus, "media_id", "text", w=32, fan=3)
+    kf = (
+        lm.groupBy("key")
+        .agg(F.countDistinct("media_id").alias("nm"))
+        .filter(F.col("nm") <= cap)
+        .select("key")
+    )
+    lmk = lm.join(kf, "key")
+    probes = (
+        docs.filter(F.length("text") >= min_len)
+        .orderBy("doc_id")
+        .limit(n_probes)
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.expr(
+                f"substring(text, {clip_start} + 1, {clip_len})"
+            ).alias("text"),
+        )
+    )
+    qlm = constellation_landmarks(probes, "probe_id", "text", w=32, fan=3)
+    votes = (
+        qlm.alias("q")
+        .join(lmk.alias("c"), F.col("q.key") == F.col("c.key"))
+        .groupBy(
+            F.col("q.probe_id").alias("probe_id"),
+            F.col("c.media_id").alias("media_id"),
+            (F.col("c.t") - F.col("q.t"))
+            .cast("bigint")
+            .alias("offset_frames"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
+    )
+    wp = Window.partitionBy("probe_id").orderBy(
+        F.desc("votes"), F.asc("media_id"), F.asc("offset_frames")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "probe_id",
+            F.col("media_id").alias("matched_media"),
+            "offset_frames",
+            "votes",
+        )
+        .orderBy("probe_id")
     )
 
 

@@ -287,3 +287,78 @@ def with_media_dhash(df: DataFrame, content_col: str = "content",
     return df.withColumn(
         out, F.expr(f"case when __mm_cells is null then null else {fp} end")
     ).drop("__mm_bytes", "__mm_cells")
+
+
+def constellation_landmarks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 32,
+    fan: int = 3,
+) -> DataFrame:
+    """Shazam-style landmark constellation keys over a char-stream
+    payload (Wang 2003): frame the payload into ``w``-char windows,
+    take each frame's peak (argmax char code, first-occurrence ties),
+    and pair it with the next 1..``fan`` frames' peaks into integer
+    constellation keys (peak position x peak position x delta x coarse
+    code buckets). Returns ``(id_col, t, key)`` — one row per landmark,
+    ``t`` the anchor frame index. Shared by q308 (cross-media matching)
+    and q312 (clip retrieval); the DuckDB twin is
+    ``oracles._constellation_lm_ctes``.
+
+    Scale shape: frame explode linear in payload chars; the interpreted
+    32-element peak fold is materialized ONCE per frame via stepwise
+    projections; LEAD windows are per-payload. The production key packs
+    quantized spectral peaks into the same integer contract."""
+    from pyspark.sql import Window
+
+    nfr = F.expr(
+        f"CAST((length({text_col}) + {w - 1}) div {w} AS INT)"
+    )
+    fr = df.select(
+        id_col, text_col, F.explode(F.sequence(F.lit(0), nfr - 1)).alias("t")
+    ).select(
+        id_col,
+        "t",
+        F.expr(f"substring({text_col}, t * {w} + 1, {w})").alias("f"),
+    )
+    codes = F.transform(
+        F.filter(F.split(F.col("f"), ""), lambda c: c != ""), F.ascii
+    )
+    pk = (
+        fr.select(id_col, "t", codes.alias("codes"))
+        .select(id_col, "t", "codes", F.array_max("codes").alias("v"))
+        .select(
+            id_col,
+            "t",
+            "v",
+            F.array_position("codes", F.col("v")).alias("p"),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy("t")
+    lm0 = pk.select(
+        id_col,
+        "t",
+        "p",
+        "v",
+        *[
+            c
+            for d in range(1, fan + 1)
+            for c in (
+                F.lead("p", d).over(win).alias(f"p{d}"),
+                F.lead("v", d).over(win).alias(f"v{d}"),
+            )
+        ],
+    )
+    lm = None
+    for d in range(1, fan + 1):
+        part = lm0.filter(F.col(f"p{d}").isNotNull()).select(
+            id_col,
+            "t",
+            F.expr(
+                f"CAST((((p * {w + 1} + p{d}) * {fan} + {d - 1}) * 16"
+                f" + (v div 64) * 4 + (v{d} div 64)) AS BIGINT)"
+            ).alias("key"),
+        )
+        lm = part if lm is None else lm.unionByName(part)
+    return lm

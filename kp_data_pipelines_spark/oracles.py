@@ -4205,6 +4205,54 @@ def dup_span_excision_sql(k: int = 8) -> str:
     """
 
 
+def _constellation_lm_ctes(
+    src: str, id_col: str, w: int = 32, fan: int = 3, prefix: str = ""
+) -> str:
+    """CTE chain ``{prefix}fr / {prefix}pk / {prefix}lm0 / {prefix}lm
+    (id_col, t, key)`` over a source CTE providing ``(id_col, text)`` —
+    the SQL twin of ``multimodal.constellation_landmarks`` (frame
+    windows, per-frame argmax peak with first-occurrence ties, peak
+    pairs at deltas 1..fan packed into integer constellation keys).
+    ``prefix`` allows two instances in one query (q312 probes vs
+    corpus)."""
+    p = prefix
+    leads = ",\n             ".join(
+        f"LEAD(p, {d}) OVER win AS p{d}, LEAD(v, {d}) OVER win AS v{d}"
+        for d in range(1, fan + 1)
+    )
+    unions = "\n      UNION ALL\n      ".join(
+        f"SELECT {id_col}, t,\n"
+        f"             CAST((((p * {w + 1} + p{d}) * {fan} + {d - 1}) * 16\n"
+        f"                   + (v // 64) * 4 + (v{d} // 64)) AS BIGINT)"
+        f" AS key\n"
+        f"      FROM {p}lm0 WHERE p{d} IS NOT NULL"
+        for d in range(1, fan + 1)
+    )
+    return f"""{p}fr AS (
+      SELECT {id_col}, i AS t, substr(text, i * {w} + 1, {w}) AS f
+      FROM (SELECT {id_col}, text,
+                   unnest(range((length(text) + {w - 1}) // {w})) AS i
+            FROM {src})
+    ),
+    {p}pk AS (
+      SELECT {id_col}, t, list_max(codes) AS v,
+             list_position(codes, list_max(codes)) AS p
+      FROM (SELECT {id_col}, t,
+                   list_transform(range(1, length(f) + 1),
+                                  i -> ord(substr(f, i, 1))) AS codes
+            FROM {p}fr)
+    ),
+    {p}lm0 AS (
+      SELECT {id_col}, t, p, v,
+             {leads}
+      FROM {p}pk
+      WINDOW win AS (PARTITION BY {id_col} ORDER BY t)
+    ),
+    {p}lm AS MATERIALIZED (
+      {unions}
+    )"""
+
+
 def audio_constellation_sql(
     w: int = 32, fan: int = 3, cap: int = 20, min_votes: int = 4
 ) -> str:
@@ -4220,44 +4268,7 @@ def audio_constellation_sql(
       SELECT doc_id AS media_id, text FROM documents
       WHERE length(text) > 0
     ),
-    fr AS (
-      SELECT media_id, i AS t, substr(text, i * {w} + 1, {w}) AS f
-      FROM (SELECT media_id, text,
-                   unnest(range((length(text) + {w - 1}) // {w})) AS i
-            FROM m)
-    ),
-    pk AS (
-      SELECT media_id, t, list_max(codes) AS v,
-             list_position(codes, list_max(codes)) AS p
-      FROM (SELECT media_id, t,
-                   list_transform(range(1, length(f) + 1),
-                                  i -> ord(substr(f, i, 1))) AS codes
-            FROM fr)
-    ),
-    lm0 AS (
-      SELECT media_id, t, p, v,
-             LEAD(p, 1) OVER win AS p1, LEAD(v, 1) OVER win AS v1,
-             LEAD(p, 2) OVER win AS p2, LEAD(v, 2) OVER win AS v2,
-             LEAD(p, 3) OVER win AS p3, LEAD(v, 3) OVER win AS v3
-      FROM pk
-      WINDOW win AS (PARTITION BY media_id ORDER BY t)
-    ),
-    lm AS MATERIALIZED (
-      SELECT media_id, t,
-             CAST((((p * {w + 1} + p1) * {fan} + 0) * 16
-                   + (v // 64) * 4 + (v1 // 64)) AS BIGINT) AS key
-      FROM lm0 WHERE p1 IS NOT NULL
-      UNION ALL
-      SELECT media_id, t,
-             CAST((((p * {w + 1} + p2) * {fan} + 1) * 16
-                   + (v // 64) * 4 + (v2 // 64)) AS BIGINT) AS key
-      FROM lm0 WHERE p2 IS NOT NULL
-      UNION ALL
-      SELECT media_id, t,
-             CAST((((p * {w + 1} + p3) * {fan} + 2) * 16
-                   + (v // 64) * 4 + (v3 // 64)) AS BIGINT) AS key
-      FROM lm0 WHERE p3 IS NOT NULL
-    ),
+    {_constellation_lm_ctes("m", "media_id", w=w, fan=fan)},
     kf AS (
       SELECT key FROM lm GROUP BY key
       HAVING COUNT(DISTINCT media_id) BETWEEN 2 AND {cap}
@@ -4458,4 +4469,59 @@ def bpe_tokenize_sql(rounds: int = 6) -> str:
              AS chars_per_token
     FROM ws JOIN fin ON fin.word = ws.word
     GROUP BY ws.source ORDER BY ws.source
+    """
+
+
+def constellation_retrieval_sql(
+    w: int = 32,
+    fan: int = 3,
+    cap: int = 20,
+    clip_start: int = 96,
+    clip_len: int = 192,
+    n_probes: int = 4,
+    min_len: int = 300,
+) -> str:
+    """Twin of q312: clip-to-source retrieval over the constellation
+    index — probe clips are frame-ALIGNED substrings (start at a
+    multiple of w) of the 4 smallest sufficiently-long documents; their
+    landmark keys join the df-capped corpus landmark table and the
+    per-(probe, media, frame-offset) vote histogram's argmax (votes
+    DESC, media ASC, offset ASC) identifies the source and alignment."""
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, text FROM documents
+      WHERE length(text) > 0
+    ),
+    {_constellation_lm_ctes("m", "media_id", w=w, fan=fan)},
+    kf AS (
+      SELECT key FROM lm GROUP BY key
+      HAVING COUNT(DISTINCT media_id) <= {cap}
+    ),
+    lmk AS MATERIALIZED (
+      SELECT lm.media_id, lm.t, lm.key FROM lm JOIN kf USING (key)
+    ),
+    probes AS (
+      SELECT doc_id AS probe_id,
+             substr(text, {clip_start} + 1, {clip_len}) AS text
+      FROM documents WHERE length(text) >= {min_len}
+      ORDER BY doc_id LIMIT {n_probes}
+    ),
+    {_constellation_lm_ctes("probes", "probe_id", w=w, fan=fan,
+                            prefix="q")},
+    votes AS (
+      SELECT q.probe_id, c.media_id,
+             CAST(c.t - q.t AS BIGINT) AS offset_frames,
+             CAST(COUNT(*) AS BIGINT) AS votes
+      FROM qlm q JOIN lmk c ON c.key = q.key
+      GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT probe_id, media_id, offset_frames, votes,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+               ORDER BY votes DESC, media_id ASC, offset_frames ASC)
+               AS rn
+      FROM votes
+    )
+    SELECT probe_id, media_id AS matched_media, offset_frames, votes
+    FROM best WHERE rn = 1 ORDER BY probe_id
     """
