@@ -84,6 +84,7 @@ DEFAULT = [
     "q309_media_dedup_ledger",
     "q310_streaming_media_ingest",
     "q311_bpe_tokenize_corpus",
+    "q312_constellation_retrieval",
 ]
 
 
