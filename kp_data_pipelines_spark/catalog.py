@@ -19290,6 +19290,81 @@ def q312_constellation_retrieval(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q313_neardup_edit_distance", oracles.neardup_edit_distance_sql()
+)
+def q313_neardup_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT edit-distance verification of token-space near-dup
+    candidates — the char-layer ground truth MinHash only estimates:
+    every q38 candidate pair (est Jaccard >= 0.4) gets its true
+    Levenshtein distance, normalized by the longer text, and the (est-
+    Jaccard octile x normalized-edit-distance decile) count grid is the
+    calibration table that says whether the token threshold admits
+    pairs a char-level reviewer would reject (high octile, high decile
+    = the false-positive corner worth auditing before a destructive
+    dedup). Scale shape: the O(n*m) DP runs ONLY on banded-candidate
+    pairs (256 at sf0.1, never all-pairs — the whole point of LSH is
+    that exact verification is affordable on the survivors), texts
+    arrive via two keyed joins, and the grid is one keyed count of
+    <= 80 cells. UNITS: Spark's levenshtein counts CODE POINTS, the
+    DuckDB twin counts BYTES — identical on this verified-ASCII
+    fixture; on a non-ASCII corpus the Spark side is authoritative
+    (same units discipline as q282's char contract)."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        minhash_near_dups,
+    )
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text")
+    pairs = minhash_near_dups(
+        ensure_parallelism(docs),
+        "doc_id",
+        "text",
+        shingle_k=3,
+        num_hashes=32,
+        bands=16,
+        jaccard_threshold=0.4,
+        portable_hash=True,
+    )
+    ta = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("text").alias("text_a"),
+        F.length("text").alias("ln_a"),
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("text").alias("text_b"),
+        F.length("text").alias("ln_b"),
+    )
+    pe = (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "est_jaccard",
+            F.levenshtein("text_a", "text_b")
+            .cast("bigint")
+            .alias("lev"),
+            F.greatest("ln_a", "ln_b", F.lit(1)).alias("mx"),
+        )
+    )
+    g = pe.select(
+        F.least(
+            F.floor(F.col("est_jaccard") * 8).cast("bigint"), F.lit(7)
+        ).alias("est_octile"),
+        F.least(
+            F.floor(
+                (F.col("lev").cast("double") / F.col("mx").cast("double"))
+                * 10
+            ).cast("bigint"),
+            F.lit(9),
+        ).alias("ed_decile"),
+    )
+    return (
+        g.groupBy("est_octile", "ed_decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("est_octile", "ed_decile")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------

@@ -4525,3 +4525,40 @@ def constellation_retrieval_sql(
     SELECT probe_id, media_id AS matched_media, offset_frames, votes
     FROM best WHERE rn = 1 ORDER BY probe_id
     """
+
+
+def neardup_edit_distance_sql(
+    k: int = 3, num_hashes: int = 32, bands: int = 16,
+    threshold: float = 0.4,
+) -> str:
+    """Twin of q313: exact edit-distance verification of the q38
+    MinHash candidate pairs — per (est-Jaccard octile x normalized-
+    edit-distance decile), the pair count. UNITS: DuckDB's levenshtein
+    measures BYTES while Spark's measures CODE POINTS — identical on
+    ASCII corpora (this fixture is verified pure ASCII; a non-ASCII
+    corpus would need a transliteration stage or a code-point UDF on
+    the oracle side, and the Spark side is authoritative)."""
+    return f"""
+    WITH {_minhash_pairs_core(k, num_hashes, bands, threshold)},
+    pe AS (
+      SELECT p.est_jaccard,
+             CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+             GREATEST(length(da.text), length(db.text), 1) AS mx
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.id_a
+      JOIN documents db ON db.doc_id = p.id_b
+      WHERE p.est_jaccard >= {threshold}
+    ),
+    edgrid AS (
+      SELECT LEAST(CAST(FLOOR(est_jaccard * 8) AS BIGINT), 7)
+               AS est_octile,
+             LEAST(CAST(FLOOR((CAST(lev AS DOUBLE)
+                               / CAST(mx AS DOUBLE)) * 10) AS BIGINT),
+                   9) AS ed_decile
+      FROM pe
+    )
+    SELECT est_octile, ed_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM edgrid GROUP BY est_octile, ed_decile
+    ORDER BY est_octile, ed_decile
+    """
