@@ -85,6 +85,7 @@ DEFAULT = [
     "q310_streaming_media_ingest",
     "q311_bpe_tokenize_corpus",
     "q312_constellation_retrieval",
+    "q313_neardup_edit_distance",
 ]
 
 
