@@ -254,3 +254,41 @@ def test_hamming_pairs_generic_matches_bruteforce(spark):
                     if h <= d:
                         want[(ia, ib)] = h
             assert got == want, (d, k, got, want)
+
+
+def test_constellation_landmarks_match_duckdb_twin(spark):
+    """multimodal.constellation_landmarks == oracles.
+    _constellation_lm_ctes row-for-row on real fixture text (the
+    q308/q312 shared kernel pin — frame windows, argmax peaks with
+    first-occurrence ties, delta-paired integer keys)."""
+    import duckdb
+
+    from kp_data_pipelines_spark import oracles
+    from kp_data_pipelines_spark.operators.multimodal import (
+        constellation_landmarks,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)
+        .orderBy("doc_id")
+        .limit(25)
+    )
+    got = sorted(
+        tuple(r)
+        for r in constellation_landmarks(docs, "doc_id", "text").collect()
+    )
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE m(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO m VALUES (?, ?)", rows)
+    sql = (
+        "WITH "
+        + oracles._constellation_lm_ctes("m", "doc_id")
+        + " SELECT doc_id, t, key FROM lm"
+    )
+    want = sorted(
+        (int(a), int(b), int(c)) for a, b, c in con.sql(sql).fetchall()
+    )
+    assert got == want and len(got) > 0

@@ -196,6 +196,28 @@ def main() -> int:
         f"{dt:.1f}s, {out['lsh_adaptive_bucket']} docs/sec"
     )
 
+    # Constellation landmark construction (q308/q312): frame explode +
+    # one interpreted 32-element peak fold per frame + per-doc LEAD
+    # windows + the 3-delta key union — the sequence-fingerprint index
+    # build cost per corpus pass.
+    from kp_data_pipelines_spark.operators.multimodal import (
+        constellation_landmarks,
+    )
+
+    t = time.time()
+    n_lm = constellation_landmarks(
+        docs.select("doc_id", "text").filter(F.length("text") > 0),
+        "doc_id",
+        "text",
+    ).count()
+    dt = time.time() - t
+    out["constellation_landmarks"] = round(n / dt)
+    print(
+        f"constellation_landmarks: {n_lm} landmarks, {dt:.1f}s, "
+        f"{out['constellation_landmarks']} docs/sec, "
+        f"{round(n_lm / dt)} landmarks/sec"
+    )
+
     print(json.dumps({"metric": "stress_docs_per_sec", "n_docs": n, **out}))
     return 0
 
