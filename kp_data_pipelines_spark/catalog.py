@@ -19365,6 +19365,72 @@ def q313_neardup_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register("q314_media_datasheet", oracles.media_datasheet_sql())
+def q314_media_datasheet(spark: SparkSession, sf: str) -> DataFrame:
+    """The MEDIA datasheet capstone — q293's shape for the multimodal
+    store: per source, payload identity measured at the three layers
+    the round-8 surface established, in one table a storage owner
+    reads before enabling dedup: exact-BYTE duplicates (sha256,
+    q36's layer), exact-FINGERPRINT duplicates (dHash value repeats —
+    perceptual clones sha misses), and the media touched by at least
+    one Hamming<=4 near-dup pair (the radius q309 deduplicates at),
+    with the near-dup share. Every input is an already-verified stage
+    (q301 fingerprints, q302 candidates); the composition adds two
+    keyed joins and one per-source rollup — exact integers plus one
+    pinned division. Reading the table: sha_dups <= phash_dups <=
+    neardup_media by construction (each layer is a coarser identity),
+    and the GAPS between them are the payloads only the finer layer
+    would keep."""
+    from kp_data_pipelines_spark.operators.multimodal import (
+        with_media_dhash,
+    )
+    from kp_data_pipelines_spark.operators.similarity import hamming_pairs
+
+    fp = with_media_dhash(_media_table(spark, sf), "content", "phash")
+    pairs = hamming_pairs(
+        fp, "media_id", "phash", max_hamming=4, agree_blocks=2
+    )
+    nd = (
+        pairs.select(F.col("id_a").alias("media_id"))
+        .union(pairs.select(F.col("id_b").alias("media_id")))
+        .distinct()
+        .withColumn("in_near_pair", F.lit(1))
+    )
+    ids = read_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        "source",
+        F.sha2("text", 256).alias("sha"),
+    )
+    d = (
+        ids.join(fp.select("media_id", "phash"), "media_id")
+        .join(nd, "media_id", "left")
+        .select(
+            "source",
+            "sha",
+            "phash",
+            F.coalesce("in_near_pair", F.lit(0)).alias("in_near_pair"),
+        )
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_media"),
+            (F.count(F.lit(1)) - F.countDistinct("sha"))
+            .cast("bigint")
+            .alias("sha_dups"),
+            (F.count(F.lit(1)) - F.countDistinct("phash"))
+            .cast("bigint")
+            .alias("phash_dups"),
+            F.sum("in_near_pair").cast("bigint").alias("neardup_media"),
+            (
+                F.sum("in_near_pair").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("neardup_share"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------

@@ -4562,3 +4562,44 @@ def neardup_edit_distance_sql(
     FROM edgrid GROUP BY est_octile, ed_decile
     ORDER BY est_octile, ed_decile
     """
+
+
+def media_datasheet_sql(max_hamming: int = 4) -> str:
+    """Twin of q314: the per-source MEDIA datasheet — identity stats at
+    the three layers the round-8 surface measures (byte sha, perceptual
+    dHash, Hamming-radius neighborhood) composed into one table: payload
+    count, exact-byte duplicate count, exact-fingerprint duplicate
+    count, and the media touched by at least one cross- or in-source
+    near-dup pair (the q293 datasheet shape for the multimodal
+    store)."""
+    return f"""
+    WITH {_media_phash_cte()},
+    {_media_hamming_cand_cte(max_hamming)},
+    ids AS (
+      SELECT doc_id AS media_id, source, sha256(text) AS sha
+      FROM documents
+    ),
+    nd AS (
+      SELECT media_id FROM (
+        SELECT id_a AS media_id FROM mcand
+        UNION SELECT id_b FROM mcand
+      )
+    ),
+    d AS (
+      SELECT i.media_id, i.source, i.sha, f.phash,
+             CASE WHEN nd.media_id IS NOT NULL THEN 1 ELSE 0 END
+               AS in_near_pair
+      FROM ids i
+      JOIN mfp f ON f.media_id = i.media_id
+      LEFT JOIN nd ON nd.media_id = i.media_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(COUNT(*) - COUNT(DISTINCT sha) AS BIGINT) AS sha_dups,
+           CAST(COUNT(*) - COUNT(DISTINCT phash) AS BIGINT)
+             AS phash_dups,
+           CAST(SUM(in_near_pair) AS BIGINT) AS neardup_media,
+           CAST(SUM(in_near_pair) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS neardup_share
+    FROM d GROUP BY source ORDER BY source
+    """
