@@ -86,6 +86,7 @@ DEFAULT = [
     "q311_bpe_tokenize_corpus",
     "q312_constellation_retrieval",
     "q313_neardup_edit_distance",
+    "q314_media_datasheet",
 ]
 
 
