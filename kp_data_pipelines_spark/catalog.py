@@ -18946,10 +18946,13 @@ def q308_audio_constellation(spark: SparkSession, sf: str) -> DataFrame:
     reports its mode offset when >= 4 landmarks agree — the offset
     histogram spike that says "same recording, shifted". Scale shape:
     frame explode linear in payload, per-frame work bounded by the
-    32-char window, landmark keys shuffle once, the key-frequency cap
-    bounds fanout exactly like q305's chunk df-cap, per-pair windows
-    bounded by a pair's own offset count. All integers; no floats
-    anywhere."""
+    32-char window, landmark keys shuffle once, and per-key join
+    fanout is DOUBLY bounded: the 2..20 distinct-media frequency cap
+    (q305's guard) times constellation_landmarks' per-(media, key)
+    multiplicity cap of 8 — without the latter, two periodic payloads
+    repeating one key across their whole timelines would square their
+    frame counts in the join. Per-pair windows bounded by a pair's own
+    offset count. All integers; no floats anywhere."""
     from kp_data_pipelines_spark.operators.multimodal import (
         constellation_landmarks,
     )

@@ -309,9 +309,21 @@ def constellation_landmarks(
     Scale shape: frame explode linear in payload chars; the interpreted
     32-element peak fold is materialized ONCE per frame via stepwise
     projections; LEAD windows are per-payload. The production key packs
-    quantized spectral peaks into the same integer contract."""
+    quantized spectral peaks into the same integer contract.
+
+    Per-(id, key) multiplicity is capped at 8 (earliest frames kept,
+    deterministic — (id, key, t) is unique because the key encodes the
+    delta): a periodic/constant payload repeats ONE key across its
+    whole timeline, and without the cap a downstream key equi-join
+    (q308/q312) would square that multiplicity per matching pair —
+    10^11 rows for two 10 MB constant payloads. With the cap, per-key
+    join fanout is bounded by (distinct-id cap x 8)^2 regardless of
+    payload length. Empty payloads are filtered here (not at call
+    sites): Spark's sequence(0, -1) would DESCEND and emit phantom
+    frames the DuckDB twin's range() never produces."""
     from pyspark.sql import Window
 
+    df = df.filter(F.length(text_col) > 0)
     nfr = F.expr(
         f"CAST((length({text_col}) + {w - 1}) div {w} AS INT)"
     )
@@ -361,4 +373,9 @@ def constellation_landmarks(
             ).alias("key"),
         )
         lm = part if lm is None else lm.unionByName(part)
-    return lm
+    wcap = Window.partitionBy(id_col, "key").orderBy("t")
+    return (
+        lm.withColumn("__mrn", F.row_number().over(wcap))
+        .filter(F.col("__mrn") <= 8)
+        .drop("__mrn")
+    )

@@ -4232,7 +4232,7 @@ def _constellation_lm_ctes(
       SELECT {id_col}, i AS t, substr(text, i * {w} + 1, {w}) AS f
       FROM (SELECT {id_col}, text,
                    unnest(range((length(text) + {w - 1}) // {w})) AS i
-            FROM {src})
+            FROM {src} WHERE length(text) > 0)
     ),
     {p}pk AS (
       SELECT {id_col}, t, list_max(codes) AS v,
@@ -4249,7 +4249,12 @@ def _constellation_lm_ctes(
       WINDOW win AS (PARTITION BY {id_col} ORDER BY t)
     ),
     {p}lm AS MATERIALIZED (
-      {unions}
+      SELECT {id_col}, t, key FROM (
+        SELECT {id_col}, t, key,
+               ROW_NUMBER() OVER (PARTITION BY {id_col}, key
+                                  ORDER BY t) AS mrn
+        FROM ({unions})
+      ) WHERE mrn <= 8
     )"""
 
 
@@ -4440,6 +4445,7 @@ def bpe_tokenize_sql(rounds: int = 6) -> str:
     ),
     s{r} AS MATERIALIZED (
       SELECT word, freq,
+             CASE WHEN b{r}.a IS NULL THEN syms ELSE
              list_reduce(
                list_prepend(CAST([] AS VARCHAR[]),
                             list_transform(syms, x -> [x])),
@@ -4447,8 +4453,8 @@ def bpe_tokenize_sql(rounds: int = 6) -> str:
                                       AND xl[1] = b{r}.b
                                  THEN acc[1:len(acc) - 1]
                                       || [b{r}.a || b{r}.b]
-                                 ELSE acc || xl END) AS syms
-      FROM s{p} CROSS JOIN best{r} b{r}
+                                 ELSE acc || xl END) END AS syms
+      FROM s{p} LEFT JOIN best{r} b{r} ON TRUE
     )"""
         )
     ctes = ",\n    ".join(parts)

@@ -174,3 +174,41 @@ def test_readme_counts_in_sync():
         assert int(m.group(1)) == collected, (
             f"README says {m.group(1)} tests; collection finds {collected}"
         )
+
+
+def test_bpe_tokenize_oracle_survives_merge_exhaustion(spark, tmp_path):
+    """q311 twin regression: when every word collapses to one symbol
+    before round 6, a round's argmax is EMPTY — the Spark loop breaks
+    and keeps the current symbols, and the oracle's LEFT JOIN ON TRUE
+    passthrough must do the same (the original CROSS JOIN wiped the
+    vocab and returned an empty ledger)."""
+    import duckdb
+
+    from kp_data_pipelines_spark import oracles
+    from kp_data_pipelines_spark.catalog import QUERIES
+
+    rows = [
+        (i, "ab ab ab cd", "en", "s1", 11) for i in range(4)
+    ]  # 2 distinct words; both fully merged after 3 rounds
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["source"]: tuple(r)[1:]
+        for r in QUERIES["q311_bpe_tokenize_corpus"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: tuple(r)[1:]
+        for r in con.sql(oracles.bpe_tokenize_sql(rounds=6)).fetchall()
+    }
+    assert got and got == want
+    # every word fully merged: 1 token per word, fertility 1.0
+    assert got["s1"][1] == got["s1"][0] and got["s1"][2] == 1.0

@@ -274,11 +274,20 @@ def test_constellation_landmarks_match_duckdb_twin(spark):
         .filter(F.length("text") > 0)
         .orderBy("doc_id")
         .limit(25)
+        # empty payload: the helper must emit ZERO rows for it (Spark's
+        # sequence(0, -1) descends — the guard keeps both engines at
+        # range(0) semantics)
+        .unionByName(
+            spark.createDataFrame(
+                [(999_999, "")], "doc_id long, text string"
+            )
+        )
     )
     got = sorted(
         tuple(r)
         for r in constellation_landmarks(docs, "doc_id", "text").collect()
     )
+    assert not any(r[0] == 999_999 for r in got)
     rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
     con = duckdb.connect()
     con.execute("CREATE TABLE m(doc_id BIGINT, text VARCHAR)")
