@@ -1,0 +1,260 @@
+"""Batched BPE training — the scale path past one-merge-per-round.
+
+``catalog.q304_bpe_trainer`` trains k merges as k sequential driver
+rounds; per-round work is vocabulary-bounded, but a production
+tokenizer needs 32k-100k merges and the ROUND COUNT — not the
+per-round cost — is the driver-side bottleneck (100k sequential Spark
+jobs). The standard fix (used by every production BPE trainer that
+parallelizes) is MERGE BATCHING: per round, rank candidate pairs by
+count and greedily select every pair whose symbols are DISJOINT from
+all higher-ranked selected pairs, then apply the whole batch in one
+re-symbolization pass. With batch cap B the round count drops from k
+to ~k/B; the round-count model is
+
+    rounds(k) ~= k / E[batch]   (E[batch] ~= 8-12 on English-like text)
+
+so 64 merges train in 8 rounds and 32k merges in ~3k rounds — still
+sequential, but 12x fewer jobs, and each job stays vocabulary-bounded
+(never corpus-bounded: the (word, freq) table is the working set, the
+Heaps-law-sublinear vocabulary of q291's argument).
+
+Batch-application semantics (the SPEC all three implementations pin):
+a single greedy left fold over each word's symbols; at each element,
+if the accumulator's last symbol is some selected pair's left symbol
+``a_i`` and the element equals its ``b_i``, they fuse into ``a_i+b_i``.
+Selected pairs have pairwise-disjoint symbols ({a_i, b_i} sets), so the
+left-symbol lookup is unambiguous; a merged OUTPUT symbol may however
+equal another selected pair's left symbol (e.g. batch {("th","e"),
+("t","h")} chain-fuses "t","h","e" -> "the" in one pass) — this
+within-pass chaining is allowed and deterministic, and the DuckDB twin
+replays the identical fold.
+
+Three pinned implementations of the fold:
+- ``bpe_apply_merges_kernel`` — Arrow-batched per-word Python fold
+  (dict lookups; exact string ops, no float anywhere), the hot path;
+- ``bpe_apply_merges_expr`` — the interpreted JVM ``aggregate`` fold
+  with literal lookup maps, the zero-Python reference
+  (test_bpe_apply_kernel_matches_expr pins kernel == expr);
+- the DuckDB oracle's ``list_reduce`` fold with ``list_position``
+  lookups over the per-round selection arrays
+  (``oracles.bpe_batched_trainer_sql``).
+
+Reference basis: the reference has no tokenizer; its closest gesture is
+whitespace token counting (`LLM Testing.ipynb` prompt-size guard).
+This is north-star surface (train-a-tokenizer-on-the-corpus at 100 TB).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Derivations:
+# - BPE_BATCH_CAP = 12: on English-like text the top-ranked pairs share
+#   common symbols (vowels, "t", "s"), so greedy disjoint selection from
+#   a 64-pair pool saturates around 8-12 picks; capping at 12 keeps the
+#   per-round lookup maps small enough that the fold's per-element probe
+#   is O(1) dict / O(12) list_position on every engine.
+# - BPE_TOPK = 64: the ranked candidate pool collected per round (a
+#   bounded limit(64) driver collect, the plan_audit-sanctioned shape);
+#   must be comfortably > BATCH_CAP so symbol conflicts never starve a
+#   round (observed batch sizes 8-12 from a 64 pool at every fixture SF).
+BPE_BATCH_CAP = 12
+BPE_TOPK = 64
+BPE_ROUNDS = 8  # 8 rounds x ~10 merges/round => the >=64-merge regime
+
+
+def select_merge_batch(
+    ranked: list[tuple[str, str, int]], batch_cap: int = BPE_BATCH_CAP
+) -> list[tuple[str, str, int]]:
+    """Greedy disjoint-merge selection over (a, b, count) rows already
+    ranked by (count DESC, a ASC, b ASC): take a pair iff neither symbol
+    was used by a higher-ranked selected pair, stop at ``batch_cap``.
+    Pure driver-side function; the DuckDB twin replays it as a
+    recursive CTE over the same ranked rows."""
+    used: set[str] = set()
+    batch: list[tuple[str, str, int]] = []
+    for a, b, cnt in ranked:
+        if len(batch) >= batch_cap:
+            break
+        if a in used or b in used:
+            continue
+        batch.append((a, b, cnt))
+        used.add(a)
+        used.add(b)
+    return batch
+
+
+def bpe_apply_merges_kernel(merges: list[tuple[str, str]]):
+    """Arrow-batched fold applying one disjoint merge batch to an
+    ``array<string>`` symbol column — exact string operations, pinned
+    bit-identical to ``bpe_apply_merges_expr`` (the JVM fold) and the
+    oracle's ``list_reduce`` twin."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    by_left = {a: (b, a + b) for a, b in merges}
+
+    @pandas_udf(ArrayType(StringType()))
+    def _apply(batch: pd.Series) -> pd.Series:
+        def fold(syms):
+            if syms is None:
+                return None
+            acc: list[str] = []
+            for x in syms:
+                if acc:
+                    t = by_left.get(acc[-1])
+                    if t is not None and x == t[0]:
+                        acc[-1] = t[1]
+                        continue
+                acc.append(x)
+            return acc
+
+        return batch.map(fold)
+
+    return _apply
+
+
+def bpe_apply_merges_expr(syms, merges: list[tuple[str, str]]):
+    """The interpreted JVM expression twin of the merge-batch fold:
+    ``aggregate`` over the symbol array with literal lookup maps
+    (left symbol -> right symbol / merged symbol). Spark's ``And``
+    short-circuits, so the ``element_at(acc, -1)`` probe never runs on
+    an empty accumulator; ``try_element_at`` keeps absent map keys NULL
+    under ANSI mode."""
+    map_b = F.create_map(
+        *[F.lit(x) for a, b in merges for x in (a, b)]
+    )
+    map_m = F.create_map(
+        *[F.lit(x) for a, b in merges for x in (a, a + b)]
+    )
+    last = lambda acc: F.element_at(acc, -1)  # noqa: E731
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS ARRAY<STRING>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.try_element_at(map_b, last(acc)) == x),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.try_element_at(map_m, last(acc))),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe_batched(
+    spark: SparkSession,
+    docs: DataFrame,
+    text_col: str = "text",
+    rounds: int = BPE_ROUNDS,
+    batch_cap: int = BPE_BATCH_CAP,
+    topk: int = BPE_TOPK,
+) -> DataFrame:
+    """Train ``rounds`` batched-BPE rounds over a document column and
+    return the merge table: one row per merge (round, batch_rank,
+    merge_a, merge_b, pair_count) with the post-round corpus symbol
+    total and fertility, plus the round-0 one-symbol-per-char baseline.
+
+    Per round: ONE keyed aggregate over exploded adjacent symbol pairs
+    (vocabulary-bounded), one bounded ``limit(topk)`` collect of the
+    ranked candidate pool, driver-side greedy disjoint selection
+    (``select_merge_batch``), one Arrow-kernel re-symbolization pass,
+    one scalar aggregate. Driver traffic is <= topk + 1 rows per round.
+    """
+    from kp_data_pipelines_spark.operators.similarity import (
+        ensure_parallelism,
+    )
+    from kp_data_pipelines_spark.operators.textops import normalize_ws
+
+    words = (
+        ensure_parallelism(docs.select(text_col))
+        .select(
+            F.explode(F.split(normalize_ws(text_col), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+    )
+    wf = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    # The vocab is Heaps-law small (10^4-10^6 rows even at corpus scale);
+    # 8 partitions keeps the ~4 jobs/round at ~8 tiny tasks each instead
+    # of 32 empty-ish launches (the round loop multiplies per-task
+    # overhead by rounds x stages — measured 5.4s -> see SCALE.md §19).
+    syms = (
+        wf.repartition(8)
+        .select(
+            "freq",
+            F.expr(
+                "transform(sequence(1, length(word)), "
+                "i -> substring(word, i, 1))"
+            ).alias("syms"),
+        )
+        .localCheckpoint(eager=False)  # materialized by the agg below
+    )
+    first = syms.agg(
+        F.sum("freq").cast("bigint").alias("n"),
+        F.sum(F.col("freq") * F.size("syms")).cast("bigint").alias("cs"),
+    ).first()
+    total_words, cs = first["n"], first["cs"]
+    rows: list[tuple] = [(0, 0, "", "", 0, cs)]
+    for r in range(1, rounds + 1):
+        # repartition(8, a, b) already hash-partitions on the grouping
+        # keys, so the groupBy adds NO second exchange — one narrow
+        # 8-task shuffle per round instead of the session default (200
+        # in a vanilla session) fanning tiny vocab rows across the
+        # cluster.
+        ranked = (
+            syms.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> named_struct('a', element_at(syms, i), "
+                        "'b', element_at(syms, i + 1)))"
+                    )
+                ).alias("pr"),
+            )
+            .select("freq", "pr.a", "pr.b")
+            .repartition(8, "a", "b")
+            .groupBy("a", "b")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(topk)
+            .collect()
+        )
+        batch = select_merge_batch(
+            [(row["a"], row["b"], row["cnt"]) for row in ranked], batch_cap
+        )
+        if not batch:
+            break
+        # lazy checkpoint: the cs aggregate below is the action that
+        # materializes it, so each round costs TWO jobs (ranked collect +
+        # cs/apply), not three — at ~0.25s/job scheduler floor the third
+        # job was pure round-count tax (SCALE.md §19).
+        kernel = bpe_apply_merges_kernel([(a, b) for a, b, _ in batch])
+        syms = syms.select(
+            "freq", kernel(F.col("syms")).alias("syms")
+        ).localCheckpoint(eager=False)
+        cs = syms.agg(
+            F.sum(F.col("freq") * F.size("syms")).cast("bigint")
+        ).first()[0]
+        rows.extend(
+            (r, i + 1, a, b, cnt, cs)
+            for i, (a, b, cnt) in enumerate(batch)
+        )
+    return (
+        spark.createDataFrame(
+            rows,
+            "round long, batch_rank long, merge_a string, merge_b string, "
+            "pair_count long, corpus_symbols long",
+        )
+        .withColumn(
+            "fertility",
+            F.col("corpus_symbols").cast("double")
+            / F.lit(float(total_words)),
+        )
+        .orderBy("round", "batch_rank")
+    )

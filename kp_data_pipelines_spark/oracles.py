@@ -4030,6 +4030,128 @@ def bpe_trainer_sql(rounds: int = 6) -> str:
     """
 
 
+def bpe_batched_trainer_sql(
+    rounds: int | None = None,
+    batch_cap: int | None = None,
+    topk: int | None = None,
+) -> str:
+    """Twin of q315: the BATCHED BPE trainer (``operators.bpe``) — per
+    round, rank adjacent-pair counts over the materialized vocab
+    (count DESC, a, b), replay the greedy disjoint-merge selection
+    (``bpe.select_merge_batch``) as a RECURSIVE CTE walking the ranked
+    rows rn = 1..topk carrying the used-symbol list (``list_position``
+    returns 0 on absence in DuckDB), then apply the whole batch in ONE
+    ``list_reduce`` fold: the per-round selection's (a, b, merged)
+    arrays ride in via a cross join and each element probes them with
+    ``list_position`` — the exact fold of ``bpe_apply_merges_kernel``
+    including within-pass chain merges. Defaults come from
+    ``operators.bpe`` so the two engines can never drift."""
+    from kp_data_pipelines_spark.operators.bpe import (
+        BPE_BATCH_CAP,
+        BPE_ROUNDS,
+        BPE_TOPK,
+    )
+
+    rounds = BPE_ROUNDS if rounds is None else rounds
+    batch_cap = BPE_BATCH_CAP if batch_cap is None else batch_cap
+    topk = BPE_TOPK if topk is None else topk
+    parts = [
+        f"""w0 AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY word
+    ),
+    tw AS (SELECT CAST(SUM(freq) AS BIGINT) AS n FROM w0),
+    s0 AS MATERIALIZED (
+      SELECT freq,
+             list_transform(range(1, length(word) + 1),
+                            i -> substr(word, i, 1)) AS syms
+      FROM w0
+    ),
+    tot0 AS (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) AS cs FROM s0)"""
+    ]
+    sels = [
+        "SELECT CAST(0 AS BIGINT) AS round, CAST(0 AS BIGINT) AS batch_rank, "
+        "'' AS merge_a, '' AS merge_b, CAST(0 AS BIGINT) AS pair_count, "
+        "tot0.cs AS corpus_symbols, "
+        "CAST(tot0.cs AS DOUBLE) / CAST(tw.n AS DOUBLE) AS fertility "
+        "FROM tot0 CROSS JOIN tw"
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ok = (
+            f"g{r}.nsel < {batch_cap} AND list_position(g{r}.used, r.a) = 0 "
+            f"AND list_position(g{r}.used, r.b) = 0"
+        )
+        parts.append(
+            f"""rk{r} AS MATERIALIZED (
+      SELECT a, b, cnt, row_number() OVER (ORDER BY cnt DESC, a, b) AS rn
+      FROM (SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM (SELECT freq,
+                         unnest(list_transform(range(1, len(syms)),
+                           i -> struct_pack(a := syms[i],
+                                            b := syms[i + 1]))) AS pr
+                  FROM s{p} WHERE len(syms) >= 2)
+            GROUP BY pr.a, pr.b)
+      QUALIFY rn <= {topk}
+    ),
+    g{r} AS (
+      SELECT 0 AS rn, CAST([] AS VARCHAR[]) AS used,
+             CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b,
+             CAST(NULL AS BIGINT) AS cnt, 0 AS nsel
+      UNION ALL
+      SELECT r.rn,
+             CASE WHEN {ok} THEN g{r}.used || [r.a, r.b] ELSE g{r}.used END,
+             CASE WHEN {ok} THEN r.a END,
+             CASE WHEN {ok} THEN r.b END,
+             CASE WHEN {ok} THEN r.cnt END,
+             g{r}.nsel + CASE WHEN {ok} THEN 1 ELSE 0 END
+      FROM g{r} JOIN rk{r} r ON r.rn = g{r}.rn + 1
+    ),
+    sel{r} AS MATERIALIZED (
+      SELECT a, b, cnt, row_number() OVER (ORDER BY rn) AS batch_rank
+      FROM g{r} WHERE a IS NOT NULL
+    ),
+    ar{r} AS (
+      SELECT list(a ORDER BY batch_rank) AS al,
+             list(b ORDER BY batch_rank) AS bl,
+             list(a || b ORDER BY batch_rank) AS ml,
+             COUNT(*) AS nb
+      FROM sel{r}
+    ),
+    s{r} AS MATERIALIZED (
+      SELECT freq,
+             CASE WHEN nb = 0 THEN syms ELSE list_reduce(
+               list_prepend(CAST([] AS VARCHAR[]),
+                            list_transform(syms, x -> [x])),
+               (acc, xl) -> CASE WHEN len(acc) > 0
+                                  AND list_position(al, acc[-1]) > 0
+                                  AND xl[1] = bl[list_position(al, acc[-1])]
+                            THEN acc[1:len(acc) - 1]
+                                 || [ml[list_position(al, acc[-1])]]
+                            ELSE acc || xl END) END AS syms
+      FROM s{p} CROSS JOIN ar{r}
+    ),
+    tot{r} AS (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) AS cs
+               FROM s{r})"""
+        )
+        sels.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, "
+            f"CAST(s.batch_rank AS BIGINT) AS batch_rank, s.a AS merge_a, "
+            f"s.b AS merge_b, s.cnt AS pair_count, t.cs AS corpus_symbols, "
+            f"CAST(t.cs AS DOUBLE) / CAST(tw.n AS DOUBLE) AS fertility "
+            f"FROM sel{r} s CROSS JOIN tot{r} t CROSS JOIN tw"
+        )
+    ctes = ",\n    ".join(parts)
+    union = " UNION ALL ".join(sels)
+    return (
+        "\n    WITH RECURSIVE "
+        + ctes
+        + f"\n    SELECT * FROM ({union}) u ORDER BY round, batch_rank\n    "
+    )
+
+
 def media_shared_segments_sql(
     chunk_bytes: int = 64, min_shared: int = 2, max_media_freq: int = 20
 ) -> str:
