@@ -18742,32 +18742,14 @@ def q305_media_shared_segments(spark: SparkSession, sf: str) -> DataFrame:
     synthetic payloads; production uses chunk_media's 1 MB default."""
     from kp_data_pipelines_spark.operators.multimodal import chunk_media
 
+    from kp_data_pipelines_spark.operators.multimodal import (
+        shared_segment_pairs,
+    )
+
     media = _media_table(spark, sf).filter(F.length("content") > 0)
-    hh = (
+    return shared_segment_pairs(
         chunk_media(media, chunk_bytes=64)
-        .select("media_id", F.sha2("chunk", 256).alias("ch"))
-        .dropDuplicates(["media_id", "ch"])
-    )
-    chdf = hh.groupBy("ch").agg(
-        F.countDistinct("media_id").alias("nm")
-    )
-    k = hh.join(
-        chdf.filter((F.col("nm") >= 2) & (F.col("nm") <= 20)), "ch"
-    ).select("media_id", "ch")
-    p = (
-        k.alias("a")
-        .join(
-            k.alias("b"),
-            (F.col("a.ch") == F.col("b.ch"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .groupBy(
-            F.col("a.media_id").alias("id_a"),
-            F.col("b.media_id").alias("id_b"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_chunks"))
-    )
-    return p.filter(F.col("shared_chunks") >= 2).orderBy("id_a", "id_b")
+    ).orderBy("id_a", "id_b")
 
 
 
@@ -18954,6 +18936,9 @@ def q308_audio_constellation(spark: SparkSession, sf: str) -> DataFrame:
     frame counts in the join. Per-pair windows bounded by a pair's own
     offset count. All integers; no floats anywhere."""
     from kp_data_pipelines_spark.operators.multimodal import (
+        CONSTELLATION_MIN_VOTES,
+        MEDIA_DF_CAP_MAX,
+        MEDIA_DF_CAP_MIN,
         constellation_landmarks,
     )
 
@@ -18966,7 +18951,10 @@ def q308_audio_constellation(spark: SparkSession, sf: str) -> DataFrame:
     kf = (
         lm.groupBy("key")
         .agg(F.countDistinct("media_id").alias("nm"))
-        .filter((F.col("nm") >= 2) & (F.col("nm") <= 20))
+        .filter(
+            (F.col("nm") >= MEDIA_DF_CAP_MIN)
+            & (F.col("nm") <= MEDIA_DF_CAP_MAX)
+        )
         .select("key")
     )
     lmk = lm.join(kf, "key")
@@ -18989,7 +18977,9 @@ def q308_audio_constellation(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         votes.withColumn("rn", F.row_number().over(wp))
-        .filter((F.col("rn") == 1) & (F.col("votes") >= 4))
+        .filter(
+            (F.col("rn") == 1) & (F.col("votes") >= CONSTELLATION_MIN_VOTES)
+        )
         .select("id_a", "id_b", "best_offset", "votes")
         .orderBy("id_a", "id_b")
     )
@@ -19230,15 +19220,18 @@ def q312_constellation_retrieval(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: the probe side is a limit(4) bounded build (Spark
     broadcasts it), the join is the banded key equi-join, the vote agg
     and per-probe argmax windows are bounded by a probe's own
-    candidate count. Clip alignment matters (32-char frames are
-    alignment-sensitive; real audio fingerprinting frames densely /
-    with hop overlap — same plan, more landmark rows), which the
-    docstring states rather than hides."""
+    candidate count. Clip alignment matters: 32-char frames are
+    alignment-sensitive, so this query retrieves frame-aligned clips
+    only — q317 (content-defined dense landmarks) is the alignment-
+    robust variant that retrieves clips cut at ANY offset, same plan
+    shape."""
     from kp_data_pipelines_spark.operators.multimodal import (
+        MEDIA_DF_CAP_MAX,
         constellation_landmarks,
     )
 
-    cap, clip_start, clip_len, n_probes, min_len = 20, 96, 192, 4, 300
+    cap = MEDIA_DF_CAP_MAX
+    clip_start, clip_len, n_probes, min_len = 96, 192, 4, 300
     docs = read_table(spark, sf, "documents")
     corpus = ensure_parallelism(
         docs.select(F.col("doc_id").alias("media_id"), "text").filter(
@@ -19463,6 +19456,213 @@ def q315_bpe_batched_trainer(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = read_table(spark, sf, "documents").select("text")
     return train_bpe_batched(spark, docs, "text")
+
+
+@register(
+    "q316_span_excision_apply", oracles.dup_span_excision_apply_sql(k=8)
+)
+def q316_span_excision_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """The APPLY step q307 prices — emit the SCRUBBED corpus (the Lee
+    et al. 2021 ExactSubstr pipeline's actual output): per document,
+    every token whose position falls outside the merged duplicated
+    spans, reassembled in position order, one row per doc with the
+    kept-text sha256 so the driver value-hashes the full transformation
+    cross-engine. Span semantics are q307's verbatim (duplicated 8-gram
+    starts fuse when <= 8 apart; island covers [min_pos,
+    least(max_pos + 8, n_toks)); islands are pairwise disjoint because
+    a > k gap separates them). Scale shape: everything per-document —
+    the token posexplode is linear, the token-to-span range probe is an
+    equi-join ON doc_id fanned only by a doc's own (few) spans, the
+    reassembly is one per-doc sort-collect (bounded by the doc's own
+    token count — the q290 per-doc window class), and the kept text
+    never outlives the row (only its sha leaves the executor). The
+    scrub operates on the NORMALIZED token stream (lower/trim/split —
+    the token space the ledger prices); a byte-faithful scrubber would
+    carry original char offsets through the same plan. Output columns
+    let a reader reconcile against q307: sum(excised_tokens) here ==
+    q307's excised_tokens per source."""
+    from kp_data_pipelines_spark.operators.textops import (
+        with_poly_shingles,
+    )
+
+    k = 8
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "source", "text"
+    )
+    sh = with_poly_shingles(ensure_parallelism(docs), "text", "g", k=k)
+    base = sh.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n_toks"),
+        "g",
+    ).localCheckpoint(eager=False)
+    gpos = base.select(
+        "doc_id", "n_toks", F.posexplode("g").alias("pos", "gram")
+    )
+    dup_grams = (
+        gpos.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gram")
+    )
+    dup = gpos.join(dup_grams, "gram").select("doc_id", "n_toks", "pos")
+    wo = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(wo) > k, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "island",
+        F.sum("brk").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sp = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("sp_start"),
+        F.least(F.max("pos") + k, F.max("n_toks")).alias("sp_end"),
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower("text")), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    kept = (
+        toks.join(
+            sp,
+            (toks["doc_id"] == sp["doc_id"])
+            & (F.col("pos") >= F.col("sp_start"))
+            & (F.col("pos") < F.col("sp_end")),
+            "left_anti",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("kept_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+            ).alias("kept_text"),
+        )
+    )
+    nsp = sp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans")
+    )
+    return (
+        base.select("doc_id", "source", "n_toks")
+        .join(nsp, "doc_id", "left")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_toks").cast("bigint").alias("n_toks"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+            (
+                F.col("n_toks") - F.coalesce("kept_tokens", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("excised_tokens"),
+            F.sha2(F.coalesce("kept_text", F.lit("")), 256).alias(
+                "kept_sha"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q317_dense_landmark_retrieval",
+    oracles.dense_landmark_retrieval_sql(),
+)
+def q317_dense_landmark_retrieval(spark: SparkSession, sf: str) -> DataFrame:
+    """ALIGNMENT-ROBUST clip retrieval — q312's search with the
+    fixed-frame weakness removed (the round-8 verdict's #4 ask): q312's
+    32-char frames only retrieve clips cut at frame boundaries (its
+    probes were frame-aligned by construction), but real landmark
+    systems anchor on CONTENT-DEFINED peaks, which a clip cut at ANY
+    offset reproduces. ``multimodal.dense_landmarks`` anchors on
+    radius-8 local maxima of the char-code stream (one Arrow pass
+    emits only the peaks; the production twin anchors on spectral
+    peaks with the identical integer-key contract) and the probes here
+    are cut at offsets 53/90/127/164 — none a multiple of 32 or 16 —
+    with 192-char clips of the 4 smallest sufficiently-long documents.
+    The per-(probe, media, char-offset) vote argmax names the source
+    AND the exact cut position (offset_chars == the probe's cut, since
+    interior peaks carry their absolute positions). Scale shape: the
+    corpus landmark table is built once (linear scan, ~len/17 peak
+    rows per payload), df-capped at MEDIA_DF_CAP_MAX; probes are a
+    limit(4) bounded build joining the keyed table — the
+    ANN-for-sequences probe, never a media scan; per-probe vote
+    windows bounded by the probe's own candidate count.
+    test_dense_retrieval_hits_exact_offsets pins self-retrieval at the
+    exact cut for every probe."""
+    from kp_data_pipelines_spark.operators.multimodal import (
+        MEDIA_DF_CAP_MAX,
+        dense_landmarks,
+    )
+
+    clip_len, n_probes, min_len = 192, 4, 300
+    docs = read_table(spark, sf, "documents")
+    corpus = ensure_parallelism(
+        docs.select(F.col("doc_id").alias("media_id"), "text").filter(
+            F.length("text") > 0
+        )
+    )
+    lm = dense_landmarks(corpus, "media_id", "text")
+    kf = (
+        lm.groupBy("key")
+        .agg(F.countDistinct("media_id").alias("nm"))
+        .filter(F.col("nm") <= MEDIA_DF_CAP_MAX)
+        .select("key")
+    )
+    lmk = lm.join(kf, "key")
+    probes = (
+        docs.filter(F.length("text") >= min_len)
+        .orderBy("doc_id")
+        .limit(n_probes)
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.expr(
+                f"substring(text, cast(53 + (doc_id % 4) * 37 + 1 as int),"
+                f" {clip_len})"
+            ).alias("text"),
+        )
+    )
+    qlm = dense_landmarks(probes, "probe_id", "text")
+    votes = (
+        qlm.alias("q")
+        .join(lmk.alias("c"), F.col("q.key") == F.col("c.key"))
+        .groupBy(
+            F.col("q.probe_id").alias("probe_id"),
+            F.col("c.media_id").alias("media_id"),
+            (F.col("c.t") - F.col("q.t"))
+            .cast("bigint")
+            .alias("offset_chars"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
+    )
+    wp = Window.partitionBy("probe_id").orderBy(
+        F.desc("votes"), F.asc("media_id"), F.asc("offset_chars")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "probe_id",
+            F.col("media_id").alias("matched_media"),
+            "offset_chars",
+            "votes",
+        )
+        .orderBy("probe_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -157,8 +157,20 @@ def chunk_media(df: DataFrame, chunk_bytes: int = 1 << 20,
     chunk boundaries come from a generated index sequence and the slice is
     ``substring`` on the binary column — no Python boundary, no UDF. One
     row per (media_id, chunk_idx) with the chunk payload + offset/length
-    metadata; the unit of parallel downstream decode at 100 TB (a 4 GB
-    video becomes 4096 independently schedulable 1 MB tasks)."""
+    metadata.
+
+    CEILING: this chunks an already-loaded COLUMN, so each payload must
+    first exist as ONE row — and a Spark row tops out around 2 GB
+    (byte-array / Arrow / parquet-page limits). Use it for payloads that
+    already live in a table (the fixture's documents-as-media) and are
+    well under that bound. For file-resident media of ANY size, use
+    ``sources.media_source.chunked_media_ingest`` — it plans chunk
+    offset ranges from file METADATA and reads each range directly, so
+    no row ever exceeds ``chunk_bytes`` (that path, not this one, is the
+    100 TB ingest story; a 4 GB video only ever exists as 4096 1 MB
+    rows). Both paths emit the identical schema and feed the same
+    consumers (``shared_segment_pairs``), pinned by
+    test_chunked_ingest_matches_chunk_media."""
     n_chunks = F.greatest(
         F.ceil(F.length(content_col) / F.lit(chunk_bytes)).cast("int"), F.lit(1)
     )
@@ -182,6 +194,109 @@ def chunk_media(df: DataFrame, chunk_bytes: int = 1 << 20,
         )
         .withColumn("chunk_len", F.length("chunk").cast("long"))
     )
+
+
+# --- candidate-cap knobs (shared by the media queries + oracle twins) ------
+#
+# Named here (the GRAM_TARGET_BUCKET pattern) instead of inline literals at
+# the catalog call sites, so a re-tuning touches ONE place and the DuckDB
+# twins (which import these as defaults) can never drift. Derivations:
+#
+# - MEDIA_DF_CAP_MIN/MAX (2..20): a chunk/landmark key must appear in >= 2
+#   media to witness a pair; keys in > 20 media are boilerplate (container
+#   headers, silence frames) whose pairwise expansion is C(n,2)-quadratic —
+#   20 caps a single key's join fanout at C(20,2)=190 pairs while keeping
+#   every genuinely-shared segment (fixture near-dup groups are <= 6 wide;
+#   production boilerplate keys reach 10^6 media and MUST be dropped).
+# - LANDMARK_MULTIPLICITY_CAP (8): rows per (media, key) — a periodic
+#   payload repeats ONE key across its whole timeline and would square its
+#   frame count through the key equi-join (two 10 MB constant payloads =
+#   10^11 candidate rows); 8 earliest occurrences keep offset-vote evidence
+#   (>= CONSTELLATION_MIN_VOTES matchable anchors) while bounding per-key
+#   fanout at (df_cap x 8)^2 regardless of payload length.
+# - CONSTELLATION_MIN_VOTES (4): landmarks agreeing on one frame offset
+#   before a pair is reported — 1-2 agreeing keys arise by chance on coarse
+#   4-bucket codes; 4 on a common offset is the Wang-2003 "time-aligned
+#   spike" criterion at this key entropy.
+# - SEGMENT_MIN_SHARED (2): distinct shared chunk identities before q305
+#   reports a pair — one shared 64-byte chunk can be coincidence/boilerplate
+#   that survived the df cap; two distinct shared chunks can't.
+MEDIA_DF_CAP_MIN = 2
+MEDIA_DF_CAP_MAX = 20
+LANDMARK_MULTIPLICITY_CAP = 8
+CONSTELLATION_MIN_VOTES = 4
+SEGMENT_MIN_SHARED = 2
+
+# Dense (content-defined) landmark knobs — dense_landmarks:
+# - DENSE_PEAK_RADIUS (8): a position is a peak iff its code strictly
+#   exceeds the previous 8 and is >= the next 8 — peaks land every ~2r+1
+#   chars on mixed text (one per ~17 chars), denser than one per 32-char
+#   frame, and the definition depends ONLY on local content, so a clip cut
+#   at ANY offset reproduces its interior peaks exactly (the alignment
+#   robustness fixed-frame windows lack).
+# - DENSE_FAN (3): each peak pairs with its next 1..3 peaks — the Shazam
+#   fan-out; 3 keys/anchor triples the vote evidence per true overlap at
+#   3x the landmark rows (linear, never quadratic).
+# - DENSE_DELTA_CAP (511): peak-gap values above 511 chars clamp into one
+#   bucket so the key stays a compact BIGINT; fixture gaps are < 100.
+# - DENSE_CTX_LEN/MOD (4 chars -> 10 bits): a rolling-hash of the 4 chars
+#   AFTER the anchor peak folds into the key — content-defined, so still
+#   alignment-invariant for interior anchors. Without it the key space is
+#   (peak code x peak code x fan x gap) and on a low-alphabet corpus the
+#   few thousand distinct keys ALL exceed the df cap once the corpus
+#   passes a few thousand docs (observed at sf0.1: every corpus key
+#   dropped, retrieval starved). The 10 context bits multiply key entropy
+#   1024x, the Wang-2003 move of widening the hash until keys are
+#   near-unique.
+DENSE_PEAK_RADIUS = 8
+DENSE_FAN = 3
+DENSE_DELTA_CAP = 511
+DENSE_CTX_LEN = 4
+DENSE_CTX_MOD = 1024
+
+
+def shared_segment_pairs(
+    chunks: DataFrame,
+    min_shared: int | None = None,
+    df_cap_min: int | None = None,
+    df_cap_max: int | None = None,
+) -> DataFrame:
+    """Media pairs sharing >= ``min_shared`` distinct content chunks —
+    q305's pair stage as a reusable operator over ANY chunk stream:
+    ``chunk_media`` output (in-table payloads) and
+    ``sources.media_source.chunked_media_ingest`` output (file-resident
+    payloads, chunked at ingest) both feed it unchanged. Chunk identity
+    is sha256 of the chunk bytes; identities seen in df_cap_min..
+    df_cap_max media join pairwise (the boilerplate guard); pairs
+    report their shared-chunk count. Input needs (media_id, chunk).
+    Returns (id_a, id_b, shared_chunks), id_a < id_b."""
+    min_shared = SEGMENT_MIN_SHARED if min_shared is None else min_shared
+    df_cap_min = MEDIA_DF_CAP_MIN if df_cap_min is None else df_cap_min
+    df_cap_max = MEDIA_DF_CAP_MAX if df_cap_max is None else df_cap_max
+    hh = chunks.select(
+        "media_id", F.sha2("chunk", 256).alias("ch")
+    ).dropDuplicates(["media_id", "ch"])
+    chdf = hh.groupBy("ch").agg(F.countDistinct("media_id").alias("nm"))
+    k = hh.join(
+        chdf.filter(
+            (F.col("nm") >= df_cap_min) & (F.col("nm") <= df_cap_max)
+        ),
+        "ch",
+    ).select("media_id", "ch")
+    p = (
+        k.alias("a")
+        .join(
+            k.alias("b"),
+            (F.col("a.ch") == F.col("b.ch"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_chunks"))
+    )
+    return p.filter(F.col("shared_chunks") >= min_shared)
 
 
 # --- perceptual fingerprints (media near-dup dedup) ------------------------
@@ -289,6 +404,27 @@ def with_media_dhash(df: DataFrame, content_col: str = "content",
     ).drop("__mm_bytes", "__mm_cells")
 
 
+def decoded_media_dhash(df: DataFrame, decoder: str = "fake") -> DataFrame:
+    """The decode -> fingerprint SEAM as one executed path: run the
+    registered decoder (``extract_media_features`` — Arrow mapInPandas,
+    fake or real) and dHash the DECODED feature bytes instead of the
+    raw container bytes. This is where a real codec plugs in: q301
+    fingerprints raw payload bytes (fine for byte-identical dedup, blind
+    to re-encodes), while this path fingerprints what the decoder SAW —
+    with a real decoder in ``DECODERS`` the feature token becomes the
+    pixel/spectral array and the same two stages catch re-encoded
+    duplicates. Returns (media_id, kind, content_sha, phash); feeds
+    ``similarity.hamming_pairs`` unchanged
+    (test_decode_to_hamming_seam pins the end-to-end path on the fake
+    decoder)."""
+    feats = extract_media_features(df, decoder=decoder)
+    return with_media_dhash(
+        feats.withColumn("__fb", F.encode("feature", "UTF-8")),
+        "__fb",
+        "phash",
+    ).select("media_id", "kind", "content_sha", "phash")
+
+
 def constellation_landmarks(
     df: DataFrame,
     id_col: str,
@@ -376,6 +512,209 @@ def constellation_landmarks(
     wcap = Window.partitionBy(id_col, "key").orderBy("t")
     return (
         lm.withColumn("__mrn", F.row_number().over(wcap))
-        .filter(F.col("__mrn") <= 8)
+        .filter(F.col("__mrn") <= LANDMARK_MULTIPLICITY_CAP)
+        .drop("__mrn")
+    )
+
+
+# --- dense (content-defined) landmarks — alignment-robust retrieval --------
+#
+# constellation_landmarks frames the payload into fixed w-char windows, so
+# a clip cut at a non-multiple of w sees DIFFERENT frames than the corpus
+# and its landmarks miss (q312 documents this). Real audio fingerprinting
+# anchors on CONTENT-DEFINED peaks (local maxima of the spectrum), which a
+# shifted clip reproduces exactly. dense_landmarks is that design over the
+# char-code stream: a position is a peak iff its code strictly exceeds the
+# previous DENSE_PEAK_RADIUS codes and is >= the next DENSE_PEAK_RADIUS
+# (strict-left/tie-right keeps the FIRST of an equal run — deterministic on
+# every engine); peaks pair with their next 1..DENSE_FAN peaks into integer
+# keys of (code, next code, which-next, clamped gap). Interior peaks of a
+# clip cut at ANY offset are identical to the source's, so retrieval works
+# on arbitrary cuts — the q317 fixture probes at offsets 53/90/127/164
+# (none a multiple of the old frame width or its halves).
+
+
+def dense_peaks_kernel(r: int = DENSE_PEAK_RADIUS):
+    """Arrow-batched numpy peak finder: text -> (pos[], val[]) arrays of
+    the radius-``r`` local maxima (1-based positions, Unicode code
+    points). Pure integer comparisons — pinned bit-identical to the
+    interpreted JVM expression twin (``dense_peaks_expr``) and the
+    DuckDB window-max twin by test_dense_peaks_kernel_matches_expr."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("pos array<integer>, val array<integer>, ctx array<integer>")
+    def _peaks(batch: pd.Series) -> pd.DataFrame:
+        poss, vals, ctxs = [], [], []
+        for t in batch:
+            if t is None or len(t) == 0:
+                poss.append(None if t is None else [])
+                vals.append(None if t is None else [])
+                ctxs.append(None if t is None else [])
+                continue
+            c = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.int64
+            )
+            n = c.size
+            lm = np.full(n, -1, dtype=np.int64)
+            rm = np.full(n, -1, dtype=np.int64)
+            for j in range(1, r + 1):
+                if j < n:
+                    np.maximum(lm[j:], c[:-j], out=lm[j:])
+                    np.maximum(rm[:-j], c[j:], out=rm[:-j])
+            idx = np.nonzero((c > lm) & (c >= rm))[0]
+            # rolling context hash of the DENSE_CTX_LEN chars after each
+            # peak (clamped at text end) — integer mod arithmetic, exact
+            # on every engine
+            ctx = np.zeros(idx.size, dtype=np.int64)
+            for j in range(1, DENSE_CTX_LEN + 1):
+                valid = idx + j < n
+                ctx[valid] = (
+                    ctx[valid] * 31 + c[idx[valid] + j]
+                ) % DENSE_CTX_MOD
+            poss.append((idx + 1).astype("int32").tolist())
+            vals.append(c[idx].astype("int32").tolist())
+            ctxs.append(ctx.astype("int32").tolist())
+        return pd.DataFrame({"pos": poss, "val": vals, "ctx": ctxs})
+
+    return _peaks
+
+
+def with_dense_peaks_expr(
+    df: DataFrame,
+    text_col: str,
+    out: str = "pk",
+    r: int = DENSE_PEAK_RADIUS,
+) -> DataFrame:
+    """The interpreted JVM expression twin of ``dense_peaks_kernel``:
+    per-position slice maxima over the char-code array, materialized
+    stepwise (the with_media_dhash pattern) so the code array folds
+    once per row. O(len * 2r) interpreted HOF work — the pin-test
+    reference and zero-Python fallback, never the hot path. Adds a
+    struct column ``out`` (pos/val/ctx: array<int>)."""
+    codes = (
+        f"transform(filter(split({text_col}, ''), c -> c != ''), "
+        f"c -> ascii(c))"
+    )
+    df = df.withColumn(
+        "__dp_codes",
+        F.expr(
+            f"case when {text_col} is null then null else {codes} end"
+        ),
+    )
+    peaks = (
+        f"filter(sequence(1, size(__dp_codes)), p -> "
+        f"element_at(__dp_codes, p) > coalesce(array_max(slice(__dp_codes, "
+        f"greatest(p - {r}, 1), p - greatest(p - {r}, 1))), -1) AND "
+        f"element_at(__dp_codes, p) >= coalesce(array_max(slice(__dp_codes, "
+        f"p + 1, least({r}, size(__dp_codes) - p))), -1))"
+    )
+    df = df.withColumn(
+        "__dp_peaks",
+        F.expr(
+            f"case when __dp_codes is null then null "
+            f"when size(__dp_codes) = 0 then array() else {peaks} end"
+        ),
+    )
+    ctx_fold = (
+        f"cast(aggregate(transform(sequence(1, least({DENSE_CTX_LEN}, "
+        f"size(__dp_codes) - p)), j -> element_at(__dp_codes, p + j)), "
+        f"0L, (acc, c) -> (acc * 31 + c) % {DENSE_CTX_MOD}) as int)"
+    )
+    return df.withColumn(
+        out,
+        F.expr(
+            # NULL text -> struct of NULL arrays (a pandas_udf struct
+            # return can't emit a NULL struct row, so the kernel yields
+            # (null, null, null) fields — align the twin on that).
+            # sequence(1, 0) DESCENDS: a last-char peak (no following
+            # chars) must yield ctx 0 via the explicit size guard.
+            "case when __dp_peaks is null then "
+            "named_struct('pos', cast(null as array<int>), "
+            "'val', cast(null as array<int>), "
+            "'ctx', cast(null as array<int>)) else "
+            "named_struct('pos', __dp_peaks, "
+            "'val', transform(__dp_peaks, "
+            "p -> element_at(__dp_codes, p)), "
+            f"'ctx', transform(__dp_peaks, p -> "
+            f"case when size(__dp_codes) - p <= 0 then 0 else "
+            f"{ctx_fold} end)) end"
+        ),
+    ).drop("__dp_codes", "__dp_peaks")
+
+
+def dense_landmarks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    r: int = DENSE_PEAK_RADIUS,
+    fan: int = DENSE_FAN,
+) -> DataFrame:
+    """Content-defined landmark keys: radius-``r`` local-max peaks of
+    the char-code stream, each paired with its next 1..``fan`` peaks
+    into BIGINT keys ``(((v * 1024 + v_d) * 4 + d) * 512 +
+    min(gap, DENSE_DELTA_CAP)) * DENSE_CTX_MOD + ctx`` where ``ctx``
+    is the rolling hash of the DENSE_CTX_LEN chars after the anchor —
+    all components content-defined, so the whole key is alignment-
+    invariant for interior anchors. Returns (id_col, t, key) with
+    ``t`` the anchor peak's 1-based char position — so a corpus hit's
+    ``t_corpus - t_probe`` IS the clip's char offset in the source.
+    Per-(id, key) multiplicity capped at LANDMARK_MULTIPLICITY_CAP
+    (earliest anchors kept) exactly like constellation_landmarks.
+
+    Scale shape: ONE Arrow pass per payload emits only its peaks
+    (~len/(r+1) rows, content-bounded); the pairing is a per-payload
+    LEAD window over peak rows; no per-char row ever shuffles. The
+    DuckDB twin computes the same peaks with two per-doc window maxima
+    over the char stream (``oracles._dense_lm_ctes``)."""
+    from pyspark.sql import Window
+
+    df = df.filter(F.length(text_col) > 0)
+    pk = (
+        df.select(
+            id_col, dense_peaks_kernel(r)(F.col(text_col)).alias("pk")
+        )
+        .select(
+            id_col,
+            F.explode(F.arrays_zip("pk.pos", "pk.val", "pk.ctx")).alias("z"),
+        )
+        .select(
+            id_col,
+            F.col("z.pos").cast("long").alias("t"),
+            F.col("z.val").cast("long").alias("v"),
+            F.col("z.ctx").cast("long").alias("cx"),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy("t")
+    lm0 = pk.select(
+        id_col,
+        "t",
+        "v",
+        "cx",
+        *[
+            c
+            for d in range(1, fan + 1)
+            for c in (
+                F.lead("t", d).over(win).alias(f"t{d}"),
+                F.lead("v", d).over(win).alias(f"v{d}"),
+            )
+        ],
+    )
+    lm = None
+    for d in range(1, fan + 1):
+        part = lm0.filter(F.col(f"v{d}").isNotNull()).select(
+            id_col,
+            "t",
+            F.expr(
+                f"CAST((((v * 1024 + v{d}) * {fan + 1} + {d}) * 512"
+                f" + least(t{d} - t, {DENSE_DELTA_CAP}))"
+                f" * {DENSE_CTX_MOD} + cx AS BIGINT)"
+            ).alias("key"),
+        )
+        lm = part if lm is None else lm.unionByName(part)
+    wcap = Window.partitionBy(id_col, "key").orderBy("t")
+    return (
+        lm.withColumn("__mrn", F.row_number().over(wcap))
+        .filter(F.col("__mrn") <= LANDMARK_MULTIPLICITY_CAP)
         .drop("__mrn")
     )

@@ -748,19 +748,32 @@ def hamming_block_keys(
     fingerprints within the radius must share at least one key, so ANY
     pair of tables keyed this way (self-join, batch-vs-store probe)
     finds all within-radius pairs with an equi-join + exact bit_count
-    verification."""
+    verification.
+
+    When 64 isn't divisible by the block count, the leftover high bits
+    FOLD INTO THE LAST block (it is simply wider) — the blocks still
+    partition all 64 bits, so d differing bits spoil at most d blocks
+    and the pigeonhole guarantee is unchanged, but no bit is excluded
+    from every key (uncovered bits only cost candidate PRECISION, never
+    recall; covering them keeps two fingerprints differing only in the
+    high bits out of each other's buckets). A block spanning the full
+    64 bits (max_hamming=0, agree_blocks=1 — exact-match keying) is the
+    fingerprint itself, unmasked."""
     from itertools import combinations
 
     n_blocks = max_hamming + agree_blocks
     block_bits = 64 // n_blocks
     if block_bits < 1:
         raise ValueError("max_hamming + agree_blocks must be <= 64")
-    blocks = [
-        F.shiftrightunsigned(fp_col, i * block_bits).bitwiseAND(
-            F.lit((1 << block_bits) - 1)
-        )
-        for i in range(n_blocks)
-    ]
+    blocks = []
+    for i in range(n_blocks):
+        start = i * block_bits
+        # last block absorbs the 64 - n_blocks*block_bits leftover bits
+        width = block_bits if i < n_blocks - 1 else 64 - start
+        b = F.shiftrightunsigned(fp_col, start)
+        if width < 64:
+            b = b.bitwiseAND(F.lit((1 << width) - 1))
+        blocks.append(b)
     return F.array(
         *[
             F.xxhash64(F.lit(cid), *[blocks[i] for i in combo])

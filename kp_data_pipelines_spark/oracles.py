@@ -4153,7 +4153,9 @@ def bpe_batched_trainer_sql(
 
 
 def media_shared_segments_sql(
-    chunk_bytes: int = 64, min_shared: int = 2, max_media_freq: int = 20
+    chunk_bytes: int = 64,
+    min_shared: int | None = None,
+    max_media_freq: int | None = None,
 ) -> str:
     """Twin of q305: media pairs sharing content SEGMENTS — fixed-size
     chunk hashes in common. Chunk boundaries are multimodal.chunk_media's
@@ -4161,7 +4163,19 @@ def media_shared_segments_sql(
     sha256 of the chunk. The twin chunks the TEXT where Spark chunks the
     UTF-8 BYTES — identical for the all-ASCII fixture (the q36 oracle's
     standing equivalence); chunk-frequency cap and min-shared floor
-    mirror the winnowing twin's boilerplate guards."""
+    default from the shared ``multimodal`` knob constants (the
+    winnowing twin's boilerplate guards)."""
+    from kp_data_pipelines_spark.operators.multimodal import (
+        MEDIA_DF_CAP_MAX,
+        MEDIA_DF_CAP_MIN,
+        SEGMENT_MIN_SHARED,
+    )
+
+    min_shared = SEGMENT_MIN_SHARED if min_shared is None else min_shared
+    max_media_freq = (
+        MEDIA_DF_CAP_MAX if max_media_freq is None else max_media_freq
+    )
+    min_media_freq = MEDIA_DF_CAP_MIN
     return f"""
     WITH c AS (
       SELECT doc_id AS media_id,
@@ -4180,7 +4194,7 @@ def media_shared_segments_sql(
     chdf AS (SELECT ch, COUNT(DISTINCT media_id) AS nm FROM hh GROUP BY ch),
     k AS (
       SELECT media_id, hh.ch FROM hh JOIN chdf ON chdf.ch = hh.ch
-      WHERE nm BETWEEN 2 AND {max_media_freq}
+      WHERE nm BETWEEN {min_media_freq} AND {max_media_freq}
     ),
     p AS (
       SELECT a.media_id AS id_a, b.media_id AS id_b,
@@ -4327,6 +4341,96 @@ def dup_span_excision_sql(k: int = 8) -> str:
     """
 
 
+def dup_span_excision_apply_sql(k: int = 8) -> str:
+    """Twin of q316: the APPLY step of q307's excision ledger — the
+    scrubbed corpus itself. Spans are q307's gaps-and-islands verbatim
+    (duplicated k-gram starts fuse when <= k apart; island covers
+    [min_pos, least(max_pos + k, n_toks))); the apply keeps every token
+    whose 0-based position falls in NO island, reassembles them in
+    position order with single spaces, and emits one row per document
+    with the kept-text sha256 — the per-doc hash the driver's value
+    check pins cross-engine. Islands are pairwise disjoint (a > k gap
+    separates them), so covered positions count once."""
+    return f"""
+    WITH th AS (
+      SELECT doc_id, source, {_tok_hashes("text")} AS th FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, len(th) AS n_toks,
+             {_grams("th", k, False)} AS grams
+      FROM th
+    ),
+    s AS MATERIALIZED (
+      SELECT doc_id, n_toks, i AS pos, grams[i + 1] AS gram
+      FROM (SELECT doc_id, n_toks, grams,
+                   unnest(range(len(grams))) AS i
+            FROM g)
+    ),
+    dfreq AS (
+      SELECT gram FROM s GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    dup AS (
+      SELECT s.doc_id, s.n_toks, s.pos
+      FROM s JOIN dfreq d ON d.gram = s.gram
+    ),
+    isl AS (
+      SELECT doc_id, n_toks, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) > {k}
+                  THEN 1 ELSE 0 END AS brk
+      FROM dup
+    ),
+    isl2 AS (
+      SELECT doc_id, n_toks, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    ),
+    sp AS MATERIALIZED (
+      SELECT doc_id, island, MIN(pos) AS sp_start,
+             LEAST(MAX(pos) + {k}, MAX(n_toks)) AS sp_end
+      FROM isl2 GROUP BY doc_id, island
+    ),
+    toks AS MATERIALIZED (
+      SELECT doc_id, i AS pos, tk[i + 1] AS tok
+      FROM (SELECT doc_id, tk, unnest(range(len(tk))) AS i
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(lower(text)),
+                                               '\\s+') AS tk
+                  FROM documents))
+    ),
+    cov AS (
+      SELECT DISTINCT t.doc_id, t.pos
+      FROM toks t JOIN sp ON sp.doc_id = t.doc_id
+       AND t.pos >= sp.sp_start AND t.pos < sp.sp_end
+    ),
+    kept AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+             string_agg(t.tok, ' ' ORDER BY t.pos) AS kept_text
+      FROM toks t LEFT JOIN cov c
+        ON c.doc_id = t.doc_id AND c.pos = t.pos
+      WHERE c.pos IS NULL
+      GROUP BY t.doc_id
+    ),
+    nsp AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans FROM sp
+      GROUP BY doc_id
+    )
+    SELECT g.doc_id, g.source,
+           CAST(g.n_toks AS BIGINT) AS n_toks,
+           COALESCE(nsp.n_spans, 0) AS n_spans,
+           COALESCE(kept.kept_tokens, 0) AS kept_tokens,
+           CAST(g.n_toks - COALESCE(kept.kept_tokens, 0) AS BIGINT)
+             AS excised_tokens,
+           sha256(COALESCE(kept.kept_text, '')) AS kept_sha
+    FROM g
+    LEFT JOIN nsp ON nsp.doc_id = g.doc_id
+    LEFT JOIN kept ON kept.doc_id = g.doc_id
+    ORDER BY g.doc_id
+    """
+
+
 def _constellation_lm_ctes(
     src: str, id_col: str, w: int = 32, fan: int = 3, prefix: str = ""
 ) -> str:
@@ -4337,6 +4441,10 @@ def _constellation_lm_ctes(
     pairs at deltas 1..fan packed into integer constellation keys).
     ``prefix`` allows two instances in one query (q312 probes vs
     corpus)."""
+    from kp_data_pipelines_spark.operators.multimodal import (
+        LANDMARK_MULTIPLICITY_CAP,
+    )
+
     p = prefix
     leads = ",\n             ".join(
         f"LEAD(p, {d}) OVER win AS p{d}, LEAD(v, {d}) OVER win AS v{d}"
@@ -4376,12 +4484,15 @@ def _constellation_lm_ctes(
                ROW_NUMBER() OVER (PARTITION BY {id_col}, key
                                   ORDER BY t) AS mrn
         FROM ({unions})
-      ) WHERE mrn <= 8
+      ) WHERE mrn <= {LANDMARK_MULTIPLICITY_CAP}
     )"""
 
 
 def audio_constellation_sql(
-    w: int = 32, fan: int = 3, cap: int = 20, min_votes: int = 4
+    w: int = 32,
+    fan: int = 3,
+    cap: int | None = None,
+    min_votes: int | None = None,
 ) -> str:
     """Twin of q308: Shazam-style landmark-constellation matching with
     offset-histogram voting. Payload chars frame into w-char windows;
@@ -4389,7 +4500,17 @@ def audio_constellation_sql(
     PAIRS at frame deltas 1..fan become integer hash keys; keys seen in
     2..cap media join across media and the per-pair mode of the frame
     OFFSET (t_b - t_a) is the alignment vote. Exact integers end to
-    end; ties broken (votes DESC, offset ASC)."""
+    end; ties broken (votes DESC, offset ASC); caps default from the
+    shared ``multimodal`` knob constants."""
+    from kp_data_pipelines_spark.operators.multimodal import (
+        CONSTELLATION_MIN_VOTES,
+        MEDIA_DF_CAP_MAX,
+        MEDIA_DF_CAP_MIN,
+    )
+
+    cap = MEDIA_DF_CAP_MAX if cap is None else cap
+    min_votes = CONSTELLATION_MIN_VOTES if min_votes is None else min_votes
+    min_cap = MEDIA_DF_CAP_MIN
     return f"""
     WITH m AS (
       SELECT doc_id AS media_id, text FROM documents
@@ -4398,7 +4519,7 @@ def audio_constellation_sql(
     {_constellation_lm_ctes("m", "media_id", w=w, fan=fan)},
     kf AS (
       SELECT key FROM lm GROUP BY key
-      HAVING COUNT(DISTINCT media_id) BETWEEN 2 AND {cap}
+      HAVING COUNT(DISTINCT media_id) BETWEEN {min_cap} AND {cap}
     ),
     lmk AS MATERIALIZED (
       SELECT lm.media_id, lm.t, lm.key FROM lm JOIN kf USING (key)
@@ -4603,7 +4724,7 @@ def bpe_tokenize_sql(rounds: int = 6) -> str:
 def constellation_retrieval_sql(
     w: int = 32,
     fan: int = 3,
-    cap: int = 20,
+    cap: int | None = None,
     clip_start: int = 96,
     clip_len: int = 192,
     n_probes: int = 4,
@@ -4614,7 +4735,13 @@ def constellation_retrieval_sql(
     multiple of w) of the 4 smallest sufficiently-long documents; their
     landmark keys join the df-capped corpus landmark table and the
     per-(probe, media, frame-offset) vote histogram's argmax (votes
-    DESC, media ASC, offset ASC) identifies the source and alignment."""
+    DESC, media ASC, offset ASC) identifies the source and alignment;
+    the df cap defaults from the shared ``multimodal`` knob constant."""
+    from kp_data_pipelines_spark.operators.multimodal import (
+        MEDIA_DF_CAP_MAX,
+    )
+
+    cap = MEDIA_DF_CAP_MAX if cap is None else cap
     return f"""
     WITH m AS (
       SELECT doc_id AS media_id, text FROM documents
@@ -4652,6 +4779,149 @@ def constellation_retrieval_sql(
     )
     SELECT probe_id, media_id AS matched_media, offset_frames, votes
     FROM best WHERE rn = 1 ORDER BY probe_id
+    """
+
+
+def _dense_lm_ctes(
+    src: str,
+    id_col: str,
+    r: int | None = None,
+    fan: int | None = None,
+    prefix: str = "",
+) -> str:
+    """CTE chain ``{prefix}pcv / {prefix}pk / {prefix}pe / {prefix}lm0 /
+    {prefix}dlm (id_col, t, key)`` over a source CTE providing
+    ``(id_col, text)`` — the SQL twin of ``multimodal.dense_landmarks``:
+    radius-r local-max peaks of the char-code stream (two per-doc
+    window maxima; strict-left / tie-right keeps the first of an equal
+    run), each anchor's rolling context hash over the DENSE_CTX_LEN
+    following chars, and peak pairs at peak-deltas 1..fan packed into
+    integer keys of (code, next code, which-next, clamped char gap,
+    anchor context). Defaults import from ``operators.multimodal`` so
+    the engines can never drift."""
+    from kp_data_pipelines_spark.operators.multimodal import (
+        DENSE_CTX_LEN,
+        DENSE_CTX_MOD,
+        DENSE_DELTA_CAP,
+        DENSE_FAN,
+        DENSE_PEAK_RADIUS,
+        LANDMARK_MULTIPLICITY_CAP,
+    )
+
+    r = DENSE_PEAK_RADIUS if r is None else r
+    fan = DENSE_FAN if fan is None else fan
+    p = prefix
+    leads = ",\n             ".join(
+        f"LEAD(t, {d}) OVER win AS t{d}, LEAD(v, {d}) OVER win AS v{d}"
+        for d in range(1, fan + 1)
+    )
+    unions = "\n      UNION ALL\n      ".join(
+        f"SELECT {id_col}, t,\n"
+        f"             CAST((((v * 1024 + v{d}) * {fan + 1} + {d}) * 512\n"
+        f"                  + LEAST(t{d} - t, {DENSE_DELTA_CAP}))"
+        f" * {DENSE_CTX_MOD} + cx AS BIGINT) AS key\n"
+        f"      FROM {p}lm0 WHERE v{d} IS NOT NULL"
+        for d in range(1, fan + 1)
+    )
+    return f"""{p}pcv AS (
+      SELECT {id_col}, i AS t, ord(substr(text, CAST(i AS INT), 1)) AS v
+      FROM (SELECT {id_col}, text,
+                   unnest(range(1, length(text) + 1)) AS i
+            FROM {src} WHERE length(text) > 0)
+    ),
+    {p}pk AS (
+      SELECT {id_col}, t, v,
+             MAX(v) OVER (PARTITION BY {id_col} ORDER BY t
+               ROWS BETWEEN {r} PRECEDING AND 1 PRECEDING) AS lmx,
+             MAX(v) OVER (PARTITION BY {id_col} ORDER BY t
+               ROWS BETWEEN 1 FOLLOWING AND {r} FOLLOWING) AS rmx
+      FROM {p}pcv
+    ),
+    {p}pe AS (
+      SELECT e.{id_col}, e.t, e.v,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   range(1, least({DENSE_CTX_LEN},
+                                  length(s.text) - e.t) + 1),
+                   j -> CAST(ord(substr(s.text, CAST(e.t + j AS INT), 1))
+                             AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % {DENSE_CTX_MOD}) AS cx
+      FROM (SELECT {id_col}, t, v FROM {p}pk
+            WHERE v > COALESCE(lmx, -1) AND v >= COALESCE(rmx, -1)) e
+      JOIN {src} s USING ({id_col})
+    ),
+    {p}lm0 AS (
+      SELECT {id_col}, t, v, cx,
+             {leads}
+      FROM {p}pe
+      WINDOW win AS (PARTITION BY {id_col} ORDER BY t)
+    ),
+    {p}dlm AS MATERIALIZED (
+      SELECT {id_col}, t, key FROM (
+        SELECT {id_col}, t, key,
+               ROW_NUMBER() OVER (PARTITION BY {id_col}, key
+                                  ORDER BY t) AS mrn
+        FROM ({unions})
+      ) WHERE mrn <= {LANDMARK_MULTIPLICITY_CAP}
+    )"""
+
+
+def dense_landmark_retrieval_sql(
+    cap: int | None = None,
+    clip_len: int = 192,
+    n_probes: int = 4,
+    min_len: int = 300,
+) -> str:
+    """Twin of q317: clip-to-source retrieval over the DENSE
+    (content-defined) landmark index — probe clips cut at offsets
+    53/90/127/164 (``53 + (doc_id % 4) * 37`` — none a multiple of the
+    fixed frame width 32 or its half 16), which q312's frame-aligned
+    index cannot retrieve but content-defined peaks reproduce exactly.
+    The vote argmax reports the source media AND the clip's char
+    offset (t_corpus - t_probe)."""
+    from kp_data_pipelines_spark.operators.multimodal import (
+        MEDIA_DF_CAP_MAX,
+    )
+
+    cap = MEDIA_DF_CAP_MAX if cap is None else cap
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, text FROM documents
+      WHERE length(text) > 0
+    ),
+    {_dense_lm_ctes("m", "media_id")},
+    dkf AS (
+      SELECT key FROM dlm GROUP BY key
+      HAVING COUNT(DISTINCT media_id) <= {cap}
+    ),
+    dlmk AS MATERIALIZED (
+      SELECT dlm.media_id, dlm.t, dlm.key FROM dlm JOIN dkf USING (key)
+    ),
+    dprobes AS (
+      SELECT doc_id AS probe_id,
+             substr(text, CAST(53 + (doc_id % 4) * 37 + 1 AS INT),
+                    {clip_len}) AS text
+      FROM documents WHERE length(text) >= {min_len}
+      ORDER BY doc_id LIMIT {n_probes}
+    ),
+    {_dense_lm_ctes("dprobes", "probe_id", prefix="q")},
+    dvotes AS (
+      SELECT q.probe_id, c.media_id,
+             CAST(c.t - q.t AS BIGINT) AS offset_chars,
+             CAST(COUNT(*) AS BIGINT) AS votes
+      FROM qdlm q JOIN dlmk c ON c.key = q.key
+      GROUP BY 1, 2, 3
+    ),
+    dbest AS (
+      SELECT probe_id, media_id, offset_chars, votes,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+               ORDER BY votes DESC, media_id ASC, offset_chars ASC)
+               AS rn
+      FROM dvotes
+    )
+    SELECT probe_id, media_id AS matched_media, offset_chars, votes
+    FROM dbest WHERE rn = 1 ORDER BY probe_id
     """
 
 

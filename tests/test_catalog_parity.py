@@ -212,3 +212,28 @@ def test_bpe_tokenize_oracle_survives_merge_exhaustion(spark, tmp_path):
     assert got and got == want
     # every word fully merged: 1 token per word, fertility 1.0
     assert got["s1"][1] == got["s1"][0] and got["s1"][2] == 1.0
+
+
+def test_span_excision_apply_reconciles_with_ledger(spark):
+    """q316 (the APPLY — scrubbed corpus) must reconcile with q307 (the
+    ledger that prices it): per source, the apply's excised-token and
+    span totals equal the ledger's. This pins the two queries to ONE
+    span semantics — a drift in either's island rules breaks it."""
+    from kp_data_pipelines_spark.catalog import QUERIES
+
+    sfd = "/root/testdata/sf0.001"
+    ledger = {
+        r["source"]: (r["excised_tokens"], r["n_spans"])
+        for r in QUERIES["q307_dup_span_excision"](spark, sfd).collect()
+    }
+    apply_rows = QUERIES["q316_span_excision_apply"](spark, sfd).collect()
+    agg: dict[str, list[int]] = {}
+    for r in apply_rows:
+        a = agg.setdefault(r["source"], [0, 0])
+        a[0] += r["excised_tokens"]
+        a[1] += r["n_spans"]
+    assert {s: tuple(v) for s, v in agg.items()} == ledger
+    # and a doc with zero spans keeps its full normalized text
+    clean = [r for r in apply_rows if r["n_spans"] == 0]
+    assert clean, "fixture should contain span-free docs"
+    assert all(r["kept_tokens"] == r["n_toks"] for r in clean)

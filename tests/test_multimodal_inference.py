@@ -301,3 +301,201 @@ def test_constellation_landmarks_match_duckdb_twin(spark):
         (int(a), int(b), int(c)) for a, b, c in con.sql(sql).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_dense_peaks_kernel_matches_expr(spark):
+    """The Arrow peak kernel and the interpreted JVM slice-max twin must
+    agree on positions AND values — including equal-run ties (first
+    kept), short texts, all-equal texts, empty and NULL. BMP-only
+    fixture: the kernel counts code POINTS (like DuckDB ord); the JVM
+    twin splits UTF-16 units, so they diverge only on astral-plane
+    chars (the documents fixture is verified ASCII — q313 contract)."""
+    from pyspark.sql import functions as F
+
+    from kp_data_pipelines_spark.operators.multimodal import (
+        dense_peaks_kernel,
+        with_dense_peaks_expr,
+    )
+    from kp_data_pipelines_spark.sources.readers import read_table
+
+    edge = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "aaaaaaaaaa"),
+            (3, "abz" * 20),
+            (4, "z"),
+            (5, ""),
+            (6, None),
+            (7, "zz yy zz yy zz"),
+            (8, "naïve café über žluťoučký 北京 mix"),  # BMP non-ASCII
+        ],
+        "doc_id long, text string",
+    )
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    for df in (edge, docs):
+        kern = {
+            r["doc_id"]: (r["pk"]["pos"], r["pk"]["val"])
+            if r["pk"] is not None
+            else None
+            for r in df.select(
+                "doc_id", dense_peaks_kernel()(F.col("text")).alias("pk")
+            ).collect()
+        }
+        expr = {
+            r["doc_id"]: (r["pk"]["pos"], r["pk"]["val"])
+            if r["pk"] is not None
+            else None
+            for r in with_dense_peaks_expr(df, "text").collect()
+        }
+        assert kern == expr
+
+
+def test_dense_retrieval_hits_exact_offsets(spark):
+    """q317's whole claim: probes cut at NON-frame-aligned offsets
+    (53/90/127/164 — none a multiple of 32 or 16) still retrieve their
+    source media at the exact char offset, because content-defined
+    peaks are alignment-invariant."""
+    from kp_data_pipelines_spark.catalog import QUERIES
+
+    rows = QUERIES["q317_dense_landmark_retrieval"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["matched_media"] == r["probe_id"]
+        assert r["offset_chars"] == 53 + (r["probe_id"] % 4) * 37
+        assert r["votes"] >= 4
+
+
+def test_chunked_ingest_matches_chunk_media(spark, tmp_path):
+    """The chunk-at-INGEST source (no full payload ever a row) and the
+    chunk-a-loaded-column operator must emit IDENTICAL chunk rows for
+    the same payloads — the two paths are interchangeable for every
+    downstream consumer. Covers: multi-chunk files, a sub-chunk file,
+    an empty file, a file spanning multiple task ranges."""
+    from kp_data_pipelines_spark.operators.multimodal import chunk_media
+    from kp_data_pipelines_spark.sources.media_source import (
+        chunked_media_ingest,
+    )
+
+    payloads = {
+        1: bytes(range(256)) * 40,   # 10240 B -> 11 chunks of 1000
+        2: b"tiny",
+        3: b"",
+        4: b"z" * 3001,
+    }
+    d = tmp_path / "media"
+    d.mkdir()
+    for mid, content in payloads.items():
+        (d / f"{mid}.bin").write_bytes(content)
+
+    ing = chunked_media_ingest(
+        spark, str(d), chunk_bytes=1000, id_from_name=True
+    )
+    # task_bytes small enough that file 1 spans multiple InputPartitions
+    ing_small_tasks = (
+        spark.read.format("chunked_media")
+        .option("path", str(d))
+        .option("chunk_bytes", 1000)
+        .option("id_from_name", "true")
+        .option("task_bytes", 3000)
+        .load()
+    )
+    tbl = spark.createDataFrame(
+        [(m, bytearray(c)) for m, c in payloads.items()],
+        "media_id long, content binary",
+    )
+    col_rows = {
+        (r["media_id"], r["chunk_idx"]): r
+        for r in chunk_media(tbl, chunk_bytes=1000).collect()
+    }
+    for ing_df in (ing, ing_small_tasks):
+        rows = {
+            (r["media_id"], r["chunk_idx"]): r for r in ing_df.collect()
+        }
+        assert set(rows) == set(col_rows)
+        for k, r in rows.items():
+            c = col_rows[k]
+            assert bytes(r["chunk"] or b"") == bytes(c["chunk"] or b"")
+            for f in ("total_bytes", "offset", "chunk_len"):
+                assert r[f] == c[f], (k, f, r[f], c[f])
+
+
+def test_shared_segment_pairs_on_chunked_ingest(spark, tmp_path):
+    """q305's pair operator over the chunk-at-ingest path: files that
+    share 64-byte blocks pair up exactly as the in-table path reports
+    them — the 100 TB ingest story drives the same dedup."""
+    from kp_data_pipelines_spark.operators.multimodal import (
+        chunk_media,
+        shared_segment_pairs,
+    )
+    from kp_data_pipelines_spark.sources.media_source import (
+        chunked_media_ingest,
+    )
+
+    # 3 DISTINCT shared 64-byte chunks (identical chunks would collapse
+    # to one identity under the per-media dedup)
+    shared = bytes(range(64)) + bytes(range(64, 128)) + bytes(range(128, 192))
+    payloads = {
+        1: shared + b"a" * 64,
+        2: shared + b"b" * 64,
+        3: b"c" * 256,
+    }
+    d = tmp_path / "media"
+    d.mkdir()
+    for mid, content in payloads.items():
+        (d / f"{mid}.bin").write_bytes(content)
+    ing = chunked_media_ingest(spark, str(d), chunk_bytes=64,
+                               id_from_name=True)
+    got = sorted(
+        (r["id_a"], r["id_b"], r["shared_chunks"])
+        for r in shared_segment_pairs(ing).collect()
+    )
+    tbl = spark.createDataFrame(
+        [(m, bytearray(c)) for m, c in payloads.items()],
+        "media_id long, content binary",
+    )
+    want = sorted(
+        (r["id_a"], r["id_b"], r["shared_chunks"])
+        for r in shared_segment_pairs(chunk_media(tbl, 64)).collect()
+    )
+    assert got == want == [(1, 2, 3)]
+
+
+def test_decode_to_hamming_seam(spark):
+    """The decode -> dHash -> hamming_pairs path runs END TO END on the
+    (deterministic fake) decoder: byte-identical payloads decode to the
+    same feature token, fingerprint identically, and surface as a
+    Hamming-0 pair. (The fake token is a 12-hex digest — a degenerate
+    18-byte dHash input on which DISTINCT tokens may also collide; a
+    real decoder feeds the full pixel/spectral array. The pinned
+    contract here is the executed plumbing, not toy-input precision.)
+    With a real codec registered in DECODERS the identical plan catches
+    re-encoded duplicates — the swap point is this executed path, not a
+    docstring promise."""
+    from kp_data_pipelines_spark.operators.multimodal import (
+        decoded_media_dhash,
+    )
+    from kp_data_pipelines_spark.operators.similarity import hamming_pairs
+
+    rows = [
+        (1, "image", b"\x89PNGpayloadAAAA" * 20, "image/png", 64, 64, -1),
+        (2, "image", b"\x89PNGpayloadAAAA" * 20, "image/png", 64, 64, -1),
+        (3, "image", b"\x89PNGotherBBBBBB" * 20, "image/png", 64, 64, -1),
+        (4, "audio", b"RIFFwavpayload" * 30, "audio/wav", -1, -1, 900),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    fp = decoded_media_dhash(df)
+    got = {r["media_id"]: r for r in fp.collect()}
+    assert got[1]["phash"] == got[2]["phash"]
+    assert got[1]["content_sha"] == got[2]["content_sha"]
+    assert got[3]["content_sha"] != got[1]["content_sha"]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_pairs(
+            fp, "media_id", "phash", max_hamming=0
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0
