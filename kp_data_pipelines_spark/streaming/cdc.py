@@ -56,7 +56,6 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
 CDC_INGEST_PARTIAL_SCHEMA = (
     "source string, n_docs long, n_chunks long, new_chunks long, "
@@ -70,13 +69,11 @@ def _read_chunk_store(spark: SparkSession, state_dir: str) -> DataFrame:
     """Read the run/batch-partitioned chunk-identity store; a missing
     path means "first batch ever" (empty frame). Anything else re-raises
     loudly — silently resetting state would let duplicates through."""
-    try:
-        return spark.read.schema(_STORE_SCHEMA).parquet(state_dir)
-    except AnalysisException as exc:
-        msg = str(exc)
-        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
-            raise
-        return spark.createDataFrame([], _STORE_SCHEMA)
+    from kp_data_pipelines_spark.streaming.state_io import (
+        read_state_parquet,
+    )
+
+    return read_state_parquet(spark, state_dir, _STORE_SCHEMA)
 
 
 def _chunk_rows(batch: DataFrame, w: int, mask: int) -> DataFrame:

@@ -56,7 +56,6 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
 MEDIA_INGEST_PARTIAL_SCHEMA = (
     "source string, n_media long, new_fps long, dup_media long, "
@@ -64,18 +63,18 @@ MEDIA_INGEST_PARTIAL_SCHEMA = (
 )
 
 _STORE_SCHEMA = "phash long, run string, batch long"
+_ORDER_SCHEMA = "hi long, run string, batch long"
 
 
 def _read_fp_store(spark: SparkSession, state_dir: str) -> DataFrame:
     """Read the run/batch-partitioned fingerprint store; missing path =
-    first batch ever. Anything else re-raises loudly."""
-    try:
-        return spark.read.schema(_STORE_SCHEMA).parquet(state_dir)
-    except AnalysisException as exc:
-        msg = str(exc)
-        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
-            raise
-        return spark.createDataFrame([], _STORE_SCHEMA)
+    first batch ever. Missing-path detection via the Hadoop FileSystem
+    probe (``state_io``); anything else re-raises loudly."""
+    from kp_data_pipelines_spark.streaming.state_io import (
+        read_state_parquet,
+    )
+
+    return read_state_parquet(spark, state_dir, _STORE_SCHEMA)
 
 
 def _media_ingest_partial(
@@ -250,7 +249,12 @@ def media_ingest_stream(
     touched/copied backlog can scramble. ``validate_order=True`` checks
     each trigger's min(doc_id) against every earlier batch's max and
     raises loudly on violation (replay-aware: a retried batch id skips
-    the check)."""
+    the check). Earlier batches' maxima PERSIST in
+    ``<state_dir>__order`` run/batch partitions and are reloaded on the
+    guard's first run, so a checkpointed stream restarting mid-backlog
+    still sees pre-restart watermarks — without the store the guard
+    would silently pass a cross-restart ordering violation and corrupt
+    the "earlier fingerprint" admission semantics."""
     from kp_data_pipelines_spark.streaming.events import (
         run_available_now_foreach_batch,
     )
@@ -260,10 +264,30 @@ def media_ingest_stream(
         if checkpoint_dir
         else uuid.uuid4().hex[:16]
     )
+    order_dir = f"{state_dir}__order"
     batch_hi: dict[int, int] = {}
+    loaded = False
 
     def ingest(batch: DataFrame, batch_id: int) -> DataFrame:
+        nonlocal loaded
+        spark = batch.sparkSession
         if validate_order:
+            if not loaded:
+                from kp_data_pipelines_spark.streaming.state_io import (
+                    read_state_parquet,
+                )
+
+                # rebuild pre-restart watermarks from the order store
+                # (batch ids are global under one checkpoint, so maxima
+                # from any run token of this state_dir apply)
+                for row in read_state_parquet(
+                    spark, order_dir, _ORDER_SCHEMA
+                ).collect():
+                    prev = batch_hi.get(row["batch"])
+                    batch_hi[row["batch"]] = (
+                        row["hi"] if prev is None else max(prev, row["hi"])
+                    )
+                loaded = True
             mm = batch.agg(
                 F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
             ).first()
@@ -281,6 +305,13 @@ def media_ingest_stream(
                         " — the admission ledger would be wrong"
                     )
                 batch_hi[batch_id] = mm["hi"]
+                # persist BEFORE the partial mutates the main store: a
+                # replay overwrites its own partition (idempotent)
+                spark.createDataFrame(
+                    [(int(mm["hi"]),)], "hi long"
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    f"{order_dir}/run={run_token}/batch={batch_id}"
+                )
         return _media_ingest_partial(
             batch,
             state_dir,

@@ -33,7 +33,6 @@ per wave.
 
 from __future__ import annotations
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -112,19 +111,14 @@ def doc_flags(docs: DataFrame, seed: int = 67) -> DataFrame:
 
 
 def read_state_parquet(spark, state_dir: str, schema: str) -> DataFrame:
-    """Read a persistent parquet state table, treating ONLY the
-    missing-path case as "first batch, no state yet" (empty frame with
-    the explicit schema — an existing-but-empty dir would otherwise
-    raise UNABLE_TO_INFER_SCHEMA). Anything else (corrupt footer,
-    permission, transient IO) re-raises loudly — silently resetting
-    state would let cross-batch duplicates through."""
-    try:
-        return spark.read.schema(schema).parquet(state_dir)
-    except AnalysisException as exc:
-        msg = str(exc)
-        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
-            raise
-        return spark.createDataFrame([], schema)
+    """Shared persistent-state read — see ``state_io.read_state_parquet``
+    (missing path = first batch; existing-path errors raise loudly;
+    missing-path detection via the Hadoop FileSystem probe)."""
+    from kp_data_pipelines_spark.streaming.state_io import (
+        read_state_parquet as _read,
+    )
+
+    return _read(spark, state_dir, schema)
 
 
 def _ledger_partial(

@@ -125,3 +125,43 @@ def test_media_ingest_partial_replay_is_idempotent(spark, tmp_path):
 
     p1 = snap(_media_ingest_partial(b1, state, 4, 2, "tokA", 1))
     assert snap(_media_ingest_partial(b1, state, 4, 2, "tokA", 1)) == p1
+
+
+def test_order_guard_survives_restart(spark, tmp_path):
+    """The ascending-id guard must catch violations ACROSS restarts:
+    batch watermarks persist in <state_dir>__order partitions and are
+    reloaded when a checkpointed stream resumes, so a backlog that
+    scrambles after a restart still fails loudly (driver-memory-only
+    watermarks would forget the earlier maxima and silently corrupt
+    the admission ledger)."""
+    import pytest
+
+    from kp_data_pipelines_spark.streaming.media import media_ingest_stream
+
+    src = str(tmp_path / "waves")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    wave1 = spark.createDataFrame(
+        [(100 + i, "s", f"wave one text {i} " * 5) for i in range(4)],
+        "doc_id long, source string, text string",
+    )
+    wave1.coalesce(1).write.mode("append").parquet(src)
+    schema = wave1.schema
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return media_ingest_stream(
+            stream, state_dir=state, checkpoint_dir=ckpt
+        ).collect()
+
+    assert run()  # first session consumes wave 1 (max doc_id 103)
+    # "restart": a fresh call (fresh driver dict) + out-of-order wave
+    spark.createDataFrame(
+        [(1, "s", "late wave violates ordering " * 3)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(Exception, match="ascending-doc_id order"):
+        run()
