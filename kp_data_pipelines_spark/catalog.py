@@ -19665,6 +19665,33 @@ def q317_dense_landmark_retrieval(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q318_bpe_tokenize_batched", oracles.bpe_tokenize_batched_sql()
+)
+def q318_bpe_tokenize_batched(spark: SparkSession, sf: str) -> DataFrame:
+    """q311's corpus tokenization ledger under the BATCHED trainer's
+    ~80 merges (q315) instead of q304's 6 — the trainer->apply loop
+    closed at a production-shaped merge count: re-run the identical
+    batched rounds over the global vocab (same frequencies -> same
+    ranked pools -> same disjoint batches), keep the word through each
+    Arrow re-symbolization, join final per-word symbol counts to
+    per-(source, word) frequencies, and emit per-source words / tokens
+    / fertility / chars-per-token. Reading it against q311: ~80 merges
+    push fertility well below the 6-merge ledger's — the compression a
+    real vocabulary buys, measured per source. Scale shape: identical
+    to q311 (vocabulary work, two corpus word aggs, one word equi-join)
+    but ONE job per round — without per-round totals each round's lazy
+    checkpoint materializes under the next round's ranked job. The
+    DuckDB twin replays the recursive-CTE selection and the batch fold
+    with the word carried through (oracles.bpe_tokenize_batched_sql)."""
+    from kp_data_pipelines_spark.operators.bpe import (
+        tokenize_corpus_batched,
+    )
+
+    docs = read_table(spark, sf, "documents").select("source", "text")
+    return tokenize_corpus_batched(spark, docs, "text", "source")
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------

@@ -144,6 +144,83 @@ def bpe_apply_merges_expr(syms, merges: list[tuple[str, str]]):
     )
 
 
+def _word_freqs(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) over the normalized corpus — the Heaps-sublinear
+    working set every BPE stage runs on."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        ensure_parallelism,
+    )
+    from kp_data_pipelines_spark.operators.textops import normalize_ws
+
+    return (
+        ensure_parallelism(docs.select(text_col))
+        .select(
+            F.explode(F.split(normalize_ws(text_col), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+
+
+def _ranked_pairs(syms: DataFrame, topk: int) -> list:
+    """One round's ranked candidate pool: adjacent-pair counts over the
+    vocab (freq-weighted), count DESC / a / b, bounded limit(topk)
+    collect. repartition(8, a, b) hash-partitions on the grouping keys
+    so the groupBy adds NO second exchange — one narrow 8-task shuffle
+    instead of the session default (200 in a vanilla session)."""
+    return (
+        syms.filter(F.size("syms") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> named_struct('a', element_at(syms, i), "
+                    "'b', element_at(syms, i + 1)))"
+                )
+            ).alias("pr"),
+        )
+        .select("freq", "pr.a", "pr.b")
+        .repartition(8, "a", "b")
+        .groupBy("a", "b")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "a", "b")
+        .limit(topk)
+        .collect()
+    )
+
+
+def _merge_rounds(
+    syms: DataFrame,
+    rounds: int,
+    batch_cap: int,
+    topk: int,
+    on_round=None,
+) -> DataFrame:
+    """Run ``rounds`` batched merge rounds over a (…, freq, syms) frame
+    (extra columns ride through untouched). Per round: one ranked-pool
+    job, driver-side greedy disjoint selection, one lazy-checkpointed
+    Arrow re-symbolization (materialized by ``on_round``'s action if
+    given, else by the next round's ranked job). ``on_round(r, batch,
+    syms)`` lets the trainer record per-round totals without the
+    tokenizer paying for them."""
+    for r in range(1, rounds + 1):
+        ranked = _ranked_pairs(syms, topk)
+        batch = select_merge_batch(
+            [(row["a"], row["b"], row["cnt"]) for row in ranked], batch_cap
+        )
+        if not batch:
+            break
+        kernel = bpe_apply_merges_kernel([(a, b) for a, b, _ in batch])
+        syms = syms.withColumn(
+            "syms", kernel(F.col("syms"))
+        ).localCheckpoint(eager=False)
+        if on_round is not None:
+            on_round(r, batch, syms)
+    return syms
+
+
 def train_bpe_batched(
     spark: SparkSession,
     docs: DataFrame,
@@ -163,27 +240,13 @@ def train_bpe_batched(
     (``select_merge_batch``), one Arrow-kernel re-symbolization pass,
     one scalar aggregate. Driver traffic is <= topk + 1 rows per round.
     """
-    from kp_data_pipelines_spark.operators.similarity import (
-        ensure_parallelism,
-    )
-    from kp_data_pipelines_spark.operators.textops import normalize_ws
-
-    words = (
-        ensure_parallelism(docs.select(text_col))
-        .select(
-            F.explode(F.split(normalize_ws(text_col), " ")).alias("word")
-        )
-        .filter(F.col("word") != "")
-    )
-    wf = words.groupBy("word").agg(
-        F.count(F.lit(1)).cast("bigint").alias("freq")
-    )
     # The vocab is Heaps-law small (10^4-10^6 rows even at corpus scale);
-    # 8 partitions keeps the ~4 jobs/round at ~8 tiny tasks each instead
+    # 8 partitions keeps the ~2 jobs/round at ~8 tiny tasks each instead
     # of 32 empty-ish launches (the round loop multiplies per-task
     # overhead by rounds x stages — measured 5.4s -> see SCALE.md §19).
     syms = (
-        wf.repartition(8)
+        _word_freqs(docs, text_col)
+        .repartition(8)
         .select(
             "freq",
             F.expr(
@@ -197,54 +260,23 @@ def train_bpe_batched(
         F.sum("freq").cast("bigint").alias("n"),
         F.sum(F.col("freq") * F.size("syms")).cast("bigint").alias("cs"),
     ).first()
-    total_words, cs = first["n"], first["cs"]
-    rows: list[tuple] = [(0, 0, "", "", 0, cs)]
-    for r in range(1, rounds + 1):
-        # repartition(8, a, b) already hash-partitions on the grouping
-        # keys, so the groupBy adds NO second exchange — one narrow
-        # 8-task shuffle per round instead of the session default (200
-        # in a vanilla session) fanning tiny vocab rows across the
-        # cluster.
-        ranked = (
-            syms.filter(F.size("syms") >= 2)
-            .select(
-                "freq",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(syms) - 1), "
-                        "i -> named_struct('a', element_at(syms, i), "
-                        "'b', element_at(syms, i + 1)))"
-                    )
-                ).alias("pr"),
-            )
-            .select("freq", "pr.a", "pr.b")
-            .repartition(8, "a", "b")
-            .groupBy("a", "b")
-            .agg(F.sum("freq").cast("bigint").alias("cnt"))
-            .orderBy(F.desc("cnt"), "a", "b")
-            .limit(topk)
-            .collect()
-        )
-        batch = select_merge_batch(
-            [(row["a"], row["b"], row["cnt"]) for row in ranked], batch_cap
-        )
-        if not batch:
-            break
-        # lazy checkpoint: the cs aggregate below is the action that
-        # materializes it, so each round costs TWO jobs (ranked collect +
-        # cs/apply), not three — at ~0.25s/job scheduler floor the third
-        # job was pure round-count tax (SCALE.md §19).
-        kernel = bpe_apply_merges_kernel([(a, b) for a, b, _ in batch])
-        syms = syms.select(
-            "freq", kernel(F.col("syms")).alias("syms")
-        ).localCheckpoint(eager=False)
-        cs = syms.agg(
+    total_words = first["n"]
+    rows: list[tuple] = [(0, 0, "", "", 0, first["cs"])]
+
+    # per-round totals: the cs aggregate is also the action that
+    # materializes each round's lazy checkpoint, so a round costs TWO
+    # jobs (ranked collect + cs/apply), not three — at ~0.25s/job
+    # scheduler floor the third job was pure round-count tax (§19).
+    def record(r: int, batch: list, s: DataFrame) -> None:
+        cs = s.agg(
             F.sum(F.col("freq") * F.size("syms")).cast("bigint")
         ).first()[0]
         rows.extend(
             (r, i + 1, a, b, cnt, cs)
             for i, (a, b, cnt) in enumerate(batch)
         )
+
+    _merge_rounds(syms, rounds, batch_cap, topk, on_round=record)
     return (
         spark.createDataFrame(
             rows,
@@ -257,4 +289,80 @@ def train_bpe_batched(
             / F.lit(float(total_words)),
         )
         .orderBy("round", "batch_rank")
+    )
+
+
+def tokenize_corpus_batched(
+    spark: SparkSession,
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    rounds: int = BPE_ROUNDS,
+    batch_cap: int = BPE_BATCH_CAP,
+    topk: int = BPE_TOPK,
+) -> DataFrame:
+    """The batched trainer's merges APPLIED at corpus scale — the q311
+    ledger under ~80 merges instead of 6: re-run the identical batched
+    rounds over the global distinct-word vocab (identical frequencies
+    -> identical ranked pools -> identical disjoint batches), keep the
+    word through each re-symbolization, then join final per-word symbol
+    counts back to per-(group, word) frequencies for the per-group
+    tokenization ledger (words, tokens, fertility, chars/token).
+    Tokenizing 100 TB stays VOCABULARY work; the corpus pays two keyed
+    word aggregates and one word equi-join. Without per-round totals a
+    round costs ONE job (the ranked pool — the lazy checkpoint
+    materializes under the next round's job)."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        ensure_parallelism,
+    )
+    from kp_data_pipelines_spark.operators.textops import normalize_ws
+
+    words = (
+        ensure_parallelism(docs.select(group_col, text_col))
+        .select(
+            group_col,
+            F.explode(F.split(normalize_ws(text_col), " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    ws = words.groupBy(group_col, "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq_s")
+    )
+    syms = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .repartition(8)
+        .select(
+            "word",
+            "freq",
+            F.expr(
+                "transform(sequence(1, length(word)), "
+                "i -> substring(word, i, 1))"
+            ).alias("syms"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    fin = _merge_rounds(syms, rounds, batch_cap, topk).select(
+        "word",
+        F.size("syms").cast("bigint").alias("n_syms"),
+        F.length("word").cast("bigint").alias("n_chars"),
+    )
+    return (
+        ws.join(fin, "word")
+        .groupBy(group_col)
+        .agg(
+            F.sum("freq_s").cast("bigint").alias("n_words"),
+            F.sum(F.col("freq_s") * F.col("n_syms"))
+            .cast("bigint")
+            .alias("n_tokens"),
+            (
+                F.sum(F.col("freq_s") * F.col("n_syms")).cast("double")
+                / F.sum("freq_s").cast("double")
+            ).alias("fertility"),
+            (
+                F.sum(F.col("freq_s") * F.col("n_chars")).cast("double")
+                / F.sum(F.col("freq_s") * F.col("n_syms")).cast("double")
+            ).alias("chars_per_token"),
+        )
+        .orderBy(group_col)
     )

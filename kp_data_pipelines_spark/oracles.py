@@ -4152,6 +4152,118 @@ def bpe_batched_trainer_sql(
     )
 
 
+def bpe_tokenize_batched_sql(
+    rounds: int | None = None,
+    batch_cap: int | None = None,
+    topk: int | None = None,
+) -> str:
+    """Twin of q318: the BATCHED trainer's merges applied at corpus
+    scale — the q315 per-round CTE chain (ranked pool, recursive greedy
+    disjoint selection, one list_reduce batch fold) with the word
+    carried through each re-symbolization, then the per-source
+    tokenization ledger (bpe_tokenize_sql's final join). Training uses
+    GLOBAL word frequencies, so the batches are identical to q315's."""
+    from kp_data_pipelines_spark.operators.bpe import (
+        BPE_BATCH_CAP,
+        BPE_ROUNDS,
+        BPE_TOPK,
+    )
+
+    rounds = BPE_ROUNDS if rounds is None else rounds
+    batch_cap = BPE_BATCH_CAP if batch_cap is None else batch_cap
+    topk = BPE_TOPK if topk is None else topk
+    parts = [
+        f"""w0 AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY word
+    ),
+    ws AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS freq_s
+      FROM (SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY source, word
+    ),
+    s0 AS MATERIALIZED (
+      SELECT word, freq,
+             list_transform(range(1, length(word) + 1),
+                            i -> substr(word, i, 1)) AS syms
+      FROM w0
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ok = (
+            f"g{r}.nsel < {batch_cap} AND list_position(g{r}.used, r.a) = 0 "
+            f"AND list_position(g{r}.used, r.b) = 0"
+        )
+        parts.append(
+            f"""rk{r} AS MATERIALIZED (
+      SELECT a, b, cnt, row_number() OVER (ORDER BY cnt DESC, a, b) AS rn
+      FROM (SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM (SELECT freq,
+                         unnest(list_transform(range(1, len(syms)),
+                           i -> struct_pack(a := syms[i],
+                                            b := syms[i + 1]))) AS pr
+                  FROM s{p} WHERE len(syms) >= 2)
+            GROUP BY pr.a, pr.b)
+      QUALIFY rn <= {topk}
+    ),
+    g{r} AS (
+      SELECT 0 AS rn, CAST([] AS VARCHAR[]) AS used,
+             CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b,
+             0 AS nsel
+      UNION ALL
+      SELECT r.rn,
+             CASE WHEN {ok} THEN g{r}.used || [r.a, r.b] ELSE g{r}.used END,
+             CASE WHEN {ok} THEN r.a END,
+             CASE WHEN {ok} THEN r.b END,
+             g{r}.nsel + CASE WHEN {ok} THEN 1 ELSE 0 END
+      FROM g{r} JOIN rk{r} r ON r.rn = g{r}.rn + 1
+    ),
+    ar{r} AS (
+      SELECT list(a ORDER BY rn) AS al,
+             list(b ORDER BY rn) AS bl,
+             list(a || b ORDER BY rn) AS ml,
+             COUNT(*) AS nb
+      FROM g{r} WHERE a IS NOT NULL
+    ),
+    s{r} AS MATERIALIZED (
+      SELECT word, freq,
+             CASE WHEN nb = 0 THEN syms ELSE list_reduce(
+               list_prepend(CAST([] AS VARCHAR[]),
+                            list_transform(syms, x -> [x])),
+               (acc, xl) -> CASE WHEN len(acc) > 0
+                                  AND list_position(al, acc[-1]) > 0
+                                  AND xl[1] = bl[list_position(al, acc[-1])]
+                            THEN acc[1:len(acc) - 1]
+                                 || [ml[list_position(al, acc[-1])]]
+                            ELSE acc || xl END) END AS syms
+      FROM s{p} CROSS JOIN ar{r}
+    )"""
+        )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH RECURSIVE {ctes},
+    fin AS (
+      SELECT word, CAST(len(syms) AS BIGINT) AS n_syms,
+             CAST(length(word) AS BIGINT) AS n_chars
+      FROM s{rounds}
+    )
+    SELECT ws.source,
+           CAST(SUM(ws.freq_s) AS BIGINT) AS n_words,
+           CAST(SUM(ws.freq_s * fin.n_syms) AS BIGINT) AS n_tokens,
+           CAST(SUM(ws.freq_s * fin.n_syms) AS DOUBLE)
+             / CAST(SUM(ws.freq_s) AS DOUBLE) AS fertility,
+           CAST(SUM(ws.freq_s * fin.n_chars) AS DOUBLE)
+             / CAST(SUM(ws.freq_s * fin.n_syms) AS DOUBLE)
+             AS chars_per_token
+    FROM ws JOIN fin ON fin.word = ws.word
+    GROUP BY ws.source ORDER BY ws.source
+    """
+
+
 def media_shared_segments_sql(
     chunk_bytes: int = 64,
     min_shared: int | None = None,

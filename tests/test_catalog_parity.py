@@ -237,3 +237,23 @@ def test_span_excision_apply_reconciles_with_ledger(spark):
     clean = [r for r in apply_rows if r["n_spans"] == 0]
     assert clean, "fixture should contain span-free docs"
     assert all(r["kept_tokens"] == r["n_toks"] for r in clean)
+
+
+def test_batched_tokenizer_beats_six_merge_fertility(spark):
+    """The point of q318: ~80 batched merges compress every source's
+    fertility strictly below q311's 6-merge ledger (tokens per word
+    falls monotonically in merges applied)."""
+    from kp_data_pipelines_spark.catalog import QUERIES
+
+    sfd = "/root/testdata/sf0.001"
+    six = {
+        r["source"]: r["fertility"]
+        for r in QUERIES["q311_bpe_tokenize_corpus"](spark, sfd).collect()
+    }
+    batched = {
+        r["source"]: r["fertility"]
+        for r in QUERIES["q318_bpe_tokenize_batched"](spark, sfd).collect()
+    }
+    assert set(six) == set(batched)
+    for s in six:
+        assert batched[s] < six[s], (s, batched[s], six[s])
