@@ -19692,6 +19692,87 @@ def q318_bpe_tokenize_batched(spark: SparkSession, sf: str) -> DataFrame:
     return tokenize_corpus_batched(spark, docs, "text", "source")
 
 
+@register(
+    "q319_bpe_encode_holdout", oracles.bpe_encode_holdout_sql()
+)
+def q319_bpe_encode_holdout(spark: SparkSession, sf: str) -> DataFrame:
+    """The ENCODE side of the tokenizer — the deployment path q315/q318
+    train for: merges trained on the even-doc_id HALF of the corpus
+    encode the held-out odd half (text the trainer never saw), merges
+    applied in training order so in-vocab words tokenize exactly as in
+    training and unseen words decompose into the longest trained
+    subunits. Per-source holdout ledger (words, tokens, fertility,
+    chars/token) — the OOV-tax gauge a tokenizer owner reads before
+    shipping merges to a new domain (on THIS fixture the halves share
+    most vocabulary so the gap is ~0, which the ledger correctly
+    reports; test_bpe_encode_holdout_generalizes pins the band). Scale
+    shape: training is q315's 2-jobs-per-round vocabulary loop on the
+    train half; ENCODING costs R lazy Arrow passes over the holdout's
+    DISTINCT words plus one word equi-join — at 100 TB the merge table
+    is a driver artifact (~R x 12 pairs) and encode work is holdout-
+    vocabulary-bounded, never corpus-bounded. The DuckDB twin replays
+    training on the even half and the per-round folds on the holdout
+    vocab (oracles.bpe_encode_holdout_sql)."""
+    from kp_data_pipelines_spark.operators.bpe import (
+        encode_with_batches,
+        train_merge_batches,
+    )
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "source", "text"
+    )
+    from kp_data_pipelines_spark.operators.textops import normalize_ws
+
+    batches = train_merge_batches(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), "text"
+    )
+    holdout = ensure_parallelism(docs.filter(F.col("doc_id") % 2 == 1))
+    words = holdout.select(
+        "source",
+        F.explode(F.split(normalize_ws("text"), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    hws = words.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq_s")
+    )
+    hsyms = (
+        words.select("word")
+        .distinct()
+        .repartition(8)
+        .select(
+            "word",
+            F.expr(
+                "transform(sequence(1, length(word)), "
+                "i -> substring(word, i, 1))"
+            ).alias("syms"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    hfin = encode_with_batches(hsyms, batches).select(
+        "word",
+        F.size("syms").cast("bigint").alias("n_syms"),
+        F.length("word").cast("bigint").alias("n_chars"),
+    )
+    return (
+        hws.join(hfin, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("freq_s").cast("bigint").alias("n_words"),
+            F.sum(F.col("freq_s") * F.col("n_syms"))
+            .cast("bigint")
+            .alias("n_tokens"),
+            (
+                F.sum(F.col("freq_s") * F.col("n_syms")).cast("double")
+                / F.sum("freq_s").cast("double")
+            ).alias("fertility"),
+            (
+                F.sum(F.col("freq_s") * F.col("n_chars")).cast("double")
+                / F.sum(F.col("freq_s") * F.col("n_syms")).cast("double")
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------

@@ -292,6 +292,59 @@ def train_bpe_batched(
     )
 
 
+def train_merge_batches(
+    spark: SparkSession,
+    docs: DataFrame,
+    text_col: str = "text",
+    rounds: int = BPE_ROUNDS,
+    batch_cap: int = BPE_BATCH_CAP,
+    topk: int = BPE_TOPK,
+) -> list[list[tuple[str, str, int]]]:
+    """Train and return the per-round merge BATCHES (the tokenizer
+    artifact an encoder ships with) without materializing per-round
+    totals — R ranked-pool jobs, R-1 materialized applies (the last
+    round's apply is never needed once its batch is selected)."""
+    syms = (
+        _word_freqs(docs, text_col)
+        .repartition(8)
+        .select(
+            "freq",
+            F.expr(
+                "transform(sequence(1, length(word)), "
+                "i -> substring(word, i, 1))"
+            ).alias("syms"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    batches: list[list[tuple[str, str, int]]] = []
+    _merge_rounds(
+        syms,
+        rounds,
+        batch_cap,
+        topk,
+        on_round=lambda r, batch, s: batches.append(batch),
+    )
+    return batches
+
+
+def encode_with_batches(
+    syms: DataFrame, batches: list[list[tuple[str, str, int]]]
+) -> DataFrame:
+    """ENCODE: apply an already-trained per-round merge-batch list to
+    any (…, syms) frame — new text the trainer never saw. Merges apply
+    in training order (round by round, each batch as the same one-pass
+    fold the trainer used), so in-vocab words tokenize exactly as they
+    did during training and unseen words get the longest trained
+    subunits that match. Each round is one lazy-checkpointed Arrow
+    pass; nothing here touches the training corpus."""
+    for batch in batches:
+        kernel = bpe_apply_merges_kernel([(a, b) for a, b, _ in batch])
+        syms = syms.withColumn(
+            "syms", kernel(F.col("syms"))
+        ).localCheckpoint(eager=False)
+    return syms
+
+
 def tokenize_corpus_batched(
     spark: SparkSession,
     docs: DataFrame,

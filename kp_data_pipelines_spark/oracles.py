@@ -4264,6 +4264,132 @@ def bpe_tokenize_batched_sql(
     """
 
 
+def bpe_encode_holdout_sql(
+    rounds: int | None = None,
+    batch_cap: int | None = None,
+    topk: int | None = None,
+) -> str:
+    """Twin of q319: train the batched merges on the even-doc_id HALF,
+    then ENCODE the held-out odd half with them — the q315 training
+    chain (ranked pool -> recursive greedy selection -> batch fold)
+    over the train vocab, then the same per-round selection arrays
+    applied round-by-round to the HOLDOUT vocab, then the per-source
+    holdout ledger."""
+    from kp_data_pipelines_spark.operators.bpe import (
+        BPE_BATCH_CAP,
+        BPE_ROUNDS,
+        BPE_TOPK,
+    )
+
+    rounds = BPE_ROUNDS if rounds is None else rounds
+    batch_cap = BPE_BATCH_CAP if batch_cap is None else batch_cap
+    topk = BPE_TOPK if topk is None else topk
+    parts = [
+        f"""tw0 AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS word
+            FROM documents WHERE doc_id % 2 = 0)
+      WHERE word <> '' GROUP BY word
+    ),
+    hws AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS freq_s
+      FROM (SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS word
+            FROM documents WHERE doc_id % 2 = 1)
+      WHERE word <> '' GROUP BY source, word
+    ),
+    s0 AS MATERIALIZED (
+      SELECT freq,
+             list_transform(range(1, length(word) + 1),
+                            i -> substr(word, i, 1)) AS syms
+      FROM tw0
+    ),
+    hs0 AS MATERIALIZED (
+      SELECT word,
+             list_transform(range(1, length(word) + 1),
+                            i -> substr(word, i, 1)) AS syms
+      FROM (SELECT DISTINCT word FROM hws)
+    )"""
+    ]
+    fold = (
+        "list_reduce(\n"
+        "               list_prepend(CAST([] AS VARCHAR[]),\n"
+        "                            list_transform(syms, x -> [x])),\n"
+        "               (acc, xl) -> CASE WHEN len(acc) > 0\n"
+        "                                  AND list_position(al, acc[-1]) > 0\n"
+        "                                  AND xl[1] = bl[list_position(al, acc[-1])]\n"
+        "                            THEN acc[1:len(acc) - 1]\n"
+        "                                 || [ml[list_position(al, acc[-1])]]\n"
+        "                            ELSE acc || xl END)"
+    )
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ok = (
+            f"g{r}.nsel < {batch_cap} AND list_position(g{r}.used, r.a) = 0 "
+            f"AND list_position(g{r}.used, r.b) = 0"
+        )
+        parts.append(
+            f"""rk{r} AS MATERIALIZED (
+      SELECT a, b, cnt, row_number() OVER (ORDER BY cnt DESC, a, b) AS rn
+      FROM (SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM (SELECT freq,
+                         unnest(list_transform(range(1, len(syms)),
+                           i -> struct_pack(a := syms[i],
+                                            b := syms[i + 1]))) AS pr
+                  FROM s{p} WHERE len(syms) >= 2)
+            GROUP BY pr.a, pr.b)
+      QUALIFY rn <= {topk}
+    ),
+    g{r} AS (
+      SELECT 0 AS rn, CAST([] AS VARCHAR[]) AS used,
+             CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b,
+             0 AS nsel
+      UNION ALL
+      SELECT r.rn,
+             CASE WHEN {ok} THEN g{r}.used || [r.a, r.b] ELSE g{r}.used END,
+             CASE WHEN {ok} THEN r.a END,
+             CASE WHEN {ok} THEN r.b END,
+             g{r}.nsel + CASE WHEN {ok} THEN 1 ELSE 0 END
+      FROM g{r} JOIN rk{r} r ON r.rn = g{r}.rn + 1
+    ),
+    ar{r} AS (
+      SELECT list(a ORDER BY rn) AS al,
+             list(b ORDER BY rn) AS bl,
+             list(a || b ORDER BY rn) AS ml,
+             COUNT(*) AS nb
+      FROM g{r} WHERE a IS NOT NULL
+    ),
+    s{r} AS MATERIALIZED (
+      SELECT freq,
+             CASE WHEN nb = 0 THEN syms ELSE {fold} END AS syms
+      FROM s{p} CROSS JOIN ar{r}
+    ),
+    hs{r} AS MATERIALIZED (
+      SELECT word,
+             CASE WHEN nb = 0 THEN syms ELSE {fold} END AS syms
+      FROM hs{p} CROSS JOIN ar{r}
+    )"""
+        )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH RECURSIVE {ctes},
+    hfin AS (
+      SELECT word, CAST(len(syms) AS BIGINT) AS n_syms,
+             CAST(length(word) AS BIGINT) AS n_chars
+      FROM hs{rounds}
+    )
+    SELECT hws.source,
+           CAST(SUM(hws.freq_s) AS BIGINT) AS n_words,
+           CAST(SUM(hws.freq_s * hfin.n_syms) AS BIGINT) AS n_tokens,
+           CAST(SUM(hws.freq_s * hfin.n_syms) AS DOUBLE)
+             / CAST(SUM(hws.freq_s) AS DOUBLE) AS fertility,
+           CAST(SUM(hws.freq_s * hfin.n_chars) AS DOUBLE)
+             / CAST(SUM(hws.freq_s * hfin.n_syms) AS DOUBLE)
+             AS chars_per_token
+    FROM hws JOIN hfin ON hfin.word = hws.word
+    GROUP BY hws.source ORDER BY hws.source
+    """
+
+
 def media_shared_segments_sql(
     chunk_bytes: int = 64,
     min_shared: int | None = None,

@@ -257,3 +257,28 @@ def test_batched_tokenizer_beats_six_merge_fertility(spark):
     assert set(six) == set(batched)
     for s in six:
         assert batched[s] < six[s], (s, batched[s], six[s])
+
+
+def test_bpe_encode_holdout_generalizes(spark):
+    """q319's claim: merges trained on HALF the corpus still compress
+    held-out text the trainer never saw — holdout fertility lands
+    within a narrow band of q318's in-corpus number (the fixture halves
+    share most vocabulary, so the OOV tax is ~0 here; a shifted-domain
+    corpus would open a gap, which is exactly what this ledger
+    measures) and far below the one-symbol-per-char baseline (~5
+    chars/word)."""
+    import statistics
+
+    from kp_data_pipelines_spark.catalog import QUERIES
+
+    sfd = "/root/testdata/sf0.001"
+    incorpus = {
+        r["source"]: r["fertility"]
+        for r in QUERIES["q318_bpe_tokenize_batched"](spark, sfd).collect()
+    }
+    hold = QUERIES["q319_bpe_encode_holdout"](spark, sfd).collect()
+    assert hold
+    mean_hold = statistics.mean(r["fertility"] for r in hold)
+    mean_in = statistics.mean(incorpus.values())
+    assert abs(mean_hold - mean_in) < 0.25, (mean_hold, mean_in)
+    assert mean_hold < 2.5, mean_hold
