@@ -111,7 +111,7 @@ def main() -> int:
     )
     stage("repetition_rules_bigrams", rep)
 
-    # Round-8 probes (SCALE.md §11): the CDC chunking kernel, the media
+    # Round-8/9 probes (SCALE.md §11): the CDC chunking kernel, the media
     # dHash kernel, and the adaptive-plane LSH bucket path at a 1M-row
     # population — evidence the derived knobs (GRAM_TARGET_BUCKET budget,
     # q299's realized-width alarm) hold where sf0.1 cannot show it.
@@ -216,6 +216,62 @@ def main() -> int:
         f"constellation_landmarks: {n_lm} landmarks, {dt:.1f}s, "
         f"{out['constellation_landmarks']} docs/sec, "
         f"{round(n_lm / dt)} landmarks/sec"
+    )
+
+    # Round-9 probes: the dense (content-defined) peak kernel behind
+    # q317's alignment-robust landmarks, and one batched-BPE merge
+    # application (the per-round Arrow fold of q315/q318/q319) over the
+    # 1M-doc corpus's DISTINCT words — the vocabulary-bounded unit the
+    # round-count model multiplies.
+    from kp_data_pipelines_spark.operators.bpe import (
+        bpe_apply_merges_kernel,
+    )
+    from kp_data_pipelines_spark.operators.multimodal import (
+        dense_landmarks,
+    )
+
+    t = time.time()
+    n_dlm = dense_landmarks(
+        docs.select("doc_id", "text").filter(F.length("text") > 0),
+        "doc_id",
+        "text",
+    ).count()
+    dt = time.time() - t
+    out["dense_landmarks"] = round(n / dt)
+    print(
+        f"dense_landmarks: {n_dlm} landmarks, {dt:.1f}s, "
+        f"{out['dense_landmarks']} docs/sec, "
+        f"{round(n_dlm / dt)} landmarks/sec"
+    )
+
+    # the synthetic corpus draws from a 27-word list, so its real vocab
+    # is trivially small (a BPE round there is free, which IS the
+    # vocabulary-bounded point) — stress the fold on a 1M-DISTINCT-word
+    # vocab instead: hash-derived ~12-char words, one row per doc_id
+    vocab = docs.select(
+        F.expr(
+            "transform(sequence(1, 12), i -> "
+            "substring('abcdefghijklmnopqrstuvwxyz', "
+            "1 + cast(pmod(xxhash64(doc_id, i), 26) as int), 1))"
+        ).alias("syms")
+    ).localCheckpoint(eager=True)
+    n_vocab = vocab.count()
+    merges = [("t", "h"), ("e", "r"), ("a", "n"), ("s", "o"), ("l", "i"),
+              ("c", "u"), ("d", "a"), ("m", "e"), ("b", "a"), ("f", "i"),
+              ("g", "r"), ("w", "n")]
+    t = time.time()
+    n_syms = (
+        vocab.select(
+            bpe_apply_merges_kernel(merges)(F.col("syms")).alias("s")
+        )
+        .agg(F.sum(F.size("s")))
+        .first()[0]
+    )
+    dt = time.time() - t
+    out["bpe_apply_round"] = round(n_vocab / dt)
+    print(
+        f"bpe_apply_round: vocab={n_vocab}, {n_syms} symbols out, "
+        f"{dt:.1f}s, {out['bpe_apply_round']} words/sec"
     )
 
     print(json.dumps({"metric": "stress_docs_per_sec", "n_docs": n, **out}))
