@@ -163,6 +163,25 @@ def _word_freqs(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+_CHAR_SYMS = (
+    "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+)
+
+
+def _vocab_syms(docs: DataFrame, text_col: str) -> DataFrame:
+    """(freq, syms) vocabulary frame — one-symbol-per-char start state,
+    pinned to 8 partitions (the vocab is Heaps-law small, and the round
+    loop multiplies per-task overhead by rounds x stages; see SCALE.md
+    §19), lazily checkpointed (materialized by the first action that
+    reads it)."""
+    return (
+        _word_freqs(docs, text_col)
+        .repartition(8)
+        .select("freq", F.expr(_CHAR_SYMS).alias("syms"))
+        .localCheckpoint(eager=False)
+    )
+
+
 def _ranked_pairs(syms: DataFrame, topk: int) -> list:
     """One round's ranked candidate pool: adjacent-pair counts over the
     vocab (freq-weighted), count DESC / a / b, bounded limit(topk)
@@ -240,22 +259,7 @@ def train_bpe_batched(
     (``select_merge_batch``), one Arrow-kernel re-symbolization pass,
     one scalar aggregate. Driver traffic is <= topk + 1 rows per round.
     """
-    # The vocab is Heaps-law small (10^4-10^6 rows even at corpus scale);
-    # 8 partitions keeps the ~2 jobs/round at ~8 tiny tasks each instead
-    # of 32 empty-ish launches (the round loop multiplies per-task
-    # overhead by rounds x stages — measured 5.4s -> see SCALE.md §19).
-    syms = (
-        _word_freqs(docs, text_col)
-        .repartition(8)
-        .select(
-            "freq",
-            F.expr(
-                "transform(sequence(1, length(word)), "
-                "i -> substring(word, i, 1))"
-            ).alias("syms"),
-        )
-        .localCheckpoint(eager=False)  # materialized by the agg below
-    )
+    syms = _vocab_syms(docs, text_col)
     first = syms.agg(
         F.sum("freq").cast("bigint").alias("n"),
         F.sum(F.col("freq") * F.size("syms")).cast("bigint").alias("cs"),
@@ -304,18 +308,7 @@ def train_merge_batches(
     artifact an encoder ships with) without materializing per-round
     totals — R ranked-pool jobs, R-1 materialized applies (the last
     round's apply is never needed once its batch is selected)."""
-    syms = (
-        _word_freqs(docs, text_col)
-        .repartition(8)
-        .select(
-            "freq",
-            F.expr(
-                "transform(sequence(1, length(word)), "
-                "i -> substring(word, i, 1))"
-            ).alias("syms"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    syms = _vocab_syms(docs, text_col)
     batches: list[list[tuple[str, str, int]]] = []
     _merge_rounds(
         syms,
@@ -385,14 +378,7 @@ def tokenize_corpus_batched(
         words.groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
         .repartition(8)
-        .select(
-            "word",
-            "freq",
-            F.expr(
-                "transform(sequence(1, length(word)), "
-                "i -> substring(word, i, 1))"
-            ).alias("syms"),
-        )
+        .select("word", "freq", F.expr(_CHAR_SYMS).alias("syms"))
         .localCheckpoint(eager=False)
     )
     fin = _merge_rounds(syms, rounds, batch_cap, topk).select(
