@@ -182,13 +182,22 @@ def _vocab_syms(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def _ranked_pairs(syms: DataFrame, topk: int) -> list:
-    """One round's ranked candidate pool: adjacent-pair counts over the
-    vocab (freq-weighted), count DESC / a / b, bounded limit(topk)
-    collect. repartition(8, a, b) hash-partitions on the grouping keys
-    so the groupBy adds NO second exchange — one narrow 8-task shuffle
-    instead of the session default (200 in a vanilla session)."""
-    return (
+def _ranked_pairs(syms: DataFrame, topk: int) -> tuple[list, int]:
+    """One round's ranked candidate pool PLUS the round's total pair
+    mass, in ONE job: adjacent-pair counts over the vocab
+    (freq-weighted), a global window sum over the (aggregate-bounded,
+    few-thousand-row) grouped pairs rides on every collected row, then
+    count DESC / a / b, bounded limit(topk). repartition(8, a, b)
+    hash-partitions on the grouping keys so the groupBy adds NO second
+    exchange — one narrow 8-task shuffle instead of the session default
+    (200 in a vanilla session). The total matters because of the exact
+    identity ``corpus_symbols = total_pairs + total_words`` (every
+    size>=2 word contributes size-1 pairs; size-1 words contribute 0) —
+    it lets the trainer read round r's post-merge symbol count out of
+    round r+1's ranked job instead of paying a third job per round."""
+    from pyspark.sql import Window
+
+    rows = (
         syms.filter(F.size("syms") >= 2)
         .select(
             "freq",
@@ -204,10 +213,14 @@ def _ranked_pairs(syms: DataFrame, topk: int) -> list:
         .repartition(8, "a", "b")
         .groupBy("a", "b")
         .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        .withColumn(
+            "tp", F.sum("cnt").over(Window.partitionBy()).cast("bigint")
+        )
         .orderBy(F.desc("cnt"), "a", "b")
         .limit(topk)
         .collect()
     )
+    return rows, (int(rows[0]["tp"]) if rows else 0)
 
 
 def _merge_rounds(
@@ -215,29 +228,29 @@ def _merge_rounds(
     rounds: int,
     batch_cap: int,
     topk: int,
-    on_round=None,
-) -> DataFrame:
+) -> tuple[DataFrame, list]:
     """Run ``rounds`` batched merge rounds over a (…, freq, syms) frame
-    (extra columns ride through untouched). Per round: one ranked-pool
-    job, driver-side greedy disjoint selection, one lazy-checkpointed
-    Arrow re-symbolization (materialized by ``on_round``'s action if
-    given, else by the next round's ranked job). ``on_round(r, batch,
-    syms)`` lets the trainer record per-round totals without the
-    tokenizer paying for them."""
-    for r in range(1, rounds + 1):
-        ranked = _ranked_pairs(syms, topk)
+    (extra columns ride through untouched). Per round: ONE ranked-pool
+    job (which also materializes the previous round's lazy-checkpointed
+    Arrow re-symbolization), driver-side greedy disjoint selection.
+    Returns (final syms, info) where ``info`` has one (batch,
+    total_pairs_at_round_start) entry per ranked job that ran — an
+    empty batch ends the loop but still records its total (it carries
+    the PREVIOUS round's post-merge symbol mass)."""
+    info: list[tuple[list, int]] = []
+    for _ in range(rounds):
+        ranked, total = _ranked_pairs(syms, topk)
         batch = select_merge_batch(
             [(row["a"], row["b"], row["cnt"]) for row in ranked], batch_cap
         )
+        info.append((batch, total))
         if not batch:
             break
         kernel = bpe_apply_merges_kernel([(a, b) for a, b, _ in batch])
         syms = syms.withColumn(
             "syms", kernel(F.col("syms"))
         ).localCheckpoint(eager=False)
-        if on_round is not None:
-            on_round(r, batch, syms)
-    return syms
+    return syms, info
 
 
 def train_bpe_batched(
@@ -267,20 +280,26 @@ def train_bpe_batched(
     total_words = first["n"]
     rows: list[tuple] = [(0, 0, "", "", 0, first["cs"])]
 
-    # per-round totals: the cs aggregate is also the action that
-    # materializes each round's lazy checkpoint, so a round costs TWO
-    # jobs (ranked collect + cs/apply), not three — at ~0.25s/job
-    # scheduler floor the third job was pure round-count tax (§19).
-    def record(r: int, batch: list, s: DataFrame) -> None:
-        cs = s.agg(
-            F.sum(F.col("freq") * F.size("syms")).cast("bigint")
-        ).first()[0]
+    # ONE job per round: round r's post-merge corpus_symbols is read out
+    # of round r+1's ranked job via the exact identity cs = total_pairs
+    # + total_words; only the LAST round (when no later ranked job runs)
+    # pays a trailing scalar aggregate. (The earlier shape spent a third
+    # job per round on this scalar — pure round-count tax at the
+    # ~0.25s/job scheduler floor, SCALE.md §19.)
+    fin, info = _merge_rounds(syms, rounds, batch_cap, topk)
+    for i, (batch, _total) in enumerate(info):
+        if not batch:
+            break
+        if i + 1 < len(info):
+            cs = info[i + 1][1] + total_words
+        else:
+            cs = fin.agg(
+                F.sum(F.col("freq") * F.size("syms")).cast("bigint")
+            ).first()[0]
         rows.extend(
-            (r, i + 1, a, b, cnt, cs)
-            for i, (a, b, cnt) in enumerate(batch)
+            (i + 1, j + 1, a, b, cnt, cs)
+            for j, (a, b, cnt) in enumerate(batch)
         )
-
-    _merge_rounds(syms, rounds, batch_cap, topk, on_round=record)
     return (
         spark.createDataFrame(
             rows,
@@ -309,15 +328,8 @@ def train_merge_batches(
     totals — R ranked-pool jobs, R-1 materialized applies (the last
     round's apply is never needed once its batch is selected)."""
     syms = _vocab_syms(docs, text_col)
-    batches: list[list[tuple[str, str, int]]] = []
-    _merge_rounds(
-        syms,
-        rounds,
-        batch_cap,
-        topk,
-        on_round=lambda r, batch, s: batches.append(batch),
-    )
-    return batches
+    _, info = _merge_rounds(syms, rounds, batch_cap, topk)
+    return [batch for batch, _ in info if batch]
 
 
 def encode_with_batches(
@@ -381,7 +393,7 @@ def tokenize_corpus_batched(
         .select("word", "freq", F.expr(_CHAR_SYMS).alias("syms"))
         .localCheckpoint(eager=False)
     )
-    fin = _merge_rounds(syms, rounds, batch_cap, topk).select(
+    fin = _merge_rounds(syms, rounds, batch_cap, topk)[0].select(
         "word",
         F.size("syms").cast("bigint").alias("n_syms"),
         F.length("word").cast("bigint").alias("n_chars"),

@@ -61,8 +61,19 @@ def main() -> int:
         "noop"
     ).mode("overwrite").save()
 
-    p1 = run_pass(spark, QUERIES, args.sf_dir, release_pinned_rdds)
-    p2 = run_pass(spark, QUERIES, args.sf_dir, release_pinned_rdds)
+    # BLOCKING release, the CLAUDE.md/SCALE.md §15 rule for ANY timed
+    # loop: the async default returns while executors are still
+    # unpersisting, and that cleanup lands inside the NEXT query's timed
+    # region — it inflated the round-5 bench ~7% overall and, in round
+    # 9, showed up here as a phantom 1.6x pass-2 "violation" on
+    # q315 (a driver-bound many-small-jobs loop, maximally sensitive to
+    # scheduler interference; 5 isolated runs with blocking hygiene are
+    # flat 6.7 -> 5.1 s).
+    def release(s):
+        return release_pinned_rdds(s, blocking=True)
+
+    p1 = run_pass(spark, QUERIES, args.sf_dir, release)
+    p2 = run_pass(spark, QUERIES, args.sf_dir, release)
 
     heavies = sorted(p1.items(), key=lambda kv: -kv[1])[: args.k]
     rows, bad = [], []
