@@ -63,7 +63,6 @@ MEDIA_INGEST_PARTIAL_SCHEMA = (
 )
 
 _STORE_SCHEMA = "phash long, run string, batch long"
-_ORDER_SCHEMA = "hi long, run string, batch long"
 
 
 def _read_fp_store(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -249,8 +248,8 @@ def media_ingest_stream(
     touched/copied backlog can scramble. ``validate_order=True`` checks
     each trigger's min(doc_id) against every earlier batch's max and
     raises loudly on violation (replay-aware: a retried batch id skips
-    the check). Earlier batches' maxima PERSIST in
-    ``<state_dir>__order`` run/batch partitions and are reloaded on the
+    the check). Earlier batches' maxima PERSIST as
+    ``<state_dir>__order`` marker files and are reloaded on the
     guard's first run, so a checkpointed stream restarting mid-backlog
     still sees pre-restart watermarks — without the store the guard
     would silently pass a cross-restart ordering violation and corrupt
@@ -272,21 +271,22 @@ def media_ingest_stream(
         nonlocal loaded
         spark = batch.sparkSession
         if validate_order:
-            if not loaded:
-                from kp_data_pipelines_spark.streaming.state_io import (
-                    read_state_parquet,
-                )
+            from kp_data_pipelines_spark.streaming.state_io import (
+                read_markers,
+                write_marker,
+            )
 
-                # rebuild pre-restart watermarks from the order store
-                # (batch ids are global under one checkpoint, so maxima
-                # from any run token of this state_dir apply)
-                for row in read_state_parquet(
-                    spark, order_dir, _ORDER_SCHEMA
-                ).collect():
-                    prev = batch_hi.get(row["batch"])
-                    batch_hi[row["batch"]] = (
-                        row["hi"] if prev is None else max(prev, row["hi"])
-                    )
+            if not loaded:
+                # rebuild pre-restart watermarks from the order-marker
+                # store (batch ids are global under one checkpoint, so
+                # maxima from any run token of this state_dir apply).
+                # Markers are tiny driver-written files read with the
+                # FileSystem API — no Spark job on either side.
+                for name, text in read_markers(spark, order_dir).items():
+                    b = int(name.rsplit("_", 1)[1])
+                    hi = int(text)
+                    prev = batch_hi.get(b)
+                    batch_hi[b] = hi if prev is None else max(prev, hi)
                 loaded = True
             mm = batch.agg(
                 F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
@@ -305,12 +305,16 @@ def media_ingest_stream(
                         " — the admission ledger would be wrong"
                     )
                 batch_hi[batch_id] = mm["hi"]
-                # persist BEFORE the partial mutates the main store: a
-                # replay overwrites its own partition (idempotent)
-                spark.createDataFrame(
-                    [(int(mm["hi"]),)], "hi long"
-                ).coalesce(1).write.mode("overwrite").parquet(
-                    f"{order_dir}/run={run_token}/batch={batch_id}"
+                # persist BEFORE the partial mutates the main store; a
+                # replay overwrites its own marker (idempotent). A
+                # one-row parquet write here cost a full Spark job +
+                # commit per trigger and quadrupled q310's bench time —
+                # the watermark is a driver scalar, so it writes as a
+                # marker file.
+                write_marker(
+                    spark,
+                    f"{order_dir}/{run_token}_{batch_id}",
+                    str(int(mm["hi"])),
                 )
         return _media_ingest_partial(
             batch,

@@ -27,6 +27,44 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     return fs.exists(hpath)
 
 
+def write_marker(spark: SparkSession, path: str, text: str) -> None:
+    """Write a tiny driver-side marker file (overwrite) via the Hadoop
+    FileSystem — NO Spark job. A one-row parquet write costs a full job
+    + commit protocol (~0.3-0.5 s); per-trigger scalars (order-guard
+    watermarks) cannot afford that at streaming cadence (it quadrupled
+    q310's bench time before this existed)."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_markers(spark: SparkSession, dir_path: str) -> dict[str, str]:
+    """Read every marker file in a directory (driver-side, no Spark
+    job): {file name -> content}. Missing dir = first run ({})."""
+    jvm = spark.sparkContext._jvm
+    hdir = jvm.org.apache.hadoop.fs.Path(dir_path)
+    fs = hdir.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(hdir):
+        return {}
+    out: dict[str, str] = {}
+    for status in fs.listStatus(hdir):
+        p = status.getPath()
+        if not status.isFile():
+            continue
+        stream = fs.open(p)
+        try:
+            data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        finally:
+            stream.close()
+        out[p.getName()] = bytes(data).decode("utf-8")
+    return out
+
+
 def read_state_parquet(
     spark: SparkSession, state_dir: str, schema: str
 ) -> DataFrame:
