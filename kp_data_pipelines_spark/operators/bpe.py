@@ -332,6 +332,45 @@ def train_merge_batches(
     return [batch for batch, _ in info if batch]
 
 
+def bpe_encode_all_kernel(batches: list[list[tuple[str, str, int]]]):
+    """Arrow kernel applying EVERY trained round's merge batch to each
+    word in ONE pass: the per-round folds run sequentially per word
+    inside the kernel (identical fold sequence to R chained
+    ``bpe_apply_merges_kernel`` columns — pinned by
+    test_bpe_encode_all_matches_per_round), so encoding costs one
+    Python/Arrow round trip instead of R. Training can't fuse like this
+    (it re-counts pairs between rounds); ENCODE has the whole merge
+    table up front."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    dicts = [
+        {a: (b, a + b) for a, b, *_ in batch} for batch in batches
+    ]
+
+    @pandas_udf(ArrayType(StringType()))
+    def _apply(col: pd.Series) -> pd.Series:
+        def enc(syms):
+            if syms is None:
+                return None
+            cur = list(syms)
+            for by_left in dicts:
+                acc: list[str] = []
+                for x in cur:
+                    if acc:
+                        t = by_left.get(acc[-1])
+                        if t is not None and x == t[0]:
+                            acc[-1] = t[1]
+                            continue
+                    acc.append(x)
+                cur = acc
+            return cur
+
+        return col.map(enc)
+
+    return _apply
+
+
 def encode_with_batches(
     syms: DataFrame, batches: list[list[tuple[str, str, int]]]
 ) -> DataFrame:
@@ -340,14 +379,14 @@ def encode_with_batches(
     in training order (round by round, each batch as the same one-pass
     fold the trainer used), so in-vocab words tokenize exactly as they
     did during training and unseen words get the longest trained
-    subunits that match. Each round is one lazy-checkpointed Arrow
-    pass; nothing here touches the training corpus."""
-    for batch in batches:
-        kernel = bpe_apply_merges_kernel([(a, b) for a, b, _ in batch])
-        syms = syms.withColumn(
-            "syms", kernel(F.col("syms"))
-        ).localCheckpoint(eager=False)
-    return syms
+    subunits that match. All rounds run in ONE Arrow pass
+    (``bpe_encode_all_kernel``); nothing here touches the training
+    corpus."""
+    if not batches:
+        return syms
+    return syms.withColumn(
+        "syms", bpe_encode_all_kernel(batches)(F.col("syms"))
+    )
 
 
 def tokenize_corpus_batched(

@@ -949,3 +949,41 @@ def test_bpe_batched_trainer_reaches_64_merges(spark):
         by_round[r["round"]] = r["fertility"]
     ferts = [by_round[k] for k in sorted(by_round)]
     assert all(a >= b for a, b in zip(ferts, ferts[1:])), ferts
+
+
+def test_bpe_encode_all_matches_per_round(spark):
+    """The fused one-pass encode kernel must equal R chained per-round
+    kernels — same fold sequence per word, one Arrow round trip."""
+    from pyspark.sql import functions as F
+
+    from kp_data_pipelines_spark.operators.bpe import (
+        bpe_apply_merges_kernel,
+        bpe_encode_all_kernel,
+    )
+
+    batches = [
+        [("t", "h", 9), ("e", "r", 7)],
+        [("th", "e", 5)],
+        [("the", "r", 3)],
+    ]
+    rows = [
+        (1, list("the quick")),
+        (2, list("thermal")),
+        (3, ["th", "e", "r"]),
+        (4, []),
+        (5, None),
+        (6, list("ttthhh")),
+    ]
+    df = spark.createDataFrame(rows, "id long, syms array<string>")
+    chained = df
+    for batch in batches:
+        k = bpe_apply_merges_kernel([(a, b) for a, b, _ in batch])
+        chained = chained.withColumn("syms", k(F.col("syms")))
+    want = {r["id"]: r["syms"] for r in chained.collect()}
+    got = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id", bpe_encode_all_kernel(batches)(F.col("syms")).alias("s")
+        ).collect()
+    }
+    assert got == want
