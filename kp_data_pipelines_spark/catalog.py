@@ -19714,6 +19714,7 @@ def q319_bpe_encode_holdout(spark: SparkSession, sf: str) -> DataFrame:
     training on the even half and the per-round folds on the holdout
     vocab (oracles.bpe_encode_holdout_sql)."""
     from kp_data_pipelines_spark.operators.bpe import (
+        _CHAR_SYMS,
         encode_with_batches,
         train_merge_batches,
     )
@@ -19738,13 +19739,7 @@ def q319_bpe_encode_holdout(spark: SparkSession, sf: str) -> DataFrame:
         words.select("word")
         .distinct()
         .repartition(8)
-        .select(
-            "word",
-            F.expr(
-                "transform(sequence(1, length(word)), "
-                "i -> substring(word, i, 1))"
-            ).alias("syms"),
-        )
+        .select("word", F.expr(_CHAR_SYMS).alias("syms"))
         .localCheckpoint(eager=False)
     )
     hfin = encode_with_batches(hsyms, batches).select(
@@ -19770,6 +19765,59 @@ def q319_bpe_encode_holdout(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "q320_decoded_media_dedup", oracles.decoded_media_dedup_sql()
+)
+def q320_decoded_media_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """The decode -> fingerprint SEAM as an oracle-gated query (the
+    round-9 review's ask — ``decoded_media_dhash`` was test-only):
+    every payload runs the registered decoder (Arrow mapInPandas, the
+    deterministic fake here, a real codec when wired into DECODERS)
+    and the dHash fingerprints the DECODED feature bytes, then the
+    per-(source, kind) ledger counts media, distinct decoded
+    identities, and distinct decoded fingerprints. Reading it:
+    n_fps <= n_features always (the fingerprint is a lossy pool of the
+    feature bytes), and on the fake decoder's 18-byte digest tokens the
+    gap is LARGE — the degenerate-input collision pressure
+    test_decode_to_hamming_seam documents, which a real decoder's full
+    pixel array removes. Scale shape: one Arrow decode pass + one Arrow
+    fingerprint pass + one keyed rollup; nothing shuffles but the
+    |sources x kinds| group keys. Kinds derive deterministically from
+    doc_id so the DuckDB twin replays them."""
+    from kp_data_pipelines_spark.operators.multimodal import (
+        decoded_media_dhash,
+    )
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "source", "text"
+    )
+    media = ensure_parallelism(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            "source",
+            F.expr(
+                "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' "
+                "WHEN 1 THEN 'audio' ELSE 'video' END"
+            ).alias("kind"),
+            F.encode("text", "UTF-8").alias("content"),
+        )
+    )
+    fp = decoded_media_dhash(media, decoder="fake")
+    src = media.select("media_id", "source")
+    return (
+        fp.join(src, "media_id")
+        .groupBy("source", "kind")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_media"),
+            F.countDistinct("content_sha").cast("bigint").alias(
+                "n_features"
+            ),
+            F.countDistinct("phash").cast("bigint").alias("n_fps"),
+        )
+        .orderBy("source", "kind")
     )
 
 

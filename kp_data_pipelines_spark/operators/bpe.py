@@ -278,6 +278,17 @@ def train_bpe_batched(
         F.sum(F.col("freq") * F.size("syms")).cast("bigint").alias("cs"),
     ).first()
     total_words = first["n"]
+    schema = (
+        "round long, batch_rank long, merge_a string, merge_b string, "
+        "pair_count long, corpus_symbols long"
+    )
+    if total_words is None:
+        # empty / all-whitespace corpus: the DuckDB twin emits the
+        # round-0 row with NULL corpus_symbols and fertility (SUM over
+        # zero rows) — match it instead of crashing on float(None)
+        return spark.createDataFrame(
+            [(0, 0, "", "", 0, None)], schema
+        ).withColumn("fertility", F.lit(None).cast("double"))
     rows: list[tuple] = [(0, 0, "", "", 0, first["cs"])]
 
     # ONE job per round: round r's post-merge corpus_symbols is read out
@@ -301,11 +312,7 @@ def train_bpe_batched(
             for j, (a, b, cnt) in enumerate(batch)
         )
     return (
-        spark.createDataFrame(
-            rows,
-            "round long, batch_rank long, merge_a string, merge_b string, "
-            "pair_count long, corpus_symbols long",
-        )
+        spark.createDataFrame(rows, schema)
         .withColumn(
             "fertility",
             F.col("corpus_symbols").cast("double")

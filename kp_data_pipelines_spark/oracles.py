@@ -4390,6 +4390,42 @@ def bpe_encode_holdout_sql(
     """
 
 
+def decoded_media_dedup_sql() -> str:
+    """Twin of q320: the decode -> fingerprint seam as a ledger — per
+    (source, kind), payload identity measured at the DECODED layer:
+    distinct decoded feature identities (the fake decoder's
+    ``kind:sha256(content)[:12]`` token — deterministic, exactly what
+    ``multimodal._fake_decode`` emits over the UTF-8 payload) and
+    distinct dHash fingerprints OF those feature tokens (the q301
+    hex-fold chain applied to the token's UTF-8 bytes). The fingerprint
+    column is COARSER than the feature column on these degenerate
+    18-byte tokens (documented in test_decode_to_hamming_seam) — the
+    gap is the collision pressure a real decoder's full pixel array
+    removes."""
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, source,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             sha256(text) AS content_sha
+      FROM documents
+    ),
+    mh AS (
+      SELECT media_id, source, kind, content_sha,
+             hex(encode(kind || ':' || substr(content_sha, 1, 12))) AS hx
+      FROM m
+    ),
+    {_phash_chain("media_id", "mh")}
+    SELECT mh.source, mh.kind,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(COUNT(DISTINCT mh.content_sha) AS BIGINT) AS n_features,
+           CAST(COUNT(DISTINCT mfp.phash) AS BIGINT) AS n_fps
+    FROM mh JOIN mfp USING (media_id)
+    GROUP BY mh.source, mh.kind
+    ORDER BY mh.source, mh.kind
+    """
+
+
 def media_shared_segments_sql(
     chunk_bytes: int = 64,
     min_shared: int | None = None,

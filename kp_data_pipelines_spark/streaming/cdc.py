@@ -230,10 +230,12 @@ def cdc_ingest_stream(
     only when backlog files were written in doc order — a backlog whose
     mtimes were scrambled (touched/copied files) silently reorders
     batches. ``validate_order=True`` (default) guards this: each
-    trigger's min(doc_id) is checked against the max(doc_id) of every
-    earlier batch in this run (driver-side watermark, replay-aware —
-    a retried batch id skips the check) and a violation raises loudly
-    instead of producing a wrong ledger."""
+    trigger's min(doc_id) is checked against every earlier watermark
+    (``state_io.AscendingIdGuard`` — persisted marker files, so the
+    guard survives restarts; this run's batches key by id so replays
+    stay idempotent, prior runs over the same growing store collapse
+    into a global floor) and a violation raises loudly instead of
+    producing a wrong ledger."""
     from kp_data_pipelines_spark.streaming.events import (
         run_available_now_foreach_batch,
     )
@@ -247,27 +249,20 @@ def cdc_ingest_stream(
         if checkpoint_dir
         else uuid.uuid4().hex[:16]
     )
-    batch_hi: dict[int, int] = {}  # batch_id -> max doc_id (this run)
+    from kp_data_pipelines_spark.streaming.state_io import AscendingIdGuard
+
+    guard = AscendingIdGuard(
+        None, f"{state_dir}__order", run_token, "cdc_ingest_stream"
+    )
 
     def ingest(batch: DataFrame, batch_id: int) -> DataFrame:
         if validate_order:
             mm = batch.agg(
                 F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
             ).first()
-            if mm["lo"] is not None:
-                prior_hi = max(
-                    (h for b, h in batch_hi.items() if b < batch_id),
-                    default=None,
-                )
-                if prior_hi is not None and mm["lo"] <= prior_hi:
-                    raise ValueError(
-                        "cdc_ingest_stream: batch "
-                        f"{batch_id} min doc_id {mm['lo']} <= earlier "
-                        f"batch max {prior_hi}; backlog is not in "
-                        "ascending-doc_id order (scrambled file mtimes?) "
-                        "— the first-occurrence ledger would be wrong"
-                    )
-                batch_hi[batch_id] = mm["hi"]
+            guard.check_and_record(
+                batch.sparkSession, batch_id, mm["lo"], mm["hi"]
+            )
         return _cdc_ingest_partial(
             batch, state_dir, w, mask, run_token, batch_id
         )

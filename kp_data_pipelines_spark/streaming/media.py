@@ -248,12 +248,13 @@ def media_ingest_stream(
     touched/copied backlog can scramble. ``validate_order=True`` checks
     each trigger's min(doc_id) against every earlier batch's max and
     raises loudly on violation (replay-aware: a retried batch id skips
-    the check). Earlier batches' maxima PERSIST as
-    ``<state_dir>__order`` marker files and are reloaded on the
-    guard's first run, so a checkpointed stream restarting mid-backlog
-    still sees pre-restart watermarks — without the store the guard
-    would silently pass a cross-restart ordering violation and corrupt
-    the "earlier fingerprint" admission semantics."""
+    the check against its own earlier attempt). Watermarks PERSIST as
+    ``<state_dir>__order`` marker files (``state_io.AscendingIdGuard``)
+    and reload on the guard's first run: a checkpointed stream
+    restarting mid-backlog sees pre-restart maxima keyed by batch id,
+    and a FRESH-checkpoint run over the same growing store sees every
+    prior run's maxima as a global floor — either hole would silently
+    corrupt the "earlier fingerprint" admission semantics."""
     from kp_data_pipelines_spark.streaming.events import (
         run_available_now_foreach_batch,
     )
@@ -263,59 +264,20 @@ def media_ingest_stream(
         if checkpoint_dir
         else uuid.uuid4().hex[:16]
     )
-    order_dir = f"{state_dir}__order"
-    batch_hi: dict[int, int] = {}
-    loaded = False
+    from kp_data_pipelines_spark.streaming.state_io import AscendingIdGuard
+
+    guard = AscendingIdGuard(
+        None, f"{state_dir}__order", run_token, "media_ingest_stream"
+    )
 
     def ingest(batch: DataFrame, batch_id: int) -> DataFrame:
-        nonlocal loaded
-        spark = batch.sparkSession
         if validate_order:
-            from kp_data_pipelines_spark.streaming.state_io import (
-                read_markers,
-                write_marker,
-            )
-
-            if not loaded:
-                # rebuild pre-restart watermarks from the order-marker
-                # store (batch ids are global under one checkpoint, so
-                # maxima from any run token of this state_dir apply).
-                # Markers are tiny driver-written files read with the
-                # FileSystem API — no Spark job on either side.
-                for name, text in read_markers(spark, order_dir).items():
-                    b = int(name.rsplit("_", 1)[1])
-                    hi = int(text)
-                    prev = batch_hi.get(b)
-                    batch_hi[b] = hi if prev is None else max(prev, hi)
-                loaded = True
             mm = batch.agg(
                 F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
             ).first()
-            if mm["lo"] is not None:
-                prior_hi = max(
-                    (h for b, h in batch_hi.items() if b < batch_id),
-                    default=None,
-                )
-                if prior_hi is not None and mm["lo"] <= prior_hi:
-                    raise ValueError(
-                        "media_ingest_stream: batch "
-                        f"{batch_id} min doc_id {mm['lo']} <= earlier "
-                        f"batch max {prior_hi}; backlog is not in "
-                        "ascending-doc_id order (scrambled file mtimes?)"
-                        " — the admission ledger would be wrong"
-                    )
-                batch_hi[batch_id] = mm["hi"]
-                # persist BEFORE the partial mutates the main store; a
-                # replay overwrites its own marker (idempotent). A
-                # one-row parquet write here cost a full Spark job +
-                # commit per trigger and quadrupled q310's bench time —
-                # the watermark is a driver scalar, so it writes as a
-                # marker file.
-                write_marker(
-                    spark,
-                    f"{order_dir}/{run_token}_{batch_id}",
-                    str(int(mm["hi"])),
-                )
+            guard.check_and_record(
+                batch.sparkSession, batch_id, mm["lo"], mm["hi"]
+            )
         return _media_ingest_partial(
             batch,
             state_dir,

@@ -27,25 +27,42 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     return fs.exists(hpath)
 
 
+_TMP_SUFFIX = ".__tmp__"
+
+
 def write_marker(spark: SparkSession, path: str, text: str) -> None:
-    """Write a tiny driver-side marker file (overwrite) via the Hadoop
-    FileSystem — NO Spark job. A one-row parquet write costs a full job
-    + commit protocol (~0.3-0.5 s); per-trigger scalars (order-guard
-    watermarks) cannot afford that at streaming cadence (it quadrupled
-    q310's bench time before this existed)."""
+    """Write a tiny driver-side marker file ATOMICALLY (temp + rename)
+    via the Hadoop FileSystem — NO Spark job. A one-row parquet write
+    costs a full job + commit protocol (~0.3-0.5 s); per-trigger
+    scalars (order-guard watermarks) cannot afford that at streaming
+    cadence (it quadrupled q310's bench time before this existed).
+    The temp+rename keeps a driver crash mid-write from leaving a
+    truncated marker that bricks every later restart; readers skip
+    temp files."""
+    import uuid as _uuid
+
     jvm = spark.sparkContext._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{path}{_TMP_SUFFIX}{_uuid.uuid4().hex[:8]}"
+    )
     fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    out = fs.create(hpath, True)
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+    if fs.exists(hpath):
+        fs.delete(hpath, False)
+    if not fs.rename(tmp, hpath):
+        raise IOError(f"marker rename failed: {tmp} -> {hpath}")
 
 
 def read_markers(spark: SparkSession, dir_path: str) -> dict[str, str]:
     """Read every marker file in a directory (driver-side, no Spark
-    job): {file name -> content}. Missing dir = first run ({})."""
+    job): {file name -> content}. Missing dir = first run ({});
+    in-flight temp files (crashed mid-write) are skipped — the rename
+    in ``write_marker`` makes a visible marker always complete."""
     jvm = spark.sparkContext._jvm
     hdir = jvm.org.apache.hadoop.fs.Path(dir_path)
     fs = hdir.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
@@ -54,7 +71,7 @@ def read_markers(spark: SparkSession, dir_path: str) -> dict[str, str]:
     out: dict[str, str] = {}
     for status in fs.listStatus(hdir):
         p = status.getPath()
-        if not status.isFile():
+        if not status.isFile() or _TMP_SUFFIX in p.getName():
             continue
         stream = fs.open(p)
         try:
@@ -63,6 +80,93 @@ def read_markers(spark: SparkSession, dir_path: str) -> dict[str, str]:
             stream.close()
         out[p.getName()] = bytes(data).decode("utf-8")
     return out
+
+
+class AscendingIdGuard:
+    """The ascending-id ORDER GUARD shared by every growing-store
+    stream (media fingerprint ingest, CDC chunk ingest): "first
+    occurrence" semantics require batches to arrive in ascending id
+    order, so each trigger's min(id) is checked against every earlier
+    watermark and a violation raises loudly instead of producing a
+    wrong ledger.
+
+    Watermarks persist as marker files (``<order_dir>/<run>_<batch>``,
+    atomic temp+rename, no Spark job) and reload on the guard's first
+    check, so the guard survives restarts. Two scopes with different
+    semantics:
+
+    - THIS run's markers key by batch id: a replayed batch skips the
+      check against its own earlier attempt (``b < batch_id``) —
+      at-least-once replays stay idempotent;
+    - OTHER runs' markers collapse into a single GLOBAL FLOOR applied
+      to EVERY batch: a fresh-checkpoint run over the same growing
+      store restarts batch ids at 0, so keying foreign watermarks by
+      batch id would let batch 0 skip validation entirely (and let a
+      lower max overwrite a prior run's higher one) — the round-9
+      review finding this class exists to fix.
+    """
+
+    def __init__(self, spark_unused, order_dir: str, run_token: str,
+                 what: str) -> None:
+        self.order_dir = order_dir
+        self.run_token = run_token
+        self.what = what
+        self.batch_hi: dict[int, int] = {}  # THIS run's batches
+        self.floor_hi: int | None = None  # max over all OTHER runs
+        self._loaded = False
+
+    def _load(self, spark: SparkSession) -> None:
+        for name, text in read_markers(spark, self.order_dir).items():
+            run, _, b = name.rpartition("_")
+            try:
+                batch, hi = int(b), int(text)
+            except ValueError as exc:
+                raise ValueError(
+                    f"{self.what}: unparseable order marker "
+                    f"{self.order_dir}/{name} (content {text!r}) — "
+                    "the order store is corrupt; remove the file only "
+                    "if you can vouch for the backlog's ordering"
+                ) from exc
+            if run == self.run_token:
+                prev = self.batch_hi.get(batch)
+                self.batch_hi[batch] = (
+                    hi if prev is None else max(prev, hi)
+                )
+            else:
+                self.floor_hi = (
+                    hi if self.floor_hi is None else max(self.floor_hi, hi)
+                )
+        self._loaded = True
+
+    def check_and_record(
+        self, spark: SparkSession, batch_id: int, lo, hi
+    ) -> None:
+        if lo is None:
+            return
+        if not self._loaded:
+            self._load(spark)
+        candidates = [
+            h for b, h in self.batch_hi.items() if b < batch_id
+        ]
+        if self.floor_hi is not None:
+            candidates.append(self.floor_hi)
+        prior_hi = max(candidates, default=None)
+        if prior_hi is not None and lo <= prior_hi:
+            raise ValueError(
+                f"{self.what}: batch {batch_id} min id {lo} <= earlier "
+                f"batch max {prior_hi}; backlog is not in ascending-id "
+                "order (scrambled file mtimes? a new wave with ids "
+                "below an already-ingested run?) — the first-occurrence "
+                "ledger would be wrong"
+            )
+        self.batch_hi[batch_id] = int(hi)
+        # persist BEFORE the partial mutates the main store; a replay
+        # overwrites its own marker (idempotent)
+        write_marker(
+            spark,
+            f"{self.order_dir}/{self.run_token}_{batch_id}",
+            str(int(hi)),
+        )
 
 
 def read_state_parquet(

@@ -336,7 +336,7 @@ def test_dense_peaks_kernel_matches_expr(spark):
     )
     for df in (edge, docs):
         kern = {
-            r["doc_id"]: (r["pk"]["pos"], r["pk"]["val"])
+            r["doc_id"]: (r["pk"]["pos"], r["pk"]["val"], r["pk"]["ctx"])
             if r["pk"] is not None
             else None
             for r in df.select(
@@ -344,7 +344,7 @@ def test_dense_peaks_kernel_matches_expr(spark):
             ).collect()
         }
         expr = {
-            r["doc_id"]: (r["pk"]["pos"], r["pk"]["val"])
+            r["doc_id"]: (r["pk"]["pos"], r["pk"]["val"], r["pk"]["ctx"])
             if r["pk"] is not None
             else None
             for r in with_dense_peaks_expr(df, "text").collect()

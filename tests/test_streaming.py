@@ -889,7 +889,7 @@ def test_cdc_ingest_stream_rejects_out_of_order_backlog(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    with pytest.raises(Exception, match="ascending-doc_id"):
+    with pytest.raises(Exception, match="ascending-id order"):
         cdc_ingest_stream(
             stream,
             state_dir=str(tmp_path / "state"),

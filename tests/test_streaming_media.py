@@ -163,5 +163,52 @@ def test_order_guard_survives_restart(spark, tmp_path):
     spark.createDataFrame(
         [(1, "s", "late wave violates ordering " * 3)], schema
     ).coalesce(1).write.mode("append").parquet(src)
-    with pytest.raises(Exception, match="ascending-doc_id order"):
+    with pytest.raises(Exception, match="ascending-id order"):
         run()
+
+
+def test_order_guard_floors_new_runs(spark, tmp_path):
+    """A FRESH-checkpoint run over the same growing store restarts
+    batch ids at 0 — prior runs' watermarks must apply as a GLOBAL
+    FLOOR to every batch (keying them by batch id would let batch 0
+    skip validation entirely; round-9 review finding). Wave 2 carries
+    ids below run 1's maximum and must raise on its FIRST batch."""
+    import pytest
+
+    from kp_data_pipelines_spark.streaming.media import media_ingest_stream
+
+    state = str(tmp_path / "state")
+    schema = "doc_id long, source string, text string"
+
+    def run(src, ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return media_ingest_stream(
+            stream, state_dir=state, checkpoint_dir=ckpt
+        ).collect()
+
+    src1 = str(tmp_path / "w1")
+    spark.createDataFrame(
+        [(100 + i, "s", f"first wave text {i} " * 5) for i in range(4)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src1)
+    assert run(src1, str(tmp_path / "ckpt1"))
+
+    # new run: DIFFERENT checkpoint (fresh batch ids), same state_dir,
+    # ids below run 1's max -> must raise on batch 0
+    src2 = str(tmp_path / "w2")
+    spark.createDataFrame(
+        [(1, "s", "second wave below the floor " * 3)], schema
+    ).coalesce(1).write.mode("append").parquet(src2)
+    with pytest.raises(Exception, match="ascending-id order"):
+        run(src2, str(tmp_path / "ckpt2"))
+
+    # and a compliant new run (ids above the floor) passes
+    src3 = str(tmp_path / "w3")
+    spark.createDataFrame(
+        [(200, "s", "third wave above the floor " * 3)], schema
+    ).coalesce(1).write.mode("append").parquet(src3)
+    assert run(src3, str(tmp_path / "ckpt3"))

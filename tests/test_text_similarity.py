@@ -987,3 +987,19 @@ def test_bpe_encode_all_matches_per_round(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_bpe_trainer_empty_corpus_matches_oracle_shape(spark):
+    """Empty / all-whitespace corpus: the trainer must return the
+    round-0 row with NULL corpus_symbols and fertility (what the
+    DuckDB twin's SUM-over-zero-rows emits), not crash on
+    float(None)."""
+    from kp_data_pipelines_spark.operators.bpe import train_bpe_batched
+
+    for rows in ([], [("",), ("   ",)]):
+        docs = spark.createDataFrame(rows, "text string")
+        out = train_bpe_batched(spark, docs, "text").collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["round"], r["batch_rank"], r["merge_a"]) == (0, 0, "")
+        assert r["corpus_symbols"] is None and r["fertility"] is None
