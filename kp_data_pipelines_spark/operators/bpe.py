@@ -64,6 +64,37 @@ BPE_BATCH_CAP = 12
 BPE_TOPK = 64
 BPE_ROUNDS = 8  # 8 rounds x ~10 merges/round => the >=64-merge regime
 
+# The ADAPTIVE regime (q321) — the round-count fix past the fixed cap.
+# Derivations:
+# - BPE_ADAPTIVE_ALPHA_DEN = 64: a pair is selected iff
+#   alpha_den * cnt >= round_max_cnt, i.e. its count is within 1/64 of
+#   the round's best merge. The band replaces the fixed batch_cap: as
+#   training descends the Zipfian count curve the band widens in RANK
+#   terms (a constant count-RATIO covers geometrically more ranks), so
+#   merges-per-round GROWS instead of staying ~10 — measured 8 -> ~39
+#   across 20 rounds on the fixture. Integer guard (64*cnt, BIGINT) is
+#   exact on both engines.
+# - BPE_ADAPTIVE_TOPK = 1024: the ranked pool per round — the largest
+#   bounded collect plan_audit auto-accepts (limit k <= 1024); disjoint
+#   selection rarely exhausts it because symbol conflicts bind first.
+# - BPE_ADAPTIVE_ROUNDS = 20: >= 554 merges at every fixture SF (554 /
+#   574 / 591 at sf0.001/0.01/0.1) — the >=512-merge regime the round-9
+#   verdict asked for. Rounds are the ONLY sequential driver cost (one
+#   ranked job each); see SCALE.md §18 for the 32k-merge model.
+# - BPE_CHUNK_WORDS = 3: adaptive training runs on W-word CHUNK units
+#   (space is an ordinary symbol, SentencePiece-style) because word
+#   units cap total merges at sum(len(word)-1) over the DISTINCT
+#   vocabulary — 107 on this fixture's 31-word corpus, below the 512
+#   target no matter how selection batches. Chunk units are also the
+#   honest 100 TB story for unsegmented text (CJK, code): when
+#   whitespace pre-tokenization doesn't apply, the working set is the
+#   (chunk, freq) table — distinct W-grams, Heaps-sublinear in corpus
+#   size like the word vocabulary but with a larger exponent.
+BPE_ADAPTIVE_ALPHA_DEN = 64
+BPE_ADAPTIVE_TOPK = 1024
+BPE_ADAPTIVE_ROUNDS = 20
+BPE_CHUNK_WORDS = 3
+
 
 def select_merge_batch(
     ranked: list[tuple[str, str, int]], batch_cap: int = BPE_BATCH_CAP
@@ -78,6 +109,41 @@ def select_merge_batch(
     for a, b, cnt in ranked:
         if len(batch) >= batch_cap:
             break
+        if a in used or b in used:
+            continue
+        batch.append((a, b, cnt))
+        used.add(a)
+        used.add(b)
+    return batch
+
+
+def select_merge_batch_adaptive(
+    ranked: list[tuple[str, str, int]],
+    alpha_den: int = BPE_ADAPTIVE_ALPHA_DEN,
+) -> list[tuple[str, str, int]]:
+    """ADAPTIVE greedy disjoint-merge selection: walk (a, b, count)
+    rows ranked by (count DESC, a ASC, b ASC) and take a pair iff
+
+    - its count is within 1/``alpha_den`` of the round's best count
+      (``alpha_den * cnt >= max_cnt`` — integer arithmetic, exact on
+      both engines), and
+    - neither symbol was used by a higher-ranked selected pair.
+
+    No fixed batch cap: the pool's ``limit(topk)`` already bounds the
+    walk, and the count band is what keeps batch quality — pairs more
+    than a factor ``alpha_den`` below the round's best wait for a later
+    round, exactly like a fixed-cap trainer, but the band consumes the
+    whole top of the Zipf curve per round instead of 12 rows of it.
+    Pure driver-side; the DuckDB twin replays it as a recursive CTE
+    carrying (used symbols, round max)."""
+    if not ranked:
+        return []
+    mx = ranked[0][2]
+    used: set[str] = set()
+    batch: list[tuple[str, str, int]] = []
+    for a, b, cnt in ranked:
+        if alpha_den * cnt < mx:
+            continue
         if a in used or b in used:
             continue
         batch.append((a, b, cnt))
@@ -182,6 +248,61 @@ def _vocab_syms(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def _chunk_freqs(
+    docs: DataFrame, text_col: str, w: int = BPE_CHUNK_WORDS
+) -> DataFrame:
+    """(chunk, freq) over W-word chunks of the normalized corpus — the
+    working set for CHUNK-UNIT BPE (space as an ordinary symbol). Each
+    document's word list splits into consecutive ``w``-word groups
+    re-joined with single spaces; the trailing group may be shorter.
+    The chunk strings are engine-portable by construction (identical
+    split + slice + join on DuckDB's side). The per-chunk
+    ``slice``/``array_join`` lambdas are interpreted HOFs — fine at the
+    one-pass chunking stage (each element touched once); at 100 TB this
+    projection is the natural candidate for an Arrow kernel, but it is
+    NOT per-round work (rounds run on the distinct-chunk table)."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        ensure_parallelism,
+    )
+    from kp_data_pipelines_spark.operators.textops import normalize_ws
+
+    return (
+        ensure_parallelism(docs.select(text_col))
+        .select(normalize_ws(text_col).alias("norm"))
+        .filter(F.length("norm") > 0)
+        .select(F.split("norm", " ").alias("parts"))
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, cast(ceil(size(parts) / "
+                    f"{w}.0) as int) - 1), g -> array_join(slice(parts, "
+                    f"g * {w} + 1, {w}), ' '))"
+                )
+            ).alias("chunk")
+        )
+        .filter(F.col("chunk") != "")
+        .groupBy("chunk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+
+
+def _chunk_syms(
+    docs: DataFrame, text_col: str, w: int = BPE_CHUNK_WORDS
+) -> DataFrame:
+    """(freq, syms) chunk-unit frame — one-symbol-per-char start state
+    (spaces included), same 8-partition pin + lazy checkpoint rationale
+    as ``_vocab_syms``."""
+    return (
+        _chunk_freqs(docs, text_col, w)
+        .repartition(8)
+        .select(
+            "freq",
+            F.expr(_CHAR_SYMS.replace("word", "chunk")).alias("syms"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
 def _ranked_pairs(syms: DataFrame, topk: int) -> tuple[list, int]:
     """One round's ranked candidate pool PLUS the round's total pair
     mass, in ONE job: adjacent-pair counts over the vocab
@@ -228,6 +349,7 @@ def _merge_rounds(
     rounds: int,
     batch_cap: int,
     topk: int,
+    select_fn=None,
 ) -> tuple[DataFrame, list]:
     """Run ``rounds`` batched merge rounds over a (…, freq, syms) frame
     (extra columns ride through untouched). Per round: ONE ranked-pool
@@ -237,11 +359,15 @@ def _merge_rounds(
     total_pairs_at_round_start) entry per ranked job that ran — an
     empty batch ends the loop but still records its total (it carries
     the PREVIOUS round's post-merge symbol mass)."""
+    if select_fn is None:
+        select_fn = lambda ranked: select_merge_batch(  # noqa: E731
+            ranked, batch_cap
+        )
     info: list[tuple[list, int]] = []
     for _ in range(rounds):
         ranked, total = _ranked_pairs(syms, topk)
-        batch = select_merge_batch(
-            [(row["a"], row["b"], row["cnt"]) for row in ranked], batch_cap
+        batch = select_fn(
+            [(row["a"], row["b"], row["cnt"]) for row in ranked]
         )
         info.append((batch, total))
         if not batch:
@@ -272,7 +398,54 @@ def train_bpe_batched(
     (``select_merge_batch``), one Arrow-kernel re-symbolization pass,
     one scalar aggregate. Driver traffic is <= topk + 1 rows per round.
     """
-    syms = _vocab_syms(docs, text_col)
+    return _train_table(
+        spark, _vocab_syms(docs, text_col), rounds, topk,
+        select_fn=None, batch_cap=batch_cap,
+    )
+
+
+def train_bpe_adaptive(
+    spark: SparkSession,
+    docs: DataFrame,
+    text_col: str = "text",
+    rounds: int = BPE_ADAPTIVE_ROUNDS,
+    topk: int = BPE_ADAPTIVE_TOPK,
+    alpha_den: int = BPE_ADAPTIVE_ALPHA_DEN,
+    chunk_words: int = BPE_CHUNK_WORDS,
+) -> DataFrame:
+    """ADAPTIVE batched-BPE training over W-word CHUNK units — the
+    production-merge-count regime (>= 512 merges on the fixture; see
+    the constant derivations above and SCALE.md §18 for the 32k-merge
+    round model). Identical per-round job shape to
+    ``train_bpe_batched`` (one ranked job per round, bounded
+    ``limit(topk)`` collect, Arrow re-symbolization); only the units
+    (chunks instead of words) and the selection rule (count-band
+    ``select_merge_batch_adaptive`` instead of a fixed cap) differ.
+    Output columns match ``train_bpe_batched``; ``fertility`` reads as
+    symbols-per-CHUNK."""
+    return _train_table(
+        spark,
+        _chunk_syms(docs, text_col, chunk_words),
+        rounds,
+        topk,
+        select_fn=lambda ranked: select_merge_batch_adaptive(
+            ranked, alpha_den
+        ),
+        batch_cap=0,
+    )
+
+
+def _train_table(
+    spark: SparkSession,
+    syms: DataFrame,
+    rounds: int,
+    topk: int,
+    select_fn,
+    batch_cap: int,
+) -> DataFrame:
+    """Shared trainer body: run the merge rounds over a prepared
+    (freq, syms) frame and assemble the merge table (see
+    ``train_bpe_batched`` for the one-job-per-round identity)."""
     first = syms.agg(
         F.sum("freq").cast("bigint").alias("n"),
         F.sum(F.col("freq") * F.size("syms")).cast("bigint").alias("cs"),
@@ -297,7 +470,7 @@ def train_bpe_batched(
     # pays a trailing scalar aggregate. (The earlier shape spent a third
     # job per round on this scalar — pure round-count tax at the
     # ~0.25s/job scheduler floor, SCALE.md §19.)
-    fin, info = _merge_rounds(syms, rounds, batch_cap, topk)
+    fin, info = _merge_rounds(syms, rounds, batch_cap, topk, select_fn)
     for i, (batch, _total) in enumerate(info):
         if not batch:
             break

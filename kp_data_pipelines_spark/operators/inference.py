@@ -118,3 +118,151 @@ def parse_channels(df: DataFrame, raw_col: str = "raw_output") -> DataFrame:
 def batch_inference(df: DataFrame, text_col: str, model: str = "fake") -> DataFrame:
     """Full X4 pipeline: generate (pandas_udf) -> parse channels (JVM)."""
     return parse_channels(df.withColumn("raw_output", llm_generate(text_col, model)))
+
+
+# ---------------------------------------------------------------------------
+# Embed-at-scale (the round-9 verdict's #2 ask): every similarity/ANN
+# operator CONSUMES the fixture `embeddings` table; a real 100 TB
+# pipeline's first step is producing vectors from text. Same fake/real
+# registry shape as MODELS above: the deterministic hash-projection
+# encoder is the oracle-replayable fallback, the sentence-transformers
+# backend activates when the library is installed (not in this sandbox).
+# ---------------------------------------------------------------------------
+
+# Hash-projection constants — the PORTABLE token-hash scheme shared with
+# textops.poly_token_hashes / oracles._tok_hashes (base-31 char Horner
+# fold mod Mersenne-31, exact int64 arithmetic on every engine), then
+# feature hashing (Weinberger et al.): bucket = h % dim, sign from the
+# next hash bit ((h // dim) % 2). Signed counts stay INTEGERS until the
+# final normalize, so the only float ops are sqrt(int) and x/norm —
+# identical correctly-rounded IEEE ops on Spark, numpy (elementwise,
+# never pairwise-summed), and DuckDB.
+EMBED_DIM = 16
+_EMBED_BASE = 31
+_EMBED_MOD = 2147483647
+
+
+def _hash_encoder(dim: int = EMBED_DIM) -> Callable[[pd.Series], pd.Series]:
+    """Deterministic hash-projection encoder (feature hashing): input is
+    NORMALIZED text (``textops.normalize_ws`` output — the operator
+    wrapper applies it JVM-side), tokens split on single spaces, each
+    token Horner-hashed (base 31 mod M31), signed-count bucketed into a
+    ``dim``-vector, L2-normalized to unit length. None in -> None out;
+    empty or sign-cancelled (zero-norm) input -> None (callers filter).
+    The DuckDB twin re-derives every value bit-for-bit
+    (``oracles.hash_embed_ctes``)."""
+
+    def encode(texts: pd.Series) -> pd.Series:
+        import math
+
+        def _one(t):
+            if t is None:
+                return None
+            vec = [0] * dim
+            for tok in t.split(" "):
+                if not tok:
+                    continue
+                h = 0
+                for ch in tok:
+                    h = (h * _EMBED_BASE + ord(ch)) % _EMBED_MOD
+                vec[h % dim] += 1 if (h // dim) % 2 == 0 else -1
+            ss = sum(x * x for x in vec)  # exact: int arithmetic
+            if ss == 0:
+                return None
+            norm = math.sqrt(ss)
+            return [x / norm for x in vec]
+
+        return texts.map(_one)
+
+    return encode
+
+
+def _real_encoder(dim: int = EMBED_DIM) -> Callable[[pd.Series], pd.Series]:
+    """Real sentence-transformers backend, active when the library is
+    installed; raises NotImplementedError otherwise (this sandbox has
+    no torch). Model from ``KP_EMBED_MODEL`` (default a small public
+    model). Same contract as the hash encoder — one unit-norm
+    list[float] per non-null input, None for None — EXCEPT the output
+    dim is the model's, not ``dim`` (a learned encoder's width is not a
+    knob); the shared contract test pins everything else."""
+    try:
+        from sentence_transformers import SentenceTransformer
+    except ImportError as e:
+        raise NotImplementedError(
+            "no embedding backend in this environment "
+            "(sentence-transformers missing); install it or register an "
+            "encoder in ENCODERS"
+        ) from e
+    import os
+
+    model = SentenceTransformer(
+        os.environ.get("KP_EMBED_MODEL", "all-MiniLM-L6-v2")
+    )
+
+    def encode(texts: pd.Series) -> pd.Series:
+        idx = [i for i, t in enumerate(texts) if t is not None]
+        out: list = [None] * len(texts)
+        if idx:
+            em = model.encode(
+                [str(texts.iloc[i]) for i in idx],
+                normalize_embeddings=True,
+            )
+            for i, v in zip(idx, em):
+                out[i] = [float(x) for x in v]
+        return pd.Series(out, index=texts.index)
+
+    return encode
+
+
+ENCODERS: dict[str, Callable[[int], Callable[[pd.Series], pd.Series]]] = {
+    "hash": _hash_encoder,
+    "real": _real_encoder,
+}
+
+
+def text_embedding(
+    text_col: str, encoder: str = "hash", dim: int = EMBED_DIM
+) -> Column:
+    """Iterator-of-series Pandas UDF embedding column: per-worker
+    encoder init (one model load per Python worker, the llm_generate
+    pattern), Arrow-batched transfer. Expects NORMALIZED text."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    loader = ENCODERS[encoder]
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        encode_fn = loader(dim)  # once per worker process
+        for batch in batches:
+            yield encode_fn(batch)
+
+    return encode(F.col("__embed_norm"))
+
+
+def encode_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    encoder: str = "hash",
+    dim: int = EMBED_DIM,
+    out: str = "embedding",
+) -> DataFrame:
+    """EMBED AT SCALE: derive a unit-norm vector column from a text
+    column — normalization JVM-side (``normalize_ws``, the shared
+    parity-critical twin), encoding in one Arrow pass, rows whose text
+    is empty/whitespace (or whose signed counts cancel to a zero
+    vector) dropped on BOTH engines. Scale shape: embarrassingly
+    parallel, one pass, no shuffle; ``ensure_parallelism`` guards the
+    single-file-scan trap like every per-row-heavy operator."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        ensure_parallelism,
+    )
+    from kp_data_pipelines_spark.operators.textops import normalize_ws
+
+    return (
+        ensure_parallelism(df)
+        .withColumn("__embed_norm", normalize_ws(text_col))
+        .filter(F.length("__embed_norm") > 0)
+        .withColumn(out, text_embedding(text_col, encoder, dim))
+        .drop("__embed_norm")
+        .filter(F.col(out).isNotNull())
+    )

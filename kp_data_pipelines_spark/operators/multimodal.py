@@ -535,9 +535,11 @@ def constellation_landmarks(
 
 
 def dense_peaks_kernel(r: int = DENSE_PEAK_RADIUS):
-    """Arrow-batched numpy peak finder: text -> (pos[], val[]) arrays of
-    the radius-``r`` local maxima (1-based positions, Unicode code
-    points). Pure integer comparisons — pinned bit-identical to the
+    """Arrow-batched numpy peak finder: text -> (pos[], val[], ctx[])
+    struct of the radius-``r`` local maxima (1-based positions, Unicode
+    code points, and the 10-bit content-defined context hash that
+    entropy-widens the landmark key space — the q317 starvation fix).
+    Pure integer comparisons — pinned bit-identical to the
     interpreted JVM expression twin (``dense_peaks_expr``) and the
     DuckDB window-max twin by test_dense_peaks_kernel_matches_expr."""
     import numpy as np

@@ -798,8 +798,9 @@ def hamming_pairs(
     Split the 64-bit fingerprint into ``max_hamming + agree_blocks``
     blocks: two fingerprints within Hamming distance d must agree
     exactly on at least ``agree_blocks`` of them (d differing bits can
-    spoil at most d blocks; bits left uncovered when 64 isn't divisible
-    only ADD candidates, never lose pairs), so candidates = equi-join on
+    spoil at most d blocks; when 64 isn't evenly divisible the leftover
+    high bits FOLD into the last block, so the blocks partition all 64
+    bits — no bit is uncovered), so candidates = equi-join on
     each ``agree_blocks``-sized block COMBINATION key and verification =
     bit_count(xor) <= d. Combination keys are ``xxhash64(combo_id,
     block values...)`` — a hash collision can only add a candidate the

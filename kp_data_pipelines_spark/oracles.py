@@ -4152,6 +4152,148 @@ def bpe_batched_trainer_sql(
     )
 
 
+def bpe_adaptive_trainer_sql(
+    rounds: int | None = None,
+    topk: int | None = None,
+    alpha_den: int | None = None,
+    w: int | None = None,
+) -> str:
+    """Twin of q321: the ADAPTIVE batched BPE trainer
+    (``bpe.train_bpe_adaptive``) — q315's CTE chain with three changes:
+
+    - units are W-word CHUNKS (space is an ordinary symbol): per doc,
+      ``string_split`` the normalized text, slice consecutive ``w``-word
+      groups, re-join with single spaces — byte-identical to the Spark
+      ``slice``/``array_join`` projection;
+    - selection replays ``select_merge_batch_adaptive``: the recursive
+      walk carries the round's max count and takes a disjoint pair iff
+      ``alpha_den * cnt >= mx`` (exact BIGINT guard on both engines) —
+      no fixed batch cap;
+    - the fold probes per-round MAPs (``mb[acc[-1]][1]``, missing key
+      -> empty list -> NULL -> no merge) instead of ``list_position``
+      over the selection arrays: adaptive batches run ~35 pairs where
+      q315's cap is 12, and a map probe keeps the per-element fold cost
+      flat instead of linear in batch size.
+
+    Defaults come from ``operators.bpe`` so the engines cannot drift."""
+    from kp_data_pipelines_spark.operators.bpe import (
+        BPE_ADAPTIVE_ALPHA_DEN,
+        BPE_ADAPTIVE_ROUNDS,
+        BPE_ADAPTIVE_TOPK,
+        BPE_CHUNK_WORDS,
+    )
+
+    rounds = BPE_ADAPTIVE_ROUNDS if rounds is None else rounds
+    topk = BPE_ADAPTIVE_TOPK if topk is None else topk
+    alpha_den = BPE_ADAPTIVE_ALPHA_DEN if alpha_den is None else alpha_den
+    w = BPE_CHUNK_WORDS if w is None else w
+    parts = [
+        f"""c0 AS MATERIALIZED (
+      SELECT chunk, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(list_transform(
+                     range(0, CAST(ceil(len(parts) / {w}.0) AS INT)),
+                     g -> array_to_string(
+                       parts[g * {w} + 1 : g * {w} + {w}], ' '))) AS chunk
+            FROM (SELECT string_split(norm, ' ') AS parts
+                  FROM (SELECT {_NORM_SQL} AS norm FROM documents)
+                  WHERE length(norm) > 0))
+      WHERE chunk <> '' GROUP BY chunk
+    ),
+    tw AS (SELECT CAST(SUM(freq) AS BIGINT) AS n FROM c0),
+    s0 AS MATERIALIZED (
+      SELECT freq,
+             list_transform(range(1, length(chunk) + 1),
+                            i -> substr(chunk, i, 1)) AS syms
+      FROM c0
+    ),
+    tot0 AS (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) AS cs FROM s0)"""
+    ]
+    sels = [
+        "SELECT CAST(0 AS BIGINT) AS round, CAST(0 AS BIGINT) AS batch_rank, "
+        "'' AS merge_a, '' AS merge_b, CAST(0 AS BIGINT) AS pair_count, "
+        "tot0.cs AS corpus_symbols, "
+        "CAST(tot0.cs AS DOUBLE) / CAST(tw.n AS DOUBLE) AS fertility "
+        "FROM tot0 CROSS JOIN tw"
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ok = (
+            f"{alpha_den} * r.cnt >= g{r}.mx "
+            f"AND list_position(g{r}.used, r.a) = 0 "
+            f"AND list_position(g{r}.used, r.b) = 0"
+        )
+        parts.append(
+            f"""rk{r} AS MATERIALIZED (
+      SELECT a, b, cnt, row_number() OVER (ORDER BY cnt DESC, a, b) AS rn
+      FROM (SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM (SELECT freq,
+                         unnest(list_transform(range(1, len(syms)),
+                           i -> struct_pack(a := syms[i],
+                                            b := syms[i + 1]))) AS pr
+                  FROM s{p} WHERE len(syms) >= 2)
+            GROUP BY pr.a, pr.b)
+      QUALIFY rn <= {topk}
+    ),
+    g{r} AS (
+      SELECT 0 AS rn, CAST([] AS VARCHAR[]) AS used,
+             CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b,
+             CAST(NULL AS BIGINT) AS cnt,
+             (SELECT cnt FROM rk{r} WHERE rn = 1) AS mx
+      UNION ALL
+      SELECT r.rn,
+             CASE WHEN {ok} THEN g{r}.used || [r.a, r.b] ELSE g{r}.used END,
+             CASE WHEN {ok} THEN r.a END,
+             CASE WHEN {ok} THEN r.b END,
+             CASE WHEN {ok} THEN r.cnt END,
+             g{r}.mx
+      FROM g{r} JOIN rk{r} r ON r.rn = g{r}.rn + 1
+    ),
+    sel{r} AS MATERIALIZED (
+      SELECT a, b, cnt, row_number() OVER (ORDER BY rn) AS batch_rank
+      FROM g{r} WHERE a IS NOT NULL
+    ),
+    ar{r} AS (
+      SELECT map(coalesce(list(a ORDER BY batch_rank),
+                          CAST([] AS VARCHAR[])),
+                 coalesce(list(b ORDER BY batch_rank),
+                          CAST([] AS VARCHAR[]))) AS mb,
+             map(coalesce(list(a ORDER BY batch_rank),
+                          CAST([] AS VARCHAR[])),
+                 coalesce(list(a || b ORDER BY batch_rank),
+                          CAST([] AS VARCHAR[]))) AS mm,
+             COUNT(*) AS nb
+      FROM sel{r}
+    ),
+    s{r} AS MATERIALIZED (
+      SELECT freq,
+             CASE WHEN nb = 0 THEN syms ELSE list_reduce(
+               list_prepend(CAST([] AS VARCHAR[]),
+                            list_transform(syms, x -> [x])),
+               (acc, xl) -> CASE WHEN len(acc) > 0
+                                  AND mb[acc[-1]][1] = xl[1]
+                            THEN acc[1:len(acc) - 1] || mm[acc[-1]]
+                            ELSE acc || xl END) END AS syms
+      FROM s{p} CROSS JOIN ar{r}
+    ),
+    tot{r} AS (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) AS cs
+               FROM s{r})"""
+        )
+        sels.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, "
+            f"CAST(s.batch_rank AS BIGINT) AS batch_rank, s.a AS merge_a, "
+            f"s.b AS merge_b, s.cnt AS pair_count, t.cs AS corpus_symbols, "
+            f"CAST(t.cs AS DOUBLE) / CAST(tw.n AS DOUBLE) AS fertility "
+            f"FROM sel{r} s CROSS JOIN tot{r} t CROSS JOIN tw"
+        )
+    ctes = ",\n    ".join(parts)
+    union = " UNION ALL ".join(sels)
+    return (
+        "\n    WITH RECURSIVE "
+        + ctes
+        + f"\n    SELECT * FROM ({union}) u ORDER BY round, batch_rank\n    "
+    )
+
+
 def bpe_tokenize_batched_sql(
     rounds: int | None = None,
     batch_cap: int | None = None,

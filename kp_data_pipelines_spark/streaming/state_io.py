@@ -28,6 +28,8 @@ def path_exists(spark: SparkSession, path: str) -> bool:
 
 
 _TMP_SUFFIX = ".__tmp__"
+# a temp marker older than this is an orphan from a crashed write
+_TMP_STALE_MS = 10 * 60 * 1000
 
 
 def write_marker(spark: SparkSession, path: str, text: str) -> None:
@@ -38,40 +40,61 @@ def write_marker(spark: SparkSession, path: str, text: str) -> None:
     cadence (it quadrupled q310's bench time before this existed).
     The temp+rename keeps a driver crash mid-write from leaving a
     truncated marker that bricks every later restart; readers skip
-    temp files."""
+    temp files.
+
+    The rename goes through ``FileContext.rename(..., OVERWRITE)`` so
+    an existing marker is replaced in ONE metadata op — the earlier
+    delete-then-rename pattern had a crash window between the delete
+    and the rename in which an already-persisted watermark silently
+    vanished (a missing marker is indistinguishable from never-written,
+    so the order guard would weaken with no error; round-9 ADVICE)."""
     import uuid as _uuid
 
     jvm = spark.sparkContext._jvm
+    gw = spark.sparkContext._gateway
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     tmp = jvm.org.apache.hadoop.fs.Path(
         f"{path}{_TMP_SUFFIX}{_uuid.uuid4().hex[:8]}"
     )
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs = hpath.getFileSystem(conf)
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
-    if fs.exists(hpath):
-        fs.delete(hpath, False)
-    if not fs.rename(tmp, hpath):
-        raise IOError(f"marker rename failed: {tmp} -> {hpath}")
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(hpath.toUri(), conf)
+    opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+    opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    fc.rename(tmp, hpath, opts)
 
 
 def read_markers(spark: SparkSession, dir_path: str) -> dict[str, str]:
     """Read every marker file in a directory (driver-side, no Spark
     job): {file name -> content}. Missing dir = first run ({});
     in-flight temp files (crashed mid-write) are skipped — the rename
-    in ``write_marker`` makes a visible marker always complete."""
+    in ``write_marker`` makes a visible marker always complete. Temp
+    files older than ``_TMP_STALE_MS`` are orphans from a crashed
+    write (a live write renames within milliseconds) and are deleted
+    opportunistically here so they don't accumulate forever."""
+    import time as _time
+
     jvm = spark.sparkContext._jvm
     hdir = jvm.org.apache.hadoop.fs.Path(dir_path)
     fs = hdir.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     if not fs.exists(hdir):
         return {}
+    now_ms = int(_time.time() * 1000)
     out: dict[str, str] = {}
     for status in fs.listStatus(hdir):
         p = status.getPath()
         if not status.isFile() or _TMP_SUFFIX in p.getName():
+            if (
+                status.isFile()
+                and _TMP_SUFFIX in p.getName()
+                and now_ms - status.getModificationTime() > _TMP_STALE_MS
+            ):
+                fs.delete(p, False)
             continue
         stream = fs.open(p)
         try:

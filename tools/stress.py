@@ -256,9 +256,14 @@ def main() -> int:
         ).alias("syms")
     ).localCheckpoint(eager=True)
     n_vocab = vocab.count()
-    merges = [("t", "h"), ("e", "r"), ("a", "n"), ("s", "o"), ("l", "i"),
-              ("c", "u"), ("d", "a"), ("m", "e"), ("b", "a"), ("f", "i"),
-              ("g", "r"), ("w", "n")]
+    # pairwise-DISJOINT 12-pair batch (24 distinct letters): the
+    # trainer's greedy disjoint selection only ever emits batches where
+    # no symbol repeats, and bpe_apply_merges_kernel's contract assumes
+    # it — a repeating-symbol list would probe fold states production
+    # never produces (round-9 ADVICE)
+    merges = [("a", "b"), ("c", "d"), ("e", "f"), ("g", "h"), ("i", "j"),
+              ("k", "l"), ("m", "n"), ("o", "p"), ("q", "r"), ("s", "t"),
+              ("u", "v"), ("w", "x")]
     t = time.time()
     n_syms = (
         vocab.select(
