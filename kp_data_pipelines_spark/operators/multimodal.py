@@ -85,7 +85,91 @@ def _real_decode(content: bytes, kind: str) -> str:
     )
 
 
-DECODERS = {"fake": _fake_decode, "real": _real_decode}
+def _stdlib_decode(content: bytes, kind: str) -> str:
+    """REAL codecs with zero external deps (executed in-sandbox, not
+    env-gated): images via the pure-stdlib PNG decoder
+    (``codecs.png_decode_gray`` — zlib inflate + the full five-filter
+    scanline pipeline of the public spec), audio via the stdlib
+    ``wave`` RIFF/WAVE parser. The feature token carries the DECODED
+    samples' digest, so byte-different re-encodes of the same content
+    (a PNG re-filtered, a WAV re-containered) collapse to ONE decoded
+    identity — the decode-layer dedup story q323 certifies against its
+    oracle. Video has no stdlib codec: registry-pluggable
+    (``_ffmpeg_probe_decode``)."""
+    import hashlib
+
+    from kp_data_pipelines_spark.operators.codecs import (
+        png_decode_gray,
+        wav_decode,
+    )
+
+    if kind == "image":
+        w, h, pix = png_decode_gray(content)
+        return f"image:{w}x{h}:gray:{hashlib.sha256(pix).hexdigest()[:16]}"
+    if kind == "audio":
+        ch, rate, nf, pcm = wav_decode(content)
+        return (
+            f"audio:{ch}x{rate}x{nf}:"
+            f"{hashlib.sha256(pcm).hexdigest()[:16]}"
+        )
+    raise NotImplementedError(
+        f"no stdlib {kind} codec; register one in DECODERS "
+        "(e.g. 'ffmpeg' for video)"
+    )
+
+
+def _ffmpeg_probe_decode(content: bytes, kind: str) -> str:
+    """ffprobe-backed audio/video decode example (the registry's
+    external-binary slot): writes the payload to a temp file, probes
+    the first stream's codec/dimensions/duration, returns the same
+    ``kind:...`` token contract. Raises NotImplementedError when the
+    ffprobe binary is absent (this sandbox); the env-gated test
+    exercises it where media tooling exists."""
+    import json
+    import shutil
+    import subprocess
+    import tempfile
+
+    if shutil.which("ffprobe") is None:
+        raise NotImplementedError(
+            "ffprobe not installed; install ffmpeg or use another "
+            "DECODERS entry"
+        )
+    with tempfile.NamedTemporaryFile(suffix=f".{kind}") as f:
+        f.write(content or b"")
+        f.flush()
+        out = subprocess.run(
+            [
+                "ffprobe", "-v", "error", "-show_streams",
+                "-show_format", "-of", "json", f.name,
+            ],
+            capture_output=True,
+            check=True,
+        )
+    info = json.loads(out.stdout)
+    s = (info.get("streams") or [{}])[0]
+    return (
+        f"{kind}:{s.get('codec_name', '?')}:"
+        f"{s.get('width', -1)}x{s.get('height', -1)}:"
+        f"{info.get('format', {}).get('duration', '?')}"
+    )
+
+
+# Decode registry — which kinds are REAL per entry:
+#   fake    deterministic digest token, every kind (the oracle-replay
+#           default for plumbing tests)
+#   stdlib  REAL image (pure-stdlib PNG: grayscale-8 profile) and REAL
+#           audio (RIFF/WAVE via `wave`); video raises — executed
+#           in-sandbox, no deps (q323)
+#   real    REAL image via PIL (any format PIL reads), env-gated;
+#           audio/video raise — plug ffmpeg below
+#   ffmpeg  audio/video via the ffprobe binary, env-gated
+DECODERS = {
+    "fake": _fake_decode,
+    "real": _real_decode,
+    "stdlib": _stdlib_decode,
+    "ffmpeg": _ffmpeg_probe_decode,
+}
 
 
 def extract_media_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
@@ -413,7 +497,11 @@ def decoded_media_dhash(df: DataFrame, decoder: str = "fake") -> DataFrame:
     to re-encodes), while this path fingerprints what the decoder SAW —
     with a real decoder in ``DECODERS`` the feature token becomes the
     pixel/spectral array and the same two stages catch re-encoded
-    duplicates. Returns (media_id, kind, content_sha, phash); feeds
+    duplicates — EXECUTED with the stdlib PNG/WAV codecs in q323
+    (byte-different re-encodes of the same pixels collapse to one
+    ``feature``), and with PIL via the env-gated
+    test_real_image_decode_through_dhash_seam. Returns (media_id,
+    kind, content_sha, feature, phash); feeds
     ``similarity.hamming_pairs`` unchanged
     (test_decode_to_hamming_seam pins the end-to-end path on the fake
     decoder)."""
@@ -422,7 +510,70 @@ def decoded_media_dhash(df: DataFrame, decoder: str = "fake") -> DataFrame:
         feats.withColumn("__fb", F.encode("feature", "UTF-8")),
         "__fb",
         "phash",
-    ).select("media_id", "kind", "content_sha", "phash")
+    ).select("media_id", "kind", "content_sha", "feature", "phash")
+
+
+# q323's PNG round-trip parameters — imported by the oracle twin so the
+# engines cannot drift. Filters (0, 4): None and Paeth, the simplest and
+# the most involved scanline filter, so the EXECUTED decode path
+# exercises the full unfilter pipeline, not just the trivial case.
+PNG_ROUNDTRIP_WIDTH = 32
+PNG_ROUNDTRIP_FILTERS = (0, 4)
+
+
+def png_roundtrip_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    width: int = PNG_ROUNDTRIP_WIDTH,
+    filters: tuple[int, ...] = PNG_ROUNDTRIP_FILTERS,
+) -> DataFrame:
+    """Emit ``len(filters)`` REAL PNG containers per document — the
+    text's UTF-8 bytes as an 8-bit grayscale pixel stream (width-column
+    rows, space-padded to fill the last row), each encoded with a
+    different scanline filter (``codecs.png_encode_gray``). The
+    variants are byte-DIFFERENT containers of IDENTICAL pixels: the
+    re-encoded-duplicate shape a decoded-layer dedup must collapse and
+    a raw-layer dedup cannot. Arrow mapInPandas, one pass; media_id =
+    id * len(filters) + variant. ASCII-text contract (the q313 fixture
+    guarantee): byte length == char length, so the DuckDB twin can
+    rebuild the pixel stream as a VARCHAR."""
+    from kp_data_pipelines_spark.operators.codecs import png_encode_gray
+    from kp_data_pipelines_spark.operators.similarity import (
+        ensure_parallelism,
+    )
+
+    nv = len(filters)
+    src = ensure_parallelism(
+        df.select(id_col, source_col, text_col).filter(
+            F.length(text_col) > 0
+        )
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                "media_id": [], "source": [], "kind": [], "content": [],
+            }
+            for did, source, txt in zip(
+                pdf[id_col], pdf[source_col], pdf[text_col]
+            ):
+                b = txt.encode("utf-8")
+                h = (len(b) + width - 1) // width
+                pix = b + b" " * (width * h - len(b))
+                for v, ft in enumerate(filters):
+                    rows["media_id"].append(int(did) * nv + v)
+                    rows["source"].append(source)
+                    rows["kind"].append("image")
+                    rows["content"].append(
+                        png_encode_gray(pix, width, h, ft)
+                    )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        gen, "media_id long, source string, kind string, content binary"
+    )
 
 
 def constellation_landmarks(

@@ -4152,6 +4152,99 @@ def bpe_batched_trainer_sql(
     )
 
 
+def hash_embed_ctes(dim: int) -> str:
+    """CTE chain deriving the hash-projection document embeddings
+    (``inference.encode_documents(encoder="hash")``) bit-for-bit:
+    per-DISTINCT-word base-31 Horner hash mod Mersenne-31 (the
+    ``_tok_hashes`` scheme), feature-hashed (bucket = h % dim, sign
+    from (h // dim) % 2), signed counts summed as INTEGERS per (doc,
+    bucket), densified through a map probe, then L2-normalized — the
+    only float ops are sqrt(int) and x/norm, the same correctly-rounded
+    IEEE ops the Arrow kernel runs. Zero-norm (empty or sign-cancelled)
+    docs drop on both engines. Ends with ``ev(doc_id, v)``. The oracle
+    works at VOCABULARY cost (hash distinct words, join back); the
+    Spark kernel is per-document because a real encoder is — identical
+    values either way."""
+    return f"""tok AS (
+      SELECT doc_id, unnest(string_split(norm, ' ')) AS word
+      FROM (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
+      WHERE length(norm) > 0
+    ),
+    wv AS (
+      SELECT word, h % {dim} AS b,
+             CASE WHEN (h // {dim}) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      FROM (SELECT word, list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, length(word) + 1),
+                       i -> CAST(ord(substr(word, i, 1)) AS BIGINT))),
+                     (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+            FROM (SELECT DISTINCT word FROM tok))
+    ),
+    bsum AS (
+      SELECT t.doc_id, w.b, CAST(SUM(w.sgn) AS BIGINT) AS s
+      FROM tok t JOIN wv w USING (word) GROUP BY t.doc_id, w.b
+    ),
+    dmap AS (
+      SELECT doc_id, map(list(b ORDER BY b), list(s ORDER BY b)) AS mp
+      FROM bsum GROUP BY doc_id
+    ),
+    ivec AS (
+      SELECT doc_id,
+             list_transform(range(0, {dim}),
+                            b -> coalesce(mp[b][1], CAST(0 AS BIGINT)))
+               AS iv
+      FROM dmap
+    ),
+    ev AS (
+      SELECT doc_id,
+             list_transform(iv, x -> CAST(x AS DOUBLE) / sqrt(ss)) AS v
+      FROM (SELECT doc_id, iv,
+                   CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          list_transform(iv, x -> x * x)),
+                          (a, x) -> a + x) AS DOUBLE) AS ss
+            FROM ivec)
+      WHERE ss > 0
+    )"""
+
+
+def hash_embed_ann_sql(
+    dim: int | None = None,
+    n_planes: int = 6,
+    kk: int = 10,
+    seed: int = 7,
+) -> str:
+    """Twin of q322: embed-at-scale (``hash_embed_ctes``) feeding q40's
+    hyperplane-LSH bucket + exact-cosine-top-k consumer. The anchor is
+    the smallest surviving doc_id; every dot is the sequential
+    ``_dot`` fold so bucket bits and cosines are bit-identical to the
+    Spark plan's ``F.aggregate`` / Python-driver query-norm fold."""
+    from kp_data_pipelines_spark.operators.inference import EMBED_DIM
+
+    dim = EMBED_DIM if dim is None else dim
+    planes = simhash_planes(dim, n_planes, seed)
+    return f"""
+    WITH {hash_embed_ctes(dim)},
+    anchor AS (SELECT min(doc_id) AS qid FROM ev),
+    q AS (SELECT v AS qv FROM ev CROSS JOIN anchor WHERE doc_id = qid),
+    cand AS (
+      SELECT doc_id, v FROM ev CROSS JOIN anchor WHERE doc_id <> qid
+    ),
+    bc AS (
+      SELECT doc_id, v, {_bucket_expr("v", planes)} AS bucket FROM cand
+    ),
+    bq AS (SELECT qv, {_bucket_expr("qv", planes)} AS bucket FROM q)
+    SELECT doc_id, cos
+    FROM (
+      SELECT bc.doc_id,
+             {_dot("bc.v", "bq.qv")}
+               / (sqrt({_dot("bc.v", "bc.v")}) * sqrt({_dot("bq.qv", "bq.qv")}))
+               AS cos
+      FROM bc JOIN bq ON bc.bucket = bq.bucket
+    )
+    ORDER BY cos DESC, doc_id
+    LIMIT {kk}
+    """
+
+
 def bpe_adaptive_trainer_sql(
     rounds: int | None = None,
     topk: int | None = None,
@@ -4565,6 +4658,60 @@ def decoded_media_dedup_sql() -> str:
     FROM mh JOIN mfp USING (media_id)
     GROUP BY mh.source, mh.kind
     ORDER BY mh.source, mh.kind
+    """
+
+
+def decoded_roundtrip_dedup_sql() -> str:
+    """Twin of q323: the REAL-codec round trip. The Spark side encodes
+    each document's padded text bytes as TWO byte-different PNG
+    containers (filters 0 and 4), decodes them with the pure-stdlib PNG
+    parser, and ledgers identities at both layers. The oracle cannot
+    run a codec — it doesn't have to: the decoder is REAL and LOSSLESS,
+    so the decoded feature token is a pure function of the SOURCE
+    pixels (``image:{w}x{h}:gray:sha256(pixels)[:16]``), which SQL
+    rebuilds from the text (ASCII contract: byte length == char
+    length; sha256(VARCHAR) hashes UTF-8 bytes — same bytes the kernel
+    hashes). Raw-layer identities replay as 2 x distinct pixel streams
+    (deterministic injective encoder; a lossy or nondeterministic codec
+    would break BOTH counts and fail parity — that is the
+    certification). phash replays through the q320 hex-fold chain over
+    the token bytes. Constants import from ``operators.multimodal``."""
+    from kp_data_pipelines_spark.operators.multimodal import (
+        PNG_ROUNDTRIP_FILTERS,
+        PNG_ROUNDTRIP_WIDTH,
+    )
+
+    w = PNG_ROUNDTRIP_WIDTH
+    nv = len(PNG_ROUNDTRIP_FILTERS)
+    return f"""
+    WITH px AS (
+      SELECT doc_id, source,
+             text || repeat(' ',
+               CAST(ceil(length(text) / {w}.0) AS INT) * {w}
+                 - length(text)) AS pix,
+             CAST(ceil(length(text) / {w}.0) AS INT) AS h
+      FROM documents WHERE length(text) > 0
+    ),
+    tok AS (
+      SELECT doc_id, source,
+             'image:{w}x' || h || ':gray:'
+               || substr(sha256(pix), 1, 16) AS feature,
+             substr(sha256(pix), 1, 32) AS pixkey
+      FROM px
+    ),
+    m AS (
+      SELECT doc_id, source, feature, hex(encode(feature)) AS hx
+      FROM tok
+    ),
+    {_phash_chain("doc_id", "m")}
+    SELECT m.source,
+           CAST({nv} * COUNT(*) AS BIGINT) AS n_payloads,
+           CAST({nv} * COUNT(DISTINCT t.pixkey) AS BIGINT) AS n_raw,
+           CAST(COUNT(DISTINCT m.feature) AS BIGINT) AS n_decoded,
+           CAST(COUNT(DISTINCT mfp.phash) AS BIGINT) AS n_fps
+    FROM m JOIN mfp USING (doc_id) JOIN tok t USING (doc_id)
+    GROUP BY m.source
+    ORDER BY m.source
     """
 
 

@@ -179,6 +179,130 @@ def run_available_now_foreach_batch(
     )
 
 
+def rate_mapped_doc_stream(
+    spark: SparkSession,
+    docs: DataFrame,
+    rows_per_batch: int,
+    num_partitions: int = 2,
+) -> DataFrame:
+    """THE UNBOUNDED-SOURCE ADAPTER SEAM (round-9 verdict #4): feed the
+    growing-store operators from a source that never terminates and
+    whose listing order the builder does not control — here Spark's
+    ``rate-micro-batch`` source, the built-in stand-in for any
+    offset-carrying unbounded source (Kafka partitions expose
+    monotonically increasing offsets the same way rate exposes
+    ``value``).
+
+    The adapter maps the source's monotone sequence onto document rows
+    with a stream-static equi-join (``value == seq``, seq = dense
+    ascending rank of doc_id on the static side). Because rate values
+    are contiguous and ascending ACROSS micro-batches, the mapped
+    stream satisfies the ascending-doc_id order contract
+    STRUCTURALLY — the property a file stream only gets from well-
+    behaved mtimes, which is exactly what ``AscendingIdGuard`` exists
+    to police. Values past the static table's end join to nothing
+    (empty tail batches; the bounded runner stops on them).
+
+    The global row_number on the STATIC side is test-harness plumbing
+    (the static table is the fixture corpus); a production Kafka
+    adapter carries its id in the record and needs no rank."""
+    from pyspark.sql import Window
+
+    static = docs.select(
+        (F.row_number().over(Window.orderBy("doc_id")) - 1)
+        .cast("long")
+        .alias("seq"),
+        "doc_id",
+        "source",
+        "text",
+    )
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("numPartitions", num_partitions)
+        .load()
+    )
+    return stream.join(
+        static, stream["value"] == static["seq"]
+    ).select("doc_id", "source", "text")
+
+
+def run_bounded_foreach_batch(
+    stream_df: DataFrame,
+    batch_fn,
+    result_schema,
+    total_rows: int,
+    checkpoint_dir: str | None = None,
+    with_batch_id: bool = False,
+    idle_batches: int = 3,
+    timeout_sec: float = 300.0,
+) -> DataFrame:
+    """``run_available_now_foreach_batch`` for sources that NEVER
+    terminate (rate, Kafka): process micro-batches under the default
+    trigger until ``total_rows`` mapped rows have been ingested (or
+    ``idle_batches`` consecutive empty batches arrive — the mapped
+    stream has outrun its static table), then stop the query and
+    return the concatenated per-batch results. The stop is driver-side
+    observation of a counter the foreachBatch handler advances — no
+    sentinel rows in the data path, so ``batch_fn`` sees exactly what
+    an AvailableNow run would."""
+    import shutil
+    import threading
+    import time as _time
+
+    own_ckpt = checkpoint_dir is None
+    if own_ckpt:
+        checkpoint_dir = _ephemeral_dir("kp_stream_ckpt_")
+    out_dir = _ephemeral_dir("kp_stream_out_")
+    state = {"rows": 0, "idle": 0}
+    done = threading.Event()
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if done.is_set():
+            return  # drained past the stop condition; don't re-ingest
+        n = batch_df.count()
+        out = (
+            batch_fn(batch_df, batch_id) if with_batch_id
+            else batch_fn(batch_df)
+        )
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        state["rows"] += n
+        state["idle"] = state["idle"] + 1 if n == 0 else 0
+        if state["rows"] >= total_rows or state["idle"] >= idle_batches:
+            done.set()
+
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    deadline = _time.time() + timeout_sec
+    while not done.is_set() and _time.time() < deadline:
+        if q.exception() is not None:
+            break
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    if q.exception() is not None:
+        raise q.exception()
+    if not done.is_set():
+        raise TimeoutError(
+            f"bounded stream did not reach {total_rows} rows within "
+            f"{timeout_sec}s (got {state['rows']})"
+        )
+    if own_ckpt:
+        shutil.rmtree(checkpoint_dir, ignore_errors=True)
+    spark = stream_df.sparkSession
+    cols = spark.createDataFrame([], result_schema).columns
+    return (
+        spark.read.schema(result_schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .select(*cols)
+    )
+
+
 def ingest_snapshot_folder(
     spark: SparkSession,
     source_dir: str,

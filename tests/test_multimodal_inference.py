@@ -157,6 +157,250 @@ def test_real_model_contract_and_pipeline(spark):
     assert all(r["raw_output"] for r in out)
 
 
+def _assert_encoder_contract(encode):
+    """The fake/real embedding seam: any ENCODERS loader must return a
+    callable satisfying pd.Series[str|None] -> pd.Series[list|None]:
+    same length, None stays None, every non-null output a unit-norm
+    float list of one consistent width, deterministic."""
+    import math
+
+    import pandas as pd
+
+    texts = pd.Series(["hello world hello", None, "a b c d e f g"])
+    out = encode(texts)
+    assert isinstance(out, pd.Series) and len(out) == len(texts)
+    assert out[1] is None
+    vecs = [out[0], out[2]]
+    dims = {len(v) for v in vecs}
+    assert len(dims) == 1
+    for v in vecs:
+        assert all(isinstance(x, float) for x in v)
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
+    again = encode(texts)
+    assert [again[0], again[2]] == vecs
+
+
+def test_hash_encoder_contract():
+    from kp_data_pipelines_spark.operators.inference import ENCODERS
+
+    _assert_encoder_contract(ENCODERS["hash"]())
+
+
+def test_real_encoder_is_explicit_stub():
+    """Without sentence-transformers the real encoder must raise
+    NotImplementedError with an actionable message, not fail weirdly."""
+    if _has("sentence_transformers"):
+        pytest.skip("sentence-transformers installed; stub not active")
+    from kp_data_pipelines_spark.operators.inference import ENCODERS
+
+    with pytest.raises(NotImplementedError, match="sentence-transformers"):
+        ENCODERS["real"]()
+
+
+@pytest.mark.skipif(
+    not _has("sentence_transformers"),
+    reason="sentence-transformers not installed (sandbox default)",
+)
+def test_real_encoder_contract_and_pipeline(spark):
+    """Env-gated: when sentence-transformers exists, the 'real' encoder
+    must satisfy the same contract as the hash fallback AND run
+    end-to-end through encode_documents."""
+    from kp_data_pipelines_spark.operators.inference import (
+        ENCODERS,
+        encode_documents,
+    )
+
+    _assert_encoder_contract(ENCODERS["real"]())
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "jumps over")], ["doc_id", "text"]
+    )
+    rows = encode_documents(df, "text", encoder="real").collect()
+    assert len(rows) == 2 and all(r["embedding"] for r in rows)
+
+
+def test_encode_documents_drops_empty_and_normalizes(spark):
+    """encode_documents: whitespace-only text drops (both engines do),
+    surviving vectors are unit-norm, and normalization means leading/
+    trailing/case/multi-space variants of the same text embed
+    identically."""
+    import math
+
+    from kp_data_pipelines_spark.operators.inference import (
+        encode_documents,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello   World"),
+            (2, "  hello world "),
+            (3, "   "),
+            (4, None),
+            (5, "completely different text here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["embedding"]
+        for r in encode_documents(df, "text").collect()
+    }
+    assert set(rows) == {1, 2, 5}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[5]
+    for v in rows.values():
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
+
+
+def test_png_codec_roundtrip_all_filters():
+    """The pure-stdlib PNG codec: every scanline filter type round-trips
+    real pixels exactly, different filters give byte-different
+    containers, and out-of-profile input fails loudly."""
+    from kp_data_pipelines_spark.operators.codecs import (
+        png_decode_gray,
+        png_encode_gray,
+    )
+
+    pix = bytes((x * 7 + 13) % 256 for x in range(32 * 5))
+    containers = []
+    for ft in range(5):
+        data = png_encode_gray(pix, 32, 5, ft)
+        assert png_decode_gray(data) == (32, 5, pix), ft
+        containers.append(data)
+    assert len(set(containers)) == 5
+    with pytest.raises(ValueError, match="signature"):
+        png_decode_gray(b"not a png at all")
+    with pytest.raises(ValueError, match="pixels"):
+        png_encode_gray(pix, 32, 4, 0)
+
+
+def test_stdlib_wav_decode_through_dhash_seam(spark):
+    """A REAL audio container through decoded_media_dhash: the same
+    PCM byte stream re-containered (mono vs stereo framing) gives
+    byte-different WAVs whose decoded-sample digests match inside the
+    feature token. stdlib `wave` is a genuine RIFF/WAVE codec — this
+    runs in-sandbox, not env-gated."""
+    from kp_data_pipelines_spark.operators.codecs import wav_encode_pcm16
+    from kp_data_pipelines_spark.operators.multimodal import (
+        decoded_media_dhash,
+    )
+
+    pcm = bytes((x * 31) % 256 for x in range(2000))
+    wav_a = wav_encode_pcm16(pcm, 1, 8000)
+    # byte-different container of the SAME samples: stereo layout is a
+    # different frame count over identical PCM bytes
+    wav_b = wav_encode_pcm16(pcm, 2, 8000)
+    assert wav_a != wav_b
+    df = spark.createDataFrame(
+        [(1, "audio", wav_a), (2, "audio", wav_b)],
+        "media_id long, kind string, content binary",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in decoded_media_dhash(df, decoder="stdlib").collect()
+    }
+    # raw layer differs, decoded PCM digest matches inside the token
+    assert rows[1]["content_sha"] != rows[2]["content_sha"]
+    assert rows[1]["feature"].split(":")[-1] == rows[2]["feature"].split(":")[-1]
+    assert rows[1]["feature"].startswith("audio:1x8000x1000:")
+    assert rows[2]["feature"].startswith("audio:2x8000x500:")
+
+
+def test_png_reencode_collapses_at_decoded_layer(spark):
+    """The q323 invariant end-to-end on a controlled frame: filter-0 and
+    filter-4 containers of the same pixels are distinct raw identities
+    but ONE decoded identity and ONE fingerprint."""
+    from kp_data_pipelines_spark.operators.multimodal import (
+        decoded_media_dhash,
+        png_roundtrip_media,
+    )
+
+    df = spark.createDataFrame(
+        [(10, "web", "hello png world"), (11, "web", "hello png world"),
+         (12, "lib", "another text entirely")],
+        "doc_id long, source string, text string",
+    )
+    media = png_roundtrip_media(df)
+    assert media.count() == 6
+    fp = decoded_media_dhash(media, decoder="stdlib")
+    rows = fp.collect()
+    assert len(rows) == 6
+    # doc 10 and 11 share text -> same pixels -> containers collide
+    # ACROSS docs per filter; 2 raw identities for the pair, 1 decoded
+    web = [r for r in rows if r["media_id"] // 2 in (10, 11)]
+    assert len({r["content_sha"] for r in web}) == 2
+    assert len({r["feature"] for r in web}) == 1
+    assert len({r["phash"] for r in web}) == 1
+    lib = [r for r in rows if r["media_id"] // 2 == 12]
+    assert len({r["content_sha"] for r in lib}) == 2
+    assert len({r["feature"] for r in lib}) == 1
+
+
+def test_stdlib_video_and_ffmpeg_are_explicit_stubs():
+    """Video has no stdlib codec; the ffmpeg registry entry raises
+    actionably when the binary is absent."""
+    import shutil
+
+    from kp_data_pipelines_spark.operators.multimodal import DECODERS
+
+    with pytest.raises(NotImplementedError, match="stdlib"):
+        DECODERS["stdlib"](b"\x00\x00ftyp", "video")
+    if shutil.which("ffprobe") is None:
+        with pytest.raises(NotImplementedError, match="ffprobe"):
+            DECODERS["ffmpeg"](b"\x00\x00ftyp", "video")
+
+
+@pytest.mark.skipif(
+    __import__("shutil").which("ffprobe") is None,
+    reason="ffprobe not installed (sandbox default)",
+)
+def test_ffmpeg_probe_decoder(spark):
+    """Env-gated: where ffmpeg exists, the probe decoder returns the
+    kind:codec:WxH:duration token through the mapInPandas seam."""
+    from kp_data_pipelines_spark.operators.codecs import wav_encode_pcm16
+    from kp_data_pipelines_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    wav = wav_encode_pcm16(bytes(4000), 1, 8000)
+    df = spark.createDataFrame(
+        [(1, "audio", wav)], "media_id long, kind string, content binary"
+    )
+    rows = extract_media_features(df, decoder="ffmpeg").collect()
+    assert rows[0]["feature"].startswith("audio:pcm_s16le:")
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="PIL not installed (sandbox default)")
+def test_real_image_decode_through_dhash_seam(spark):
+    """Env-gated (round-9 verdict #3): REAL images through
+    decoded_media_dhash via PIL — two byte-different encodings of the
+    same pixels (PNG vs BMP) collapse to one decoded identity when the
+    PIL decoder's token carries the pixel digest... PIL's _real_decode
+    token is dimensions+mode, so here the pin is: both decode without
+    error and agree on the token for identical pixel content."""
+    import io
+
+    from PIL import Image
+
+    from kp_data_pipelines_spark.operators.multimodal import (
+        decoded_media_dhash,
+    )
+
+    img = Image.new("RGB", (5, 3))
+    a, b = io.BytesIO(), io.BytesIO()
+    img.save(a, format="PNG")
+    img.save(b, format="BMP")
+    df = spark.createDataFrame(
+        [(1, "image", a.getvalue()), (2, "image", b.getvalue())],
+        "media_id long, kind string, content binary",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in decoded_media_dhash(df, decoder="real").collect()
+    }
+    assert rows[1]["content_sha"] != rows[2]["content_sha"]
+    assert rows[1]["feature"] == rows[2]["feature"] == "image:5x3:RGB"
+    assert rows[1]["phash"] == rows[2]["phash"]
+
+
 @pytest.mark.skipif(not _HAS_PIL, reason="PIL not installed (sandbox default)")
 def test_real_image_decode(spark):
     """Env-gated real image decode: a genuine PNG round-trips through

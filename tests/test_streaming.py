@@ -822,6 +822,67 @@ def test_vocab_growth_stream_equals_batch_any_wave_order(spark, tmp_path):
     assert got == want
 
 
+def test_cdc_ingest_from_rate_source_equals_batch(spark, tmp_path):
+    """The growing-store CDC ingest fed from an UNBOUNDED source
+    (round-9 verdict #4): rate-micro-batch values map onto documents
+    via the stream-static adapter (``events.rate_mapped_doc_stream``),
+    micro-batches run under the default trigger with a bounded stop
+    (``events.run_bounded_foreach_batch``), and the resulting ledger
+    must equal the q288 DuckDB oracle over the same corpus — i.e.
+    stream == batch on a source whose listing order the builder never
+    controls and which never terminates. The order guard stays ON:
+    rate values ascend across batches, so the mapped doc_ids satisfy
+    the ascending contract structurally."""
+    import functools
+
+    import duckdb
+
+    from kp_data_pipelines_spark import oracles
+    from kp_data_pipelines_spark.streaming.cdc import cdc_ingest_stream
+    from kp_data_pipelines_spark.streaming.events import (
+        rate_mapped_doc_stream,
+        run_bounded_foreach_batch,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "source", "text")
+        .orderBy("doc_id")
+        .limit(40)
+        .localCheckpoint(eager=True)
+    )
+    n = docs.count()
+
+    staged = str(tmp_path / "corpus.parquet")
+    docs.coalesce(1).write.parquet(staged)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{staged}/*.parquet')"
+    )
+    want_df = con.sql(oracles.cdc_growing_ingest_sql()).df()
+    want = {
+        r.source: (
+            r.n_docs, r.n_chunks, r.new_chunks, r.dup_chunks,
+            r.new_chars, r.dup_chars, r.dup_char_share,
+        )
+        for r in want_df.itertuples()
+    }
+
+    stream = rate_mapped_doc_stream(spark, docs, rows_per_batch=16)
+    runner = functools.partial(run_bounded_foreach_batch, total_rows=n)
+    got = {
+        r["source"]: tuple(r)[1:]
+        for r in cdc_ingest_stream(
+            stream,
+            state_dir=str(tmp_path / "state"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            runner=runner,
+        ).collect()
+    }
+    assert got == want
+
+
 def test_cdc_ingest_partial_replay_is_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: re-running a trigger (crash between
     the store write and the checkpoint commit) must reproduce the SAME
