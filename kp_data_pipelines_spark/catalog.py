@@ -19958,6 +19958,132 @@ def q323_decoded_roundtrip_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q324_df_cap_recall_sweep", oracles.df_cap_recall_sweep_sql()
+)
+def q324_df_cap_recall_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """The landmark df-cap's RECALL/VOLUME tradeoff as a measured curve
+    — the round-9 verdict's #7 ask: MEDIA_DF_CAP_MAX=20 fixed q317's
+    starvation by widening the KEY instead of raising the cap, and this
+    sweep puts data behind that knob. For each cap in
+    MEDIA_DF_CAP_SWEEP (5/10/20/40): kept keys, probe-candidate pair
+    volume, probes retrieving anything, and exact-offset hits (q317's
+    probes and vote argmax). Reading it: hits saturate at the
+    production cap while cand_pairs keeps growing past it — recall you
+    already have, volume you pay for. Plan shape: the landmark table,
+    key-frequency table, and probe join are built ONCE at the widest
+    cap; the per-cap fan is an explode over a FILTERED LITERAL ARRAY
+    (``filter(array(5,10,20,40), c -> nm <= c)``) — never an
+    inequality join, so no BNLJ enters the plan (the oracle twin keeps
+    the readable inequality form; SQL has no audit). Vote windows
+    partition by (cap, probe). At 100 TB the same sweep rides one
+    index build + one probe join — per-cap marginal cost is a
+    4x-fanout aggregate."""
+    from kp_data_pipelines_spark.operators.multimodal import (
+        MEDIA_DF_CAP_SWEEP,
+        dense_landmarks,
+    )
+
+    caps = list(MEDIA_DF_CAP_SWEEP)
+    caps_arr = F.array(*[F.lit(c) for c in caps])
+    in_caps = F.explode(
+        F.filter(caps_arr, lambda c: F.col("nm") <= c)
+    ).alias("cap")
+    clip_len, n_probes, min_len = 192, 4, 300
+
+    docs = read_table(spark, sf, "documents")
+    corpus = ensure_parallelism(
+        docs.select(F.col("doc_id").alias("media_id"), "text").filter(
+            F.length("text") > 0
+        )
+    )
+    lm = dense_landmarks(corpus, "media_id", "text")
+    kn = lm.groupBy("key").agg(
+        F.countDistinct("media_id").alias("nm")
+    )
+    kk = (
+        kn.select(in_caps)
+        .groupBy("cap")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("keys_kept"))
+    )
+    lmn = lm.join(kn.filter(F.col("nm") <= max(caps)), "key")
+    probes = (
+        docs.filter(F.length("text") >= min_len)
+        .orderBy("doc_id")
+        .limit(n_probes)
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.expr(
+                f"substring(text, cast(53 + (doc_id % 4) * 37 + 1 as int),"
+                f" {clip_len})"
+            ).alias("text"),
+        )
+    )
+    qlm = dense_landmarks(probes, "probe_id", "text")
+    cand = (
+        qlm.alias("q")
+        .join(lmn.alias("c"), F.col("q.key") == F.col("c.key"))
+        .select(
+            F.col("q.probe_id").alias("probe_id"),
+            F.col("c.media_id").alias("media_id"),
+            (F.col("c.t") - F.col("q.t"))
+            .cast("bigint")
+            .alias("offset_chars"),
+            F.col("c.nm").alias("nm"),
+        )
+        .withColumn("cap", in_caps)
+    )
+    pairs = cand.groupBy("cap").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cand_pairs"),
+        F.countDistinct("probe_id")
+        .cast("bigint")
+        .alias("retrieved_probes"),
+    )
+    votes = cand.groupBy(
+        "cap", "probe_id", "media_id", "offset_chars"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
+    wp = Window.partitionBy("cap", "probe_id").orderBy(
+        F.desc("votes"), F.asc("media_id"), F.asc("offset_chars")
+    )
+    hits = (
+        votes.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .groupBy("cap")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("media_id") == F.col("probe_id"))
+                    & (
+                        F.col("offset_chars")
+                        == F.lit(53) + (F.col("probe_id") % 4) * 37
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("hits")
+        )
+    )
+    caps_dim = spark.createDataFrame(
+        [(c,) for c in caps], "cap int"
+    )
+    return (
+        caps_dim.join(kk, "cap", "left")
+        .join(pairs, "cap", "left")
+        .join(hits, "cap", "left")
+        .select(
+            F.col("cap").cast("bigint").alias("cap"),
+            F.coalesce("keys_kept", F.lit(0)).alias("keys_kept"),
+            F.coalesce("cand_pairs", F.lit(0)).alias("cand_pairs"),
+            F.coalesce("retrieved_probes", F.lit(0)).alias(
+                "retrieved_probes"
+            ),
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+        )
+        .orderBy("cap")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------

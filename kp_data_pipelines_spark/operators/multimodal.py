@@ -307,6 +307,10 @@ def chunk_media(df: DataFrame, chunk_bytes: int = 1 << 20,
 #   that survived the df cap; two distinct shared chunks can't.
 MEDIA_DF_CAP_MIN = 2
 MEDIA_DF_CAP_MAX = 20
+# q324's measured sweep grid around MEDIA_DF_CAP_MAX — the knob's data
+# (retrieval hits vs candidate volume per cap), imported by the oracle
+# twin. Spans half-of-starvation-fix (5) to 2x the production cap (40).
+MEDIA_DF_CAP_SWEEP = (5, 10, 20, 40)
 LANDMARK_MULTIPLICITY_CAP = 8
 CONSTELLATION_MIN_VOTES = 4
 SEGMENT_MIN_SHARED = 2

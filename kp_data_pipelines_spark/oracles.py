@@ -5488,6 +5488,89 @@ def dense_landmark_retrieval_sql(
     """
 
 
+def df_cap_recall_sweep_sql(
+    clip_len: int = 192, n_probes: int = 4, min_len: int = 300
+) -> str:
+    """Twin of q324: the landmark df-cap's recall/volume tradeoff as a
+    measured curve. One corpus landmark table and one probe join (at
+    the widest cap); each cap in MEDIA_DF_CAP_SWEEP counts kept keys,
+    candidate pairs, retrieved probes, and exact-offset hits — the
+    inequality fan (cand.nm <= cap) is oracle-side only; the Spark
+    plan uses an explode over a filtered literal array (no BNLJ)."""
+    from kp_data_pipelines_spark.operators.multimodal import (
+        MEDIA_DF_CAP_SWEEP,
+    )
+
+    caps_lit = "[" + ", ".join(str(c) for c in MEDIA_DF_CAP_SWEEP) + "]"
+    max_cap = max(MEDIA_DF_CAP_SWEEP)
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, text FROM documents
+      WHERE length(text) > 0
+    ),
+    {_dense_lm_ctes("m", "media_id")},
+    swcaps AS (SELECT unnest({caps_lit}) AS cap),
+    knm AS (
+      SELECT key, COUNT(DISTINCT media_id) AS nm FROM dlm GROUP BY key
+    ),
+    kk AS (
+      SELECT cap, CAST(COUNT(*) AS BIGINT) AS keys_kept
+      FROM swcaps JOIN knm ON knm.nm <= swcaps.cap GROUP BY cap
+    ),
+    dlmn AS MATERIALIZED (
+      SELECT dlm.media_id, dlm.t, dlm.key, knm.nm
+      FROM dlm JOIN knm USING (key) WHERE knm.nm <= {max_cap}
+    ),
+    dprobes AS (
+      SELECT doc_id AS probe_id,
+             substr(text, CAST(53 + (doc_id % 4) * 37 + 1 AS INT),
+                    {clip_len}) AS text
+      FROM documents WHERE length(text) >= {min_len}
+      ORDER BY doc_id LIMIT {n_probes}
+    ),
+    {_dense_lm_ctes("dprobes", "probe_id", prefix="q")},
+    swcand AS MATERIALIZED (
+      SELECT q.probe_id, c.media_id,
+             CAST(c.t - q.t AS BIGINT) AS offset_chars, c.nm
+      FROM qdlm q JOIN dlmn c ON c.key = q.key
+    ),
+    swpairs AS (
+      SELECT cap, CAST(COUNT(*) AS BIGINT) AS cand_pairs,
+             CAST(COUNT(DISTINCT probe_id) AS BIGINT) AS retrieved_probes
+      FROM swcaps JOIN swcand ON swcand.nm <= swcaps.cap GROUP BY cap
+    ),
+    swvotes AS (
+      SELECT cap, probe_id, media_id, offset_chars,
+             CAST(COUNT(*) AS BIGINT) AS votes
+      FROM swcaps JOIN swcand ON swcand.nm <= swcaps.cap
+      GROUP BY 1, 2, 3, 4
+    ),
+    swbest AS (
+      SELECT cap, probe_id, media_id, offset_chars,
+             ROW_NUMBER() OVER (PARTITION BY cap, probe_id
+               ORDER BY votes DESC, media_id ASC, offset_chars ASC) AS rn
+      FROM swvotes
+    ),
+    swhits AS (
+      SELECT cap,
+             CAST(SUM(CASE WHEN media_id = probe_id
+                            AND offset_chars = 53 + (probe_id % 4) * 37
+                           THEN 1 ELSE 0 END) AS BIGINT) AS hits
+      FROM swbest WHERE rn = 1 GROUP BY cap
+    )
+    SELECT CAST(s.cap AS BIGINT) AS cap,
+           COALESCE(kk.keys_kept, 0) AS keys_kept,
+           COALESCE(p.cand_pairs, 0) AS cand_pairs,
+           COALESCE(p.retrieved_probes, 0) AS retrieved_probes,
+           COALESCE(h.hits, 0) AS hits
+    FROM swcaps s
+    LEFT JOIN kk ON kk.cap = s.cap
+    LEFT JOIN swpairs p ON p.cap = s.cap
+    LEFT JOIN swhits h ON h.cap = s.cap
+    ORDER BY s.cap
+    """
+
+
 def neardup_edit_distance_sql(
     k: int = 3, num_hashes: int = 32, bands: int = 16,
     threshold: float = 0.4,
