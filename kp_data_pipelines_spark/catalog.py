@@ -20084,6 +20084,35 @@ def q324_df_cap_recall_sweep(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q325_bpe_adaptive_tokenize", oracles.bpe_tokenize_adaptive_sql()
+)
+def q325_bpe_adaptive_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """q321's >=512 adaptive merges APPLIED at corpus scale — the
+    trainer->apply loop closed for the ADAPTIVE tokenizer the way q318
+    closed it for the fixed-cap one (training a tokenizer nothing
+    applies would be an open loop): re-run the identical count-band
+    rounds over the global distinct-CHUNK vocabulary (same frequencies
+    -> same ranked pools -> same band batches), keep the chunk through
+    each Arrow re-symbolization, join final per-chunk token counts to
+    per-(source, chunk) frequencies, and emit the per-source ledger
+    (chunks / tokens / tokens-per-chunk / chars-per-token). Reading it
+    against q318: ~554 chunk-level merges push chars-per-token well
+    past the ~80-word-merge ledger's — the whole point of training
+    deeper. Scale: tokenizing 100 TB stays distinct-chunk work (two
+    keyed chunk aggregates + one chunk equi-join at corpus scale;
+    Heaps-sublinear chunk vocab per SCALE.md §20), one ranked job per
+    round (``bpe.tokenize_corpus_adaptive``). The DuckDB twin carries
+    the chunk through the shared adaptive round CTEs
+    (``oracles._adaptive_round_ctes``)."""
+    from kp_data_pipelines_spark.operators.bpe import (
+        tokenize_corpus_adaptive,
+    )
+
+    docs = read_table(spark, sf, "documents").select("source", "text")
+    return tokenize_corpus_adaptive(spark, docs, "text", "source")
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------

@@ -233,6 +233,14 @@ _CHAR_SYMS = (
     "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
 )
 
+# W-word chunking over a split `parts` array — shared by every
+# chunk-unit stage (trainer, tokenizer); the DuckDB twins mirror it as
+# list_transform(range(...)) + array_to_string(slice).
+_CHUNK_EXPR_TMPL = (
+    "transform(sequence(0, cast(ceil(size(parts) / {w}.0) as int) - 1), "
+    "g -> array_join(slice(parts, g * {w} + 1, {w}), ' '))"
+)
+
 
 def _vocab_syms(docs: DataFrame, text_col: str) -> DataFrame:
     """(freq, syms) vocabulary frame — one-symbol-per-char start state,
@@ -272,13 +280,7 @@ def _chunk_freqs(
         .filter(F.length("norm") > 0)
         .select(F.split("norm", " ").alias("parts"))
         .select(
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, cast(ceil(size(parts) / "
-                    f"{w}.0) as int) - 1), g -> array_join(slice(parts, "
-                    f"g * {w} + 1, {w}), ' '))"
-                )
-            ).alias("chunk")
+            F.explode(F.expr(_CHUNK_EXPR_TMPL.format(w=w))).alias("chunk")
         )
         .filter(F.col("chunk") != "")
         .groupBy("chunk")
@@ -566,6 +568,87 @@ def encode_with_batches(
         return syms
     return syms.withColumn(
         "syms", bpe_encode_all_kernel(batches)(F.col("syms"))
+    )
+
+
+def tokenize_corpus_adaptive(
+    spark: SparkSession,
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    rounds: int = BPE_ADAPTIVE_ROUNDS,
+    topk: int = BPE_ADAPTIVE_TOPK,
+    alpha_den: int = BPE_ADAPTIVE_ALPHA_DEN,
+    chunk_words: int = BPE_CHUNK_WORDS,
+) -> DataFrame:
+    """The ADAPTIVE trainer's >=512 merges APPLIED at corpus scale —
+    q318's ledger under q321's tokenizer: re-run the identical adaptive
+    rounds over the global distinct-CHUNK vocabulary (identical
+    frequencies -> identical ranked pools -> identical count-band
+    batches), keep the chunk through each Arrow re-symbolization, then
+    join final per-chunk symbol counts back to per-(group, chunk)
+    frequencies. Tokenizing 100 TB stays DISTINCT-CHUNK work — the
+    corpus pays two keyed chunk aggregates and one chunk equi-join;
+    rounds cost one ranked job each (the q318 shape, units swapped)."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        ensure_parallelism,
+    )
+    from kp_data_pipelines_spark.operators.textops import normalize_ws
+
+    chunk_expr = _CHUNK_EXPR_TMPL.format(w=chunk_words)
+    chunks = (
+        ensure_parallelism(docs.select(group_col, text_col))
+        .select(group_col, normalize_ws(text_col).alias("norm"))
+        .filter(F.length("norm") > 0)
+        .select(group_col, F.split("norm", " ").alias("parts"))
+        .select(group_col, F.explode(F.expr(chunk_expr)).alias("chunk"))
+        .filter(F.col("chunk") != "")
+    )
+    ws = chunks.groupBy(group_col, "chunk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq_s")
+    )
+    syms = (
+        chunks.groupBy("chunk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .repartition(8)
+        .select(
+            "chunk",
+            "freq",
+            F.expr(_CHAR_SYMS.replace("word", "chunk")).alias("syms"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    fin = _merge_rounds(
+        syms,
+        rounds,
+        0,
+        topk,
+        select_fn=lambda ranked: select_merge_batch_adaptive(
+            ranked, alpha_den
+        ),
+    )[0].select(
+        "chunk",
+        F.size("syms").cast("bigint").alias("n_syms"),
+        F.length("chunk").cast("bigint").alias("n_chars"),
+    )
+    return (
+        ws.join(fin, "chunk")
+        .groupBy(group_col)
+        .agg(
+            F.sum("freq_s").cast("bigint").alias("n_chunks"),
+            F.sum(F.col("freq_s") * F.col("n_syms"))
+            .cast("bigint")
+            .alias("n_tokens"),
+            (
+                F.sum(F.col("freq_s") * F.col("n_syms")).cast("double")
+                / F.sum("freq_s").cast("double")
+            ).alias("tokens_per_chunk"),
+            (
+                F.sum(F.col("freq_s") * F.col("n_chars")).cast("double")
+                / F.sum(F.col("freq_s") * F.col("n_syms")).cast("double")
+            ).alias("chars_per_token"),
+        )
+        .orderBy(group_col)
     )
 
 

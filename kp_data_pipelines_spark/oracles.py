@@ -4245,6 +4245,154 @@ def hash_embed_ann_sql(
     """
 
 
+def _adaptive_round_ctes(
+    r: int, topk: int, alpha_den: int, keep: str
+) -> str:
+    """One ADAPTIVE merge round's CTE block (rk/g/sel/ar/s{r}) over a
+    ``s{r-1}({keep}, syms)`` frame: ranked pair pool (count DESC, a, b;
+    QUALIFY rn <= topk), recursive count-band disjoint selection
+    (``alpha_den * cnt >= round max``, carried in the walk), and the
+    batch fold with per-round MAP probes. ``keep`` is the column list
+    carried through the re-symbolization ("freq" for the trainer,
+    "chunk, freq" for the corpus tokenizer). Shared by
+    ``bpe_adaptive_trainer_sql`` / ``bpe_tokenize_adaptive_sql``."""
+    p = r - 1
+    ok = (
+        f"{alpha_den} * r.cnt >= g{r}.mx "
+        f"AND list_position(g{r}.used, r.a) = 0 "
+        f"AND list_position(g{r}.used, r.b) = 0"
+    )
+    return f"""rk{r} AS MATERIALIZED (
+      SELECT a, b, cnt, row_number() OVER (ORDER BY cnt DESC, a, b) AS rn
+      FROM (SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM (SELECT freq,
+                         unnest(list_transform(range(1, len(syms)),
+                           i -> struct_pack(a := syms[i],
+                                            b := syms[i + 1]))) AS pr
+                  FROM s{p} WHERE len(syms) >= 2)
+            GROUP BY pr.a, pr.b)
+      QUALIFY rn <= {topk}
+    ),
+    g{r} AS (
+      SELECT 0 AS rn, CAST([] AS VARCHAR[]) AS used,
+             CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b,
+             CAST(NULL AS BIGINT) AS cnt,
+             (SELECT cnt FROM rk{r} WHERE rn = 1) AS mx
+      UNION ALL
+      SELECT r.rn,
+             CASE WHEN {ok} THEN g{r}.used || [r.a, r.b] ELSE g{r}.used END,
+             CASE WHEN {ok} THEN r.a END,
+             CASE WHEN {ok} THEN r.b END,
+             CASE WHEN {ok} THEN r.cnt END,
+             g{r}.mx
+      FROM g{r} JOIN rk{r} r ON r.rn = g{r}.rn + 1
+    ),
+    sel{r} AS MATERIALIZED (
+      SELECT a, b, cnt, row_number() OVER (ORDER BY rn) AS batch_rank
+      FROM g{r} WHERE a IS NOT NULL
+    ),
+    ar{r} AS (
+      SELECT map(coalesce(list(a ORDER BY batch_rank),
+                          CAST([] AS VARCHAR[])),
+                 coalesce(list(b ORDER BY batch_rank),
+                          CAST([] AS VARCHAR[]))) AS mb,
+             map(coalesce(list(a ORDER BY batch_rank),
+                          CAST([] AS VARCHAR[])),
+                 coalesce(list(a || b ORDER BY batch_rank),
+                          CAST([] AS VARCHAR[]))) AS mm,
+             COUNT(*) AS nb
+      FROM sel{r}
+    ),
+    s{r} AS MATERIALIZED (
+      SELECT {keep},
+             CASE WHEN nb = 0 THEN syms ELSE list_reduce(
+               list_prepend(CAST([] AS VARCHAR[]),
+                            list_transform(syms, x -> [x])),
+               (acc, xl) -> CASE WHEN len(acc) > 0
+                                  AND mb[acc[-1]][1] = xl[1]
+                            THEN acc[1:len(acc) - 1] || mm[acc[-1]]
+                            ELSE acc || xl END) END AS syms
+      FROM s{p} CROSS JOIN ar{r}
+    )"""
+
+
+_CHUNK_SQL_TMPL = (
+    "unnest(list_transform(range(0, CAST(ceil(len(parts) / {w}.0) AS "
+    "INT)), g -> array_to_string(parts[g * {w} + 1 : g * {w} + {w}], "
+    "' ')))"
+)
+
+
+def bpe_tokenize_adaptive_sql(
+    rounds: int | None = None,
+    topk: int | None = None,
+    alpha_den: int | None = None,
+    w: int | None = None,
+) -> str:
+    """Twin of q325: the ADAPTIVE trainer's merges applied at corpus
+    scale — the q318 ledger machinery with chunk units and count-band
+    selection: identical adaptive rounds over the global distinct-chunk
+    vocabulary (chunk carried through every fold), then the per-source
+    tokenization ledger off one chunk equi-join."""
+    from kp_data_pipelines_spark.operators.bpe import (
+        BPE_ADAPTIVE_ALPHA_DEN,
+        BPE_ADAPTIVE_ROUNDS,
+        BPE_ADAPTIVE_TOPK,
+        BPE_CHUNK_WORDS,
+    )
+
+    rounds = BPE_ADAPTIVE_ROUNDS if rounds is None else rounds
+    topk = BPE_ADAPTIVE_TOPK if topk is None else topk
+    alpha_den = BPE_ADAPTIVE_ALPHA_DEN if alpha_den is None else alpha_den
+    w = BPE_CHUNK_WORDS if w is None else w
+    chunk = _CHUNK_SQL_TMPL.format(w=w)
+    parts = [
+        f"""ck AS MATERIALIZED (
+      SELECT source, chunk
+      FROM (SELECT source, {chunk} AS chunk
+            FROM (SELECT source, string_split(norm, ' ') AS parts
+                  FROM (SELECT source, {_NORM_SQL} AS norm FROM documents)
+                  WHERE length(norm) > 0))
+      WHERE chunk <> ''
+    ),
+    ws AS (
+      SELECT source, chunk, CAST(COUNT(*) AS BIGINT) AS freq_s
+      FROM ck GROUP BY source, chunk
+    ),
+    s0 AS MATERIALIZED (
+      SELECT chunk, freq,
+             list_transform(range(1, length(chunk) + 1),
+                            i -> substr(chunk, i, 1)) AS syms
+      FROM (SELECT chunk, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM ck GROUP BY chunk)
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            _adaptive_round_ctes(r, topk, alpha_den, keep="chunk, freq")
+        )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH RECURSIVE {ctes},
+    fin AS (
+      SELECT chunk, CAST(len(syms) AS BIGINT) AS n_syms,
+             CAST(length(chunk) AS BIGINT) AS n_chars
+      FROM s{rounds}
+    )
+    SELECT ws.source,
+           CAST(SUM(ws.freq_s) AS BIGINT) AS n_chunks,
+           CAST(SUM(ws.freq_s * fin.n_syms) AS BIGINT) AS n_tokens,
+           CAST(SUM(ws.freq_s * fin.n_syms) AS DOUBLE)
+             / CAST(SUM(ws.freq_s) AS DOUBLE) AS tokens_per_chunk,
+           CAST(SUM(ws.freq_s * fin.n_chars) AS DOUBLE)
+             / CAST(SUM(ws.freq_s * fin.n_syms) AS DOUBLE)
+               AS chars_per_token
+    FROM ws JOIN fin USING (chunk)
+    GROUP BY ws.source
+    ORDER BY ws.source
+    """
+
+
 def bpe_adaptive_trainer_sql(
     rounds: int | None = None,
     topk: int | None = None,
@@ -4309,66 +4457,9 @@ def bpe_adaptive_trainer_sql(
         "FROM tot0 CROSS JOIN tw"
     ]
     for r in range(1, rounds + 1):
-        p = r - 1
-        ok = (
-            f"{alpha_den} * r.cnt >= g{r}.mx "
-            f"AND list_position(g{r}.used, r.a) = 0 "
-            f"AND list_position(g{r}.used, r.b) = 0"
-        )
+        parts.append(_adaptive_round_ctes(r, topk, alpha_den, keep="freq"))
         parts.append(
-            f"""rk{r} AS MATERIALIZED (
-      SELECT a, b, cnt, row_number() OVER (ORDER BY cnt DESC, a, b) AS rn
-      FROM (SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
-            FROM (SELECT freq,
-                         unnest(list_transform(range(1, len(syms)),
-                           i -> struct_pack(a := syms[i],
-                                            b := syms[i + 1]))) AS pr
-                  FROM s{p} WHERE len(syms) >= 2)
-            GROUP BY pr.a, pr.b)
-      QUALIFY rn <= {topk}
-    ),
-    g{r} AS (
-      SELECT 0 AS rn, CAST([] AS VARCHAR[]) AS used,
-             CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b,
-             CAST(NULL AS BIGINT) AS cnt,
-             (SELECT cnt FROM rk{r} WHERE rn = 1) AS mx
-      UNION ALL
-      SELECT r.rn,
-             CASE WHEN {ok} THEN g{r}.used || [r.a, r.b] ELSE g{r}.used END,
-             CASE WHEN {ok} THEN r.a END,
-             CASE WHEN {ok} THEN r.b END,
-             CASE WHEN {ok} THEN r.cnt END,
-             g{r}.mx
-      FROM g{r} JOIN rk{r} r ON r.rn = g{r}.rn + 1
-    ),
-    sel{r} AS MATERIALIZED (
-      SELECT a, b, cnt, row_number() OVER (ORDER BY rn) AS batch_rank
-      FROM g{r} WHERE a IS NOT NULL
-    ),
-    ar{r} AS (
-      SELECT map(coalesce(list(a ORDER BY batch_rank),
-                          CAST([] AS VARCHAR[])),
-                 coalesce(list(b ORDER BY batch_rank),
-                          CAST([] AS VARCHAR[]))) AS mb,
-             map(coalesce(list(a ORDER BY batch_rank),
-                          CAST([] AS VARCHAR[])),
-                 coalesce(list(a || b ORDER BY batch_rank),
-                          CAST([] AS VARCHAR[]))) AS mm,
-             COUNT(*) AS nb
-      FROM sel{r}
-    ),
-    s{r} AS MATERIALIZED (
-      SELECT freq,
-             CASE WHEN nb = 0 THEN syms ELSE list_reduce(
-               list_prepend(CAST([] AS VARCHAR[]),
-                            list_transform(syms, x -> [x])),
-               (acc, xl) -> CASE WHEN len(acc) > 0
-                                  AND mb[acc[-1]][1] = xl[1]
-                            THEN acc[1:len(acc) - 1] || mm[acc[-1]]
-                            ELSE acc || xl END) END AS syms
-      FROM s{p} CROSS JOIN ar{r}
-    ),
-    tot{r} AS (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) AS cs
+            f"""tot{r} AS (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) AS cs
                FROM s{r})"""
         )
         sels.append(

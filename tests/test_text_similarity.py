@@ -1055,6 +1055,34 @@ def test_bpe_adaptive_trainer_empty_corpus(spark):
         assert r["corpus_symbols"] is None and r["fertility"] is None
 
 
+def test_adaptive_tokenize_compresses_past_batched(spark):
+    """The point of training >=512 merges: the adaptive chunk
+    tokenizer's chars-per-token must beat the ~80-merge word
+    tokenizer's on every source (5.8 vs 3.6 on the fixture), with
+    MORE total characters covered per token even though chunk units
+    also encode the spaces word units never see."""
+    from kp_data_pipelines_spark.operators.bpe import (
+        tokenize_corpus_adaptive,
+        tokenize_corpus_batched,
+    )
+    from kp_data_pipelines_spark.sources.readers import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "source", "text"
+    )
+    adaptive = {
+        r["source"]: r["chars_per_token"]
+        for r in tokenize_corpus_adaptive(spark, docs).collect()
+    }
+    batched = {
+        r["source"]: r["chars_per_token"]
+        for r in tokenize_corpus_batched(spark, docs).collect()
+    }
+    assert set(adaptive) == set(batched)
+    for src, cpt in adaptive.items():
+        assert cpt > batched[src], (src, cpt, batched[src])
+
+
 def test_bpe_trainer_empty_corpus_matches_oracle_shape(spark):
     """Empty / all-whitespace corpus: the trainer must return the
     round-0 row with NULL corpus_symbols and fertility (what the
