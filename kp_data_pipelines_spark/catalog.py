@@ -20113,6 +20113,92 @@ def q325_bpe_adaptive_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     return tokenize_corpus_adaptive(spark, docs, "text", "source")
 
 
+@register(
+    "q326_derived_embedding_dedup",
+    oracles.derived_embedding_dedup_sql(),
+)
+def q326_derived_embedding_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """The embed -> PRUNE chain closed end-to-end in-engine: q322
+    produces vectors and feeds retrieval; this query feeds them to the
+    DEDUP stack — SemDeDup (q236's cluster-then-pairwise shape) over
+    embeddings DERIVED from ``documents.text``, no fixture vector
+    table anywhere. Blocking key: the 16-bit sign sketch of the
+    embedding components — EXACT on both engines because the signs are
+    signs of the underlying INTEGER token counts, no float boundary.
+    Within blocks, exact cosine (``cosine_pairs_blocked`` — per-row
+    norms, sequential dots, bit-matched by the twin), >= 0.95 pairs
+    mark their higher doc_id removable (keep-lowest-id), and the
+    per-source ledger reports docs / pairs / removed / kept. Scale
+    shape: one Arrow encode pass, one sign-sketch projection, one
+    block-keyed self-join (pairwise work bounded per block, 36-doc max
+    block on the fixture), two keyed rollups. This is the semantic
+    near-dup pruning a 100 TB pipeline runs right after embedding —
+    and the whole path is derived from text in one plan."""
+    from kp_data_pipelines_spark.operators.inference import (
+        encode_documents,
+    )
+    from kp_data_pipelines_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "source", "text"
+    )
+    vecs = encode_documents(docs, "text").select(
+        "doc_id", "source", "embedding"
+    )
+    powers = F.array(
+        *[F.lit(1 << j).cast("long") for j in range(16)]
+    )
+    blocked = vecs.withColumn(
+        "block",
+        F.aggregate(
+            F.transform(
+                F.col("embedding"),
+                lambda x, j: F.when(
+                    x >= 0, F.element_at(powers, (j + 1).cast("int"))
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    )
+    pairs = cosine_pairs_blocked(
+        blocked, "doc_id", "embedding", "block", threshold=0.95
+    )
+    rm = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    pb = (
+        pairs.join(
+            vecs.select(F.col("doc_id").alias("id_b"), "source"), "id_b"
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    base = (
+        vecs.join(rm.withColumn("rmf", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce("rmf", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+    return (
+        base.join(pb, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_pairs", F.lit(0).cast("bigint")).alias(
+                "n_pairs"
+            ),
+            "n_removed",
+            (F.col("n_docs") - F.col("n_removed")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------

@@ -514,6 +514,63 @@ def train_merge_batches(
     return [batch for batch, _ in info if batch]
 
 
+def save_merge_table(
+    spark: SparkSession,
+    batches: list[list[tuple[str, str, int]]],
+    path: str,
+) -> None:
+    """Persist a trained merge table as the tokenizer ARTIFACT — one
+    JSON document (version, per-round batches of [a, b, count]) written
+    atomically via the marker-file machinery (Hadoop FileSystem temp +
+    OVERWRITE rename, no Spark job), so the artifact lands on whatever
+    filesystem the cluster's Hadoop conf resolves (local, HDFS, object
+    stores). The artifact is a driver-side object (~rounds x batch
+    pairs — kilobytes at 32k merges), which is the point: a tokenizer
+    ships as a FILE, not a cluster state."""
+    import json
+
+    from kp_data_pipelines_spark.streaming.state_io import write_marker
+
+    doc = {
+        "format": "kp-bpe-merges",
+        "version": 1,
+        "batches": [
+            [[a, b, int(cnt)] for a, b, cnt in batch] for batch in batches
+        ],
+    }
+    write_marker(spark, path, json.dumps(doc))
+
+
+def load_merge_table(
+    spark: SparkSession, path: str
+) -> list[list[tuple[str, str, int]]]:
+    """Load a ``save_merge_table`` artifact; validates the format tag
+    loudly (a truncated or foreign JSON must not decode into a silent
+    no-merge tokenizer). Round-trips exactly:
+    test_merge_table_artifact_roundtrip pins save -> load -> encode ==
+    the in-memory trainer's encode."""
+    import json
+
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    stream = fs.open(hpath)
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    doc = json.loads(bytes(data).decode("utf-8"))
+    if doc.get("format") != "kp-bpe-merges" or doc.get("version") != 1:
+        raise ValueError(
+            f"not a kp-bpe-merges v1 artifact: {path} "
+            f"(format={doc.get('format')!r} version={doc.get('version')!r})"
+        )
+    return [
+        [(a, b, int(cnt)) for a, b, cnt in batch]
+        for batch in doc["batches"]
+    ]
+
+
 def bpe_encode_all_kernel(batches: list[list[tuple[str, str, int]]]):
     """Arrow kernel applying EVERY trained round's merge batch to each
     word in ONE pass: the per-round folds run sequentially per word

@@ -4393,6 +4393,62 @@ def bpe_tokenize_adaptive_sql(
     """
 
 
+def derived_embedding_dedup_sql(
+    dim: int | None = None, threshold: float = 0.95
+) -> str:
+    """Twin of q326: SemDeDup over DERIVED vectors — the
+    ``hash_embed_ctes`` embeddings sign-sketch-blocked (16-bit block =
+    sign bits of the integer counts, so the block key is exact), exact
+    cosine inside blocks (the ``cosine_pairs_blocked`` fold: per-row
+    norms, sequential dots), higher doc_id of every >= threshold pair
+    removed, per-source ledger. The threshold literal is emitted in
+    exponent form from the SAME Python float the Spark filter uses
+    (q200 rule)."""
+    from kp_data_pipelines_spark.operators.inference import EMBED_DIM
+
+    dim = EMBED_DIM if dim is None else dim
+    thr = f"{threshold:.17e}"
+    return f"""
+    WITH {hash_embed_ctes(dim)},
+    src AS (SELECT doc_id, source FROM documents),
+    blk AS (
+      SELECT doc_id, v,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(0, {dim}),
+                 j -> CASE WHEN v[j + 1] >= 0 THEN CAST(1 << j AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END)),
+               (a, x) -> a + x) AS block,
+             sqrt({_dot("v", "v")}) AS nrm
+      FROM ev
+    ),
+    dpairs AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib
+      FROM blk a JOIN blk b
+        ON a.block = b.block AND a.doc_id < b.doc_id
+      WHERE {_dot("a.v", "b.v")} / (a.nrm * b.nrm) >= {thr}
+    ),
+    rm AS (SELECT DISTINCT ib AS doc_id FROM dpairs),
+    pb AS (
+      SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM dpairs p JOIN src s ON s.doc_id = p.ib GROUP BY s.source
+    ),
+    base AS (
+      SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_removed
+      FROM ev e JOIN src s USING (doc_id)
+      LEFT JOIN rm r ON r.doc_id = e.doc_id
+      GROUP BY s.source
+    )
+    SELECT b.source, b.n_docs,
+           COALESCE(pb.n_pairs, 0) AS n_pairs,
+           b.n_removed,
+           b.n_docs - b.n_removed AS n_kept
+    FROM base b LEFT JOIN pb ON pb.source = b.source
+    ORDER BY b.source
+    """
+
+
 def bpe_adaptive_trainer_sql(
     rounds: int | None = None,
     topk: int | None = None,

@@ -1055,6 +1055,61 @@ def test_bpe_adaptive_trainer_empty_corpus(spark):
         assert r["corpus_symbols"] is None and r["fertility"] is None
 
 
+def test_merge_table_artifact_roundtrip(spark, tmp_path):
+    """The tokenizer DEPLOYMENT artifact: train -> save (atomic FS
+    write, no Spark job) -> load -> encode must equal encoding with the
+    in-memory batches; a foreign/truncated artifact fails loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from kp_data_pipelines_spark.operators.bpe import (
+        bpe_encode_all_kernel,
+        load_merge_table,
+        save_merge_table,
+        train_merge_batches,
+    )
+    from kp_data_pipelines_spark.sources.readers import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "text"
+    )
+    batches = train_merge_batches(spark, docs, "text", rounds=3)
+    path = str(tmp_path / "tokenizer.json")
+    save_merge_table(spark, batches, path)
+    loaded = load_merge_table(spark, path)
+    assert loaded == batches
+    df = spark.createDataFrame(
+        [(1, list("the query table")), (2, list("zzz"))],
+        "id long, syms array<string>",
+    )
+    want = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id", bpe_encode_all_kernel(batches)(F.col("syms")).alias("s")
+        ).collect()
+    }
+    got = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id", bpe_encode_all_kernel(loaded)(F.col("syms")).alias("s")
+        ).collect()
+    }
+    assert got == want
+    # overwrite is atomic (the marker-file OVERWRITE rename path)
+    save_merge_table(spark, batches[:1], path)
+    assert load_merge_table(spark, path) == batches[:1]
+    # a foreign JSON (written through the same FS path, so the local
+    # Hadoop CRC sidecar stays consistent) must fail loudly
+    import json
+
+    from kp_data_pipelines_spark.streaming.state_io import write_marker
+
+    bad = str(tmp_path / "bad.json")
+    write_marker(spark, bad, json.dumps({"format": "something-else"}))
+    with _pytest.raises(ValueError, match="kp-bpe-merges"):
+        load_merge_table(spark, bad)
+
+
 def test_adaptive_tokenize_compresses_past_batched(spark):
     """The point of training >=512 merges: the adaptive chunk
     tokenizer's chars-per-token must beat the ~80-merge word

@@ -61,6 +61,12 @@ SHOWCASE = {
     "q316_span_excision_apply": "q307 spans -> doc_id-keyed token range anti-join -> per-doc sort-collect + sha",
     "q317_dense_landmark_retrieval": "Arrow peak kernel -> per-doc LEAD pairing -> df-capped key probe + vote argmax",
     "q309_media_dedup_ledger": "Hamming pairs -> pointer-jumping CC -> per-source keep/drop rollup",
+    "q321_bpe_adaptive_trainer": "per-round vocab-keyed pair agg on 8 pinned partitions, limit-1024 ranked collect",
+    "q322_hash_embed_ann": "Arrow encode pass -> literal-bucket filter (no join) -> TakeOrdered top-k",
+    "q323_decoded_roundtrip_dedup": "PNG encode/decode Arrow passes -> per-source keyed rollup, no shuffle but |sources x kinds|",
+    "q324_df_cap_recall_sweep": "one landmark index + one key equi-join; per-cap fan = filtered-literal explode, no BNLJ",
+    "q325_bpe_adaptive_tokenize": "chunk-vocab adaptive rounds + ONE corpus chunk equi-join -> per-source ledger",
+    "q326_derived_embedding_dedup": "Arrow encode -> sign-sketch block self-join (exact int-sign key) -> keyed ledgers",
 }
 
 
