@@ -279,6 +279,42 @@ def main() -> int:
         f"{dt:.1f}s, {out['bpe_apply_round']} words/sec"
     )
 
+    # Round-10 kernels: the hash-projection embedding encoder (q322's
+    # iterator pandas_udf, per-document) and the pure-stdlib PNG
+    # round trip (q323's encode -> parse+unfilter, per-document).
+    from kp_data_pipelines_spark.operators.inference import (
+        encode_documents,
+    )
+
+    t = time.time()
+    n_emb = encode_documents(docs.select("doc_id", "text"), "text").count()
+    dt = time.time() - t
+    out["hash_embed_encode"] = round(n / dt)
+    print(
+        f"hash_embed_encode: {n_emb} vectors, {dt:.1f}s, "
+        f"{out['hash_embed_encode']} docs/sec"
+    )
+
+    from kp_data_pipelines_spark.operators.multimodal import (
+        decoded_media_dhash,
+        png_roundtrip_media,
+    )
+
+    t = time.time()
+    n_fp = decoded_media_dhash(
+        png_roundtrip_media(
+            docs.select("doc_id", F.lit("s").alias("source"), "text"),
+            filters=(4,),
+        ),
+        decoder="stdlib",
+    ).count()
+    dt = time.time() - t
+    out["png_roundtrip_decode"] = round(n / dt)
+    print(
+        f"png_roundtrip_decode: {n_fp} containers encoded+decoded+hashed, "
+        f"{dt:.1f}s, {out['png_roundtrip_decode']} docs/sec"
+    )
+
     print(json.dumps({"metric": "stress_docs_per_sec", "n_docs": n, **out}))
     return 0
 
