@@ -19838,7 +19838,7 @@ def q321_bpe_adaptive_trainer(spark: SparkSession, sf: str) -> DataFrame:
       GROWS as training descends the curve — measured 8 -> ~39 over 20
       rounds here, and the 32k-merge model becomes rounds ~=
       O(log(count range) + vocab/E[batch]) ~ low hundreds instead of
-      ~3k (SCALE.md §18).
+      ~3k (SCALE.md §20).
     - CHUNK units (3-word chunks, space an ordinary symbol —
       SentencePiece-style) replace word units, because word units cap
       total merges at sum(len-1) over the 31-word fixture vocabulary
@@ -19895,8 +19895,19 @@ def q322_hash_embed_ann(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     docs = read_table(spark, sf, "documents").select("doc_id", "text")
-    vecs = encode_documents(docs, "text").select("doc_id", "embedding")
+    # lazy checkpoint: the anchor head() materializes the encode ONCE
+    # and the returned plan reuses it — without this the full-corpus
+    # Arrow encode (the query's dominant kernel) would run twice
+    vecs = (
+        encode_documents(docs, "text")
+        .select("doc_id", "embedding")
+        .localCheckpoint(eager=False)
+    )
     q = vecs.orderBy("doc_id").limit(1).head()
+    if q is None:
+        # empty / all-whitespace corpus: no vector survives, the oracle's
+        # anchor CTE is empty — return the same zero rows, same schema
+        return spark.createDataFrame([], "doc_id long, cos double")
     out = lsh_bucket_cosine_topk(
         vecs.filter(F.col("doc_id") != q["doc_id"]),
         "embedding",
@@ -19942,7 +19953,10 @@ def q323_decoded_roundtrip_dedup(spark: SparkSession, sf: str) -> DataFrame:
     docs = read_table(spark, sf, "documents").select(
         "doc_id", "source", "text"
     )
-    media = png_roundtrip_media(docs)
+    # lazy checkpoint: media feeds both the decode path and the source
+    # lookup — without it the PNG ENCODE pass (the dominant kernel)
+    # would execute twice
+    media = png_roundtrip_media(docs).localCheckpoint(eager=False)
     fp = decoded_media_dhash(media, decoder="stdlib")
     src = media.select("media_id", "source")
     return (
@@ -20144,8 +20158,12 @@ def q326_derived_embedding_dedup(spark: SparkSession, sf: str) -> DataFrame:
     docs = read_table(spark, sf, "documents").select(
         "doc_id", "source", "text"
     )
-    vecs = encode_documents(docs, "text").select(
-        "doc_id", "source", "embedding"
+    # lazy checkpoint: vecs feeds the block self-join AND two ledger
+    # rollups — without it the Arrow encode would execute three times
+    vecs = (
+        encode_documents(docs, "text")
+        .select("doc_id", "source", "embedding")
+        .localCheckpoint(eager=False)
     )
     powers = F.array(
         *[F.lit(1 << j).cast("long") for j in range(16)]

@@ -80,7 +80,7 @@ BPE_ROUNDS = 8  # 8 rounds x ~10 merges/round => the >=64-merge regime
 # - BPE_ADAPTIVE_ROUNDS = 20: >= 554 merges at every fixture SF (554 /
 #   574 / 591 at sf0.001/0.01/0.1) — the >=512-merge regime the round-9
 #   verdict asked for. Rounds are the ONLY sequential driver cost (one
-#   ranked job each); see SCALE.md §18 for the 32k-merge model.
+#   ranked job each); see SCALE.md §20 for the 32k-merge model.
 # - BPE_CHUNK_WORDS = 3: adaptive training runs on W-word CHUNK units
 #   (space is an ordinary symbol, SentencePiece-style) because word
 #   units cap total merges at sum(len(word)-1) over the DISTINCT
@@ -417,7 +417,7 @@ def train_bpe_adaptive(
 ) -> DataFrame:
     """ADAPTIVE batched-BPE training over W-word CHUNK units — the
     production-merge-count regime (>= 512 merges on the fixture; see
-    the constant derivations above and SCALE.md §18 for the 32k-merge
+    the constant derivations above and SCALE.md §20 for the 32k-merge
     round model). Identical per-round job shape to
     ``train_bpe_batched`` (one ranked job per round, bounded
     ``limit(topk)`` collect, Arrow re-symbolization); only the units
@@ -551,15 +551,9 @@ def load_merge_table(
     the in-memory trainer's encode."""
     import json
 
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    stream = fs.open(hpath)
-    try:
-        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-    finally:
-        stream.close()
-    doc = json.loads(bytes(data).decode("utf-8"))
+    from kp_data_pipelines_spark.streaming.state_io import read_file
+
+    doc = json.loads(read_file(spark, path))
     if doc.get("format") != "kp-bpe-merges" or doc.get("version") != 1:
         raise ValueError(
             f"not a kp-bpe-merges v1 artifact: {path} "

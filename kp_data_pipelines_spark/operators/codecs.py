@@ -108,8 +108,10 @@ def png_decode_gray(data: bytes) -> tuple[int, int, bytes]:
     """Decode a non-interlaced 8-bit grayscale PNG: parse the chunk
     stream, inflate the concatenated IDATs, reverse the per-scanline
     filter (all five types), return (width, height, pixels). Raises
-    ValueError on anything outside the supported profile — a real
-    parser's loud-failure contract, not a silent fallback."""
+    ValueError on ANY malformed or out-of-profile input — truncation,
+    bad CRC, missing IHDR/IDAT, corrupt deflate stream — a real
+    parser's loud-failure contract with ONE exception type, so
+    registry consumers can tell bad input from bugs."""
     if data[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = len(_PNG_SIG)
@@ -117,6 +119,8 @@ def png_decode_gray(data: bytes) -> tuple[int, int, bytes]:
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
+        if pos + 12 + length > len(data):
+            raise ValueError("truncated PNG (chunk exceeds data)")
         tag = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(
@@ -125,6 +129,8 @@ def png_decode_gray(data: bytes) -> tuple[int, int, bytes]:
         if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
+            if length != 13:
+                raise ValueError("malformed PNG IHDR")
             width, height, depth, ctype, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", payload)
             )
@@ -141,7 +147,12 @@ def png_decode_gray(data: bytes) -> tuple[int, int, bytes]:
         pos += 12 + length
     if width < 0:
         raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
     if len(raw) != (width + 1) * height:
         raise ValueError(
             f"PNG data length {len(raw)} != {(width + 1) * height}"

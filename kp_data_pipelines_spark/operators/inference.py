@@ -223,9 +223,11 @@ ENCODERS: dict[str, Callable[[int], Callable[[pd.Series], pd.Series]]] = {
 def text_embedding(
     text_col: str, encoder: str = "hash", dim: int = EMBED_DIM
 ) -> Column:
-    """Iterator-of-series Pandas UDF embedding column: per-worker
-    encoder init (one model load per Python worker, the llm_generate
-    pattern), Arrow-batched transfer. Expects NORMALIZED text."""
+    """Iterator-of-series Pandas UDF embedding column over ``text_col``:
+    per-worker encoder init (one model load per Python worker, the
+    llm_generate pattern), Arrow-batched transfer. The hash encoder
+    expects NORMALIZED text (``encode_documents`` applies
+    ``normalize_ws`` first and points this at the normalized column)."""
     from pyspark.sql.types import ArrayType, DoubleType
 
     loader = ENCODERS[encoder]
@@ -236,7 +238,7 @@ def text_embedding(
         for batch in batches:
             yield encode_fn(batch)
 
-    return encode(F.col("__embed_norm"))
+    return encode(F.col(text_col))
 
 
 def encode_documents(
@@ -262,7 +264,7 @@ def encode_documents(
         ensure_parallelism(df)
         .withColumn("__embed_norm", normalize_ws(text_col))
         .filter(F.length("__embed_norm") > 0)
-        .withColumn(out, text_embedding(text_col, encoder, dim))
+        .withColumn(out, text_embedding("__embed_norm", encoder, dim))
         .drop("__embed_norm")
         .filter(F.col(out).isNotNull())
     )

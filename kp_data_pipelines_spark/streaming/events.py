@@ -239,13 +239,16 @@ def run_bounded_foreach_batch(
 ) -> DataFrame:
     """``run_available_now_foreach_batch`` for sources that NEVER
     terminate (rate, Kafka): process micro-batches under the default
-    trigger until ``total_rows`` mapped rows have been ingested (or
-    ``idle_batches`` consecutive empty batches arrive — the mapped
-    stream has outrun its static table), then stop the query and
-    return the concatenated per-batch results. The stop is driver-side
-    observation of a counter the foreachBatch handler advances — no
-    sentinel rows in the data path, so ``batch_fn`` sees exactly what
-    an AvailableNow run would."""
+    trigger until ``total_rows`` mapped rows have been ingested, then
+    stop the query and return the concatenated per-batch results.
+    ``idle_batches`` consecutive EMPTY batches also break the wait —
+    but that path then RAISES if fewer than ``total_rows`` rows
+    arrived: an idle source that never delivered its rows (a paused
+    producer) must fail loudly, not return a silently partial ledger
+    the caller can't distinguish from a complete one. The stop is
+    driver-side observation of a counter the foreachBatch handler
+    advances — no sentinel rows in the data path, so ``batch_fn`` sees
+    exactly what an AvailableNow run would."""
     import shutil
     import threading
     import time as _time
@@ -290,6 +293,13 @@ def run_bounded_foreach_batch(
         raise TimeoutError(
             f"bounded stream did not reach {total_rows} rows within "
             f"{timeout_sec}s (got {state['rows']})"
+        )
+    if state["rows"] < total_rows:
+        raise ValueError(
+            f"bounded stream went idle ({state['idle']} empty batches) "
+            f"after only {state['rows']} of {total_rows} rows — the "
+            "source stopped delivering; refusing to return a partial "
+            "ledger"
         )
     if own_ckpt:
         shutil.rmtree(checkpoint_dir, ignore_errors=True)

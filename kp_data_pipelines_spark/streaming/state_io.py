@@ -69,6 +69,23 @@ def write_marker(spark: SparkSession, path: str, text: str) -> None:
     fc.rename(tmp, hpath, opts)
 
 
+def read_file(spark: SparkSession, path: str) -> str:
+    """Read a small driver-side text file via the Hadoop FileSystem (no
+    Spark job) — the shared read half of the marker machinery, also
+    used by artifact loaders (``bpe.load_merge_table``). Centralizing
+    the py4j plumbing keeps the CRC-sidecar and temp-file lessons in
+    one place."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    stream = fs.open(hpath)
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return bytes(data).decode("utf-8")
+
+
 def read_markers(spark: SparkSession, dir_path: str) -> dict[str, str]:
     """Read every marker file in a directory (driver-side, no Spark
     job): {file name -> content}. Missing dir = first run ({});
