@@ -113,11 +113,21 @@ def main() -> None:
         except (json.JSONDecodeError, OSError):
             prior = {}
         fns = dict(items)
+        # Two triggers: the 2x ratio catches sub-second phantoms, and a
+        # 1.4x-with->=0.75s-absolute-delta catches second-scale drift the
+        # ratio alone misses — round 10 recorded q87 at 3.24s vs a 2.09s
+        # prior (1.55x, +1.15s) that an isolated re-time put back at
+        # 1.7s; it sat under the 2x trigger for two rounds.
         outliers = sorted(
             (
                 n
                 for n, t in timings.items()
-                if n in prior and prior[n] > 0 and t > 2 * prior[n]
+                if n in prior
+                and prior[n] > 0
+                and (
+                    t > 2 * prior[n]
+                    or (t > 1.4 * prior[n] and t - prior[n] > 0.75)
+                )
             ),
             key=lambda n: -timings[n],
         )[:20]

@@ -15760,6 +15760,8 @@ def q267_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
         "lang",
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
     )
+    # lazy checkpoint: tb feeds the bucket-stats agg AND the final
+    # score join — without it the Arrow char-fold kernel runs twice
     tb = toks.select(
         "doc_id",
         "lang",
@@ -15767,7 +15769,7 @@ def q267_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
             F.element_at(char_fold_hashes("tok", (31,)), 1),
             F.lit(n_buckets),
         ).alias("bucket"),
-    )
+    ).localCheckpoint(eager=False)
     b = tb.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_bg"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
@@ -20011,7 +20013,12 @@ def q324_df_cap_recall_sweep(spark: SparkSession, sf: str) -> DataFrame:
             F.length("text") > 0
         )
     )
-    lm = dense_landmarks(corpus, "media_id", "text")
+    # lazy checkpoint: lm feeds both the key-frequency table and the
+    # candidate join — without it the dense-landmark Arrow kernel (the
+    # dominant cost) would execute once per consumer
+    lm = dense_landmarks(corpus, "media_id", "text").localCheckpoint(
+        eager=False
+    )
     kn = lm.groupBy("key").agg(
         F.countDistinct("media_id").alias("nm")
     )
@@ -20046,6 +20053,9 @@ def q324_df_cap_recall_sweep(spark: SparkSession, sf: str) -> DataFrame:
             F.col("c.nm").alias("nm"),
         )
         .withColumn("cap", in_caps)
+        # cand fans out to the pair-volume aggregate AND the vote/hit
+        # chain; pin it so the probe join runs once
+        .localCheckpoint(eager=False)
     )
     pairs = cand.groupBy("cap").agg(
         F.count(F.lit(1)).cast("bigint").alias("cand_pairs"),
@@ -20217,6 +20227,565 @@ def q326_derived_embedding_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q327_bpe_artifact_deploy", oracles.bpe_encode_holdout_sql()
+)
+def q327_bpe_artifact_deploy(spark: SparkSession, sf: str) -> DataFrame:
+    """The tokenizer DEPLOYMENT path end-to-end under the oracle — the
+    round-10 verdict's #7 ask: ``save_merge_table`` / ``load_merge_table``
+    (bpe.py:517,544) were test-pinned only; this query trains on the
+    even-doc_id half, SAVES the merge table as the JSON artifact (the
+    FILE a tokenizer ships as — atomic Hadoop-FS rename, kilobytes at
+    32k merges), LOADS it back, and encodes the held-out odd half
+    through the LOADED artifact. Output is q319's per-source holdout
+    ledger and the oracle is q319's twin verbatim: parity here
+    CERTIFIES the artifact round-trip is lossless at query level (a
+    dropped round, reordered batch, or count-type drift in the JSON
+    would shift the fold sequence and hash-mismatch). Scale shape:
+    identical to q319 — the artifact is a driver-side object; save and
+    load are single FS metadata ops, no Spark job. Reference hook: the
+    X4 tokenizer story (`LLM Testing.ipynb:315-371`), where the chat
+    template is exactly such a shipped artifact."""
+    import shutil
+
+    from kp_data_pipelines_spark.operators.bpe import (
+        _CHAR_SYMS,
+        encode_with_batches,
+        load_merge_table,
+        save_merge_table,
+        train_merge_batches,
+    )
+    from kp_data_pipelines_spark.operators.textops import normalize_ws
+    from kp_data_pipelines_spark.streaming.events import _ephemeral_dir
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "source", "text"
+    )
+    trained = train_merge_batches(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), "text"
+    )
+    art_dir = _ephemeral_dir("kp_bpe_artifact_")
+    try:
+        art_path = f"{art_dir}/merges.json"
+        save_merge_table(spark, trained, art_path)
+        batches = load_merge_table(spark, art_path)
+    finally:
+        shutil.rmtree(art_dir, ignore_errors=True)
+    if batches != trained:
+        raise ValueError(
+            "merge-table artifact round-trip drifted: "
+            f"{len(trained)} trained rounds vs {len(batches)} loaded"
+        )
+    holdout = ensure_parallelism(docs.filter(F.col("doc_id") % 2 == 1))
+    words = holdout.select(
+        "source",
+        F.explode(F.split(normalize_ws("text"), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    hws = words.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq_s")
+    )
+    hsyms = (
+        words.select("word")
+        .distinct()
+        .repartition(8)
+        .select("word", F.expr(_CHAR_SYMS).alias("syms"))
+        .localCheckpoint(eager=False)
+    )
+    hfin = encode_with_batches(hsyms, batches).select(
+        "word",
+        F.size("syms").cast("bigint").alias("n_syms"),
+        F.length("word").cast("bigint").alias("n_chars"),
+    )
+    return (
+        hws.join(hfin, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("freq_s").cast("bigint").alias("n_words"),
+            F.sum(F.col("freq_s") * F.col("n_syms"))
+            .cast("bigint")
+            .alias("n_tokens"),
+            (
+                F.sum(F.col("freq_s") * F.col("n_syms")).cast("double")
+                / F.sum("freq_s").cast("double")
+            ).alias("fertility"),
+            (
+                F.sum(F.col("freq_s") * F.col("n_chars")).cast("double")
+                / F.sum(F.col("freq_s") * F.col("n_syms")).cast("double")
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
+@register("q328_ivfpq_adc_rerank", oracles.ivfpq_adc_sql())
+def q328_ivfpq_adc_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ with an ADC candidate scan — the round-10 verdict's #2
+    ask: q143's IVF-Flat reranks on FULL float vectors and q155's PQ
+    codes were only a compression-error audit; this query composes
+    them into the production ANN memory story. Index side: one scan
+    emits (vec_id, cell, pq codes) — at 100 TB that IS the stored
+    index, 8 code bytes + 1 cell byte per vector instead of 256 float
+    bytes, and the probe scan never ships a full vector. Query side:
+    per anchor (8, bounded), the ADC lookup table — sub-distance of
+    the RAW query to each of 16 codebook entries per subspace, a
+    driver-side 8x16 literal — turns the candidate scan into 8
+    integer-indexed literal-array lookups + a left-assoc 8-term sum
+    (whole-stage codegen, no vectors touched). Top-``rerank_m`` ADC
+    candidates then rerank on exact cosine (the only rows whose full
+    vectors are fetched — the bounded rerank set). Output: per-anchor
+    recall@10 of the raw ADC ranking AND of the reranked top-k vs the
+    exact baseline, side-by-side with q265's IVF-Flat recall. The
+    codebook == the IVF centroid seed (first 16 candidates by vec_id);
+    every fold is sequential so the DuckDB twin replays rankings
+    bit-for-bit. Scale shape: one index scan + one code-only probe
+    scan + a 240-row rerank join; windows all partitioned by qid
+    (two-stage top-k); no full-vector shuffle anywhere past the
+    index build."""
+    import math as _math
+
+    from kp_data_pipelines_spark.operators.similarity import (
+        _nearest_centroid_kernel,
+        _pq_kernel,
+        multi_cosine_kernel,
+    )
+
+    n_queries, n_centroids, nprobe = 8, 16, 4
+    n_subspaces, n_codes, kk, rerank_m = 8, 16, 10, 30
+    emb = read_table(spark, sf, "embeddings")
+    anchors = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in anchors
+    ]
+    cand = ensure_parallelism(emb.filter(F.col("vec_id") >= n_queries))
+    seed_rows = (
+        cand.orderBy("vec_id").limit(n_codes).select("embedding").collect()
+    )
+    seed_vecs = [[float(x) for x in r[0]] for r in seed_rows]
+    centroids = list(enumerate(seed_vecs))
+    dim = len(seed_vecs[0])
+    sub_dim = dim // n_subspaces
+
+    # Probe cells per anchor: q265's driver-side scoring over the k tiny
+    # centroids (dot/norm, stable sort -> cid ASC ties).
+    probe_entries = []
+    for qid, qv in queries:
+        cells = [
+            cid
+            for cid, cvec in sorted(
+                centroids,
+                key=lambda c: -(
+                    sum(a * b for a, b in zip(qv, c[1]))
+                    / (_math.sqrt(sum(x * x for x in c[1])) or 1.0)
+                ),
+            )[:nprobe]
+        ]
+        probe_entries.append(F.lit(qid).cast("bigint"))
+        probe_entries.append(F.array(*[F.lit(int(c)) for c in cells]))
+    probe_map = F.create_map(*probe_entries)
+
+    # ADC lookup table: lut[qid][s][code] = sequential-fold L2 between
+    # the raw query's subspace s and codebook entry `code` — the same
+    # left fold the DuckDB twin runs (Python float == IEEE double).
+    lut_entries = []
+    for qid, qv in queries:
+        per_sub = []
+        for s in range(n_subspaces):
+            lo = s * sub_dim
+            row = []
+            for cvec in seed_vecs:
+                acc = 0.0
+                for j in range(sub_dim):
+                    d = qv[lo + j] - cvec[lo + j]
+                    acc = acc + d * d
+                row.append(acc)
+            per_sub.append(F.array(*[F.lit(float(x)) for x in row]))
+        lut_entries.append(F.lit(qid).cast("bigint"))
+        lut_entries.append(F.array(*per_sub))
+    lut_map = F.create_map(*lut_entries)
+
+    pq = _pq_kernel(seed_vecs, n_subspaces, sub_dim)(
+        F.col("embedding")
+    ).alias("__pq")
+    cell = _nearest_centroid_kernel(centroids)(F.col("embedding"))
+    base = cand.select("vec_id", pq, cell.alias("cell")).select(
+        "vec_id",
+        "cell",
+        F.split(F.col("__pq.codes"), "-").alias("carr"),
+    )
+    qid_arr = F.array(*[F.lit(qid).cast("bigint") for qid, _ in queries])
+    ex = base.select(
+        "vec_id", "carr", F.col("cell").cast("int").alias("cell"),
+        F.explode(qid_arr).alias("qid"),
+    ).filter(F.array_contains(probe_map[F.col("qid")], F.col("cell")))
+    lut_arr = lut_map[F.col("qid")]
+    terms = [
+        F.element_at(
+            F.element_at(lut_arr, s + 1),
+            F.element_at(F.col("carr"), s + 1).cast("int") + 1,
+        )
+        for s in range(n_subspaces)
+    ]
+    adc_expr = terms[0]
+    for t in terms[1:]:
+        adc_expr = adc_expr + t  # left-assoc, the twin's l0.d0 + ... order
+    adc = ex.select("qid", "vec_id", adc_expr.alias("adc"))
+
+    w1 = Window.partitionBy("qid", "shard").orderBy("adc", "vec_id")
+    w2 = Window.partitionBy("qid").orderBy("adc", "vec_id")
+    # lazy checkpoint: ranked feeds the ADC-top-k ledger AND the rerank
+    # set — without it the PQ Arrow kernel executes once per consumer
+    ranked = (
+        adc.withColumn("shard", F.pmod(F.hash("vec_id"), F.lit(32)))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= rerank_m)
+        .drop("rn", "shard")
+        .withColumn("rn", F.row_number().over(w2))
+        .localCheckpoint(eager=False)
+    )
+    adck = ranked.filter(F.col("rn") <= kk).select("qid", "vec_id")
+    surv = ranked.filter(F.col("rn") <= rerank_m).select("qid", "vec_id")
+
+    cosk = multi_cosine_kernel([qv for _, qv in queries])
+    rr_scored = surv.join(
+        cand.select("vec_id", "embedding"), "vec_id"
+    ).select(
+        "qid",
+        "vec_id",
+        F.element_at(
+            cosk(F.col("embedding")), (F.col("qid") + 1).cast("int")
+        ).alias("cos"),
+    )
+    wrr = Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
+    rr = (
+        rr_scored.withColumn("rn", F.row_number().over(wrr))
+        .filter(F.col("rn") <= kk)
+        .select("qid", "vec_id")
+    )
+
+    scored = cand.select(
+        "vec_id", F.posexplode(cosk(F.col("embedding"))).alias("pos", "cos")
+    ).select(
+        F.element_at(qid_arr, F.col("pos") + 1).alias("qid"),
+        "vec_id",
+        "cos",
+    )
+    we1 = Window.partitionBy("qid", "shard").orderBy(
+        F.desc("cos"), "vec_id"
+    )
+    we2 = Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
+    exact = (
+        scored.withColumn("shard", F.pmod(F.hash("vec_id"), F.lit(32)))
+        .withColumn("rn", F.row_number().over(we1))
+        .filter(F.col("rn") <= kk)
+        .drop("rn", "shard")
+        .withColumn("rn", F.row_number().over(we2))
+        .filter(F.col("rn") <= kk)
+        .select("qid", "vec_id")
+    )
+    return (
+        exact.join(
+            adck.withColumn("__ha", F.lit(1)), ["qid", "vec_id"], "left"
+        )
+        .join(rr.withColumn("__hr", F.lit(1)), ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce("__ha", F.lit(0)))
+            .cast("bigint")
+            .alias("adc_hits"),
+            F.sum(F.coalesce("__hr", F.lit(0)))
+            .cast("bigint")
+            .alias("rr_hits"),
+        )
+        .select(
+            "qid",
+            "n_exact",
+            "adc_hits",
+            "rr_hits",
+            (
+                F.col("adc_hits").cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall_adc"),
+            (
+                F.col("rr_hits").cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall_rr"),
+        )
+        .orderBy("qid")
+    )
+
+
+@register(
+    "q329_learned_quality_classifier", oracles.learned_quality_sql()
+)
+def q329_learned_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """A LEARNED quality filter trained in-engine — the round-10
+    verdict's #3 ask (the last missing operator FAMILY): q22/q235 are
+    hand-rule gates; the production pattern (DCLM / fastText-style) is
+    a learned linear classifier over hashed n-grams. Train: one
+    half's token-bucket counts per class (two-round LCG id-hash split
+    — bare parity is source-aligned on this fixture), weak-labeled by
+    the q22 composite gate at >= 0.8 (q231's 0.7 threshold is
+    DEGENERATE on this fixture — every document passes, leaving no
+    negative class to learn; 0.8 splits ~90/10) — counting IS
+    the closed-form fit for this family, one keyed agg. Weights: the
+    Laplace-smoothed QUANTIZED probability gap per bucket,
+    round(1e9*((n_pos+1)/(tot_pos+V) - (n_neg+1)/(tot_neg+V))) — the
+    log-likelihood-ratio (true NB) form is not cross-engine hashable
+    (ln is libm-dependent, the q157 lesson), so the weight lane is
+    q267's integer-exact DSIR precedent; same decision family, exact
+    BIGINT doc scores. Apply: score EVERY doc (train + holdout) as
+    one broadcast join + keyed sum; predict positive on score > 0.
+    Audit (q262's shape): per source, gate-vs-classifier agreement
+    overall AND on the held-out odd half — the disagreement rate is
+    the number that says whether the learned filter actually
+    generalizes the heuristic or memorized its artifacts. Scale shape:
+    one Arrow token-hash pass (checkpointed — two consumers), one
+    keyed train agg, a 1024-row weight grid (domain-bounded,
+    broadcast), one keyed score sum, one doc_id equi-join; corpus
+    totals attach via broadcast_scalar. |w| <= 1e9, doc scores <=
+    1e9 * tokens/doc — far under 2^53 at any sf; tagged overflow for
+    the quantized lane. Published-method hooks: DCLM (Li et al. 2024)
+    and FineWeb-Edu's fastText-style learned filters; the weak-label
+    source is q22's composite gate (the reference corpus has no labeled
+    quality column)."""
+    from kp_data_pipelines_spark.operators.similarity import (
+        _MERSENNE,
+        _hash_params,
+    )
+    from kp_data_pipelines_spark.operators.textops import (
+        char_fold_hashes,
+        quality_score,
+    )
+
+    n_buckets = 1024
+    # Train/holdout split: TWO LCG rounds mod 2 (the q239 lesson) — a
+    # bare doc_id parity split is SOURCE-aligned on this fixture (even
+    # sources hold only even ids), which would make the holdout column
+    # a different-sources eval and zero out half the per-source rates.
+    (a1, b1) = _hash_params(1, 73)[0]
+    (a2, b2) = _hash_params(1, 74)[0]
+    h1 = (
+        F.lit(a1) * F.pmod(F.col("doc_id"), F.lit(_MERSENNE)) + F.lit(b1)
+    ) % _MERSENNE
+    split_bit = ((F.lit(a2) * h1 + F.lit(b2)) % _MERSENNE) % 2
+    docs = ensure_parallelism(read_table(spark, sf, "documents"))
+    lab = docs.select(
+        "doc_id",
+        "source",
+        F.when(quality_score("text") >= 0.8, 1).otherwise(0).alias("label"),
+        split_bit.alias("split_bit"),
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    )
+    # lazy checkpoint: tb feeds the train agg AND the apply-score join —
+    # without it the Arrow char-fold kernel executes twice
+    tb = toks.select(
+        "doc_id",
+        F.pmod(
+            F.element_at(char_fold_hashes("tok", (31,)), 1),
+            F.lit(n_buckets),
+        ).alias("bucket"),
+    ).localCheckpoint(eager=False)
+    trainb = (
+        tb.join(lab.select("doc_id", "label", "split_bit"), "doc_id")
+        .filter(F.col("split_bit") == 0)
+        .groupBy("bucket")
+        .agg(
+            F.sum("label").cast("bigint").alias("n_pos"),
+            F.sum(F.lit(1) - F.col("label")).cast("bigint").alias("n_neg"),
+        )
+    )
+    tot = trainb.groupBy().agg(
+        F.sum("n_pos").cast("bigint").alias("tot_pos"),
+        F.sum("n_neg").cast("bigint").alias("tot_neg"),
+    )
+    qd = F.lit(1000000000.0)
+    grid = spark.range(0, n_buckets).select(F.col("id").alias("bucket"))
+    w = (
+        grid.join(trainb, "bucket", "left")
+        .crossJoin(broadcast_scalar(tot))
+        .select(
+            "bucket",
+            (
+                F.round(
+                    (F.coalesce("n_pos", F.lit(0)) + 1).cast("double")
+                    / (F.col("tot_pos") + n_buckets).cast("double")
+                    * qd
+                ).cast("bigint")
+                - F.round(
+                    (F.coalesce("n_neg", F.lit(0)) + 1).cast("double")
+                    / (F.col("tot_neg") + n_buckets).cast("double")
+                    * qd
+                ).cast("bigint")
+            ).alias("w"),
+        )
+    )
+    scores = (
+        tb.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("w").cast("bigint").alias("score"))
+    )
+    d = lab.join(scores, "doc_id").select(
+        "source",
+        "label",
+        F.when(F.col("score") > 0, 1).otherwise(0).alias("pred"),
+        F.col("split_bit").alias("is_holdout"),
+    )
+    agree = F.when(F.col("label") == F.col("pred"), 1).otherwise(0)
+    h_agree = F.when(
+        (F.col("is_holdout") == 1) & (F.col("label") == F.col("pred")), 1
+    ).otherwise(0)
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("label").cast("bigint").alias("n_gate_pos"),
+            F.sum("pred").cast("bigint").alias("n_pred_pos"),
+            F.sum(agree).cast("bigint").alias("n_agree"),
+            (
+                F.sum(agree).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("agreement_rate"),
+            F.sum("is_holdout").cast("bigint").alias("n_holdout"),
+            F.sum(h_agree).cast("bigint").alias("n_holdout_agree"),
+            (
+                F.sum(h_agree).cast("double")
+                / F.sum("is_holdout").cast("double")
+            ).alias("holdout_agreement_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q330_wav_decoded_constellation",
+    oracles.wav_decoded_constellation_sql(),
+)
+def q330_wav_decoded_constellation(spark: SparkSession, sf: str) -> DataFrame:
+    """The REAL audio codec promoted to an oracle-gated executed query
+    — the round-10 verdict's #4 ask (q323 did it for PNG; the WAV path
+    lived only in a test). Pipeline: each document's bytes become TWO
+    byte-different RIFF/WAVE containers of IDENTICAL 8-bit PCM samples
+    (plain stdlib ``wave`` encode + a JUNK-chunk re-container —
+    ``multimodal.wav_roundtrip_media``); ``decoded_media_dhash(
+    decoder="stdlib")`` PARSES each container and fingerprints the
+    DECODED samples; then constellation landmarks (q308's machinery)
+    run over the DECODED sample stream of one representative per
+    decoded identity — landmarks over what the decoder heard, never
+    over container bytes, and the decode-layer dedup HALVES the
+    landmark work before it starts. The ledger shows the collapse:
+    n_raw counts 2 identities per distinct sample stream, n_decoded
+    collapses them to 1, and n_landmarks/n_keys are computed once per
+    decoded identity. The oracle replays decoded tokens and streams as
+    pure functions of the source samples — legitimate ONLY because the
+    parser is lossless and deterministic, which is exactly what parity
+    certifies (a parser that misread the JUNK chunk would shift every
+    sha and landmark). Scale shape: encode, decode, and
+    decode-to-stream are one Arrow pass each; representatives are a
+    keyed min; the landmark explode is linear in decoded chars; the
+    ledger shuffles only |sources| keys."""
+    from kp_data_pipelines_spark.operators.multimodal import (
+        constellation_landmarks,
+        decoded_media_dhash,
+        wav_decoded_chars,
+        wav_roundtrip_media,
+    )
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "source", "text"
+    )
+    # lazy checkpoint: media feeds the decode path, the source lookup,
+    # AND the representative content fetch — without it the WAV ENCODE
+    # pass (the dominant kernel) would execute three times
+    media = wav_roundtrip_media(docs).localCheckpoint(eager=False)
+    # fps feeds the ledger AND representative selection — pin so the
+    # stdlib WAV decode pass executes once
+    fps = (
+        decoded_media_dhash(media, decoder="stdlib")
+        .join(media.select("media_id", "source"), "media_id")
+        .localCheckpoint(eager=False)
+    )
+    led = fps.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_payloads"),
+        F.countDistinct("content_sha").cast("bigint").alias("n_raw"),
+        F.countDistinct("feature").cast("bigint").alias("n_decoded"),
+    )
+    reps = fps.groupBy("source", "feature").agg(
+        F.min("media_id").alias("media_id")
+    )
+    # dec feeds the landmark build AND the source lookup — pin so the
+    # decode-to-stream kernel executes once
+    dec = (
+        reps.join(media.select("media_id", "content"), "media_id")
+        .select(
+            "source",
+            "media_id",
+            wav_decoded_chars(F.col("content")).alias("stream"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    lm = constellation_landmarks(dec, "media_id", "stream")
+    lstats = (
+        lm.join(dec.select("media_id", "source"), "media_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_landmarks"),
+            F.countDistinct("key").cast("bigint").alias("n_keys"),
+        )
+    )
+    return (
+        led.join(lstats, "source", "left")
+        .select(
+            "source",
+            "n_payloads",
+            "n_raw",
+            "n_decoded",
+            F.coalesce("n_landmarks", F.lit(0).cast("bigint")).alias(
+                "n_landmarks"
+            ),
+            F.coalesce("n_keys", F.lit(0).cast("bigint")).alias("n_keys"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q331_bpe_deep_trainer",
+    oracles.bpe_adaptive_trainer_sql(rounds=35),
+)
+def q331_bpe_deep_trainer(spark: SparkSession, sf: str) -> DataFrame:
+    """The adaptive BPE trainer in the >=1024-merge regime, ORACLE-
+    GATED — the round-10 verdict's #1 ask: q321 certifies 20 rounds /
+    ~554 merges; this entry runs the SAME trainer (same units, band,
+    pool, kernel) for 35 rounds, reaching >=1128 merges at every
+    fixture SF, so the deep tail the round model lives in is itself
+    hash-verified, not extrapolated. The measured context (SCALE.md
+    §20, round-11 revision; tools/bpe_rounds.py): on a 1M-doc / 25k-
+    chunk synthetic corpus the trainer reached 4139 merges in 101
+    rounds at ~0.5 s/round, with E[batch] plateauing at ~28 and
+    climbing only to ~50 deep in the tail — symbol DISJOINTNESS binds
+    the batch, refuting the old E[batch_tail] ~= 200-500 assumption;
+    the honest 32k-merge projection is ~650 rounds (~5-6 min of
+    vocabulary-bounded driver rounds), still ~25x under the fixed-cap
+    trainer's ~2.7k. Per-round cost is UNCHANGED from q321 (one
+    vocabulary-bounded ranked job, driver selection, one Arrow
+    re-symbolization); the DuckDB twin replays all 35 rounds as the
+    recursive count-band CTE chain with per-round map-probe folds."""
+    from kp_data_pipelines_spark.operators.bpe import train_bpe_adaptive
+
+    docs = read_table(spark, sf, "documents").select("text")
+    return train_bpe_adaptive(spark, docs, "text", rounds=35)
+
+
 # ---------------------------------------------------------------------------
 # Tags
 # ---------------------------------------------------------------------------
@@ -20288,6 +20857,7 @@ OVERFLOW_SENSITIVE = frozenset({
     "q259_interarrival_burstiness",
     "q266_silhouette_score",
     "q267_dsir_importance",
+    "q329_learned_quality_classifier",
     "q269_hard_negative_mining",  # adaptive-plane sweep, see q226 note
     "q270_jl_projection_audit",
     "q271_ks_drift_test",

@@ -214,3 +214,54 @@ def wav_decode(data: bytes) -> tuple[int, int, int, bytes]:
             w.getnframes(),
             w.readframes(w.getnframes()),
         )
+
+
+def wav_encode_pcm8(
+    samples: bytes, n_channels: int = 1, framerate: int = 8000
+) -> bytes:
+    """Write a real RIFF/WAVE container (stdlib ``wave``) around an
+    8-bit PCM sample-byte stream — one byte per sample, so an ASCII
+    byte stream round-trips as its own sample values (the
+    VARCHAR-replayable profile q330's oracle needs; 16-bit PCM would
+    interleave \\x00 high bytes, which DuckDB's sha256(VARCHAR)
+    cannot hash)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(1)
+        w.setframerate(framerate)
+        w.writeframes(samples)
+    return buf.getvalue()
+
+
+def wav_add_junk_chunk(
+    data: bytes, payload: bytes = b"kp-roundtrip-meta"
+) -> bytes:
+    """Insert a RIFF ``JUNK`` padding chunk (the standard alignment /
+    reserved-space chunk of the RIFF spec) before the ``data`` chunk
+    and patch the RIFF size — a byte-DIFFERENT container of IDENTICAL
+    samples. The stdlib ``wave`` reader (and any spec-conforming RIFF
+    parser) skips unknown chunks, so ``wav_decode`` of the result
+    yields exactly the original PCM: the re-containered-duplicate
+    shape a decoded-layer dedup must collapse and a raw-layer dedup
+    cannot (q330; the PNG analog is re-filtering, q323)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    if len(payload) % 2:
+        payload += b" "  # RIFF chunks are word-aligned
+    chunk = b"JUNK" + len(payload).to_bytes(4, "little") + payload
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        sz = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        if cid == b"data":
+            break
+        pos += 8 + sz + (sz & 1)
+    else:
+        raise ValueError("RIFF/WAVE container has no data chunk")
+    out = data[:pos] + chunk + data[pos:]
+    riff = int.from_bytes(data[4:8], "little") + len(chunk)
+    return out[:4] + riff.to_bytes(4, "little") + out[8:]

@@ -580,6 +580,95 @@ def png_roundtrip_media(
     )
 
 
+# q330's WAV round-trip parameters — imported by the oracle twin so the
+# engines cannot drift. 8-bit PCM (one byte per sample) keeps the decoded
+# stream VARCHAR-replayable; two variants = plain container + JUNK-chunk
+# re-container (identical samples, byte-different bytes).
+WAV_ROUNDTRIP_RATE = 8000
+WAV_ROUNDTRIP_VARIANTS = 2
+
+
+def wav_roundtrip_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    framerate: int = WAV_ROUNDTRIP_RATE,
+) -> DataFrame:
+    """Emit TWO real RIFF/WAVE containers per document — the text's
+    bytes as an 8-bit PCM sample stream (``codecs.wav_encode_pcm8``),
+    variant 0 the plain stdlib ``wave`` encode and variant 1 the same
+    encode re-containered with an inserted RIFF ``JUNK`` metadata chunk
+    (``codecs.wav_add_junk_chunk``). The variants are byte-DIFFERENT
+    containers of IDENTICAL samples — the audio analog of q323's PNG
+    re-filtering. Arrow mapInPandas, one pass; media_id =
+    id * 2 + variant. ASCII-text contract (the q313 fixture guarantee):
+    sample bytes == text bytes, so the DuckDB twin rebuilds the decoded
+    stream as the text itself."""
+    from kp_data_pipelines_spark.operators.codecs import (
+        wav_add_junk_chunk,
+        wav_encode_pcm8,
+    )
+    from kp_data_pipelines_spark.operators.similarity import (
+        ensure_parallelism,
+    )
+
+    nv = WAV_ROUNDTRIP_VARIANTS
+    src = ensure_parallelism(
+        df.select(id_col, source_col, text_col).filter(
+            F.length(text_col) > 0
+        )
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                "media_id": [], "source": [], "kind": [], "content": [],
+            }
+            for did, source, txt in zip(
+                pdf[id_col], pdf[source_col], pdf[text_col]
+            ):
+                plain = wav_encode_pcm8(
+                    txt.encode("utf-8"), framerate=framerate
+                )
+                for v, payload in enumerate(
+                    (plain, wav_add_junk_chunk(plain))
+                ):
+                    rows["media_id"].append(int(did) * nv + v)
+                    rows["source"].append(source)
+                    rows["kind"].append("audio")
+                    rows["content"].append(payload)
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        gen, "media_id long, source string, kind string, content binary"
+    )
+
+
+def wav_decoded_chars(content_col) -> "F.Column":
+    """Decode a RIFF/WAVE payload (stdlib ``wave``) and render the PCM
+    sample VALUES as a char stream — the decoded-layer payload q330
+    feeds to ``constellation_landmarks`` (landmarks over what the
+    decoder heard, not over container bytes). 8-bit profile: one
+    sample per byte, chr(sample) per char."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    from kp_data_pipelines_spark.operators.codecs import wav_decode
+
+    @pandas_udf(StringType())
+    def _decode(batch: pd.Series) -> pd.Series:
+        def one(b):
+            if b is None:
+                return None
+            _ch, _rate, _nf, pcm = wav_decode(bytes(b))
+            return "".join(map(chr, pcm))
+
+        return batch.map(one)
+
+    return _decode(content_col)
+
+
 def constellation_landmarks(
     df: DataFrame,
     id_col: str,

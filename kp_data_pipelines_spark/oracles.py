@@ -5794,3 +5794,317 @@ def media_datasheet_sql(max_hamming: int = 4) -> str:
              AS neardup_share
     FROM d GROUP BY source ORDER BY source
     """
+
+
+def ivfpq_adc_sql(
+    n_queries: int = 8,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_subspaces: int = 8,
+    kk: int = 10,
+    rerank_m: int = 30,
+) -> str:
+    """Twin of q328: IVF-PQ with an ADC candidate scan. The codebook ==
+    the IVF centroid seed (first ``n_centroids`` candidates by vec_id),
+    per-subspace PQ codes replay q155's assignment (L2 sequential fold;
+    dist ASC, cid ASC ties), the per-anchor ADC lookup table is the same
+    sequential sub-distance fold between the RAW query and each codebook
+    entry, and the ADC distance is the left-assoc 8-term sum of LUT
+    entries — every float op in the same order as the Spark side, so
+    rankings (adc ASC, vec_id ASC) match bit-for-bit. Exact/rerank
+    cosines are the standard `_dot` fold (== multi_cosine_kernel)."""
+    dim = EMBEDDING_DIM
+    sub = dim // n_subspaces
+
+    def l2(s: int, a: str, b: str) -> str:
+        lo = s * sub
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {sub + 1}), "
+            f"i -> ({a}[{lo}+i] - {b}[{lo}+i]) * ({a}[{lo}+i] - {b}[{lo}+i]))), "
+            f"(acc, x) -> acc + x)"
+        )
+
+    code_ctes = []
+    for s in range(n_subspaces):
+        code_ctes.append(
+            f"""a{s} AS (
+      SELECT vec_id, cid AS code{s} FROM (
+        SELECT e.vec_id, c.cid, {l2(s, "e.v", "c.cv")} AS dist,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {l2(s, "e.v", "c.cv")}, c.cid)
+                 AS rn
+        FROM e CROSS JOIN c
+      ) WHERE rn = 1
+    )"""
+        )
+    lut_cols = ", ".join(
+        f"{l2(s, 'q.qv', 'c.cv')} AS d{s}" for s in range(n_subspaces)
+    )
+    code_joins = " ".join(
+        f"JOIN a{s} USING (vec_id)" for s in range(n_subspaces)
+    )
+    lut_joins = " ".join(
+        f"JOIN lut l{s} ON l{s}.qid = p.qid AND l{s}.cid = k.code{s}"
+        for s in range(n_subspaces)
+    )
+    adc_sum = " + ".join(f"l{s}.d{s}" for s in range(n_subspaces))
+    codes_chain = ",\n    ".join(code_ctes)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id >= {n_queries}
+    ),
+    q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {n_queries}
+    ),
+    c AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             v AS cv
+      FROM e ORDER BY vec_id LIMIT {n_centroids}
+    ),
+    cn AS (
+      SELECT cid, cv,
+             CASE WHEN sqrt({_dot("cv", "cv")}) = 0 THEN 1.0
+                  ELSE sqrt({_dot("cv", "cv")}) END AS ncv
+      FROM c
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, cn.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_dot("e.v", "cn.cv")}
+                   / (sqrt({_dot("e.v", "e.v")}) * cn.ncv) DESC,
+                 cn.cid DESC) AS rn
+        FROM e CROSS JOIN cn
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, cn.cid,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {_dot("q.qv", "cn.cv")} / cn.ncv DESC, cn.cid)
+                 AS prn
+        FROM q CROSS JOIN cn
+      ) WHERE prn <= {nprobe}
+    ),
+    {codes_chain},
+    codes AS MATERIALIZED (
+      SELECT e.vec_id, {", ".join(f"code{s}" for s in range(n_subspaces))}
+      FROM e {code_joins}
+    ),
+    lut AS MATERIALIZED (
+      SELECT q.qid, c.cid, {lut_cols}
+      FROM q CROSS JOIN c
+    ),
+    adcc AS MATERIALIZED (
+      SELECT p.qid, k.vec_id, {adc_sum} AS adc
+      FROM codes k
+      JOIN assign g ON g.vec_id = k.vec_id
+      JOIN probe p ON p.cid = g.cid
+      {lut_joins}
+    ),
+    adcrank AS MATERIALIZED (
+      SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY adc, vec_id) AS rn
+      FROM adcc
+    ),
+    adck AS (SELECT qid, vec_id FROM adcrank WHERE rn <= {kk}),
+    surv AS (SELECT qid, vec_id FROM adcrank WHERE rn <= {rerank_m}),
+    rr AS (
+      SELECT qid, vec_id FROM (
+        SELECT s.qid, s.vec_id,
+               row_number() OVER (PARTITION BY s.qid ORDER BY
+                 {_dot("e.v", "q.qv")}
+                   / (sqrt({_dot("e.v", "e.v")})
+                      * sqrt({_dot("q.qv", "q.qv")})) DESC,
+                 s.vec_id) AS rn
+        FROM surv s
+        JOIN e ON e.vec_id = s.vec_id
+        JOIN q ON q.qid = s.qid
+      ) WHERE rn <= {kk}
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 {_dot("e.v", "q.qv")}
+                   / (sqrt({_dot("e.v", "e.v")})
+                      * sqrt({_dot("q.qv", "q.qv")})) DESC,
+                 e.vec_id) AS rn
+        FROM e CROSS JOIN q
+      ) WHERE rn <= {kk}
+    )
+    SELECT x.qid AS qid,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS adc_hits,
+           CAST(SUM(CASE WHEN r.vec_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS rr_hits,
+           CAST(SUM(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS recall_adc,
+           CAST(SUM(CASE WHEN r.vec_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS recall_rr
+    FROM exact x
+    LEFT JOIN adck a ON a.qid = x.qid AND a.vec_id = x.vec_id
+    LEFT JOIN rr r ON r.qid = x.qid AND r.vec_id = x.vec_id
+    GROUP BY x.qid ORDER BY qid
+    """
+
+
+def learned_quality_sql(
+    n_buckets: int = 1024, q_min: str = "0.8"
+) -> str:
+    """Twin of q329: a LEARNED linear quality classifier over hashed
+    unigrams, trained on the q22 heuristic gate as weak labels. Token
+    hashes are the portable char fold (== textops.poly_token_hashes);
+    per-class bucket counts are exact integers over the even-doc_id
+    train split; the per-bucket weight is the Laplace-smoothed QUANTIZED
+    probability gap round(1e9*((n_pos+1)/(tot_pos+V) -
+    (n_neg+1)/(tot_neg+V))) — two identical double divides+rounds on
+    both engines (the log-likelihood-ratio form is not cross-engine
+    hashable: ln() is libm-dependent; the quantized-gap lane is the
+    q267 DSIR precedent) — and a doc's score is the exact BIGINT sum of
+    its token-bucket weights. The full ``n_buckets`` weight grid covers
+    unseen buckets uniformly. The train/holdout split is a TWO-round
+    LCG hash of doc_id mod 2 (the q239 lesson — a bare doc_id parity
+    split is source-aligned on this fixture: even sources hold only
+    even ids)."""
+    (a1, b1) = _hash_params(1, 73)[0]
+    (a2, b2) = _hash_params(1, 74)[0]
+    m = _MOD
+    split = (
+        f"(({a2} * (({a1} * (((doc_id % {m}) + {m}) % {m}) + {b1}) % {m})"
+        f" + {b2}) % {m}) % 2"
+    )
+    q = "CAST(1000000000 AS DOUBLE)"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_tok_hashes("text")}) AS th
+      FROM documents
+    ),
+    tb AS MATERIALIZED (
+      SELECT doc_id, th % {n_buckets} AS bucket FROM toks
+    ),
+    lab AS MATERIALIZED (
+      SELECT doc_id, source,
+             CASE WHEN {_QUALITY_SQL} >= {q_min} THEN 1 ELSE 0 END AS label,
+             {split} AS split_bit
+      FROM documents
+    ),
+    trainb AS (
+      SELECT bucket,
+             CAST(SUM(l.label) AS BIGINT) AS n_pos,
+             CAST(SUM(1 - l.label) AS BIGINT) AS n_neg
+      FROM tb JOIN lab l USING (doc_id)
+      WHERE l.split_bit = 0
+      GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_pos) AS BIGINT) AS tot_pos,
+             CAST(SUM(n_neg) AS BIGINT) AS tot_neg
+      FROM trainb
+    ),
+    grid AS (SELECT unnest(range(0, {n_buckets})) AS bucket),
+    w AS MATERIALIZED (
+      SELECT g.bucket,
+             CAST(round(CAST(coalesce(t.n_pos, 0) + 1 AS DOUBLE)
+                        / CAST(tot_pos + {n_buckets} AS DOUBLE) * {q})
+                  AS BIGINT)
+           - CAST(round(CAST(coalesce(t.n_neg, 0) + 1 AS DOUBLE)
+                        / CAST(tot_neg + {n_buckets} AS DOUBLE) * {q})
+                  AS BIGINT) AS w
+      FROM grid g LEFT JOIN trainb t USING (bucket) CROSS JOIN tot
+    ),
+    scores AS (
+      SELECT tb.doc_id, CAST(SUM(w.w) AS BIGINT) AS score
+      FROM tb JOIN w USING (bucket)
+      GROUP BY tb.doc_id
+    ),
+    d AS (
+      SELECT l.source, l.label,
+             CASE WHEN s.score > 0 THEN 1 ELSE 0 END AS pred,
+             l.split_bit AS is_holdout
+      FROM lab l JOIN scores s USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(label) AS BIGINT) AS n_gate_pos,
+           CAST(SUM(pred) AS BIGINT) AS n_pred_pos,
+           CAST(SUM(CASE WHEN label = pred THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_agree,
+           CAST(SUM(CASE WHEN label = pred THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS agreement_rate,
+           CAST(SUM(is_holdout) AS BIGINT) AS n_holdout,
+           CAST(SUM(CASE WHEN is_holdout = 1 AND label = pred
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_holdout_agree,
+           CAST(SUM(CASE WHEN is_holdout = 1 AND label = pred
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(is_holdout) AS DOUBLE) AS holdout_agreement_rate
+    FROM d GROUP BY source ORDER BY source
+    """
+
+
+def wav_decoded_constellation_sql(w: int = 32, fan: int = 3) -> str:
+    """Twin of q330: the REAL audio codec round trip + landmarks over
+    the DECODED samples. The Spark side encodes each document's bytes
+    as TWO byte-different RIFF/WAVE containers of identical 8-bit PCM
+    (plain + JUNK-chunk re-container), decodes them with the stdlib
+    ``wave`` parser, ledgers identities at both layers, then builds
+    constellation landmarks over the decoded sample stream of ONE
+    representative per decoded identity. The oracle cannot run the
+    codec — it doesn't have to: the decoder is REAL and LOSSLESS, so
+    the decoded feature token is a pure function of the SOURCE samples
+    (``audio:1x{rate}x{n}:sha256(samples)[:16]``, samples == text
+    bytes under the ASCII contract) and the decoded char stream IS the
+    text — which is exactly what parity certifies (a parser that
+    misread the JUNK chunk or dropped a sample would shift every sha
+    and landmark and fail the value hash). Raw-layer identities replay
+    as 2 x distinct sample streams (deterministic injective encoder
+    per variant). Constants import from ``operators.multimodal``."""
+    from kp_data_pipelines_spark.operators.multimodal import (
+        WAV_ROUNDTRIP_RATE,
+        WAV_ROUNDTRIP_VARIANTS,
+    )
+
+    nv = WAV_ROUNDTRIP_VARIANTS
+    rate = WAV_ROUNDTRIP_RATE
+    return f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, source, text,
+             'audio:1x{rate}x' || length(text) || ':'
+               || substr(sha256(text), 1, 16) AS feature
+      FROM documents WHERE length(text) > 0
+    ),
+    reps AS (
+      SELECT source, feature, MIN(doc_id) AS rep_doc
+      FROM tok GROUP BY source, feature
+    ),
+    m AS (
+      SELECT r.source, CAST({nv} * r.rep_doc AS BIGINT) AS media_id,
+             t.text
+      FROM reps r JOIN tok t ON t.doc_id = r.rep_doc
+    ),
+    {_constellation_lm_ctes("m", "media_id", w=w, fan=fan)},
+    lstats AS (
+      SELECT m.source,
+             CAST(COUNT(*) AS BIGINT) AS n_landmarks,
+             CAST(COUNT(DISTINCT lm.key) AS BIGINT) AS n_keys
+      FROM lm JOIN m USING (media_id)
+      GROUP BY m.source
+    ),
+    led AS (
+      SELECT source,
+             CAST({nv} * COUNT(*) AS BIGINT) AS n_payloads,
+             CAST({nv} * COUNT(DISTINCT text) AS BIGINT) AS n_raw,
+             CAST(COUNT(DISTINCT feature) AS BIGINT) AS n_decoded
+      FROM tok GROUP BY source
+    )
+    SELECT led.source, led.n_payloads, led.n_raw, led.n_decoded,
+           CAST(coalesce(l.n_landmarks, 0) AS BIGINT) AS n_landmarks,
+           CAST(coalesce(l.n_keys, 0) AS BIGINT) AS n_keys
+    FROM led LEFT JOIN lstats l USING (source)
+    ORDER BY led.source
+    """

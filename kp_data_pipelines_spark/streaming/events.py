@@ -248,7 +248,16 @@ def run_bounded_foreach_batch(
     the caller can't distinguish from a complete one. The stop is
     driver-side observation of a counter the foreachBatch handler
     advances — no sentinel rows in the data path, so ``batch_fn`` sees
-    exactly what an AvailableNow run would."""
+    exactly what an AvailableNow run would.
+
+    A caller-supplied ``checkpoint_dir`` is SINGLE-USE: micro-batches
+    that drain after the stop condition fires are skipped by the
+    handler but their offsets are still committed by the streaming
+    engine, so resuming a later query from the same checkpoint would
+    permanently skip that data. Pass a fresh directory per run (or
+    None to let this function own an ephemeral one). Error paths
+    (source exception, timeout, idle-partial) remove ``out_dir`` and
+    any owned checkpoint before raising."""
     import shutil
     import threading
     import time as _time
@@ -280,27 +289,33 @@ def run_bounded_foreach_batch(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
-    deadline = _time.time() + timeout_sec
-    while not done.is_set() and _time.time() < deadline:
+    try:
+        deadline = _time.time() + timeout_sec
+        while not done.is_set() and _time.time() < deadline:
+            if q.exception() is not None:
+                break
+            _time.sleep(0.2)
+        q.stop()
+        q.awaitTermination()
         if q.exception() is not None:
-            break
-        _time.sleep(0.2)
-    q.stop()
-    q.awaitTermination()
-    if q.exception() is not None:
-        raise q.exception()
-    if not done.is_set():
-        raise TimeoutError(
-            f"bounded stream did not reach {total_rows} rows within "
-            f"{timeout_sec}s (got {state['rows']})"
-        )
-    if state["rows"] < total_rows:
-        raise ValueError(
-            f"bounded stream went idle ({state['idle']} empty batches) "
-            f"after only {state['rows']} of {total_rows} rows — the "
-            "source stopped delivering; refusing to return a partial "
-            "ledger"
-        )
+            raise q.exception()
+        if not done.is_set():
+            raise TimeoutError(
+                f"bounded stream did not reach {total_rows} rows within "
+                f"{timeout_sec}s (got {state['rows']})"
+            )
+        if state["rows"] < total_rows:
+            raise ValueError(
+                f"bounded stream went idle ({state['idle']} empty "
+                f"batches) after only {state['rows']} of {total_rows} "
+                "rows — the source stopped delivering; refusing to "
+                "return a partial ledger"
+            )
+    except BaseException:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        if own_ckpt:
+            shutil.rmtree(checkpoint_dir, ignore_errors=True)
+        raise
     if own_ckpt:
         shutil.rmtree(checkpoint_dir, ignore_errors=True)
     spark = stream_df.sparkSession

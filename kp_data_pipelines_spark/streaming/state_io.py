@@ -111,7 +111,15 @@ def read_markers(spark: SparkSession, dir_path: str) -> dict[str, str]:
                 and _TMP_SUFFIX in p.getName()
                 and now_ms - status.getModificationTime() > _TMP_STALE_MS
             ):
-                fs.delete(p, False)
+                # Best-effort orphan cleanup: a writer suspended past
+                # the staleness window (paused VM, debugger) loses its
+                # in-flight temp and retries; an undeletable temp
+                # (read-only mount) must not turn a pure READ into an
+                # exception.
+                try:
+                    fs.delete(p, False)
+                except Exception:
+                    pass
             continue
         stream = fs.open(p)
         try:

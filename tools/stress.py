@@ -289,10 +289,12 @@ def main() -> int:
     t = time.time()
     n_emb = encode_documents(docs.select("doc_id", "text"), "text").count()
     dt = time.time() - t
-    out["hash_embed_encode"] = round(n / dt)
+    # rate is per PRODUCED vector (empty-text docs drop), so the
+    # printed row count and the throughput share a denominator
+    out["hash_embed_encode"] = round(n_emb / dt)
     print(
         f"hash_embed_encode: {n_emb} vectors, {dt:.1f}s, "
-        f"{out['hash_embed_encode']} docs/sec"
+        f"{out['hash_embed_encode']} vectors/sec"
     )
 
     from kp_data_pipelines_spark.operators.multimodal import (
@@ -309,10 +311,12 @@ def main() -> int:
         decoder="stdlib",
     ).count()
     dt = time.time() - t
-    out["png_roundtrip_decode"] = round(n / dt)
+    # per PRODUCED fingerprint: multi-filter roundtrips fan out and
+    # empty docs drop, so dividing by input docs would misstate it
+    out["png_roundtrip_decode"] = round(n_fp / dt)
     print(
         f"png_roundtrip_decode: {n_fp} containers encoded+decoded+hashed, "
-        f"{dt:.1f}s, {out['png_roundtrip_decode']} docs/sec"
+        f"{dt:.1f}s, {out['png_roundtrip_decode']} containers/sec"
     )
 
     print(json.dumps({"metric": "stress_docs_per_sec", "n_docs": n, **out}))
