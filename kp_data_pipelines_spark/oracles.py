@@ -5958,20 +5958,22 @@ def learned_quality_sql(
     n_buckets: int = 1024, q_min: str = "0.8"
 ) -> str:
     """Twin of q329: a LEARNED linear quality classifier over hashed
-    unigrams, trained on the q22 heuristic gate as weak labels. Token
-    hashes are the portable char fold (== textops.poly_token_hashes);
-    per-class bucket counts are exact integers over the even-doc_id
-    train split; the per-bucket weight is the Laplace-smoothed QUANTIZED
-    probability gap round(1e9*((n_pos+1)/(tot_pos+V) -
-    (n_neg+1)/(tot_neg+V))) — two identical double divides+rounds on
-    both engines (the log-likelihood-ratio form is not cross-engine
-    hashable: ln() is libm-dependent; the quantized-gap lane is the
-    q267 DSIR precedent) — and a doc's score is the exact BIGINT sum of
-    its token-bucket weights. The full ``n_buckets`` weight grid covers
-    unseen buckets uniformly. The train/holdout split is a TWO-round
-    LCG hash of doc_id mod 2 (the q239 lesson — a bare doc_id parity
-    split is source-aligned on this fixture: even sources hold only
-    even ids)."""
+    unigrams + hashed STRUCTURAL tokens, trained on the q22 heuristic
+    gate as weak labels with a LEARNED decision threshold. Features:
+    whitespace tokens plus three structural tokens per doc (length
+    band, alpha-ratio decile, mean-token-length band — the gate's own
+    signal family, hashed through the same char fold into the same
+    bucket space). Weights: the Laplace-smoothed NORMALIZED probability
+    gap round(1e9*(pp-pn)/(pp+pn)) — monotone in the likelihood ratio
+    and bounded, where the raw log-ratio is not cross-engine hashable
+    (ln is libm-dependent). Score: exact BIGINT weight sum, normalized
+    per token by ONE double divide. Decision threshold: the k-th
+    smallest TRAIN score where k = #train negatives (prior-matched
+    order statistic — integer-rank exact, ties broken by doc_id;
+    at 100 TB this becomes a quantile sketch, here it is the exact
+    replayable twin). The train/holdout split is a TWO-round LCG hash
+    of doc_id mod 2 (the q239 lesson — bare parity is source-aligned
+    on this fixture)."""
     (a1, b1) = _hash_params(1, 73)[0]
     (a2, b2) = _hash_params(1, 74)[0]
     m = _MOD
@@ -5979,14 +5981,38 @@ def learned_quality_sql(
         f"(({a2} * (({a1} * (((doc_id % {m}) + {m}) % {m}) + {b1}) % {m})"
         f" + {b2}) % {m}) % 2"
     )
-    q = "CAST(1000000000 AS DOUBLE)"
+    struct = """list_value(
+             'len' || CAST(CASE WHEN length(text) BETWEEN 100 AND 20000
+                                THEN 1 ELSE 0 END AS VARCHAR),
+             'alpha' || CAST(CAST(floor(
+                 CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                      AS DOUBLE)
+                 / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10)
+                 AS BIGINT) AS VARCHAR),
+             'atl' || CAST(CASE WHEN
+                 (CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                       AS DOUBLE)
+                  / greatest(CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(string_split_regex(trim(text),
+                                                         '\\s+')) END, 1))
+                 BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END AS VARCHAR))"""
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, length(t)+1), "
+        "i -> CAST(ord(substr(t, i, 1)) AS BIGINT))), "
+        f"(acc, c) -> (acc * 31 + c) % {_MOD})"
+    )
+    pp = f"CAST(coalesce(t.n_pos, 0) + 1 AS DOUBLE) / CAST(tot_pos + {n_buckets} AS DOUBLE)"
+    pn = f"CAST(coalesce(t.n_neg, 0) + 1 AS DOUBLE) / CAST(tot_neg + {n_buckets} AS DOUBLE)"
     return f"""
     WITH toks AS (
-      SELECT doc_id, unnest({_tok_hashes("text")}) AS th
+      SELECT doc_id, unnest(list_concat(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               {struct})) AS t
       FROM documents
     ),
     tb AS MATERIALIZED (
-      SELECT doc_id, th % {n_buckets} AS bucket FROM toks
+      SELECT doc_id, {fold} % {n_buckets} AS bucket FROM toks
     ),
     lab AS MATERIALIZED (
       SELECT doc_id, source,
@@ -6010,24 +6036,33 @@ def learned_quality_sql(
     grid AS (SELECT unnest(range(0, {n_buckets})) AS bucket),
     w AS MATERIALIZED (
       SELECT g.bucket,
-             CAST(round(CAST(coalesce(t.n_pos, 0) + 1 AS DOUBLE)
-                        / CAST(tot_pos + {n_buckets} AS DOUBLE) * {q})
-                  AS BIGINT)
-           - CAST(round(CAST(coalesce(t.n_neg, 0) + 1 AS DOUBLE)
-                        / CAST(tot_neg + {n_buckets} AS DOUBLE) * {q})
+             CAST(round(1000000000.0 * ({pp} - {pn}) / ({pp} + {pn}))
                   AS BIGINT) AS w
       FROM grid g LEFT JOIN trainb t USING (bucket) CROSS JOIN tot
     ),
-    scores AS (
-      SELECT tb.doc_id, CAST(SUM(w.w) AS BIGINT) AS score
+    scores AS MATERIALIZED (
+      SELECT tb.doc_id,
+             CAST(SUM(w.w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS score
       FROM tb JOIN w USING (bucket)
       GROUP BY tb.doc_id
     ),
+    ktr AS (
+      SELECT CAST(SUM(1 - label) AS BIGINT) AS k
+      FROM lab WHERE split_bit = 0
+    ),
+    thr AS (
+      SELECT score AS th FROM (
+        SELECT s.score,
+               row_number() OVER (ORDER BY s.score, s.doc_id) AS rn
+        FROM scores s JOIN lab l USING (doc_id)
+        WHERE l.split_bit = 0
+      ) CROSS JOIN ktr WHERE rn = k
+    ),
     d AS (
       SELECT l.source, l.label,
-             CASE WHEN s.score > 0 THEN 1 ELSE 0 END AS pred,
+             CASE WHEN s.score > thr.th THEN 1 ELSE 0 END AS pred,
              l.split_bit AS is_holdout
-      FROM lab l JOIN scores s USING (doc_id)
+      FROM lab l JOIN scores s USING (doc_id) CROSS JOIN thr
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -6045,7 +6080,6 @@ def learned_quality_sql(
              / CAST(SUM(is_holdout) AS DOUBLE) AS holdout_agreement_rate
     FROM d GROUP BY source ORDER BY source
     """
-
 
 def wav_decoded_constellation_sql(w: int = 32, fan: int = 3) -> str:
     """Twin of q330: the REAL audio codec round trip + landmarks over

@@ -282,3 +282,67 @@ def test_bpe_encode_holdout_generalizes(spark):
     mean_in = statistics.mean(incorpus.values())
     assert abs(mean_hold - mean_in) < 0.25, (mean_hold, mean_in)
     assert mean_hold < 2.5, mean_hold
+
+
+def test_bpe_artifact_deploy_equals_in_memory_path(spark):
+    """q327 (train -> save -> load -> encode) must produce EXACTLY
+    q319's ledger (train -> encode, no artifact): the JSON artifact
+    round-trip may not shift a single fold. Any drift — a dropped
+    round, reordered batch, count-type change in the serializer —
+    breaks row equality here before it ever reaches the oracle."""
+    from kp_data_pipelines_spark.catalog import QUERIES
+
+    sfd = "/root/testdata/sf0.001"
+    direct = sorted(
+        tuple(r) for r in QUERIES["q319_bpe_encode_holdout"](spark, sfd).collect()
+    )
+    via_artifact = sorted(
+        tuple(r) for r in QUERIES["q327_bpe_artifact_deploy"](spark, sfd).collect()
+    )
+    assert direct and via_artifact == direct
+
+
+def test_ivfpq_rerank_never_below_adc(spark):
+    """q328's structural theorem: the reranked top-k contains every
+    exact-top-k member of the ADC top-30 survivor set (rerank sorts
+    survivors by the SAME cosine the exact ranking uses), and the raw
+    ADC top-10 is a subset of the survivors — so rr_hits >= adc_hits
+    per anchor, always. A violation means the rerank ordering and the
+    exact ordering diverged (broken cosine twin)."""
+    from kp_data_pipelines_spark.catalog import QUERIES
+
+    rows = QUERIES["q328_ivfpq_adc_rerank"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r["n_exact"] == 10
+        assert r["rr_hits"] >= r["adc_hits"], tuple(r)
+    # the rerank must actually add recall somewhere on this fixture
+    assert sum(r["rr_hits"] for r in rows) > sum(
+        r["adc_hits"] for r in rows
+    )
+
+
+def test_learned_classifier_trains_two_classes(spark):
+    """q329's premise: the 0.8 weak-label gate actually splits the
+    fixture (~90/10 — at 0.7 every doc passes and there is no negative
+    class to learn), and the learned filter generalizes: holdout
+    agreement stays above 0.8 overall while at least one source shows
+    disagreement (a filter that memorized the gate exactly everywhere
+    would be suspicious; one that collapsed to always-positive would
+    pin agreement to the base rate)."""
+    from kp_data_pipelines_spark.catalog import QUERIES
+
+    rows = QUERIES["q329_learned_quality_classifier"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    n_docs = sum(r["n_docs"] for r in rows)
+    n_pos = sum(r["n_gate_pos"] for r in rows)
+    assert 0 < n_pos < n_docs  # two classes exist
+    n_hold = sum(r["n_holdout"] for r in rows)
+    n_hold_agree = sum(r["n_holdout_agree"] for r in rows)
+    assert n_hold > 0
+    assert n_hold_agree / n_hold > 0.8, (n_hold_agree, n_hold)
+    n_pred = sum(r["n_pred_pos"] for r in rows)
+    assert 0 < n_pred < n_docs  # classifier did not collapse to one class

@@ -743,3 +743,65 @@ def test_decode_to_hamming_seam(spark):
         ).collect()
     }
     assert pairs[(1, 2)] == 0
+
+
+def test_wav_junk_chunk_roundtrip():
+    """q330's re-container variant: wav_add_junk_chunk must produce a
+    byte-DIFFERENT container whose stdlib decode is IDENTICAL to the
+    plain encode's — the decoded-layer-collapse premise. Also pins the
+    loud failures: non-RIFF input and a container with no data chunk."""
+    import pytest
+
+    from kp_data_pipelines_spark.operators.codecs import (
+        wav_add_junk_chunk,
+        wav_decode,
+        wav_encode_pcm8,
+    )
+
+    samples = b"the quick brown fox jumps over the lazy dog 0123456789"
+    plain = wav_encode_pcm8(samples)
+    junked = wav_add_junk_chunk(plain)
+    assert plain != junked and len(junked) > len(plain)
+    assert wav_decode(plain) == wav_decode(junked)
+    ch, rate, nf, pcm = wav_decode(junked)
+    assert (ch, rate, nf, pcm) == (1, 8000, len(samples), samples)
+    with pytest.raises(ValueError, match="not a RIFF/WAVE"):
+        wav_add_junk_chunk(b"\x89PNG not a wav")
+    with pytest.raises(ValueError, match="no data chunk"):
+        wav_add_junk_chunk(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_wav_roundtrip_collapse_and_decoded_landmarks(spark):
+    """q330's pipeline invariants on a tiny in-memory corpus: every
+    document yields two byte-different containers that collapse to one
+    decoded identity (n_raw == 2 * n_decoded), duplicate TEXTS collapse
+    further at the decoded layer, and wav_decoded_chars returns exactly
+    the source text (the lossless-decode contract the oracle replay
+    rests on)."""
+    from pyspark.sql import functions as F
+
+    from kp_data_pipelines_spark.operators.multimodal import (
+        decoded_media_dhash,
+        wav_decoded_chars,
+        wav_roundtrip_media,
+    )
+
+    rows = [
+        (0, "s1", "alpha beta gamma " * 8),
+        (1, "s1", "alpha beta gamma " * 8),  # exact dup of doc 0
+        (2, "s1", "delta epsilon zeta " * 8),
+        (3, "s2", "eta theta iota " * 8),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    media = wav_roundtrip_media(docs).localCheckpoint(eager=False)
+    assert media.count() == 8  # two containers per doc
+    shas = media.select("media_id", F.sha2("content", 256).alias("s")).collect()
+    assert len({r["s"] for r in shas}) == 6  # dup texts collapse raw too
+    fp = decoded_media_dhash(media, decoder="stdlib")
+    feats = {r["media_id"]: r["feature"] for r in fp.collect()}
+    assert feats[0] == feats[1] == feats[2] == feats[3]  # docs 0+1, both variants
+    assert feats[4] != feats[0]
+    dec = media.select("media_id", wav_decoded_chars(F.col("content")).alias("t"))
+    got = {r["media_id"]: r["t"] for r in dec.collect()}
+    for did, _src, txt in rows:
+        assert got[did * 2] == txt and got[did * 2 + 1] == txt
