@@ -20452,13 +20452,24 @@ def q328_ivfpq_adc_rerank(spark: SparkSession, sf: str) -> DataFrame:
     surv = ranked.filter(F.col("rn") <= rerank_m).select("qid", "vec_id")
 
     cosk = multi_cosine_kernel([qv for _, qv in queries])
+    # qid -> position-in-queries map: anchor vec_ids happen to be dense
+    # 0..7 on this fixture, but the kernel's output array is indexed by
+    # POSITION — never index it by the qid value itself (wrong anchor
+    # or NULL on any corpus whose anchor ids are not 0-contiguous)
+    qpos_map = F.create_map(
+        *[
+            c
+            for i, (qid, _) in enumerate(queries)
+            for c in (F.lit(qid).cast("bigint"), F.lit(i + 1))
+        ]
+    )
     rr_scored = surv.join(
         cand.select("vec_id", "embedding"), "vec_id"
     ).select(
         "qid",
         "vec_id",
         F.element_at(
-            cosk(F.col("embedding")), (F.col("qid") + 1).cast("int")
+            cosk(F.col("embedding")), qpos_map[F.col("qid")].cast("int")
         ).alias("cos"),
     )
     wrr = Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
@@ -20702,9 +20713,13 @@ def q329_learned_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("agreement_rate"),
             F.sum("is_holdout").cast("bigint").alias("n_holdout"),
             F.sum(h_agree).cast("bigint").alias("n_holdout_agree"),
-            (
+            # all-train sources (possible for tiny sources) yield NULL,
+            # identically on both engines — never a 0/0 whose result is
+            # engine-dependent (Spark NaN vs DuckDB NULL)
+            F.when(
+                F.sum("is_holdout") > 0,
                 F.sum(h_agree).cast("double")
-                / F.sum("is_holdout").cast("double")
+                / F.sum("is_holdout").cast("double"),
             ).alias("holdout_agreement_rate"),
         )
         .orderBy("source")

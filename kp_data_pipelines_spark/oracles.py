@@ -6051,12 +6051,18 @@ def learned_quality_sql(
       FROM lab WHERE split_bit = 0
     ),
     thr AS (
-      SELECT score AS th FROM (
-        SELECT s.score,
-               row_number() OVER (ORDER BY s.score, s.doc_id) AS rn
-        FROM scores s JOIN lab l USING (doc_id)
-        WHERE l.split_bit = 0
-      ) CROSS JOIN ktr WHERE rn = k
+      -- k = 0 (no train negatives) must mirror the Spark fallback
+      -- th = -infinity (everything classifies positive), not an
+      -- empty CTE that would annihilate `d` through the CROSS JOIN
+      SELECT coalesce(
+               (SELECT score FROM (
+                  SELECT s.score,
+                         row_number() OVER (ORDER BY s.score, s.doc_id)
+                           AS rn
+                  FROM scores s JOIN lab l USING (doc_id)
+                  WHERE l.split_bit = 0
+                ) CROSS JOIN ktr WHERE rn = k),
+               CAST('-infinity' AS DOUBLE)) AS th
     ),
     d AS (
       SELECT l.source, l.label,
@@ -6075,9 +6081,11 @@ def learned_quality_sql(
            CAST(SUM(is_holdout) AS BIGINT) AS n_holdout,
            CAST(SUM(CASE WHEN is_holdout = 1 AND label = pred
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_holdout_agree,
-           CAST(SUM(CASE WHEN is_holdout = 1 AND label = pred
-                         THEN 1 ELSE 0 END) AS DOUBLE)
-             / CAST(SUM(is_holdout) AS DOUBLE) AS holdout_agreement_rate
+           CASE WHEN SUM(is_holdout) = 0 THEN NULL
+                ELSE CAST(SUM(CASE WHEN is_holdout = 1 AND label = pred
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM(is_holdout) AS DOUBLE)
+           END AS holdout_agreement_rate
     FROM d GROUP BY source ORDER BY source
     """
 

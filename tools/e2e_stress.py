@@ -188,8 +188,11 @@ def main() -> int:
     t0 = time.time()
     out.write.format("noop").mode("overwrite").save()
     wall = time.time() - t0
-    n_cells = out.count()  # tiny second action for the printed row count
+    # REST totals FIRST: any further action re-executes the uncached
+    # pipeline and would double every stage/shuffle/spill figure (the
+    # round-11 first-cut bug — its recorded bytes were ~2x reality)
     stats = _rest_totals(spark)
+    n_cells = out.count()  # re-executes, but only the ledger row count
     print(f"ledger cells: {n_cells}, wall {wall:.1f}s")
     print(
         json.dumps(
