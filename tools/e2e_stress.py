@@ -9,7 +9,7 @@ The pipeline body is q250's verbatim composition (catalog.py) pointed at
 the synthetic source instead of read_table — same shuffle shapes, same
 flags/reps/ledger chain.
 
-Usage: python tools/e2e_stress.py [n_partitions rows_per_partition shuffle_partitions]
+Usage: python tools/e2e_stress.py [n_partitions rows_per_partition shuffle_partitions advisory_size]
 Prints the ledger result row count + one JSON line with wall/stages/
 shuffle totals pulled from the live UI's REST API.
 
@@ -75,6 +75,13 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     if len(sys.argv) > 3:
         spark.conf.set("spark.sql.shuffle.partitions", sys.argv[3])
+    if len(sys.argv) > 4:
+        # the AQE coalescing target — the lever §22 identifies as the
+        # one that actually binds for explode-heavy stages (partition
+        # count alone saturates because AQE re-coalesces toward this)
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", sys.argv[4]
+        )
     spark.dataSource.register(SyntheticCorpusDataSource)
     docs = (
         spark.read.format("synthetic_corpus")
