@@ -1529,3 +1529,100 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def pq_refine_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    n_iter: int = 2,
+) -> list:
+    """Per-subspace Lloyd refinement of a PQ codebook — the TRAINING
+    step ``product_quantize``'s docstring defers ("at scale they'd pass
+    through kmeans_refine per subspace"; reference seam: the q155/q328
+    compression story). Returns the codebook TRAJECTORY
+    ``[cb_0, cb_1, …, cb_n_iter]`` (each ``n_codes`` full-dim vectors;
+    sub-parts refined independently), cb_0 being the deterministic seed
+    (first ``n_codes`` rows by ``id_col``).
+
+    Per round: ONE pass assigns every vector's subvectors to their
+    nearest codes (the ``_pq_kernel`` Arrow kernel — dist ASC, cid ASC
+    ties, bit-matched to the q155 twin), then ONE posexplode + keyed
+    aggregate computes each (subspace, code, dim) mean QUANTIZED
+    (round(x*1e6) staged through DECIMAL(38,0), reconstructed in
+    double — ``kmeans_refine``'s order-independent, cross-engine-exact
+    lane), with empty codes keeping their previous sub-centroid. The
+    shuffle carries n_subspaces*n_codes*sub_dim partial sums, never
+    vectors; codebooks live on the driver between rounds (n_codes*dim
+    doubles) — the standard k-means split at any scale. Same
+    cross-engine sum bound as ``kmeans_refine``: exact while no
+    (subspace, code) cell exceeds ~2^53/1e6 assigned rows."""
+    first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if first is None:
+        return []
+    dim = len(first[0])
+    sub_dim = dim // n_subspaces
+    seed_rows = (
+        df.orderBy(id_col).limit(n_codes).select(vec_col).collect()
+    )
+    cb = [[float(x) for x in r[0]] for r in seed_rows]
+    out = [cb]
+    for _ in range(n_iter):
+        codes = _pq_kernel(cb, n_subspaces, sub_dim)(
+            F.col(vec_col)
+        ).alias("__pq")
+        assigned = df.select(F.col(vec_col).alias("__v"), codes).select(
+            "__v", F.split(F.col("__pq.codes"), "-").alias("__c")
+        )
+        means = (
+            assigned.select(
+                F.posexplode(
+                    F.transform(F.col("__v"), lambda x: x.cast("double"))
+                ).alias("pos", "val"),
+                "__c",
+            )
+            .select(
+                (F.col("pos") / sub_dim).cast("int").alias("s"),
+                F.col("pos").alias("pos"),
+                "val",
+                "__c",
+            )
+            .select(
+                "s",
+                "pos",
+                "val",
+                F.element_at(
+                    F.col("__c"),
+                    (F.col("s") + 1).cast("int"),
+                )
+                .cast("int")
+                .alias("code"),
+            )
+            .groupBy("s", "code", "pos")
+            .agg(
+                (
+                    F.sum(
+                        F.round(F.col("val") * F.lit(1000000.0)).cast(
+                            "decimal(38,0)"
+                        )
+                    ).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                    / F.lit(1000000.0)
+                ).alias("m")
+            )
+            .collect()
+        )
+        by_cell: dict = {}
+        for r in means:
+            by_cell[(int(r["code"]), int(r["pos"]))] = r["m"]
+        cb = [
+            [
+                by_cell.get((cid, d), vec[d])
+                for d in range(dim)
+            ]
+            for cid, vec in enumerate(cb)
+        ]
+        out.append(cb)
+    return out

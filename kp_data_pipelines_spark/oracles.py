@@ -6150,3 +6150,112 @@ def wav_decoded_constellation_sql(w: int = 32, fan: int = 3) -> str:
     FROM led LEFT JOIN lstats l USING (source)
     ORDER BY led.source
     """
+
+
+def pq_refine_sql(
+    n_subspaces: int = 8, n_codes: int = 16, n_iter: int = 2
+) -> str:
+    """Twin of q332: per-subspace Lloyd refinement of the PQ codebook.
+    Round r's per-subspace assignments (L2 sequential fold; dist ASC,
+    cid ASC ties — the q155 lane) double as the error measurement for
+    codebook r; (code, dim) means aggregate QUANTIZED (round(x*1e6)
+    staged through DECIMAL(38,0) — kmeans_refine's order-independent
+    cross-engine-exact lane) with empty cells carrying the previous
+    sub-centroid via COALESCE over the full (cid, dim) grid. Total
+    reconstruction error per round is the quantized BIGINT-exact sum
+    of per-row subspace-ordered error sums."""
+    dim = EMBEDDING_DIM
+    sub = dim // n_subspaces
+
+    def l2(s: int, cb: str) -> str:
+        lo = s * sub
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {sub + 1}), "
+            f"i -> (e.v[{lo}+i] - {cb}.cv[{lo}+i])"
+            f" * (e.v[{lo}+i] - {cb}.cv[{lo}+i]))), "
+            f"(acc, x) -> acc + x)"
+        )
+
+    parts = [
+        f"""e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cb0 AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cid,
+             v AS cv
+      FROM e ORDER BY vec_id LIMIT {n_codes}
+    ),
+    g AS (SELECT unnest(range({dim})) AS pos)"""
+    ]
+    err_sels = []
+    for r in range(n_iter + 1):
+        for s in range(n_subspaces):
+            parts.append(
+                f"""a{r}_{s} AS (
+      SELECT vec_id, cid AS code{s}, dist AS d{s} FROM (
+        SELECT e.vec_id, c.cid, {l2(s, "c")} AS dist,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {l2(s, "c")}, c.cid) AS rn
+        FROM e CROSS JOIN cb{r} c
+      ) WHERE rn = 1
+    )"""
+            )
+        joins = " ".join(
+            f"JOIN a{r}_{s} USING (vec_id)" for s in range(n_subspaces)
+        )
+        esum = " + ".join(f"d{s}" for s in range(n_subspaces))
+        parts.append(
+            f"""err{r} AS (
+      SELECT CAST(SUM(CAST(round(({esum}) * 1000000.0)
+                           AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000.0 AS total_err
+      FROM e {joins}
+    )"""
+        )
+        err_sels.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, err{r}.total_err, "
+            f"err{r}.total_err / b.base AS err_ratio "
+            f"FROM err{r} CROSS JOIN "
+            f"(SELECT total_err AS base FROM err0) b"
+        )
+        if r == n_iter:
+            break
+        case_code = "CASE (pos // {sub}) ".format(sub=sub) + " ".join(
+            f"WHEN {s} THEN code{s}" for s in range(n_subspaces)
+        ) + " END"
+        joins_c = " ".join(
+            f"JOIN a{r}_{s} USING (vec_id)" for s in range(n_subspaces)
+        )
+        parts.append(
+            f"""m{r + 1} AS (
+      SELECT code, pos,
+             CAST(SUM(CAST(round(val * 1000000.0) AS DECIMAL(38,0)))
+                  AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS m
+      FROM (
+        SELECT px.vec_id, px.pos, px.val, {case_code} AS code
+        FROM (SELECT e.vec_id, g.pos, e.v[g.pos + 1] AS val
+              FROM e CROSS JOIN g) px
+        {joins_c}
+      )
+      GROUP BY code, pos
+    )"""
+        )
+        parts.append(
+            f"""cb{r + 1} AS MATERIALIZED (
+      SELECT c.cid,
+             list(COALESCE(m.m, c.cv[g.pos + 1]) ORDER BY g.pos) AS cv
+      FROM cb{r} c CROSS JOIN g
+      LEFT JOIN m{r + 1} m ON m.code = c.cid AND m.pos = g.pos
+      GROUP BY c.cid
+    )"""
+        )
+    ctes = ",\n    ".join(parts)
+    union = " UNION ALL ".join(err_sels)
+    return (
+        "\n    WITH "
+        + ctes
+        + f"\n    SELECT * FROM ({union}) u ORDER BY round\n    "
+    )

@@ -346,3 +346,25 @@ def test_learned_classifier_trains_two_classes(spark):
     assert n_hold_agree / n_hold > 0.8, (n_hold_agree, n_hold)
     n_pred = sum(r["n_pred_pos"] for r in rows)
     assert 0 < n_pred < n_docs  # classifier did not collapse to one class
+
+
+def test_pq_refinement_reduces_error(spark):
+    """q332's training claim: each per-subspace Lloyd round must strictly
+    reduce total reconstruction error on the fixture (Lloyd rounds are
+    non-increasing in exact arithmetic; the 1e-6 quantization of the
+    means cannot erase the ~20% first-round drop), and the ratio column
+    must be self-consistent with the totals."""
+    from kp_data_pipelines_spark.catalog import QUERIES
+
+    rows = sorted(
+        QUERIES["q332_pq_codebook_training"](
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in rows] == [0, 1, 2]
+    errs = [r["total_err"] for r in rows]
+    assert errs[0] > errs[1] > errs[2] > 0, errs
+    assert rows[2]["err_ratio"] < 0.9  # a real training effect, not noise
+    for r in rows:
+        assert abs(r["err_ratio"] - r["total_err"] / errs[0]) < 1e-12
