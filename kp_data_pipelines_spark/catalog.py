@@ -7030,6 +7030,7 @@ def q167_fuzzy_entity_match(spark: SparkSession, sf: str) -> DataFrame:
     masks = c.select(
         "c_custkey",
         "c_name",
+        "digits",
         F.posexplode(
             F.array(
                 *[
@@ -7044,12 +7045,24 @@ def q167_fuzzy_entity_match(spark: SparkSession, sf: str) -> DataFrame:
     )
     a = masks.alias("a")
     b = masks.alias("b")
+    # Exactly-once collision rule (replaces a .distinct() over the
+    # widest intermediate — one full Exchange saved, guide §2.4): a
+    # pair differing at exactly one digit position collides on exactly
+    # ONE mask (the deleted position must be the differing one — the
+    # other 8 masks keep it and mismatch), and an identical-digits pair
+    # collides on all 9 — keep only its mask 0. Pairs differing at >=2
+    # positions never collide. So every candidate pair emerges exactly
+    # once and the dedup exchange is unnecessary.
     pairs = (
         a.join(
             b,
             (F.col("a.mask_id") == F.col("b.mask_id"))
             & (F.col("a.mask_val") == F.col("b.mask_val"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+            & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+            & (
+                (F.col("a.digits") != F.col("b.digits"))
+                | (F.col("a.mask_id") == 0)
+            ),
         )
         .select(
             F.col("a.c_custkey").alias("custkey_a"),
@@ -7057,7 +7070,6 @@ def q167_fuzzy_entity_match(spark: SparkSession, sf: str) -> DataFrame:
             F.col("a.c_name").alias("name_a"),
             F.col("b.c_name").alias("name_b"),
         )
-        .distinct()
     )
     lev = F.levenshtein("name_a", "name_b")
     return (
@@ -12638,19 +12650,24 @@ def q231_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
 
     q_min, threshold = 0.7, 0.4
     docs = read_table(spark, sf, "documents")
+    # lazy checkpoint: qual feeds the stage ledger AND the canonical
+    # chain — pin so the quality/fingerprint scoring pass runs once
     qual = docs.select(
         "doc_id",
         "text",
         "lang",
         quality_score("text").alias("quality"),
         doc_fingerprint("text").alias("fp"),
-    )
+    ).localCheckpoint(eager=False)
     passed = qual.filter(F.col("quality") >= q_min)
     wfp = Window.partitionBy("fp").orderBy("doc_id")
+    # canon feeds the pair generator, the anti-join keep set, AND the
+    # per-lang canonical count — pin so the exact-dedup window runs once
     canon = (
         passed.withColumn("rn", F.row_number().over(wfp))
         .filter(F.col("rn") == 1)
         .select("doc_id", "text", "lang")
+        .localCheckpoint(eager=False)
     )
     pairs = minhash_near_dups(
         canon, "doc_id", "text", shingle_k=3, num_hashes=32, bands=16,
@@ -13286,12 +13303,17 @@ def q236_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
             .alias("sketch")
         )
     )
+    # lazy checkpoint: e feeds both sides of the blocked cosine
+    # self-join AND the per-cluster vector counts — pin so the
+    # nearest-centroid assignment chain runs once (the before plan
+    # carried 58 Exchanges from the per-consumer re-evaluation)
     e = (
         emb.join(pred, "vec_id")
         .join(sk, "vec_id")
         .withColumn(
             "block", F.concat_ws("_", F.col("cluster"), F.col("sketch"))
         )
+        .localCheckpoint(eager=False)
     )
     from kp_data_pipelines_spark.operators.similarity import (
         cosine_pairs_blocked,
@@ -16752,6 +16774,10 @@ def q278_dedup_threshold_decision(spark: SparkSession, sf: str) -> DataFrame:
         bands=16, jaccard_threshold=base, portable_hash=True,
     )
     grid_arr = F.array(*[F.lit(c).cast("bigint") for c in cuts])
+    # lazy checkpoint: dropped feeds the per-cut token pricing AND the
+    # chosen-cut drop set — without the pin the whole MinHash pair
+    # pipeline upstream re-executes per consumer (the before plan
+    # carried 56 ArrowEvalPython / 186 Exchange nodes)
     dropped = (
         pairs.select("id_b", "est_jaccard", F.explode(grid_arr).alias("cut"))
         .filter(
@@ -16760,6 +16786,7 @@ def q278_dedup_threshold_decision(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("cut", F.col("id_b").alias("doc_id"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     dtok = dropped.join(d.select("doc_id", "n_toks"), "doc_id").groupBy(
         "cut"
@@ -17895,23 +17922,27 @@ def q292_warm_start_components(spark: SparkSession, sf: str) -> DataFrame:
         warm_start_components,
     )
     from kp_data_pipelines_spark.operators.similarity import (
-        minhash_near_dups,
+        _minhash_banded,
+        minhash_pairs_from_banded,
     )
 
     docs = read_table(spark, sf, "documents")
-    wave_a = docs.filter(F.col("doc_id") % 2 == 0)
+    # Signatures are doc-intrinsic, so the prior wave's banded table IS
+    # the full-corpus one filtered to even ids: build the signature pass
+    # ONCE (pinned — it feeds both graphs' self-joins) instead of
+    # running the two-kernel MinHash pipeline separately per graph.
+    banded = _minhash_banded(
+        docs, "doc_id", "text", shingle_k=4, num_hashes=32, bands=16,
+        portable_hash=True,
+    ).localCheckpoint(eager=False)
     prior = connected_components(
-        minhash_near_dups(
-            wave_a, "doc_id", "text", shingle_k=4, num_hashes=32,
-            bands=16, jaccard_threshold=0.3, portable_hash=True,
+        minhash_pairs_from_banded(
+            banded.filter(F.col("doc_id") % 2 == 0), "doc_id", 32, 0.3
         ),
         "id_a",
         "id_b",
     )
-    pairs = minhash_near_dups(
-        docs, "doc_id", "text", shingle_k=4, num_hashes=32, bands=16,
-        jaccard_threshold=0.3, portable_hash=True,
-    )
+    pairs = minhash_pairs_from_banded(banded, "doc_id", 32, 0.3)
     labels, _rounds = warm_start_components(pairs, prior, "id_a", "id_b")
     return labels.orderBy("node")
 
@@ -18949,7 +18980,12 @@ def q308_audio_constellation(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("doc_id").alias("media_id"), "text")
         .filter(F.length("text") > 0)
     )
-    lm = constellation_landmarks(media, "media_id", "text", w=32, fan=3)
+    # lazy checkpoint: lm feeds the key-frequency gate AND both sides of
+    # the candidate self-join — without it the corpus landmark build
+    # (explode + LEAD windows) re-executes per consumer (q324's pattern)
+    lm = constellation_landmarks(
+        media, "media_id", "text", w=32, fan=3
+    ).localCheckpoint(eager=False)
     kf = (
         lm.groupBy("key")
         .agg(F.countDistinct("media_id").alias("nm"))
@@ -19240,7 +19276,11 @@ def q312_constellation_retrieval(spark: SparkSession, sf: str) -> DataFrame:
             F.length("text") > 0
         )
     )
-    lm = constellation_landmarks(corpus, "media_id", "text", w=32, fan=3)
+    # lazy checkpoint: lm feeds the key-frequency gate AND the probe
+    # join — pin so the corpus landmark build executes once
+    lm = constellation_landmarks(
+        corpus, "media_id", "text", w=32, fan=3
+    ).localCheckpoint(eager=False)
     kf = (
         lm.groupBy("key")
         .agg(F.countDistinct("media_id").alias("nm"))
@@ -19618,7 +19658,12 @@ def q317_dense_landmark_retrieval(spark: SparkSession, sf: str) -> DataFrame:
             F.length("text") > 0
         )
     )
-    lm = dense_landmarks(corpus, "media_id", "text")
+    # lazy checkpoint: lm feeds the key-frequency gate AND the probe
+    # join — pin so the dense-landmark Arrow kernel executes once
+    # (q324's pattern)
+    lm = dense_landmarks(corpus, "media_id", "text").localCheckpoint(
+        eager=False
+    )
     kf = (
         lm.groupBy("key")
         .agg(F.countDistinct("media_id").alias("nm"))

@@ -305,7 +305,7 @@ def _chunk_syms(
     )
 
 
-def _ranked_pairs(syms: DataFrame, topk: int) -> tuple[list, int]:
+def _ranked_frame(syms: DataFrame, topk: int) -> DataFrame:
     """One round's ranked candidate pool PLUS the round's total pair
     mass, in ONE job: adjacent-pair counts over the vocab
     (freq-weighted), a global window sum over the (aggregate-bounded,
@@ -320,7 +320,7 @@ def _ranked_pairs(syms: DataFrame, topk: int) -> tuple[list, int]:
     round r+1's ranked job instead of paying a third job per round."""
     from pyspark.sql import Window
 
-    rows = (
+    return (
         syms.filter(F.size("syms") >= 2)
         .select(
             "freq",
@@ -341,8 +341,12 @@ def _ranked_pairs(syms: DataFrame, topk: int) -> tuple[list, int]:
         )
         .orderBy(F.desc("cnt"), "a", "b")
         .limit(topk)
-        .collect()
     )
+
+
+def _ranked_pairs(syms: DataFrame, topk: int) -> tuple[list, int]:
+    """Collect one round's ranked pool; see ``_ranked_frame``."""
+    rows = _ranked_frame(syms, topk).collect()
     return rows, (int(rows[0]["tp"]) if rows else 0)
 
 

@@ -742,17 +742,28 @@ def constellation_landmarks(
             )
         ],
     )
-    lm = None
-    for d in range(1, fan + 1):
-        part = lm0.filter(F.col(f"p{d}").isNotNull()).select(
-            id_col,
-            "t",
+    # One null-filtered array explode instead of a fan-way union: a
+    # union re-evaluates the whole lm0 subtree (explode + LEAD window —
+    # and upstream of THAT, the caller's scan) once PER BRANCH, tripling
+    # the plan (measured on q308: 60 Exchanges before, guide §2.4 /
+    # §7.2 "duplicated subtrees"). A missing d-th next frame makes the
+    # key expression NULL (p{d}/v{d} are NULL), so filtering the key
+    # array reproduces the old per-branch isNotNull filters exactly —
+    # same row multiset, one subtree.
+    keys = F.array(
+        *[
             F.expr(
                 f"CAST((((p * {w + 1} + p{d}) * {fan} + {d - 1}) * 16"
                 f" + (v div 64) * 4 + (v{d} div 64)) AS BIGINT)"
-            ).alias("key"),
-        )
-        lm = part if lm is None else lm.unionByName(part)
+            )
+            for d in range(1, fan + 1)
+        ]
+    )
+    lm = lm0.select(
+        id_col,
+        "t",
+        F.explode(F.filter(keys, lambda k: k.isNotNull())).alias("key"),
+    )
     wcap = Window.partitionBy(id_col, "key").orderBy("t")
     return (
         lm.withColumn("__mrn", F.row_number().over(wcap))
@@ -946,18 +957,30 @@ def dense_landmarks(
             )
         ],
     )
-    lm = None
-    for d in range(1, fan + 1):
-        part = lm0.filter(F.col(f"v{d}").isNotNull()).select(
-            id_col,
-            "t",
+    # Same single-explode shape as constellation_landmarks: the old
+    # fan-way union re-evaluated lm0 — including the dense-peaks Arrow
+    # kernel feeding it — once per branch (q317's before plan carried
+    # 18 ArrowEvalPython nodes; guide §2.4/§7.2). NULL v{d}/t{d} (no
+    # d-th next peak) nulls the key expression, so the array filter is
+    # exactly the old isNotNull branch filter. NOTE t{d} - t must stay
+    # inside the NULL-propagating arithmetic: least(NULL, cap) would
+    # SKIP the null, but (v * 1024 + v{d}) is already NULL then, and
+    # NULL * anything is NULL — key is NULL iff the branch was absent.
+    keys = F.array(
+        *[
             F.expr(
                 f"CAST((((v * 1024 + v{d}) * {fan + 1} + {d}) * 512"
                 f" + least(t{d} - t, {DENSE_DELTA_CAP}))"
                 f" * {DENSE_CTX_MOD} + cx AS BIGINT)"
-            ).alias("key"),
-        )
-        lm = part if lm is None else lm.unionByName(part)
+            )
+            for d in range(1, fan + 1)
+        ]
+    )
+    lm = lm0.select(
+        id_col,
+        "t",
+        F.explode(F.filter(keys, lambda k: k.isNotNull())).alias("key"),
+    )
     wcap = Window.partitionBy(id_col, "key").orderBy("t")
     return (
         lm.withColumn("__mrn", F.row_number().over(wcap))

@@ -559,9 +559,34 @@ def minhash_near_dups(
     gates candidates — a collision adds a candidate that the est_jaccard
     verify then judges, so the result set is hash-agnostic).
     """
+    # Lazy checkpoint: the banded signature table feeds BOTH sides of
+    # the candidate self-join, and the planner broadcasts one side at
+    # bench scale — two different Exchange shapes, so nothing reuses
+    # and the two Arrow kernels (gram hash + signature) run twice
+    # (measured: 4 ArrowEvalPython nodes in q38's plan). Pinning runs
+    # the signature pass once; every consumer (q38/q66/q146/q231/q272/
+    # q278/q292/...) inherits the halving. At cluster scale this is
+    # also the natural place the signature table would be persisted.
     banded = _minhash_banded(
         df, id_col, text_col, shingle_k, num_hashes, bands, portable_hash
+    ).localCheckpoint(eager=False)
+    return minhash_pairs_from_banded(
+        banded, id_col, num_hashes, jaccard_threshold
     )
+
+
+def minhash_pairs_from_banded(
+    banded: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    jaccard_threshold: float,
+) -> DataFrame:
+    """The candidate + verify half of ``minhash_near_dups`` over an
+    already-built banded signature table — exposed so callers that need
+    pairs over SUBSETS of one corpus (q292's prior-wave vs full-corpus
+    graphs) can compute the signature pass once and derive both pair
+    sets from it (signatures are doc-intrinsic, so filtering the banded
+    table IS the banded table of the filtered corpus)."""
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
