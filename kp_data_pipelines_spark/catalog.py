@@ -18568,7 +18568,16 @@ def q302_media_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     )
     from kp_data_pipelines_spark.operators.similarity import hamming_pairs
 
-    fp = with_media_dhash(_media_table(spark, sf), "content", "phash")
+    # lazy checkpoint: fp feeds BOTH sides of the hamming_pairs
+    # candidate self-join — pin so the dHash Arrow kernel runs once.
+    # NARROW the projection first: pinning with the raw content
+    # bytes still attached materializes the whole payload column
+    # (measured +1.6 s on q309 before the select was added)
+    fp = (
+        with_media_dhash(_media_table(spark, sf), "content", "phash")
+        .select("media_id", "phash")
+        .localCheckpoint(eager=False)
+    )
     return hamming_pairs(
         fp, "media_id", "phash", max_hamming=4, agree_blocks=2
     ).orderBy("id_a", "id_b")
@@ -18601,7 +18610,16 @@ def q303_cross_modal_alignment(spark: SparkSession, sf: str) -> DataFrame:
         hamming_pairs,
     )
 
-    fp = with_media_dhash(_media_table(spark, sf), "content", "phash")
+    # lazy checkpoint: fp feeds BOTH sides of the hamming_pairs
+    # candidate self-join — pin so the dHash Arrow kernel runs once.
+    # NARROW the projection first: pinning with the raw content
+    # bytes still attached materializes the whole payload column
+    # (measured +1.6 s on q309 before the select was added)
+    fp = (
+        with_media_dhash(_media_table(spark, sf), "content", "phash")
+        .select("media_id", "phash")
+        .localCheckpoint(eager=False)
+    )
     pairs = hamming_pairs(
         fp, "media_id", "phash", max_hamming=8, agree_blocks=2
     )
@@ -18829,8 +18847,13 @@ def q306_video_frame_overlap(spark: SparkSession, sf: str) -> DataFrame:
             "frame"
         ),
     )
-    fp = with_media_dhash(fr, "frame", "phash").select(
-        "media_fid", "phash"
+    # lazy checkpoint: fp feeds BOTH sides of the hamming_pairs
+    # candidate self-join — pin so the per-frame dHash Arrow kernel
+    # runs once
+    fp = (
+        with_media_dhash(fr, "frame", "phash")
+        .select("media_fid", "phash")
+        .localCheckpoint(eager=False)
     )
     pairs = hamming_pairs(
         fp, "media_fid", "phash", max_hamming=1, agree_blocks=2
@@ -18877,12 +18900,16 @@ def q307_dup_span_excision(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "source", "text"
     )
     sh = with_poly_shingles(ensure_parallelism(docs), "text", "g", k=k)
+    # lazy checkpoint: base feeds the position explode (whose dup-gram
+    # df filter and position join are two more consumers) AND the
+    # per-source rollup — pin so the poly-shingle Arrow kernel runs
+    # once, not 3x (q316 applies the same pin)
     base = sh.select(
         "doc_id",
         "source",
         F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n_toks"),
         "g",
-    )
+    ).localCheckpoint(eager=False)
     spans = base.select(
         "doc_id", "n_toks", F.posexplode("g").alias("pos", "gram")
     )
@@ -19048,7 +19075,16 @@ def q309_media_dedup_ledger(spark: SparkSession, sf: str) -> DataFrame:
     )
     from kp_data_pipelines_spark.operators.similarity import hamming_pairs
 
-    fp = with_media_dhash(_media_table(spark, sf), "content", "phash")
+    # lazy checkpoint: fp feeds BOTH sides of the hamming_pairs
+    # candidate self-join — pin so the dHash Arrow kernel runs once.
+    # NARROW the projection first: pinning with the raw content
+    # bytes still attached materializes the whole payload column
+    # (measured +1.6 s on q309 before the select was added)
+    fp = (
+        with_media_dhash(_media_table(spark, sf), "content", "phash")
+        .select("media_id", "phash")
+        .localCheckpoint(eager=False)
+    )
     pairs = hamming_pairs(
         fp, "media_id", "phash", max_hamming=4, agree_blocks=2
     ).select("id_a", "id_b")
@@ -19424,7 +19460,16 @@ def q314_media_datasheet(spark: SparkSession, sf: str) -> DataFrame:
     )
     from kp_data_pipelines_spark.operators.similarity import hamming_pairs
 
-    fp = with_media_dhash(_media_table(spark, sf), "content", "phash")
+    # lazy checkpoint: fp feeds BOTH sides of the hamming_pairs
+    # candidate self-join — pin so the dHash Arrow kernel runs once.
+    # NARROW the projection first: pinning with the raw content
+    # bytes still attached materializes the whole payload column
+    # (measured +1.6 s on q309 before the select was added)
+    fp = (
+        with_media_dhash(_media_table(spark, sf), "content", "phash")
+        .select("media_id", "phash")
+        .localCheckpoint(eager=False)
+    )
     pairs = hamming_pairs(
         fp, "media_id", "phash", max_hamming=4, agree_blocks=2
     )
@@ -20642,12 +20687,15 @@ def q329_learned_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     ) % _MERSENNE
     split_bit = ((F.lit(a2) * h1 + F.lit(b2)) % _MERSENNE) % 2
     docs = ensure_parallelism(read_table(spark, sf, "documents"))
+    # lazy checkpoint: lab feeds the train agg, the threshold pick, and
+    # the final audit join — pin so the regex-heavy quality_score scan
+    # runs once, not 3x
     lab = docs.select(
         "doc_id",
         "source",
         F.when(quality_score("text") >= 0.8, 1).otherwise(0).alias("label"),
         split_bit.alias("split_bit"),
-    )
+    ).localCheckpoint(eager=False)
     alpha_dec = F.floor(
         F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
         / F.greatest(F.length("text").cast("double"), F.lit(1.0))
@@ -20919,34 +20967,37 @@ def q332_pq_codebook_training(spark: SparkSession, sf: str) -> DataFrame:
 
     n_subspaces, n_codes, n_iter = 8, 16, 2
     emb = ensure_parallelism(read_table(spark, sf, "embeddings"))
-    cbs = pq_refine_codebooks(
-        emb, "embedding", "vec_id", n_subspaces, n_codes, n_iter
+    # return_errors rides each round's error total on the assignment
+    # pass the refinement already pays (pinned kernel frame), so only
+    # the FINAL codebook — which refinement never assigns against —
+    # costs an extra kernel pass here: 3 Arrow passes total instead of
+    # the before-shape's 5 (2 refine + 3 per-round error re-runs).
+    cbs, errs = pq_refine_codebooks(
+        emb, "embedding", "vec_id", n_subspaces, n_codes, n_iter,
+        return_errors=True,
     )
     dim = len(cbs[0][0])
     sub_dim = dim // n_subspaces
-    rows = []
-    base = None
-    for r, cb in enumerate(cbs):
-        pq = _pq_kernel(cb, n_subspaces, sub_dim)(
-            F.col("embedding")
-        ).alias("__pq")
-        tot = (
-            emb.select(pq)
-            .agg(
-                (
-                    F.sum(
-                        F.round(
-                            F.col("__pq.recon_err") * F.lit(1000000.0)
-                        ).cast("decimal(38,0)")
-                    ).cast("double")
-                    / F.lit(1000000.0)
-                ).alias("t")
-            )
-            .first()[0]
+    pq = _pq_kernel(cbs[-1], n_subspaces, sub_dim)(
+        F.col("embedding")
+    ).alias("__pq")
+    tot_last = (
+        emb.select(pq)
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("__pq.recon_err") * F.lit(1000000.0)
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("t")
         )
-        if base is None:
-            base = tot
-        rows.append((r, float(tot), float(tot) / float(base)))
+        .first()[0]
+    )
+    errs = [float(t) for t in errs] + [float(tot_last)]
+    base = errs[0]
+    rows = [(r, t, t / base) for r, t in enumerate(errs)]
     return spark.createDataFrame(
         rows, "round long, total_err double, err_ratio double"
     )

@@ -161,12 +161,20 @@ def bpe_apply_merges_kernel(merges: list[tuple[str, str]]):
     from pyspark.sql.types import ArrayType, StringType
 
     by_left = {a: (b, a + b) for a, b in merges}
+    lefts = set(by_left)
 
     @pandas_udf(ArrayType(StringType()))
     def _apply(batch: pd.Series) -> pd.Series:
         def fold(syms):
             if syms is None:
                 return None
+            # Fast path: a row containing NO left symbol of this batch
+            # cannot change — skip the per-element fold (C-speed set
+            # probe vs the Python loop; identical output by definition,
+            # and the late adaptive rounds target rare pairs, where
+            # most rows take this path).
+            if lefts.isdisjoint(syms):
+                return syms
             acc: list[str] = []
             for x in syms:
                 if acc:
@@ -307,19 +315,23 @@ def _chunk_syms(
 
 def _ranked_frame(syms: DataFrame, topk: int) -> DataFrame:
     """One round's ranked candidate pool PLUS the round's total pair
-    mass, in ONE job: adjacent-pair counts over the vocab
-    (freq-weighted), a global window sum over the (aggregate-bounded,
-    few-thousand-row) grouped pairs rides on every collected row, then
-    count DESC / a / b, bounded limit(topk). repartition(8, a, b)
-    hash-partitions on the grouping keys so the groupBy adds NO second
-    exchange — one narrow 8-task shuffle instead of the session default
-    (200 in a vanilla session). The total matters because of the exact
-    identity ``corpus_symbols = total_pairs + total_words`` (every
-    size>=2 word contributes size-1 pairs; size-1 words contribute 0) —
-    it lets the trainer read round r's post-merge symbol count out of
-    round r+1's ranked job instead of paying a third job per round."""
-    from pyspark.sql import Window
-
+    mass, in ONE job and TWO stages: adjacent-pair counts over the
+    vocab (freq-weighted) via GROUPING SETS ((a, b), ()) — the empty
+    set's grand-total row carries the round's total pair mass in the
+    SAME aggregate, replacing the previous global-window pass (which
+    forced an extra single-partition Exchange + Window + Sort stage at
+    the per-round scheduler floor) — then count DESC / a / b, bounded
+    limit(topk + 1), which plans as TakeOrderedAndProject (per-partition
+    top-k + driver merge, no sort Exchange). The grand-total row always
+    sorts first: its cnt is >= every pair count, and on a tie its NULL
+    key sorts NULLS FIRST. Partial (map-side) aggregation still applies
+    under the Expand, and AQE coalesces the one remaining exchange, so
+    a vanilla 200-partition session behaves like the tuned one. The
+    total matters because of the exact identity ``corpus_symbols =
+    total_pairs + total_words`` (every size>=2 word contributes size-1
+    pairs; size-1 words contribute 0) — it lets the trainer read round
+    r's post-merge symbol count out of round r+1's ranked job instead
+    of paying a third job per round."""
     return (
         syms.filter(F.size("syms") >= 2)
         .select(
@@ -333,21 +345,30 @@ def _ranked_frame(syms: DataFrame, topk: int) -> DataFrame:
             ).alias("pr"),
         )
         .select("freq", "pr.a", "pr.b")
-        .repartition(8, "a", "b")
-        .groupBy("a", "b")
-        .agg(F.sum("freq").cast("bigint").alias("cnt"))
-        .withColumn(
-            "tp", F.sum("cnt").over(Window.partitionBy()).cast("bigint")
+        .groupingSets([["a", "b"], []], "a", "b")
+        .agg(
+            F.sum("freq").cast("bigint").alias("cnt"),
+            F.grouping_id().alias("gid"),
         )
         .orderBy(F.desc("cnt"), "a", "b")
-        .limit(topk)
+        .limit(topk + 1)
     )
 
 
 def _ranked_pairs(syms: DataFrame, topk: int) -> tuple[list, int]:
-    """Collect one round's ranked pool; see ``_ranked_frame``."""
+    """Collect one round's ranked pool; see ``_ranked_frame``. Returns
+    (pair rows ranked by count DESC / a / b — exactly the old
+    limit(topk) pool — and the round's total pair mass from the
+    grand-total grouping-set row)."""
     rows = _ranked_frame(syms, topk).collect()
-    return rows, (int(rows[0]["tp"]) if rows else 0)
+    total = 0
+    ranked = []
+    for r in rows:
+        if r["gid"]:
+            total = int(r["cnt"]) if r["cnt"] is not None else 0
+        else:
+            ranked.append(r)
+    return ranked, total
 
 
 def _merge_rounds(

@@ -1563,6 +1563,7 @@ def pq_refine_codebooks(
     n_subspaces: int = 8,
     n_codes: int = 16,
     n_iter: int = 2,
+    return_errors: bool = False,
 ) -> list:
     """Per-subspace Lloyd refinement of a PQ codebook — the TRAINING
     step ``product_quantize``'s docstring defers ("at scale they'd pass
@@ -1583,10 +1584,18 @@ def pq_refine_codebooks(
     vectors; codebooks live on the driver between rounds (n_codes*dim
     doubles) — the standard k-means split at any scale. Same
     cross-engine sum bound as ``kmeans_refine``: exact while no
-    (subspace, code) cell exceeds ~2^53/1e6 assigned rows."""
+    (subspace, code) cell exceeds ~2^53/1e6 assigned rows.
+
+    ``return_errors=True`` additionally returns the per-round total
+    quantized reconstruction error measured by each round's assignment
+    pass — i.e. ``errs[r]`` is the corpus error under ``cb_r`` (the
+    codebook the pass assigns against), as ``(codebooks, errs)``. The
+    assignment frame is pinned (lazy localCheckpoint), so the error
+    rides on the pass the refinement already pays instead of the
+    caller re-running the kernel per round (q332's before-shape)."""
     first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
     if first is None:
-        return []
+        return ([], []) if return_errors else []
     dim = len(first[0])
     sub_dim = dim // n_subspaces
     seed_rows = (
@@ -1594,25 +1603,30 @@ def pq_refine_codebooks(
     )
     cb = [[float(x) for x in r[0]] for r in seed_rows]
     out = [cb]
+    errs: list[float] = []
     for _ in range(n_iter):
         codes = _pq_kernel(cb, n_subspaces, sub_dim)(
             F.col(vec_col)
         ).alias("__pq")
         assigned = df.select(F.col(vec_col).alias("__v"), codes).select(
-            "__v", F.split(F.col("__pq.codes"), "-").alias("__c")
+            "__v",
+            F.split(F.col("__pq.codes"), "-").alias("__c"),
+            F.col("__pq.recon_err").alias("__e"),
         )
-        means = (
+        exploded = (
             assigned.select(
                 F.posexplode(
                     F.transform(F.col("__v"), lambda x: x.cast("double"))
                 ).alias("pos", "val"),
                 "__c",
+                "__e",
             )
             .select(
                 (F.col("pos") / sub_dim).cast("int").alias("s"),
                 F.col("pos").alias("pos"),
                 "val",
                 "__c",
+                "__e",
             )
             .select(
                 "s",
@@ -1624,21 +1638,58 @@ def pq_refine_codebooks(
                 )
                 .cast("int")
                 .alias("code"),
+                "__e",
             )
-            .groupBy("s", "code", "pos")
-            .agg(
-                (
-                    F.sum(
-                        F.round(F.col("val") * F.lit(1000000.0)).cast(
-                            "decimal(38,0)"
-                        )
-                    ).cast("double")
-                    / F.count(F.lit(1)).cast("double")
-                    / F.lit(1000000.0)
-                ).alias("m")
-            )
-            .collect()
         )
+        mean_expr = (
+            F.sum(
+                F.round(F.col("val") * F.lit(1000000.0)).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1000000.0)
+        ).alias("m")
+        if return_errors:
+            # GROUPING SETS ((s, code, pos), ()) fuses the round's
+            # total reconstruction error into the SAME aggregate job as
+            # the cell means — one kernel pass, no extra job, and no
+            # checkpoint of the wide (vector, codes) frame (pinning it
+            # was measured SLOWER: materializing full vectors costs
+            # more than the saved pass). Each vector's __e repeats once
+            # per dimension in the exploded stream, so the grand total
+            # counts it only at pos == 0 — identical value set (and
+            # identical quantized-decimal sum) to a per-row pass.
+            rows = (
+                exploded.groupingSets(
+                    [["s", "code", "pos"], []], "s", "code", "pos"
+                )
+                .agg(
+                    mean_expr,
+                    (
+                        F.sum(
+                            F.when(
+                                F.col("pos") == 0,
+                                F.round(
+                                    F.col("__e") * F.lit(1000000.0)
+                                ).cast("decimal(38,0)"),
+                            )
+                        ).cast("double")
+                        / F.lit(1000000.0)
+                    ).alias("terr"),
+                    F.grouping_id().alias("gid"),
+                )
+                .collect()
+            )
+            means = [r for r in rows if not r["gid"]]
+            tot = next((r["terr"] for r in rows if r["gid"]), None)
+            errs.append(float(tot) if tot is not None else 0.0)
+        else:
+            means = (
+                exploded.groupBy("s", "code", "pos")
+                .agg(mean_expr)
+                .collect()
+            )
         by_cell: dict = {}
         for r in means:
             by_cell[(int(r["code"]), int(r["pos"]))] = r["m"]
@@ -1650,4 +1701,4 @@ def pq_refine_codebooks(
             for cid, vec in enumerate(cb)
         ]
         out.append(cb)
-    return out
+    return (out, errs) if return_errors else out

@@ -58,6 +58,9 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     return _NANOS_COLS_CACHE[path]
 
 
+_TABLE_SCHEMA_CACHE: dict[str, StructType] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Testdata convention: ``{sf_dir}/{name}.parquet``."""
     from pyspark.sql import functions as F
@@ -72,7 +75,21 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ns_cols = _nanos_timestamp_cols(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    # Schema METADATA cache (same class as _NANOS_COLS_CACHE above): the
+    # first read of a path pays Spark's footer schema inference; repeats
+    # pass the identical inferred schema explicitly, which skips the
+    # inference pass (~100 ms/call on the driver — a fixed per-query tax
+    # when a catalog sweep calls read_table hundreds of times). Pure
+    # driver-side metadata, session-independent, never touches data; the
+    # cache key is the path, and the nanos conf above is set per-path
+    # BEFORE the first read so the cached schema always matches what
+    # inference would produce.
+    schema = _TABLE_SCHEMA_CACHE.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _TABLE_SCHEMA_CACHE[path] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     for c in ns_cols:
         # integer division: `/ 1000` is DOUBLE division, and 2024-era nano
         # values (~1.7e18) exceed double's 2^53 exact range — ~12% of true
