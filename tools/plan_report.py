@@ -100,6 +100,14 @@ def main() -> int:
         "q328_ivfpq_adc_rerank",
         "q329_learned_quality_classifier",
         "q330_wav_decoded_constellation",
+        # round-11 optimization pins (all single-pass kernel dedup, no
+        # iterative lineage to truncate):
+        "q236_semantic_dedup",
+        "q278_dedup_threshold_decision",
+        "q302_media_near_dups",
+        "q307_dup_span_excision",
+        "q308_audio_constellation",
+        "q317_dense_landmark_retrieval",
     }
 
     @contextmanager
