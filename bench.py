@@ -51,6 +51,14 @@ def main() -> None:
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Observability for the driver's scaling probe (round-11 verdict #2):
+    # echo the RESOLVED master + core count so a reader of the JSON line
+    # can verify $SPARK_GRAFT_CPUS was honored (session.py builds
+    # master=local[$SPARK_GRAFT_CPUS]); defaultParallelism is the ground
+    # truth the scheduler actually uses. Additions-only: no timing logic
+    # or existing key changes.
+    master = spark.sparkContext.master
+    cpus = spark.sparkContext.defaultParallelism
 
     # Bisect knobs (round-6 drift attribution, normally unset):
     #   SPARK_GRAFT_NO_HYGIENE=1      skip release_pinned_rdds/System.gc
@@ -153,6 +161,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "runs_per_query": runs,
+        "master": master,
+        "cpus": cpus,
+        "sf_dir": sf_dir,
     }
     if retimed:
         full["retimed"] = retimed
@@ -180,6 +191,9 @@ def main() -> None:
                 "n_queries": len(timings),
                 "median_sec": median,
                 "sf": sf,
+                "master": master,
+                "cpus": cpus,
+                "sf_dir": sf_dir,
             }
         )
     )

@@ -95,6 +95,12 @@ BPE_ADAPTIVE_TOPK = 1024
 BPE_ADAPTIVE_ROUNDS = 20
 BPE_CHUNK_WORDS = 3
 
+# The (word|chunk, freq) working set is Heaps-law small; the round loop
+# multiplies per-task overhead by rounds x stages, so every trainer pins
+# the vocab frame to this partition count (SCALE.md §19) and the
+# per-round touched/untouched union coalesces back to it.
+BPE_VOCAB_PARTITIONS = 8
+
 
 def select_merge_batch(
     ranked: list[tuple[str, str, int]], batch_cap: int = BPE_BATCH_CAP
@@ -258,7 +264,7 @@ def _vocab_syms(docs: DataFrame, text_col: str) -> DataFrame:
     reads it)."""
     return (
         _word_freqs(docs, text_col)
-        .repartition(8)
+        .repartition(BPE_VOCAB_PARTITIONS)
         .select("freq", F.expr(_CHAR_SYMS).alias("syms"))
         .localCheckpoint(eager=False)
     )
@@ -304,7 +310,7 @@ def _chunk_syms(
     as ``_vocab_syms``."""
     return (
         _chunk_freqs(docs, text_col, w)
-        .repartition(8)
+        .repartition(BPE_VOCAB_PARTITIONS)
         .select(
             "freq",
             F.expr(_CHAR_SYMS.replace("word", "chunk")).alias("syms"),
@@ -371,6 +377,38 @@ def _ranked_pairs(syms: DataFrame, topk: int) -> tuple[list, int]:
     return ranked, total
 
 
+def _apply_batch_prefiltered(syms: DataFrame, batch: list) -> DataFrame:
+    """Apply one disjoint merge batch, shipping ONLY the rows that can
+    change across the Arrow boundary (guide §4: pass the Python worker
+    less). A row can change iff its symbol array contains some selected
+    pair's LEFT symbol — exactly the complement of the kernel's
+    ``isdisjoint`` fast path (the first fusion needs an input symbol in
+    ``lefts``; without one the fold returns its input). The JVM-side
+    ``arrays_overlap`` predicate splits the frame, the kernel runs on
+    the touched slice only, and the untouched remainder unions back
+    verbatim — the same row multiset as kernel-over-everything, by the
+    fast path's own definition. Late adaptive rounds target rare pairs,
+    so the per-round Arrow volume shrinks toward the touched rows
+    instead of re-serializing the whole vocabulary every round.
+
+    ``coalesce`` (narrow, no shuffle) pins the union back to the
+    vocab-table partition count so 100+ training rounds don't double
+    partitions per round. The lazy checkpoint is safe from the
+    two-consumer cache race (SCALE.md round-11 CC lesson): the dual
+    consumption here reads the PREVIOUS round's checkpoint, which the
+    ranked job that selected this batch has already materialized."""
+    kernel = bpe_apply_merges_kernel([(a, b) for a, b, _ in batch])
+    lefts = F.array(*[F.lit(a) for a, _, _ in batch])
+    touched = F.coalesce(F.arrays_overlap("syms", lefts), F.lit(False))
+    return (
+        syms.filter(touched)
+        .withColumn("syms", kernel(F.col("syms")))
+        .union(syms.filter(~touched))
+        .coalesce(BPE_VOCAB_PARTITIONS)
+        .localCheckpoint(eager=False)
+    )
+
+
 def _merge_rounds(
     syms: DataFrame,
     rounds: int,
@@ -399,10 +437,7 @@ def _merge_rounds(
         info.append((batch, total))
         if not batch:
             break
-        kernel = bpe_apply_merges_kernel([(a, b) for a, b, _ in batch])
-        syms = syms.withColumn(
-            "syms", kernel(F.col("syms"))
-        ).localCheckpoint(eager=False)
+        syms = _apply_batch_prefiltered(syms, batch)
     return syms, info
 
 
@@ -686,7 +721,7 @@ def tokenize_corpus_adaptive(
     syms = (
         chunks.groupBy("chunk")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
-        .repartition(8)
+        .repartition(BPE_VOCAB_PARTITIONS)
         .select(
             "chunk",
             "freq",
@@ -767,7 +802,7 @@ def tokenize_corpus_batched(
     syms = (
         words.groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
-        .repartition(8)
+        .repartition(BPE_VOCAB_PARTITIONS)
         .select("word", "freq", F.expr(_CHAR_SYMS).alias("syms"))
         .localCheckpoint(eager=False)
     )

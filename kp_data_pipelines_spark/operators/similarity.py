@@ -28,6 +28,13 @@ def _dot(a, b):
 
 
 _PARTITION_PROBE_CACHE: dict[tuple, int] = {}
+# Strong refs to every session that has probe-cache entries: id() of a
+# garbage-collected session object could be reused by a NEW session and
+# alias its stale partition counts into the fresh session's cache slots;
+# keeping the wrapper object alive pins its id for the process lifetime
+# (a handful of sessions per process — main + the vanilla parity twin —
+# and a stopped session's JVM resources are released by stop(), not GC).
+_PROBE_CACHE_SESSIONS: dict[int, object] = {}
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int = 8) -> DataFrame:
@@ -50,9 +57,16 @@ def ensure_parallelism(df: DataFrame, min_partitions: int = 8) -> DataFrame:
     try:
         # key includes the session: scan split sizing depends on session
         # parallelism, so the same plan can partition differently across
-        # sessions (e.g. the vanilla parity session in one process)
+        # sessions (e.g. the vanilla parity session in one process).
+        # The strong ref in _PROBE_CACHE_SESSIONS keeps the id stable
+        # (see above). Split-sizing confs are assumed fixed within a
+        # session's lifetime — true for every session this package
+        # builds; a caller mutating spark.sql.files.* mid-session would
+        # at worst skip a result-neutral repartition.
+        sess = df.sparkSession
+        _PROBE_CACHE_SESSIONS.setdefault(id(sess), sess)
         key = (
-            id(df.sparkSession),
+            id(sess),
             df._jdf.queryExecution().analyzed().semanticHash(),
         )
     except Exception:
@@ -1619,9 +1633,15 @@ def pq_refine_codebooks(
     quantized reconstruction error measured by each round's assignment
     pass — i.e. ``errs[r]`` is the corpus error under ``cb_r`` (the
     codebook the pass assigns against), as ``(codebooks, errs)``. The
-    assignment frame is pinned (lazy localCheckpoint), so the error
-    rides on the pass the refinement already pays instead of the
-    caller re-running the kernel per round (q332's before-shape)."""
+    error total rides in the SAME aggregate job as the cell means via
+    ``GROUPING SETS ((s, code, pos), ())`` — no extra kernel pass and
+    no checkpoint (pinning the wide assignment frame was measured
+    slower); the grand-total row counts each vector's error at its
+    ``pos == 0`` exploded row. Precondition of that fusion: vectors are
+    non-null and non-empty (a NULL/empty embedding would contribute no
+    exploded rows, hence no error term, where a per-row pass would
+    still see the row) — ``read_table`` embeddings satisfy this, and
+    the seed collect above would misbehave on such rows anyway."""
     first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
     if first is None:
         return ([], []) if return_errors else []

@@ -36,29 +36,46 @@ def read_parquet(
     return reader.parquet(path)
 
 
-_NANOS_COLS_CACHE: dict[str, list[str]] = {}
+_NANOS_COLS_CACHE: dict[tuple, list[str]] = {}
 
 
-def _nanos_timestamp_cols(path: str) -> list[str]:
+def _freshness_token(path: str):
+    """Cheap cache-invalidation token for the per-path metadata caches:
+    (mtime, size) of the local file/dir. A table regenerated in-place
+    within one process gets a new token, so the stale-schema hazard the
+    round-11 advisor flagged can't silently apply an old explicit
+    schema. Non-local paths (no os.stat) fall back to a static token —
+    the original static-testdata assumption, now scoped to them only."""
+    import os
+
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
+def _nanos_timestamp_cols(path: str, token=None) -> list[str]:
     """Parquet TIMESTAMP(NANOS) columns (footer-only metadata read).
 
     Spark's parquet reader rejects nano-precision timestamps; we read them
     as longs (legacy conf) and rebuild TimestampType at micro precision —
     a distributed per-row expression, never a driver collect."""
-    if path not in _NANOS_COLS_CACHE:
+    key = (path, token if token is not None else _freshness_token(path))
+    if key not in _NANOS_COLS_CACHE:
         try:
             import pyarrow.parquet as pq
 
             schema = pq.read_schema(path)
-            _NANOS_COLS_CACHE[path] = [
+            _NANOS_COLS_CACHE[key] = [
                 f.name for f in schema if str(f.type) == "timestamp[ns]"
             ]
         except Exception:
-            _NANOS_COLS_CACHE[path] = []
-    return _NANOS_COLS_CACHE[path]
+            _NANOS_COLS_CACHE[key] = []
+    return _NANOS_COLS_CACHE[key]
 
 
-_TABLE_SCHEMA_CACHE: dict[str, StructType] = {}
+_TABLE_SCHEMA_CACHE: dict[tuple, StructType] = {}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -66,13 +83,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     path = f"{sf_dir}/{name}.parquet"
+    # One freshness token per call keys BOTH metadata caches: a table
+    # regenerated at the same path (new mtime/size) re-infers instead of
+    # applying a stale schema (round-11 advisor note).
+    token = _freshness_token(path)
     # Micros-precision parquet timestamps with isAdjustedToUTC=false would
     # otherwise infer TIMESTAMP_NTZ (Spark 4 default), which watermarks
     # reject and whose epoch math (unix_micros) is session-tz-dependent.
     # Read them as classic TIMESTAMP: the stored int64 is taken as
     # epoch-UTC micros, independent of the session timezone.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    ns_cols = _nanos_timestamp_cols(path)
+    ns_cols = _nanos_timestamp_cols(path, token)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Schema METADATA cache (same class as _NANOS_COLS_CACHE above): the
@@ -81,13 +102,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # inference pass (~100 ms/call on the driver — a fixed per-query tax
     # when a catalog sweep calls read_table hundreds of times). Pure
     # driver-side metadata, session-independent, never touches data; the
-    # cache key is the path, and the nanos conf above is set per-path
-    # BEFORE the first read so the cached schema always matches what
-    # inference would produce.
-    schema = _TABLE_SCHEMA_CACHE.get(path)
+    # cache key is (path, freshness token), and the nanos conf above is
+    # set per-path BEFORE the first read so the cached schema always
+    # matches what inference would produce.
+    schema = _TABLE_SCHEMA_CACHE.get((path, token))
     if schema is None:
         df = spark.read.parquet(path)
-        _TABLE_SCHEMA_CACHE[path] = df.schema
+        _TABLE_SCHEMA_CACHE[(path, token)] = df.schema
     else:
         df = spark.read.schema(schema).parquet(path)
     for c in ns_cols:

@@ -989,6 +989,42 @@ def test_bpe_encode_all_matches_per_round(spark):
     assert got == want
 
 
+def test_bpe_apply_batch_prefiltered_matches_full_kernel(spark):
+    """The arrays_overlap pre-filter (ship only rows containing a batch
+    LEFT symbol across the Arrow boundary, union the untouched
+    remainder back) must produce the SAME row multiset as running the
+    merge kernel over every row — including rows with no overlap, rows
+    overlapping only on a RIGHT symbol (unchanged but shipped), empty
+    arrays, and extra ride-through columns."""
+    from pyspark.sql import functions as F
+
+    from kp_data_pipelines_spark.operators.bpe import (
+        _apply_batch_prefiltered,
+        bpe_apply_merges_kernel,
+    )
+
+    rows = [
+        (1, 3, list("the quick")),   # touched: contains "t" and "e"
+        (2, 1, list("zzz")),         # untouched: no batch symbol at all
+        (3, 2, ["h", "h", "r"]),     # right symbols only -> untouched
+        (4, 5, ["th", "e", "t", "h"]),  # chain-merge territory
+        (5, 1, []),                  # empty array -> untouched
+        (6, 4, list("tttthhhh")),    # touched, repeated runs
+    ]
+    df = spark.createDataFrame(rows, "id long, freq long, syms array<string>")
+    batch = [("t", "h", 9), ("e", "r", 7)]
+    kern = bpe_apply_merges_kernel([(a, b) for a, b, _ in batch])
+    want = {
+        r["id"]: (r["freq"], r["syms"])
+        for r in df.withColumn("syms", kern(F.col("syms"))).collect()
+    }
+    out = _apply_batch_prefiltered(df, batch)
+    got = {r["id"]: (r["freq"], r["syms"]) for r in out.collect()}
+    assert got == want
+    # no row lost or duplicated by the filter/union split
+    assert out.count() == len(rows)
+
+
 def test_bpe_select_merge_batch_adaptive_band():
     """Adaptive selection: the count band (alpha_den * cnt >= max)
     gates entry, disjointness still applies, and there is NO fixed

@@ -1,10 +1,11 @@
-"""Capture .explain("formatted") for named catalog queries into plans/r11/.
+"""Capture .explain("formatted") for named catalog queries into
+plans/$SPARK_GRAFT_PLAN_ROUND/ (default r12).
 
 Usage:
     python tools/plan_capture.py <suffix> q321_bpe_adaptive_trainer [more...]
     python tools/plan_capture.py before --timed q167_fuzzy_entity_match
 
-Writes plans/r11/<query>_<suffix>.txt for each named query. With --timed,
+Writes plans/<round>/<query>_<suffix>.txt for each named query. With --timed,
 also times each query isolated (noop sink, min of N runs, blocking hygiene
 between queries — the bench methodology) and prints a JSON line.
 
@@ -42,7 +43,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r11",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r12"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
